@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forward fill: replace nulls with the most recent non-null value in event
+  * order (W1, reference `_forward_fill_dataframe` core.py:1034-1072).
+  *
+  * Two implementations:
+  *
+  *  - [[global]]: one `last(col, ignoreNulls).over(orderBy...)` window. Exact
+  *    and simple, but an unpartitioned window sorts everything into a single
+  *    task — fine up to a few million rows, wrong at 100 TB.
+  *
+  *  - [[partitioned]]: the scalable two-phase algorithm. Rows are bucketed by
+  *    range over the order column; phase 1 fills within buckets (parallel
+  *    windows partitioned by bucket); phase 2 computes each bucket's last
+  *    non-null per column (a small aggregate), forward-fills *that* across
+  *    buckets (window over ~thousands of bucket rows, cheap), broadcasts it
+  *    back, and patches the rows still null after phase 1 (the leading nulls
+  *    of each bucket). This is the distributed analog of the reference's
+  *    cross-chunk seeding (`last_row_vals`, core.py:1043-1071), expressed as
+  *    pure DataFrame transforms so Catalyst/AQE keep optimizing around it.
+  */
+object ForwardFill {
+
+  /** Simple global-window forward fill over a total order. `orderCols` must
+    * define a total order (include tiebreakers) or results are
+    * nondeterministic.
+    */
+  def global(df: DataFrame, fillCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Scalable forward fill. `orderCol` must be numeric (e.g. epoch millis or
+    * a dense index); `tieCols` complete the total order within equal
+    * `orderCol` values. `numBuckets` should be >= the executor parallelism.
+    */
+  def partitioned(
+      df: DataFrame,
+      fillCols: Seq[String],
+      orderCol: String,
+      tieCols: Seq[Column] = Nil,
+      numBuckets: Int = 256): DataFrame = {
+    if (df.isEmpty) return df
+    val Row2 = df.agg(min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double")).head()
+    val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
+    val width    = math.max((hi - lo) / numBuckets, 1e-9)
+
+    val bCol     = least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+                         lit(numBuckets - 1L)).cast("long")
+    val bucketed = df.withColumn("__ffb", bCol)
+
+    // Phase 1: fill within buckets — windows partitioned by bucket run in
+    // parallel across executors.
+    val wIn = Window.partitionBy(col("__ffb"))
+      .orderBy(col(orderCol) +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fillCols.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn))
+    }
+
+    // Phase 2: last non-null of each bucket, forward-filled across buckets
+    // (tiny: numBuckets rows), then shifted so bucket b sees the carry-in
+    // from buckets < b.
+    val lastAggs = fillCols.map(c => last(col(c), ignoreNulls = true).as(s"__lv_$c"))
+    val lastPerBucket = filled.groupBy(col("__ffb")).agg(lastAggs.head, lastAggs.tail: _*)
+    val wB = Window.orderBy(col("__ffb")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = fillCols.foldLeft(lastPerBucket) { (d, c) =>
+      d.withColumn(s"__carry_$c", last(col(s"__lv_$c"), ignoreNulls = true).over(wB))
+    }.select(col("__ffb") +: fillCols.map(c => col(s"__carry_$c")): _*)
+
+    // Patch leading nulls of each bucket with the broadcast carry-in.
+    val joined = filled.join(broadcast(carry), Seq("__ffb"), "left")
+    fillCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
+    }.drop("__ffb" +: fillCols.map(c => s"__carry_$c"): _*)
+  }
+}

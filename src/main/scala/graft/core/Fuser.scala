@@ -1,0 +1,146 @@
+package graft.core
+
+import graft.sources.{FrameSource, SourceLoader, SourceSpec}
+import graft.time.EpochTime
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+
+/** The fusion engine: merge N heterogeneous time-series sources into one
+  * globally time-ordered stream.
+  *
+  * Where the reference hand-rolls a chunked k-way merge scheduler
+  * (`_replay_merge_via_file_multi_polars`, core.py:353-637, ~330 LoC of file
+  * cursors, overlap tests and slice loops), the Spark plan is declarative:
+  *
+  * {{{ sources.map(normalize).reduce(unionByName).filter(window).orderBy(ts, ties) }}}
+  *
+  * Catalyst pushes the time-window filter into the scans (parquet row-group
+  * skipping = the reference's file pruning, core.py:790-810), and the global
+  * `orderBy` compiles to a RangePartitioning exchange + per-partition external
+  * sort — a k-way merge distributed across executors, with spilling, which is
+  * exactly what the reference's chunk scheduler approximates on one machine.
+  */
+object Fuser {
+
+  /** Internal canonical event-time column, epoch milliseconds (reference core.py:74). */
+  val TimestampCol = "__timestamp"
+
+  /** Internal provenance column: integer source id (reference core.py:134-143). */
+  val SourceIdCol = "exsym_lookup"
+
+  /** Internal per-source monotone row id used as the final sort tiebreaker so
+    * the fused order is total and deterministic (SURVEY §7.4 hard part 1).
+    */
+  val RowIdCol = "__rowid"
+
+  /** Default separator for collision renames (reference core.py:43-45). */
+  val DefaultSeparator = "||"
+
+  case class FuseOptions(
+      procStart: Option[Any] = None,
+      procEnd: Option[Any] = None,
+      renameIdenticalCols: Boolean = true,
+      separator: String = DefaultSeparator,
+      mergeColNames: Seq[String] = Nil,
+      forwardFillData: Boolean = false,
+      removeInternalCols: Boolean = false)
+
+  case class FuseResult(
+      df: DataFrame,
+      renames: Map[String, String],       // original -> renamed (collision pass)
+      sourceIds: Map[String, Int],        // descriptor -> exsym id
+      startTs: Option[Long],
+      endTs: Option[Long])
+
+  /** Load + fuse path-based sources. */
+  def fuse(spark: SparkSession, specs: Seq[SourceSpec], opts: FuseOptions): FuseResult =
+    fuseFrames(
+      specs.map { s =>
+        FrameSource(SourceLoader.load(spark, s), s.descriptor, s.timestampCol,
+          s.tsConvert, s.removeCols, s.secondarySortCol)
+      },
+      opts)
+
+  /** Normalize one source: drop columns (P1), convert + rename the timestamp
+    * column to `__timestamp` epoch-ms Long (P2/P4), stamp provenance (P3) and
+    * a deterministic per-source row id.
+    */
+  private def normalize(src: FrameSource, id: Int): DataFrame = {
+    var df = src.df
+    if (src.removeCols.nonEmpty) df = df.drop(src.removeCols: _*)
+
+    val tsName = src.timestampCol
+    df = src.tsConvert match {
+      case Some(f) =>
+        // Preserve the original column as `__<col>` (reference core.py:942-945).
+        df.withColumn(s"__$tsName", col(tsName))
+          .withColumn(tsName, f(col(tsName)).cast(LongType))
+      case None =>
+        df.schema(tsName).dataType match {
+          case TimestampType | TimestampNTZType =>
+            df.withColumn(tsName, unix_millis(col(tsName).cast(TimestampType)))
+          case LongType => df
+          case _        => df.withColumn(tsName, col(tsName).cast(LongType))
+        }
+    }
+    df.withColumnRenamed(tsName, TimestampCol)
+      .withColumn(SourceIdCol, lit(id))
+      .withColumn(RowIdCol,
+        src.secondarySortCol.map(col(_).cast(LongType))
+          .getOrElse(monotonically_increasing_id()))
+  }
+
+  /** Fuse DataFrame sources (the core API). */
+  def fuseFrames(sources: Seq[FrameSource], opts: FuseOptions = FuseOptions()): FuseResult = {
+    require(sources.nonEmpty, "at least one source required")
+
+    val ids        = sources.zipWithIndex.map { case (s, i) => s.descriptor -> i }.toMap
+    var normalized = sources.zipWithIndex.map { case (s, i) => normalize(s, i) }
+
+    // Collision rename (§1.4, reference core.py:297-318): a non-merge column
+    // name appearing in more than one source becomes `<col><sep><descriptor>`.
+    var renames = Map.empty[String, String]
+    if (opts.renameIdenticalCols) {
+      val exempt = Set(TimestampCol, SourceIdCol, RowIdCol) ++ opts.mergeColNames
+      val colCounts = normalized.flatMap(_.columns).filterNot(exempt)
+        .groupBy(identity).map { case (c, xs) => c -> xs.length }
+      val colliding = colCounts.filter(_._2 > 1).keySet
+      normalized = normalized.zip(sources).map { case (df, src) =>
+        df.columns.filter(colliding).foldLeft(df) { (d, c) =>
+          val newName = s"$c${opts.separator}${src.descriptor}"
+          renames += (c -> newName)
+          d.withColumnRenamed(c, newName)
+        }
+      }
+    }
+
+    // Diagonal concat (M3, reference core.py:284-295): align by name,
+    // null-fill missing columns.
+    var fused = normalized.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // Time-window filter (P5/M5/M6): Catalyst pushes this into every scan.
+    val startTs = opts.procStart.map(EpochTime.toEpochMillis)
+    val endTs   = opts.procEnd.map(EpochTime.toEpochMillis)
+    startTs.foreach(s => fused = fused.filter(col(TimestampCol) >= lit(s)))
+    endTs.foreach(e => fused = fused.filter(col(TimestampCol) <= lit(e)))
+
+    // Global chronological order with deterministic tiebreak (M4).
+    fused = fused.orderBy(col(TimestampCol), col(SourceIdCol), col(RowIdCol))
+
+    // Engine-level forward fill of real rows (W1, reference core.py:481-482).
+    if (opts.forwardFillData) {
+      val fillCols = fused.columns.filterNot(Set(TimestampCol, SourceIdCol, RowIdCol)).toSeq
+      fused = ForwardFill.partitioned(fused, fillCols, TimestampCol,
+        Seq(col(SourceIdCol), col(RowIdCol)))
+        .orderBy(col(TimestampCol), col(SourceIdCol), col(RowIdCol))
+    }
+
+    if (opts.removeInternalCols)
+      fused = fused.drop(SourceIdCol, RowIdCol)
+    else
+      fused = fused.drop(RowIdCol)
+
+    FuseResult(fused, renames, ids, startTs, endTs)
+  }
+}

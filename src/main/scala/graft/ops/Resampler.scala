@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.core.ForwardFill
+import graft.time.Intervals
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.time.{ZoneId, ZoneOffset}
+
+/** Tumbling-grid resampler with last-value sampling, gap fill and selective
+  * forward fill — the reference's `BatchEveryIntervalHandler.process/finalize`
+  * (classes.py:589-637) re-expressed as one distributed DataFrame transform.
+  *
+  * Semantics (derived from the reference's event loop; SURVEY §2.4):
+  *
+  *  - Grid boundaries are the arithmetic progression `B_k = B0 + k*step`,
+  *    where `B0 = nextBoundary(min_ts, initialize = true)` (day intervals
+  *    align to midnight in `tz`; others to epoch-multiples of the step).
+  *  - Emitted boundaries: every `B_k <= max_ts`, plus — when
+  *    `processBatchEnd` — the first boundary after `max_ts` (the reference's
+  *    tail flush, classes.py:627-637).
+  *  - The row at boundary `B` is the last event with `ts < B` (an event
+  *    exactly on a boundary reports to the *next* one: the reference emits
+  *    `prev_msg` when the first `ts >= B` arrives, classes.py:602-607).
+  *    If that event lies within `[B - step, B)` the full row is emitted;
+  *    otherwise the boundary is a *gap row*: every column null except the
+  *    `ffillKeys`, which carry the last real event's values
+  *    (classes.py:608-623).
+  *
+  * Scale shape: one `groupBy(bucket)` (map-side combined `max_by`), a
+  * broadcast-range join onto the grid, and a bucketed forward fill — no
+  * global single-partition window, no driver-side row loop. The grid size is
+  * `(max_ts - min_ts)/step`, bounded by the time span, not the data volume.
+  */
+object Resampler {
+
+  case class ResampleOptions(
+      ffillKeys: Seq[String] = Nil,
+      processBatchEnd: Boolean = true,
+      tz: ZoneId = ZoneOffset.UTC,
+      /** Tiebreak columns completing the event order for equal timestamps. */
+      tieCols: Seq[String] = Nil)
+
+  /** Resample `df` to the `interval` grid. `tsCol` must be epoch-ms Long.
+    * Output schema = input schema with `tsCol` holding the grid boundary;
+    * rows ordered by boundary.
+    */
+  def resample(
+      df: DataFrame,
+      interval: String,
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      opts: ResampleOptions = ResampleOptions()): DataFrame = {
+
+    val step = Intervals.toMillis(interval)
+
+    val bounds = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    if (bounds.isNullAt(0)) return df.limit(0)
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+
+    val b0 = Intervals.nextBoundary(t0, interval, initialize = true, opts.tz)
+    // Boundaries emitted in the normal loop: all B_k <= t1.
+    val kNormMax = Math.floorDiv(t1 - b0, step) // may be -1 if t1 < b0
+    // Tail flush adds the first boundary strictly after t1.
+    val kEnd = if (opts.processBatchEnd) kNormMax + 1 else kNormMax
+    if (kEnd < 0) return df.limit(0)
+
+    val spark    = df.sparkSession
+    val dataCols = df.columns.filterNot(_ == tsCol).toSeq
+
+    // Each event reports to the first boundary strictly after it:
+    // k = floorDiv(ts - b0, step) + 1, in pure integer math (pmod keeps the
+    // remainder non-negative so the division floors rather than truncates).
+    val delta = col(tsCol) - lit(b0)
+    val kExpr = ((delta - pmod(delta, lit(step))) / lit(step)).cast("long") + lit(1L)
+
+    // Last event per bucket, totally ordered by (ts, tieCols). One shuffle,
+    // with map-side partial max_by.
+    val ordKey = struct((col(tsCol) +: opts.tieCols.map(col)): _*)
+    val lastPerK = df
+      .withColumn("__k", kExpr)
+      .filter(col("__k") <= lit(kEnd)) // events past the last boundary never emit
+      .groupBy(col("__k"))
+      .agg(max_by(struct(dataCols.map(col): _*), ordKey).as("__row"),
+           max(col(tsCol)).as("__src_ts"))
+
+    // Dense grid of boundaries; join the sampled rows onto it.
+    val grid = spark.range(0L, kEnd + 1L)
+      .select(col("id").as("__k"), (lit(b0) + col("id") * lit(step)).as(tsCol))
+
+    var out = grid.join(lastPerK, Seq("__k"), "left")
+      .select(Seq(col("__k"), col(tsCol), col("__src_ts")) ++
+        dataCols.map(c => col(s"__row.$c").as(c)): _*)
+
+    // A boundary whose sampled event is older than one step is a gap row:
+    // null out everything except the ffill keys...
+    val isGap = col("__src_ts").isNull || col("__src_ts") < col(tsCol) - lit(step)
+    out = dataCols.foldLeft(out) { (d, c) =>
+      if (opts.ffillKeys.contains(c)) d
+      else d.withColumn(c, when(isGap, lit(null)).otherwise(col(c)))
+    }
+    // ...and forward-fill the keys across gap rows (W3) — bucketed two-phase
+    // fill, no global window.
+    if (opts.ffillKeys.nonEmpty)
+      out = ForwardFill.partitioned(out, opts.ffillKeys, "__k")
+
+    out.drop("__k", "__src_ts")
+      .select(col(tsCol) +: dataCols.map(col): _*)
+      .orderBy(col(tsCol))
+  }
+
+  /** Convenience: resample preserving the engine's column order with the
+    * internal provenance column retained or dropped.
+    */
+  def resampleKeys(df: DataFrame, interval: String, ffillKeys: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame =
+    resample(df, interval, opts = ResampleOptions(ffillKeys = ffillKeys, tieCols = tieCols))
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque `binary`
+  * columns with a typed metadata struct alongside. The Spark-side machinery
+  * (schema, batching, partition sizing) is real; the codec step is a
+  * clearly-marked deterministic stub because no image/audio libraries ship in
+  * this environment — swap `stubDecode` for a real decoder (e.g. a JNI/FFM
+  * binding) without touching the plan shape.
+  *
+  * Scale notes: payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
+  * governs batch memory; feature extraction is `mapPartitions` over an
+  * iterator (constant memory, no per-row task overhead); metadata-only
+  * queries never deserialize payloads thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)
+  ))
+
+  /** Wrap a text table into a blob table: payload = utf-8 bytes, metadata
+    * struct populated. Stands in for "read a directory of media files"
+    * (which in production is `spark.read.format("binaryFile")`).
+    */
+  def toBlobTable(df: DataFrame, idCol: String, textCol: String, modality: String): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit(modality).as("modality"),
+        lit("utf8").as("format"),
+        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height")
+      ).as("meta"))
+
+  /** Deterministic stand-in for a media decoder: 16-bin byte histogram,
+    * L1-normalized. Real decode/resize/frame-sample plugs in here; the
+    * iterator shape (mapPartitions, bounded memory) is the production shape.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](16)
+    if (payload == null || payload.isEmpty) return bins
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
+    val n = payload.length.toDouble
+    var b = 0
+    while (b < 16) { bins(b) /= n; b += 1 }
+    bins
+  }
+
+  /** Feature extraction over the blob table: (id, features). Distributed via
+    * typed mapPartitions; payload bytes stream through one partition at a
+    * time (bounded memory — the batch shape a real decoder needs).
+    */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, stubDecode(payload)) })
+      .toDF(idCol, "features")
+  }
+
+  /** Metadata-only summary — demonstrates payload-free column pruning. */
+  def metaSummary(df: DataFrame): DataFrame =
+    df.groupBy(col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("meta.n_bytes")).as("total_bytes"),
+           max(col("meta.n_bytes")).as("max_bytes"))
+}

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline is brute-force cosine top-k (exact); the scale paths are
+  * random-hyperplane LSH bucketing and a centroid-partitioned IVF. All
+  * vector math uses `zip_with`/`aggregate` builtins in double precision —
+  * codegen'd, no UDF boxing.
+  *
+  * Scale shape: brute force is a broadcast nested loop (queries broadcast,
+  * corpus streamed — linear in corpus size, embarrassingly parallel).
+  * LSH/IVF turn that into a bucket-equijoin so the per-query cost is the
+  * bucket size, not the corpus.
+  */
+object Similarity {
+
+  /** Dot product of two array columns in double precision (sequential
+    * left-to-right summation — deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine: for every row of `queries`, the `k`
+    * nearest rows of `corpus` (excluding self-matches by id). Rank by
+    * (rounded cosine desc, corpus id asc) so ordering is stable across
+    * engines despite float summation differences.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup). Exact;
+    * O(n²) — restrict the inputs or use [[lshPairs]] at scale.
+    */
+  def thresholdPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` x `dim`, seeded. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection LSH bucket id for each vector: bit b set iff
+    * dot(vec, plane_b) > 0. Vectors in the same bucket are near in angle.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-neighbor pairs: only pairs sharing a bucket under at
+    * least one of `tables` independent plane sets are compared, then exact
+    * cosine filters at `threshold`.
+    */
+  def lshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bitsPerTable: Int = 12,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(
+      col(idCol), col(vecCol),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          lshBucket(col(vecCol), hyperplanes(dim, bitsPerTable, seed + t)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
+
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("table"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF index: pick `nCells` seed centroids deterministically (the corpus
+    * rows with the lowest ids), assign every vector to its nearest centroid.
+    * Queries probe `nProbe` nearest cells. One Lloyd iteration refines the
+    * centroids without any driver-side loop.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("__centroid"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__sim", "__rk", "__centroid")
+  }
+
+  /** IVF top-k: search only within the query vector's own cell(s). */
+  def ivfTopK(
+      df: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      k: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, nCells)
+    val qAssigned = assigned.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(qAssigned), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+}

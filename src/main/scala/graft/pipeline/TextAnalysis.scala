@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification and document
+  * fingerprinting. All pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, whole-stage-fused, no UDFs — so they run at full Tungsten speed
+  * over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Word-token pattern shared by all operators (BPE-ish: runs of
+    * alphanumerics; punctuation splits).
+    */
+  val TokenPattern = "[A-Za-z0-9]+"
+
+  /** Small per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Kept tiny and public-knowledge (most-frequent function
+    * words).
+    */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "los", "con", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "une"),
+    "it" -> Seq("il", "di", "che", "per", "con", "del", "una", "sono")
+  )
+
+  /** Number of word tokens. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit(TokenPattern)).cast("long")
+
+  /** Whitespace-separated words as an array (empty-safe). */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Count of whole-word occurrences of `word` (case-insensitive). */
+  def wordHits(text: Column, word: String): Column =
+    regexp_count(lower(text), lit("\\b" + word + "\\b")).cast("long")
+
+  /** Quality-signal columns: length, token count, punctuation count, mean
+    * token length, stopword(en) ratio, uppercase ratio. Deterministic
+    * integer counts + single-division ratios so a SQL oracle reproduces them
+    * bit-for-bit.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val nChars  = length(text).cast("long")
+    val nTokens = tokenCount(text)
+    val nPunct  = regexp_count(text, lit("[.,!?;:]")).cast("long")
+    val nAlnum  = (nChars - regexp_count(text, lit("[^A-Za-z0-9]")).cast("long"))
+    val nUpper  = regexp_count(text, lit("[A-Z]")).cast("long")
+    val enStops = StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
+    val nStops  = enStops.map(wordHits(text, _)).reduce(_ + _)
+    Seq(
+      "n_chars"        -> nChars,
+      "n_tokens"       -> nTokens,
+      "n_punct"        -> nPunct,
+      "mean_tok_len"   -> when(nTokens > 0, nAlnum.cast("double") / nTokens.cast("double")).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTokens > 0, nStops.cast("double") / nTokens.cast("double")).otherwise(lit(0.0)),
+      "upper_ratio"    -> when(nChars > 0, nUpper.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    )
+  }
+
+  /** Language-ID by stopword voting: the language with the most whole-word
+    * stopword hits wins; ties break by list order; zero hits → "und"
+    * (undetermined). A standard n-gram-free heuristic that stays in codegen.
+    */
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    StopwordsByLang.map { case (lang, ws) =>
+      s"score_$lang" -> ws.map(wordHits(text, _)).reduce(_ + _)
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best   = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // First language (in declared order) achieving the max; "und" when all 0.
+    scores.reverse.foldLeft(lit("und")) { case (acc, (name, score)) =>
+      when(score === best && best > 0, lit(name.stripPrefix("score_"))).otherwise(acc)
+    }
+  }
+
+  /** Word n-gram shingles (space-joined), for fingerprinting and near-dup. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Document fingerprint: the k lexicographically-smallest md5 digests of
+    * the word `n`-gram shingles (a winnowing-style min-hash sketch built
+    * from codegen'd builtins; md5 is identically defined everywhere, so
+    * oracles reproduce it exactly).
+    */
+  def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
+    slice(array_sort(transform(array_distinct(shingles(text, n)), s => md5(s))), 1, k)
+
+  /** Single-value fingerprint (minimum shingle digest). */
+  def minFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

@@ -1,0 +1,53 @@
+package graft.core
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ForwardFillSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("global fill matches reference semantics (core.py:1034-1072)") {
+    val df = Seq(
+      (1L, Some(1.0), Some("a")),
+      (2L, None, None),
+      (3L, Some(3.0), None),
+      (4L, None, Some("d")),
+      (5L, None, None)
+    ).toDF("ts", "x", "s")
+    val out = ForwardFill.global(df, Seq("x", "s"), Seq(col("ts")))
+      .orderBy("ts").collect()
+    assert(out.map(r => Option(r.get(1)).orNull).toSeq == Seq(1.0, 1.0, 3.0, 3.0, 3.0))
+    assert(out.map(r => Option(r.get(2)).orNull).toSeq == Seq("a", "a", "a", "d", "d"))
+  }
+
+  test("leading nulls stay null") {
+    val df  = Seq((1L, None), (2L, Some(2.0)), (3L, None)).toDF("ts", "x")
+    val out = ForwardFill.global(df, Seq("x"), Seq(col("ts"))).orderBy("ts").collect()
+    assert(out.map(r => Option(r.get(1)).orNull).toSeq == Seq(null, 2.0, 2.0))
+  }
+
+  test("partitioned two-phase fill is equivalent to global fill") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 5000).map { i =>
+      (i.toLong,
+       if (rnd.nextDouble() < 0.7) None else Some(rnd.nextInt(100).toDouble),
+       if (rnd.nextDouble() < 0.9) None else Some(s"v${rnd.nextInt(10)}"))
+    }
+    val df = data.toDF("ts", "x", "s").repartition(8)
+    val g = ForwardFill.global(df, Seq("x", "s"), Seq(col("ts")))
+      .orderBy("ts").collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    val p = ForwardFill.partitioned(df, Seq("x", "s"), "ts", numBuckets = 16)
+      .orderBy("ts").collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(g.toSeq == p.toSeq)
+  }
+
+  test("partitioned fill with long all-null stretches crossing buckets") {
+    // Only the first row non-null: every bucket after the first must carry it.
+    val data = (0 until 1000).map(i => (i.toLong, if (i == 0) Some(42.0) else None))
+    val df   = data.toDF("ts", "x")
+    val out = ForwardFill.partitioned(df, Seq("x"), "ts", numBuckets = 10)
+      .orderBy("ts").collect()
+    assert(out.forall(_.getDouble(1) == 42.0))
+  }
+}

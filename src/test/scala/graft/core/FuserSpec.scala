@@ -1,0 +1,108 @@
+package graft.core
+
+import graft.SparkTestBase
+import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
+import graft.sources.FrameSource
+import org.apache.spark.sql.functions._
+
+class FuserSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def trades = Seq(
+    (1000L, 10.0, 1L), (3000L, 11.0, 2L), (5000L, 12.0, 3L)
+  ).toDF("Timestamp", "Price", "Syn_id")
+
+  private def spread = Seq(
+    (2000L, 9.9, 10.1, 1L), (3000L, 10.9, 11.1, 2L), (6000L, 11.9, 12.1, 3L)
+  ).toDF("Timestamp", "bid", "ask", "Syn_id")
+
+  test("diagonal union + chronological order + provenance") {
+    val res = Fuser.fuseFrames(Seq(
+      FrameSource(trades, "trades", "Timestamp"),
+      FrameSource(spread, "spread", "Timestamp")))
+    val df = res.df
+    assert(df.columns.contains(TimestampCol))
+    assert(df.columns.contains(SourceIdCol))
+    // Collision rename: Syn_id appears in both sources → suffixed.
+    assert(df.columns.count(_.startsWith("Syn_id||")) == 2)
+    val ts = df.select(TimestampCol).collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(1000L, 2000L, 3000L, 3000L, 5000L, 6000L))
+    // Equal timestamps tie-break by source id (stable, deterministic).
+    val tie = df.filter(col(TimestampCol) === 3000L).select(SourceIdCol)
+      .collect().map(_.getInt(0)).toSeq
+    assert(tie == Seq(0, 1))
+    // Null-filling: trades rows carry null bid/ask.
+    val first = df.orderBy(col(TimestampCol)).first()
+    assert(first.isNullAt(first.fieldIndex("bid")))
+  }
+
+  test("merge columns exempt from collision rename") {
+    val res = Fuser.fuseFrames(
+      Seq(FrameSource(trades, "trades", "Timestamp"),
+          FrameSource(spread, "spread", "Timestamp")),
+      FuseOptions(mergeColNames = Seq("Syn_id")))
+    assert(res.df.columns.count(_ == "Syn_id") == 1)
+    assert(res.renames.isEmpty)
+  }
+
+  test("time window filter clamps both ends") {
+    val res = Fuser.fuseFrames(
+      Seq(FrameSource(trades, "trades", "Timestamp"),
+          FrameSource(spread, "spread", "Timestamp")),
+      FuseOptions(procStart = Some(2000L), procEnd = Some(5000L)))
+    val ts = res.df.select(TimestampCol).collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(2000L, 3000L, 3000L, 5000L))
+  }
+
+  test("ISO string bounds are coerced like the reference scalar rules") {
+    val res = Fuser.fuseFrames(
+      Seq(FrameSource(trades, "trades", "Timestamp")),
+      FuseOptions(procStart = Some("1970-01-01T00:00:03Z")))
+    assert(res.startTs.contains(3000L))
+    assert(res.df.count() == 2)
+  }
+
+  test("timestamp conversion keeps original as __<col>") {
+    val iso = Seq(
+      ("2023-11-04T15:22:00.091Z", 1.0),
+      ("2023-11-04T15:22:01.000Z", 2.0)
+    ).toDF("str_iso_timestamp", "Price")
+    val res = Fuser.fuseFrames(Seq(
+      FrameSource(iso, "pq", "str_iso_timestamp",
+        tsConvert = Some(c => unix_millis(to_timestamp(c))))))
+    val df = res.df
+    assert(df.columns.contains("__str_iso_timestamp"))
+    val row = df.first()
+    assert(row.getAs[Long](TimestampCol) == 1699111320091L)
+    assert(row.getAs[String]("__str_iso_timestamp") == "2023-11-04T15:22:00.091Z")
+  }
+
+  test("remove_cols drops before fusing") {
+    val res = Fuser.fuseFrames(Seq(
+      FrameSource(trades, "trades", "Timestamp", removeCols = Seq("Syn_id"))))
+    assert(!res.df.columns.exists(_.startsWith("Syn_id")))
+  }
+
+  test("engine-level forward fill fills real rows across sources") {
+    val res = Fuser.fuseFrames(
+      Seq(FrameSource(trades, "trades", "Timestamp"),
+          FrameSource(spread, "spread", "Timestamp")),
+      FuseOptions(forwardFillData = true, renameIdenticalCols = false,
+        mergeColNames = Seq("Syn_id")))
+    val rows = res.df.orderBy(col(TimestampCol), col(SourceIdCol)).collect()
+    // The spread row at 2000 has null Price → filled from trades@1000 (10.0).
+    val at2000 = rows.find(_.getLong(rows.head.fieldIndex(TimestampCol)) == 2000L).get
+    assert(at2000.getAs[Double]("Price") == 10.0)
+    // trades@5000 has null bid → filled from spread@3000 (10.9).
+    val at5000 = rows.find(_.getLong(rows.head.fieldIndex(TimestampCol)) == 5000L).get
+    assert(at5000.getAs[Double]("bid") == 10.9)
+  }
+
+  test("auto-converts native timestamp columns to epoch ms") {
+    val df = Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+      .toDF("ts").withColumn("v", lit(1))
+    val res = Fuser.fuseFrames(Seq(FrameSource(df, "t", "ts")))
+    assert(res.df.first().getAs[Long](TimestampCol) == 1577836800000L)
+  }
+}

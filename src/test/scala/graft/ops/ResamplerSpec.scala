@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.Resampler.ResampleOptions
+import org.apache.spark.sql.Row
+
+/** Ports the reference's canonical dense-grid tests
+  * (tests/integration/test_batchinterval_fill.py:57-204 — the 21-row
+  * A,None,...,E vs A,A,A,...,E fixtures; data =
+  * data/interval_handler/1second_letters_gaps.parquet) and the boundary
+  * semantics of test_batchinterval_handler.py.
+  */
+class ResamplerSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // The 5 rows of 1second_letters_gaps.parquet (values copied, not the file).
+  private def lettersGapDf = Seq(
+    (1577836800191L, "2020-01-01 00:00:00.191000+00:00", "A", "A"),
+    (1577836805654L, "2020-01-01 00:00:05.654000+00:00", "B", "B"),
+    (1577836810155L, "2020-01-01 00:00:10.155000+00:00", "C", "C"),
+    (1577836815418L, "2020-01-01 00:00:15.418000+00:00", "D", "D"),
+    (1577836820013L, "2020-01-01 00:00:20.013000+00:00", "E", "E")
+  ).toDF("__timestamp", "Human_Timestamp", "Letter", "Nonfill_letter")
+
+  private val expectedTs = (1 to 21).map(s => 1577836800000L + s * 1000L)
+
+  test("1s grid without ffill keys: gaps are all-null rows") {
+    val out  = Resampler.resample(lettersGapDf, "1s")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == expectedTs)
+    val letters = rows.map(r => Option(r.getAs[String]("Letter")).orNull).toSeq
+    val expected = Seq("A", null, null, null, null, "B", null, null, null, null,
+      "C", null, null, null, null, "D", null, null, null, null, "E")
+    assert(letters == expected)
+  }
+
+  test("1s grid with ffill keys: keys carry forward, others stay null") {
+    val out = Resampler.resample(lettersGapDf, "1s",
+      opts = ResampleOptions(ffillKeys = Seq("Letter")))
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == expectedTs)
+    val letters = rows.map(_.getAs[String]("Letter")).toSeq
+    assert(letters == Seq("A", "A", "A", "A", "A", "B", "B", "B", "B", "B",
+      "C", "C", "C", "C", "C", "D", "D", "D", "D", "D", "E"))
+    val nonfill = rows.map(r => Option(r.getAs[String]("Nonfill_letter")).orNull).toSeq
+    assert(nonfill == Seq("A", null, null, null, null, "B", null, null, null, null,
+      "C", null, null, null, null, "D", null, null, null, null, "E"))
+  }
+
+  test("processBatchEnd=false drops the tail flush row") {
+    val out = Resampler.resample(lettersGapDf, "1s",
+      opts = ResampleOptions(processBatchEnd = false))
+    val ts = out.collect().map(_.getLong(0)).toSeq
+    assert(ts == expectedTs.dropRight(1))
+  }
+
+  test("event exactly on a boundary reports to the next boundary") {
+    // Events at exactly 00:00:01.000 and 00:00:03.500.
+    val df = Seq((1577836801000L, "X"), (1577836803500L, "Y"))
+      .toDF("__timestamp", "v")
+    val rows = Resampler.resample(df, "1s").collect()
+    // b0 = nextBoundary(1577836801000, init) = 00:00:02 (on-boundary → next).
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(1577836802000L, 1577836803000L, 1577836804000L))
+    assert(rows.map(r => Option(r.getAs[String]("v")).orNull).toSeq ==
+      Seq("X", null, "Y"))
+  }
+
+  test("multiple events in one interval: last wins (tiebreak by order cols)") {
+    val df = Seq(
+      (1577836800100L, 1L, "a"),
+      (1577836800200L, 2L, "b"),
+      (1577836800200L, 3L, "c"), // same ts, higher tiebreak id
+      (1577836801700L, 4L, "d")
+    ).toDF("__timestamp", "id", "v")
+    val rows = Resampler.resample(df, "1s",
+      opts = ResampleOptions(tieCols = Seq("id"))).collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[String]("v"))).toSeq ==
+      Seq((1577836801000L, "c"), (1577836802000L, "d")))
+  }
+
+  test("single event resamples to a single flushed boundary") {
+    val df   = Seq((1577836800191L, "A")).toDF("__timestamp", "v")
+    val rows = Resampler.resample(df, "1s").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1577836801000L, "A")))
+  }
+
+  test("1m grid matches handler-test boundary alignment") {
+    // Minute-grid variant of test_batchinterval_handler.py: events jittered
+    // inside successive minutes emit at the following minute boundary.
+    val base = 1577836800000L
+    val df = (0 until 5).map(i => (base + i * 60000L + 13000L, ('A' + i).toChar.toString))
+      .toDF("__timestamp", "Letter")
+    val rows = Resampler.resample(df, "1m").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 5).map(i => base + i * 60000L))
+    assert(rows.map(_.getAs[String]("Letter")).toSeq == Seq("A", "B", "C", "D", "E"))
+  }
+
+  test("day interval aligns to UTC midnight") {
+    val df = Seq(
+      (1627776123213L, "A"), // 2021-08-01T00:02:03.213Z
+      (1627862400000L + 3600000L, "B") // 2021-08-02T01:00:00Z
+    ).toDF("__timestamp", "v")
+    val rows = Resampler.resample(df, "1d").collect()
+    // b0 = 2021-08-02T00:00:00Z; tail flush at 2021-08-03.
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1627862400000L, 1627948800000L))
+    assert(rows.map(_.getAs[String]("v")).toSeq == Seq("A", "B"))
+  }
+}
