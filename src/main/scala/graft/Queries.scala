@@ -1,0 +1,473 @@
+package graft
+
+import graft.core.{ForwardFill, Fuser}
+import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
+import graft.ops.Resampler
+import graft.ops.Resampler.ResampleOptions
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.FrameSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's query inventory: one entry per operator from SURVEY.md §2
+  * plus the LLM-pipeline operators, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules shared by every (query, oracle) pair:
+  *  - identical column names/aliases on both sides;
+  *  - a total ORDER BY on both sides;
+  *  - double *aggregates* rounded (sum order differs between engines);
+  *    copied doubles are left exact.
+  */
+object Queries {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads through
+    * the legacy nanos-as-long conf; normalize to a µs TimestampType column so
+    * downstream code is uniform (epoch-ms truncation then matches DuckDB's
+    * `epoch_ms`).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = tbl(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div: ns values overflow double precision, so no `/`
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** ISO-µs format used by the ts-conversion round trip (same grammar in
+    * Spark's DateTimeFormatter and DuckDB's strftime).
+    */
+  private val IsoUs     = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+  private val IsoUsDuck = "%Y-%m-%dT%H:%M:%S.%f"
+
+  // ---------------------------------------------------------------- fusion
+
+  /** M1/M3/M4/P3: two heterogeneous sub-streams fused into one chronological
+    * stream with provenance and diagonal (null-filling) schema alignment.
+    */
+  def fuseMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val a = ev.filter($"event_type".isin("click", "view"))
+      .select($"ts", $"event_id", $"user_id", $"value")
+    val b = ev.filter(!$"event_type".isin("click", "view"))
+      .select($"ts", $"event_id", $"event_type", $"props")
+    Fuser.fuseFrames(
+      Seq(FrameSource(a, "clicks", "ts", secondarySortCol = Some("event_id")),
+          FrameSource(b, "txns", "ts", secondarySortCol = Some("event_id"))),
+      FuseOptions(mergeColNames = Seq("event_id"))).df
+  }
+
+  val fuseMergeSql: String =
+    """SELECT * FROM (
+      |  SELECT epoch_ms(ts) AS __timestamp, event_id, user_id, value,
+      |         0 AS exsym_lookup, NULL AS event_type, NULL AS props
+      |  FROM events WHERE event_type IN ('click','view')
+      |  UNION ALL
+      |  SELECT epoch_ms(ts), event_id, NULL, NULL, 1, event_type, props
+      |  FROM events WHERE event_type NOT IN ('click','view')
+      |) ORDER BY __timestamp, exsym_lookup, event_id""".stripMargin
+
+  /** §1.4 collision rename: same schema from two sources → `col||descriptor`. */
+  def fuseRename(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    def side(t: String) = ev.filter($"event_type" === t)
+      .select($"ts", $"event_id", $"user_id", $"value")
+    Fuser.fuseFrames(
+      Seq(FrameSource(side("click"), "clicks", "ts", secondarySortCol = Some("event_id")),
+          FrameSource(side("purchase"), "purchases", "ts", secondarySortCol = Some("event_id")))).df
+  }
+
+  val fuseRenameSql: String =
+    """SELECT * FROM (
+      |  SELECT epoch_ms(ts) AS __timestamp,
+      |         event_id AS "event_id||clicks", user_id AS "user_id||clicks",
+      |         value AS "value||clicks", 0 AS exsym_lookup,
+      |         CAST(NULL AS BIGINT) AS "event_id||purchases",
+      |         CAST(NULL AS BIGINT) AS "user_id||purchases",
+      |         CAST(NULL AS DOUBLE) AS "value||purchases"
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT epoch_ms(ts), NULL, NULL, NULL, 1, event_id, user_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |) ORDER BY __timestamp, exsym_lookup""".stripMargin
+
+  /** P5/M5: engine time-window filter from ISO scalar bounds (pushed down). */
+  def timeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = events(spark, dir).select($"ts", $"event_id", $"event_type", $"value")
+    Fuser.fuseFrames(
+      Seq(FrameSource(src, "events", "ts", secondarySortCol = Some("event_id"))),
+      FuseOptions(procStart = Some("2024-01-10T00:00:00Z"),
+        procEnd = Some("2024-01-20T00:00:00Z"))).df
+  }
+
+  val timeFilterSql: String =
+    """SELECT epoch_ms(ts) AS __timestamp, event_id, event_type, value,
+      |       0 AS exsym_lookup
+      |FROM events
+      |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) <= 1705708800000
+      |ORDER BY __timestamp, event_id""".stripMargin
+
+  /** P4: user timestamp-conversion expression; original kept as `__<col>`. */
+  def tsConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = events(spark, dir)
+      .select(date_format($"ts".cast("timestamp"), IsoUs).as("iso"), $"event_id")
+    Fuser.fuseFrames(Seq(
+      FrameSource(src, "iso_events", "iso", secondarySortCol = Some("event_id"),
+        tsConvert = Some(c => unix_millis(to_timestamp(c, IsoUs)))))).df
+  }
+
+  val tsConvertSql: String =
+    s"""SELECT epoch_ms(strptime(strftime(ts, '$IsoUsDuck'), '$IsoUsDuck')) AS __timestamp,
+       |       event_id, strftime(ts, '$IsoUsDuck') AS __iso, 0 AS exsym_lookup
+       |FROM events ORDER BY __timestamp, event_id""".stripMargin
+
+  /** S8/A6: per-source start/end discovery as min/max aggregates. */
+  def minmaxTs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"event_type")
+      .agg(min(unix_millis($"ts".cast("timestamp"))).as("start_ts"),
+           max(unix_millis($"ts".cast("timestamp"))).as("end_ts"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val minmaxTsSql: String =
+    """SELECT event_type, min(epoch_ms(ts)) AS start_ts, max(epoch_ms(ts)) AS end_ts,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- resampling
+
+  private def purchaseStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+  }
+
+  /** A1-A5/W3: last-value resample onto a tumbling grid with gap fill and
+    * selective forward-fill of `value`.
+    */
+  def resample(spark: SparkSession, dir: String, interval: String): DataFrame =
+    Resampler.resample(purchaseStream(spark, dir), interval,
+      opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
+
+  /** Oracle for [[resample]]: same grid math in SQL. `stepMs` must match the
+    * interval. Works for sub-day units (epoch-aligned grid); the day grid is
+    * UTC-midnight-aligned which coincides with epoch alignment.
+    */
+  def resampleSql(stepMs: Long): String =
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) AS t, event_id, user_id, value
+       |  FROM events WHERE event_type = 'purchase'
+       |), params AS (
+       |  SELECT ((min(t) // $stepMs) * $stepMs + $stepMs) AS b0, max(t) AS t1 FROM ev
+       |), grid AS (
+       |  SELECT unnest(generate_series(0, (CASE WHEN t1 >= b0 THEN (t1 - b0) // $stepMs ELSE -1 END) + 1)) AS k, b0
+       |  FROM params
+       |), ev_k AS (
+       |  SELECT ((t - b0 + $stepMs) // $stepMs) AS k,
+       |         arg_max(event_id, t) AS event_id, arg_max(user_id, t) AS user_id,
+       |         arg_max(value, t) AS value
+       |  FROM ev, params GROUP BY 1
+       |)
+       |SELECT g.b0 + g.k * $stepMs AS __timestamp,
+       |       e.event_id AS event_id, e.user_id AS user_id,
+       |       last_value(e.value IGNORE NULLS) OVER (ORDER BY g.k
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       |FROM grid g LEFT JOIN ev_k e ON g.k = e.k
+       |ORDER BY __timestamp""".stripMargin
+
+  // ----------------------------------------------------------- forward fill
+
+  /** W1: engine forward fill over the fused stream (scalable two-phase). */
+  def ffill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = events(spark, dir).select(
+      unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+      $"event_id",
+      when($"event_type" =!= "click", $"value").as("value"))
+    ForwardFill.partitioned(src, Seq("value"), TimestampCol, Seq($"event_id"))
+      .orderBy(TimestampCol, "event_id")
+  }
+
+  val ffillSql: String =
+    """SELECT t AS __timestamp, event_id,
+      |       last_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM (SELECT epoch_ms(ts) AS t, event_id,
+      |             CASE WHEN event_type <> 'click' THEN value END AS v
+      |      FROM events)
+      |ORDER BY __timestamp, event_id""".stripMargin
+
+  // -------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(tbl(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("digest")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+
+  val dedupJaccardSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, len(shingles) AS n_sh FROM sh
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH candidate pairs verified at jaccard >= 0.8 (rows-only check:
+    * md5-banded signatures aren't worth replicating in SQL; the ScalaTest
+    * suite asserts candidates ⊇ exact pairs instead).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", "doc_id",
+      n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures (rows-only check; bit-voting in SQL is impractical). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).cast("string").as("simhash"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ text analysis
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d    = tbl(spark, dir, "documents")
+    val sigs = TextAnalysis.qualitySignals(col("text")).map {
+      case (n, c) if n.endsWith("_ratio") || n.startsWith("mean_") => round(c, 6).as(n)
+      case (n, c) => c.as(n)
+    }
+    d.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stops = TextAnalysis.StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
+    val stopExpr = stops
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       |  round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+       |    THEN CAST(length(text) - len(regexp_extract_all(text, '[^A-Za-z0-9]')) AS DOUBLE)
+       |         / len(regexp_extract_all(text, '[A-Za-z0-9]+')) ELSE 0.0 END, 6) AS mean_tok_len,
+       |  round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+       |    THEN CAST($stopExpr AS DOUBLE)
+       |         / len(regexp_extract_all(text, '[A-Za-z0-9]+')) ELSE 0.0 END, 6) AS stopword_ratio,
+       |  round(CASE WHEN length(text) > 0
+       |    THEN CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text)
+       |    ELSE 0.0 END, 6) AS upper_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val scoreExprs = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+      lang -> ws.map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    }
+    val scoreSelects = scoreExprs.map { case (l, e) => s"($e) AS score_$l" }.mkString(",\n    ")
+    val best = s"greatest(${scoreExprs.map("score_" + _._1).mkString(", ")})"
+    val cases = scoreExprs.map { case (l, _) =>
+      s"WHEN score_$l = __best AND __best > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE
+       |    $cases
+       |    ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, $best AS __best, * FROM (
+       |    SELECT doc_id,
+       |    $scoreSelects
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+      .withColumn("avg_tokens",
+        round(col("total_tokens").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+      |       round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS DOUBLE)
+      |             / count(*), 6) AS avg_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.minFingerprint(col("text"), n = 3).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_aggregate(
+      |    list_transform(
+      |      [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)],
+      |      s -> md5(s)),
+      |    'min') AS fp
+      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- similarity
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |     scored AS (
+      |       SELECT query_id, neighbor_id,
+      |              round(list_cosine_similarity(qv, cv), 6) AS cosine
+      |       FROM q, c WHERE query_id <> neighbor_id),
+      |     ranked AS (
+      |       SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  def annThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.thresholdPairs(
+      tbl(spark, dir, "embeddings").filter($"vec_id" < 300),
+      "vec_id", "embedding", threshold = 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  val annThresholdSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id < 300)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed near-neighbor pairs (rows-only: hyperplane projections are
+    * engine-side; the spec asserts parity with exact threshold pairs).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.lshPairs(tbl(spark, dir, "embeddings").filter($"vec_id" < 300),
+      "vec_id", "embedding", dim = 64, threshold = 0.35,
+      bitsPerTable = 8, tables = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metaSummary(
+      Multimodal.toBlobTable(tbl(spark, dir, "documents"), "doc_id", "text", "text"))
+      .orderBy("modality", "format")
+
+  val multimodalMetaSql: String =
+    """SELECT 'text' AS modality, 'utf8' AS format, count(*) AS n,
+      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       max(octet_length(encode(text))) AS max_bytes
+      |FROM documents GROUP BY 1, 2 ORDER BY modality, format""".stripMargin
+
+  /** Feature extraction over binary payloads (rows-only: the stub codec is
+    * engine-side by design).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.toBlobTable(tbl(spark, dir, "documents"), "doc_id", "text", "text")
+    Multimodal.extractFeatures(blobs, "doc_id")
+      .select(col("doc_id"), round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 8), 6).as("f7"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------- relational (beyond)
+
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+           round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+           count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = tbl(spark, dir, "orders")
+    val customer = tbl(spark, dir, "customer")
+    val nation   = tbl(spark, dir, "nation")
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+  }
+
+  val joinEnrichSql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+}

@@ -1,13 +1,91 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.core.Fuser.TimestampCol
+import graft.ops.Resampler
+import graft.ops.Resampler.ResampleOptions
+import graft.sources.FrameSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: fuse two heterogeneous event
+    * sub-streams into one chronological stream, resample to a 1h grid with
+    * gap fill + forward-filled value (the reference's core end-to-end path:
+    * M1-M4 + A1-A5 + W3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev  = Queries.events(spark, dir)
+    val a = ev.filter($"event_type".isin("click", "view"))
+      .select($"ts", $"event_id", $"user_id", $"value")
+    val b = ev.filter(!$"event_type".isin("click", "view"))
+      .select($"ts", $"event_id", $"event_type", $"props")
+    val fused = graft.core.Fuser.fuseFrames(
+      Seq(FrameSource(a, "clicks", "ts", secondarySortCol = Some("event_id")),
+          FrameSource(b, "txns", "ts", secondarySortCol = Some("event_id"))),
+      graft.core.Fuser.FuseOptions(mergeColNames = Seq("event_id"))).df
+    Resampler.resample(fused, "1h",
+      opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fusion / reference surface
+    "q_fuse_merge"       -> (Queries.fuseMerge _),
+    "q_fuse_rename"      -> (Queries.fuseRename _),
+    "q_time_filter"      -> (Queries.timeFilter _),
+    "q_ts_convert"       -> (Queries.tsConvert _),
+    "q_minmax_ts"        -> (Queries.minmaxTs _),
+    "q_resample_1h"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1h")),
+    "q_resample_1d"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1d")),
+    "q_ffill"            -> (Queries.ffill _),
+    // dedup
+    "q_dedup_exact"      -> (Queries.dedupExact _),
+    "q_dedup_jaccard"    -> (Queries.dedupJaccard _),
+    "q_dedup_minhash"    -> (Queries.dedupMinhash _),
+    "q_simhash"          -> (Queries.simhash _),
+    // text analysis
+    "q_text_quality"     -> (Queries.textQuality _),
+    "q_lang_id"          -> (Queries.langId _),
+    "q_token_stats"      -> (Queries.tokenStats _),
+    "q_fingerprint"      -> (Queries.fingerprint _),
+    // similarity
+    "q_ann_topk"         -> (Queries.annTopK _),
+    "q_ann_threshold"    -> (Queries.annThreshold _),
+    "q_ann_lsh"          -> (Queries.annLsh _),
+    // multimodal
+    "q_multimodal_meta"  -> (Queries.multimodalMeta _),
+    "q_multimodal_feats" -> (Queries.multimodalFeatures _),
+    // relational (beyond-reference capabilities)
+    "q1_agg"             -> (Queries.q1Agg _),
+    "q_join_enrich"      -> (Queries.joinEnrich _)
+  )
+
+  /** DuckDB oracle SQL per query (same column names + ORDER BY as the Spark
+    * side). Queries without an entry get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_fuse_merge"      -> Queries.fuseMergeSql,
+    "q_fuse_rename"     -> Queries.fuseRenameSql,
+    "q_time_filter"     -> Queries.timeFilterSql,
+    "q_ts_convert"      -> Queries.tsConvertSql,
+    "q_minmax_ts"       -> Queries.minmaxTsSql,
+    "q_resample_1h"     -> Queries.resampleSql(3600000L),
+    "q_resample_1d"     -> Queries.resampleSql(86400000L),
+    "q_ffill"           -> Queries.ffillSql,
+    "q_dedup_exact"     -> Queries.dedupExactSql,
+    "q_dedup_jaccard"   -> Queries.dedupJaccardSql,
+    "q_text_quality"    -> Queries.textQualitySql,
+    "q_lang_id"         -> Queries.langIdSql,
+    "q_token_stats"     -> Queries.tokenStatsSql,
+    "q_fingerprint"     -> Queries.fingerprintSql,
+    "q_ann_topk"        -> Queries.annTopKSql,
+    "q_ann_threshold"   -> Queries.annThresholdSql,
+    "q_multimodal_meta" -> Queries.multimodalMetaSql,
+    "q1_agg"            -> Queries.q1AggSql,
+    "q_join_enrich"     -> Queries.joinEnrichSql
+  )
 }
