@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: open every table once (footer reads, codec + codegen
+    // JIT) so the first timed query doesn't absorb session start-up costs.
+    Seq("lineitem", "orders", "customer", "nation", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(100)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    try Queries.events(spark, sfDir).limit(100)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would let

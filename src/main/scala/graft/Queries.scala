@@ -260,8 +260,8 @@ object Queries {
 
   /** SimHash signatures (rows-only check; bit-voting in SQL is impractical). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(col("text")).cast("string").as("simhash"))
+    Dedup.simhashDf(tbl(spark, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("simhash").cast("string").as("simhash"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ text analysis
@@ -277,8 +277,7 @@ object Queries {
 
   val textQualitySql: String = {
     val stops = TextAnalysis.StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
-    val stopExpr = stops
-      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    val stopExpr = s"len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b'))"
     s"""SELECT doc_id,
        |  length(text) AS n_chars,
        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
@@ -302,7 +301,7 @@ object Queries {
 
   val langIdSql: String = {
     val scoreExprs = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
-      lang -> ws.map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+      lang -> s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b'))"
     }
     val scoreSelects = scoreExprs.map { case (l, e) => s"($e) AS score_$l" }.mkString(",\n    ")
     val best = s"greatest(${scoreExprs.map("score_" + _._1).mkString(", ")})"

@@ -79,19 +79,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature column: for each of `numHashes` hash functions, the
-    * minimum md5 digest of `i:shingle`. Deterministic and engine-portable
-    * (no seeded JVM-specific hashing).
+  /** MinHash signature from a pre-computed distinct-shingle array column:
+    * hash function i is `xxhash64(i, shingle)` (native, codegen'd — one
+    * shingle-array traversal per hash, shingles computed once).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(array_distinct(TextAnalysis.shingles(text, n)),
-        s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
     }: _*)
 
   /** LSH candidate pairs: split the signature into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any band bucket become candidates; candidates are
-    * verified with exact Jaccard when `verifyThreshold` > 0.
+    * verified with exact Jaccard (computed on just the candidate pairs via
+    * `array_intersect`, not a full-corpus shingle join) when
+    * `verifyThreshold` > 0.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -102,12 +103,15 @@ object Dedup {
       rowsPerBand: Int = 2,
       verifyThreshold: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigDf = df.select(col(idCol), minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val shingled = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
+    val sigDf = shingled.select(col(idCol), col("__sh"),
+      minhashSignature(col("__sh"), numHashes).as("sig"))
 
     val banded = sigDf.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
 
@@ -119,33 +123,48 @@ object Dedup {
 
     if (verifyThreshold <= 0.0) cands
     else {
-      val verified = jaccardPairs(df, textCol, idCol, n, verifyThreshold)
-      cands.join(verified, Seq("id_a", "id_b"), "inner")
+      // Verify only the candidates: shingle sets are joined onto the pair
+      // list (bounded by candidate count, not corpus size).
+      val aSh = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+      val bSh = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+      cands.join(aSh, Seq("id_a")).join(bSh, Seq("id_b"))
+        .withColumn("__shared", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+        .withColumn("jaccard", col("__shared").cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - col("__shared")).cast("double"))
+        .filter(col("jaccard") >= verifyThreshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }
   }
 
-  /** 64-bit SimHash from word tokens: each token votes its md5-derived 64-bit
-    * pattern; the signature takes the sign of each bit's vote sum. Built
-    * entirely from builtins (`conv` on md5 hex → bigint bits).
+  /** 64-bit SimHash per document: each word token votes its xxhash64 bit
+    * pattern; the signature takes the sign of each bit's vote sum.
+    *
+    * Plan shape: explode tokens → one xxhash64 per token → a single hash
+    * aggregation with 64 conditional sums (bit b of the token hash, +1/-1) —
+    * map-side combined, whole-stage-codegen'd, one pass over the data. The
+    * signature is assembled from the 64 vote signs as an unsigned
+    * decimal(20,0). Output: (idCol, simhash).
     */
-  def simhash(text: Column): Column = {
-    val tokens = TextAnalysis.words(text)
-    // 64-bit value per token from the first 16 hex chars of its md5.
-    val tokBits = transform(tokens, t => conv(substring(md5(t), 1, 16), 16, 10).cast("decimal(20,0)"))
-    // For each bit position: sum of votes (+1 if bit set else -1) > 0 → bit set.
-    val bitCols = (0 until 64).map { b =>
-      val mask   = java.math.BigDecimal.valueOf(2).pow(b)
-      val bitVal = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(b))
-      val votes = aggregate(tokBits, lit(0L),
-        (acc, v) => acc + when(pmod(floor(v / lit(mask)).cast("decimal(20,0)"), lit(2)) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(bitVal)).otherwise(lit(java.math.BigDecimal.ZERO))
+  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"__v$b")
     }
-    bitCols.map(_.cast("decimal(20,0)")).reduce(_ + _)
+    val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      val bitVal = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(b))
+      when(col(s"__v$b") > 0, lit(bitVal)).otherwise(lit(java.math.BigDecimal.ZERO))
+        .cast("decimal(20,0)")
+    }.reduce(_ + _)
+    votes.select(col(idCol), sig.cast("decimal(20,0)").as("simhash"))
   }
 
   /** SimHash near-dup groups: docs with identical simhash. */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    simhashDf(df, textCol, idCol)
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 }

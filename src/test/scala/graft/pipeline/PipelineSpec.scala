@@ -44,7 +44,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("simhash: identical docs share signature, different docs don't") {
-    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val sigs = Dedup.simhashDf(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     assert(sigs(0L) == sigs(1L))
     assert(sigs(0L) != sigs(3L))
