@@ -44,7 +44,12 @@ object Fuser {
       separator: String = DefaultSeparator,
       mergeColNames: Seq[String] = Nil,
       forwardFillData: Boolean = false,
-      removeInternalCols: Boolean = false)
+      removeInternalCols: Boolean = false,
+      /** Keep the per-source row-id tiebreaker column (`__rowid`) in the
+        * output so downstream order-sensitive transforms (e.g. resampling
+        * with intra-millisecond ties) can reuse the exact fuse order.
+        */
+      keepRowId: Boolean = false)
 
   case class FuseResult(
       df: DataFrame,
@@ -138,7 +143,7 @@ object Fuser {
 
     if (opts.removeInternalCols)
       fused = fused.drop(SourceIdCol, RowIdCol)
-    else
+    else if (!opts.keepRowId)
       fused = fused.drop(RowIdCol)
 
     FuseResult(fused, renames, ids, startTs, endTs)
