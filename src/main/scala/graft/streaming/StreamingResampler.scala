@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.time.Intervals
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analog of the batch [[graft.ops.Resampler]] (SURVEY §2.7).
+  *
+  * The reference is a batch *replay* of recorded streams; its semantics map
+  * onto Structured Streaming as:
+  *
+  *  - event time     = the epoch-ms `__timestamp` column
+  *  - tumbling grid  = `window($"ts", interval)` — but Spark's window strings
+  *    don't speak the reference's `Nl` (millis) unit, so we bucket with
+  *    integer math on the epoch-ms column instead (same trick as the batch
+  *    resampler; also keeps everything in whole-stage codegen)
+  *  - last-per-interval = windowed `max_by` aggregation with a watermark
+  *    (append mode emits each boundary once its window closes)
+  *  - gap fill + ffill  = custom state per stream key via
+  *    `flatMapGroupsWithState` (the reference's `prev_msg`/`next_batch_ts`/
+  *    `blank_msg` state triple, classes.py:583-587, held in GroupState)
+  *  - late data: the reference assumes in-file sorted input and has no
+  *    late-row story (SURVEY §2.7); here the watermark bounds lateness
+  *    explicitly.
+  */
+object StreamingResampler {
+
+  /** Stage 1 — last event per tumbling bucket, streaming-native.
+    *
+    * Input must have an epoch-ms Long `tsCol`. Produces one row per
+    * non-empty bucket with `tsCol` = the bucket's emit boundary (bucket end,
+    * exclusive-start semantics identical to the batch resampler: an event
+    * exactly on a boundary reports to the next one).
+    *
+    * `watermarkDelay` (e.g. "10 seconds") bounds out-of-order tolerance;
+    * results are append-mode: each boundary emits exactly once.
+    */
+  def lastPerBucket(
+      df: DataFrame,
+      interval: String,
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val step     = Intervals.toMillis(interval)
+    val dataCols = df.columns.filterNot(_ == tsCol).toSeq
+    // Boundary an event reports to: first grid point strictly after ts
+    // (epoch-aligned grid, matching the batch resampler for sub-day units).
+    val boundary = (floor(col(tsCol) / lit(step)).cast("long") * lit(step) + lit(step))
+    df.withColumn("__evt", timestamp_millis(col(tsCol)))
+      .withWatermark("__evt", watermarkDelay)
+      .withColumn("__boundary", boundary)
+      .groupBy(window(col("__evt"), s"${step} milliseconds"), col("__boundary"))
+      .agg(max_by(struct(dataCols.map(col): _*), col(tsCol)).as("__row"))
+      .select(col("__boundary").as(tsCol) +: dataCols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** State carried between micro-batches per stream key: the last emitted
+    * boundary and the serialized previous row (the reference's
+    * `next_batch_ts` + `prev_msg`).
+    */
+  case class FillState(nextBoundary: Long, prevRow: Array[Byte])
+
+  /** Stage 2 — dense-grid gap fill for a keyed stream of stage-1 rows.
+    *
+    * Typed API: `ds` carries (key, boundaryTs, payload). For each key the
+    * state tracks the next expected boundary; when a row arrives `k` steps
+    * ahead, the missing boundaries are emitted with `fill(payload)` — the
+    * analog of the reference's blank row carrying only ffill keys
+    * (classes.py:608-623). Assumes per-key event-time order, which stage 1's
+    * append-mode output guarantees.
+    */
+  def gapFill[K, V](
+      ds: Dataset[(K, Long, V)],
+      stepMs: Long,
+      fill: V => V)(implicit ke: Encoder[K], ve: Encoder[V],
+      tupleEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
+    implicit val stateEnc: Encoder[(Long, V)] = Encoders.tuple(Encoders.scalaLong, ve)
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, V), (K, Long, V)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, Long, V)], state: GroupState[(Long, V)]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, V)]
+          var (nextB, prev) = state.getOption match {
+            case Some((b, p)) => (b, Some(p))
+            case None         => (sorted.headOption.map(_._2).getOrElse(0L), None)
+          }
+          sorted.foreach { case (_, b, v) =>
+            // emit fills for skipped boundaries
+            while (nextB < b && prev.nonEmpty) {
+              out += ((key, nextB, fill(prev.get)))
+              nextB += stepMs
+            }
+            out += ((key, b, v))
+            nextB = b + stepMs
+            prev = Some(v)
+          }
+          prev.foreach(p => state.update((nextB, p)))
+          out.iterator
+      }
+  }
+}

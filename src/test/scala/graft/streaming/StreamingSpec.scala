@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.core.Fuser.TimestampCol
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("streaming last-per-bucket matches batch resample boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF(TimestampCol, "v")
+
+    val out = StreamingResampler.lastPerBucket(df, "1s", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("resampled")
+      .outputMode("append").start()
+
+    // the letters-gaps fixture events
+    input.addData(
+      (1577836800191L, "A"), (1577836805654L, "B"), (1577836810155L, "C"))
+    q.processAllAvailable()
+    // advance watermark far enough to close all buckets
+    input.addData((1577836830000L, "Z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("resampled").orderBy(TimestampCol)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // Non-empty buckets only (gap fill is stage 2): A@.191→1s, B@5.654→6s, C@10.155→11s
+    assert(rows.toSeq.take(3) ==
+      Seq((1577836801000L, "A"), (1577836806000L, "B"), (1577836811000L, "C")))
+  }
+
+  test("stateful gap fill emits fills for skipped boundaries per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val filled = StreamingResampler.gapFill[String, String](
+      input.toDS(), stepMs = 1000L, fill = v => s"fill($v)")
+
+    val q = filled.writeStream.format("memory").queryName("gapfilled")
+      .outputMode("append").start()
+    input.addData(("k", 1000L, "A"), ("k", 5000L, "B"), ("k", 7000L, "C"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("gapfilled").orderBy("_2")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1000L, "A"),
+      (2000L, "fill(A)"), (3000L, "fill(A)"), (4000L, "fill(A)"),
+      (5000L, "B"), (6000L, "fill(B)"), (7000L, "C")))
+  }
+
+  test("streaming fuse unions heterogeneous sources with provenance") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Long, Double)]
+    val b = MemoryStream[(Long, String)]
+    val fused = StreamingFuser.fuseStreams(Seq(
+      graft.sources.FrameSource(a.toDF().toDF("ts", "price"), "trades", "ts"),
+      graft.sources.FrameSource(b.toDF().toDF("ts", "note"), "news", "ts")))
+    assert(fused.isStreaming)
+    assert(fused.columns.toSet ==
+      Set(TimestampCol, "price", "exsym_lookup", "note"))
+
+    val q = fused.writeStream.format("memory").queryName("fusedstream")
+      .outputMode("append").start()
+    a.addData((1000L, 1.5)); b.addData((1500L, "hello"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fusedstream").orderBy(TimestampCol).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("exsym_lookup")).sorted.toSeq == Seq(0, 1))
+  }
+}
