@@ -99,14 +99,32 @@ object Queries {
       |  FROM events WHERE event_type = 'purchase'
       |) ORDER BY __timestamp, exsym_lookup""".stripMargin
 
-  /** P5/M5: engine time-window filter from ISO scalar bounds (pushed down). */
+  /** P5/M5: engine time-window filter from ISO scalar bounds. The epoch-ms
+    * bounds are also applied to the RAW scan column (ns Long / µs timestamp)
+    * so the predicate reaches the parquet footer (`PushedFilters`) and prunes
+    * row groups — the fuse-level `__timestamp` filter alone sits above the
+    * ms conversion expression, which parquet cannot evaluate. At 100 TB the
+    * row-group skip is the difference between a full scan and a seek.
+    */
   def timeFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val src = events(spark, dir).select($"ts", $"event_id", $"event_type", $"value")
+    val startMs = graft.time.EpochTime.toEpochMillis("2024-01-10T00:00:00Z")
+    val endMs   = graft.time.EpochTime.toEpochMillis("2024-01-20T00:00:00Z")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = tbl(spark, dir, "events")
+    val pushed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanos
+        raw.filter(col("ts") >= startMs * 1000000L &&
+                   col("ts") <= endMs * 1000000L + 999999L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= timestamp_millis(lit(startMs)).cast(raw.schema("ts").dataType) &&
+                   col("ts") < timestamp_millis(lit(endMs + 1)).cast(raw.schema("ts").dataType))
+    }
+    val src = pushed.select($"ts", $"event_id", $"event_type", $"value")
     Fuser.fuseFrames(
       Seq(FrameSource(src, "events", "ts", secondarySortCol = Some("event_id"))),
-      FuseOptions(procStart = Some("2024-01-10T00:00:00Z"),
-        procEnd = Some("2024-01-20T00:00:00Z"))).df
+      FuseOptions(procStart = Some(startMs), procEnd = Some(endMs))).df
   }
 
   val timeFilterSql: String =

@@ -39,6 +39,12 @@ object ForwardFill {
   /** Scalable forward fill. `orderCol` must be numeric (e.g. epoch millis or
     * a dense index); `tieCols` complete the total order within equal
     * `orderCol` values. `numBuckets` should be >= the executor parallelism.
+    *
+    * The input lineage is descended twice, but the bucket-summary descent
+    * reads ONLY (orderCol, tieCols, fillCols) — parquet column pruning makes
+    * it a narrow scan — and aggregates with map-side combine, so the extra
+    * cost at scale is a fraction of one full pass (verified via
+    * `.explain`: the wide window pass appears exactly once in the plan).
     */
   def partitioned(
       df: DataFrame,
@@ -51,30 +57,38 @@ object ForwardFill {
     val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
     val width    = math.max((hi - lo) / numBuckets, 1e-9)
 
-    val bCol     = least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
-                         lit(numBuckets - 1L)).cast("long")
-    val bucketed = df.withColumn("__ffb", bCol)
+    val bCol = least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+                     lit(numBuckets - 1L)).cast("long")
 
-    // Phase 1: fill within buckets — windows partitioned by bucket run in
-    // parallel across executors.
-    val wIn = Window.partitionBy(col("__ffb"))
-      .orderBy(col(orderCol) +: tieCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = fillCols.foldLeft(bucketed) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn))
+    // Bucket summaries straight from the input (narrow, column-pruned scan):
+    // the last non-null value per bucket per column == the same summary
+    // computed from a within-bucket-filled frame, so no second wide pass is
+    // needed. max_by skips rows whose ordering key is null, which encodes
+    // "last NON-NULL".
+    val ordKey = struct(col(orderCol) +: tieCols: _*)
+    val sumAggs = fillCols.map { c =>
+      max_by(col(c), when(col(c).isNotNull, ordKey)).as(s"__lv_$c")
     }
+    val summaries = df.withColumn("__ffb", bCol)
+      .groupBy(col("__ffb"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
 
-    // Phase 2: last non-null of each bucket, forward-filled across buckets
-    // (tiny: numBuckets rows), then shifted so bucket b sees the carry-in
-    // from buckets < b.
-    val lastAggs = fillCols.map(c => last(col(c), ignoreNulls = true).as(s"__lv_$c"))
-    val lastPerBucket = filled.groupBy(col("__ffb")).agg(lastAggs.head, lastAggs.tail: _*)
+    // Cross-bucket carry: forward-fill the summaries (numBuckets rows — a
+    // trivially small single-partition window), shifted one bucket so bucket
+    // b sees only the carry-in from buckets < b.
     val wB = Window.orderBy(col("__ffb")).rowsBetween(Window.unboundedPreceding, -1)
-    val carry = fillCols.foldLeft(lastPerBucket) { (d, c) =>
+    val carry = fillCols.foldLeft(summaries) { (d, c) =>
       d.withColumn(s"__carry_$c", last(col(s"__lv_$c"), ignoreNulls = true).over(wB))
     }.select(col("__ffb") +: fillCols.map(c => col(s"__carry_$c")): _*)
 
-    // Patch leading nulls of each bucket with the broadcast carry-in.
+    // Single wide pass: within-bucket windows (parallel across executors),
+    // then patch each bucket's leading nulls from the broadcast carry-in.
+    val wIn = Window.partitionBy(col("__ffb"))
+      .orderBy(col(orderCol) +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fillCols.foldLeft(df.withColumn("__ffb", bCol)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn))
+    }
     val joined = filled.join(broadcast(carry), Seq("__ffb"), "left")
     fillCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
