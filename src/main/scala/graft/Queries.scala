@@ -447,6 +447,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ as-of join
+
+  /** Temporal as-of join (beyond-reference): each purchase attaches the most
+    * recent click by the same user. Verified against DuckDB's native
+    * ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"user_id", $"value")
+    graft.ops.AsOfJoin.asof(purchases, clicks,
+      keyCols = Seq("user_id"), tsCol = TimestampCol,
+      rightCols = Seq("value"), rightPrefix = "click_")
+      .withColumnRenamed(s"click_$TimestampCol", "click_ts")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT epoch_ms(p.ts) AS __timestamp, p.event_id, p.user_id, p.value,
+      |       c.value AS click_value, epoch_ms(c.ts) AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+      |ORDER BY p.event_id""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {

@@ -59,7 +59,8 @@ object SparkEntry {
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
-    // relational (beyond-reference capabilities)
+    // relational / temporal joins (beyond-reference capabilities)
+    "q_asof_join"        -> (Queries.asofJoin _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_join_enrich"      -> (Queries.joinEnrich _)
   )
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
+    "q_asof_join"       -> Queries.asofJoinSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_join_enrich"     -> Queries.joinEnrichSql
   )

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for every left row, attach the most recent right
+  * row with `right.ts <= left.ts` within the same key (and optional
+  * tolerance). The reference engine has no joins at all (SURVEY §2.9) — this
+  * is a beyond-parity operator every time-series stack needs (quote-to-trade
+  * enrichment, feature lookups).
+  *
+  * Implementation is the union trick, not a nested-loop: tag both sides,
+  * union by name, one window per key ordered by (ts, side) carrying the last
+  * non-null right values forward, then keep left rows. Cost = one shuffle on
+  * the key + a per-key sort — the same shape as a sort-merge join, no
+  * broadcast of either side required, skew-safe under AQE. An event exactly
+  * at a right timestamp sees that right row (inclusive `<=`, matching the
+  * fuse engine's boundary rules).
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) frame
+    * @param right      right (reference) frame
+    * @param keyCols    equality keys present on both sides
+    * @param tsCol      epoch-ms Long event-time column name on both sides
+    * @param rightCols  right columns to attach, renamed via `rightPrefix`
+    * @param toleranceMs optional max staleness: matches older than
+    *                   `left.ts - toleranceMs` are nulled out
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightCols: Seq[String],
+      rightPrefix: String = "right_",
+      toleranceMs: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rTs      = s"${rightPrefix}$tsCol"
+
+    // The right row travels as ONE struct so the matched row attaches
+    // atomically — a legitimately-null field in the newest right row must not
+    // fall through to an older row's value.
+    val taggedRight = right.select(
+      keyCols.map(col) :+ col(tsCol) :+
+        struct(col(tsCol).as(rTs) +: rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*)
+          .as("__rrow") :+ lit(0).as("__side"): _*)
+    val taggedLeft = left.withColumn("__side", lit(1))
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val attached = unioned
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = toleranceMs match {
+      case Some(tol) => attached.withColumn("__rrow",
+        when(col(s"__rrow.$rTs") < col(tsCol) - lit(tol), lit(null))
+          .otherwise(col("__rrow")))
+      case None => attached
+    }
+    withTol.select(leftCols.map(col) ++
+      rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")) :+
+      col(s"__rrow.$rTs").as(rTs): _*)
+  }
+}
