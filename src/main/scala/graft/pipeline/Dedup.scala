@@ -53,7 +53,11 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // Join on a 64-bit hash of the shingle, not the string: narrower shuffle
+    // and cheaper equality. Collision probability at corpus scale is ~2^-40+
+    // per pair and only perturbs a count by 1 — far below any threshold.
     val sh = explodedShingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val filtered =
       if (maxShingleDf == Int.MaxValue) sh
       else {
@@ -79,14 +83,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature from a pre-computed distinct-shingle array column:
-    * hash function i is `xxhash64(i, shingle)` (native, codegen'd — one
-    * shingle-array traversal per hash, shingles computed once).
+  /** MinHash signatures as a table: explode shingles once, then ONE hash
+    * aggregation computing all `numHashes` minima (hash function i =
+    * `xxhash64(i, shingle)`). The explode materializes the shingle expression
+    * exactly once — expressing this as nested array functions would let
+    * Catalyst's project-collapse inline the (regex-heavy) shingle expression
+    * into every hash. Output: (idCol, __mh0..__mh{n-1}).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val exploded = explodedShingles(df, textCol, idCol, n)
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"__mh$i")
+    }
+    exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+  }
 
   /** LSH candidate pairs: split the signature into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any band bucket become candidates; candidates are
@@ -103,15 +114,13 @@ object Dedup {
       rowsPerBand: Int = 2,
       verifyThreshold: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shingled = df.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
-    val sigDf = shingled.select(col(idCol), col("__sh"),
-      minhashSignature(col("__sh"), numHashes).as("sig"))
+    val sigDf = minhashSignatures(df, textCol, idCol, n, numHashes)
 
     val banded = sigDf.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"__mh$i")): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
 
@@ -125,6 +134,8 @@ object Dedup {
     else {
       // Verify only the candidates: shingle sets are joined onto the pair
       // list (bounded by candidate count, not corpus size).
+      val shingled = df.select(col(idCol),
+        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
       val aSh = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
       val bSh = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
       cands.join(aSh, Seq("id_a")).join(bSh, Seq("id_b"))
