@@ -49,7 +49,13 @@ object Fuser {
         * output so downstream order-sensitive transforms (e.g. resampling
         * with intra-millisecond ties) can reuse the exact fuse order.
         */
-      keepRowId: Boolean = false)
+      keepRowId: Boolean = false,
+      /** Drop rows whose (source, secondary-sort id) repeats — the engine
+        * guarantee behind the reference's re-read watermark (P6,
+        * core.py:446-453): if the input files themselves contain overlapping
+        * spans, each per-source row id is still emitted once.
+        */
+      dedupOverlaps: Boolean = false)
 
   case class FuseResult(
       df: DataFrame,
@@ -58,12 +64,32 @@ object Fuser {
       startTs: Option[Long],
       endTs: Option[Long])
 
+  /** Per-source replay stats (K5, the reference's run-report at
+    * core.py:874-914).
+    */
+  case class SourceStats(descriptor: String, rows: Long, startTs: Long, endTs: Long)
+
+  /** One aggregation pass over the fused stream → per-source row counts and
+    * time bounds. Requires the provenance column (removeInternalCols=false).
+    */
+  def runReport(result: FuseResult): Seq[SourceStats] = {
+    import org.apache.spark.sql.functions.{count, max, min, lit}
+    val byId = result.sourceIds.map(_.swap)
+    result.df.groupBy(col(SourceIdCol))
+      .agg(count(lit(1)).as("rows"), min(col(TimestampCol)).as("start"),
+           max(col(TimestampCol)).as("end"))
+      .collect()
+      .map(r => SourceStats(byId(r.getInt(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.descriptor).toSeq
+  }
+
   /** Load + fuse path-based sources. */
   def fuse(spark: SparkSession, specs: Seq[SourceSpec], opts: FuseOptions): FuseResult =
     fuseFrames(
       specs.map { s =>
         FrameSource(SourceLoader.load(spark, s), s.descriptor, s.timestampCol,
-          s.tsConvert, s.removeCols, s.secondarySortCol)
+          tsConvert = s.tsConvert, removeCols = s.removeCols,
+          secondarySortCol = s.secondarySortCol)
       },
       opts)
 
@@ -74,6 +100,8 @@ object Fuser {
   private def normalize(src: FrameSource, id: Int): DataFrame = {
     var df = src.df
     if (src.removeCols.nonEmpty) df = df.drop(src.removeCols: _*)
+    // Per-source user renames (P2, reference core.py:969-970).
+    src.renameCols.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
 
     val tsName = src.timestampCol
     df = src.tsConvert match {
@@ -123,6 +151,10 @@ object Fuser {
     // Diagonal concat (M3, reference core.py:284-295): align by name,
     // null-fill missing columns.
     var fused = normalized.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // Re-read watermark analog (P6): overlapping input spans collapse to one
+    // row per (source, row id).
+    if (opts.dedupOverlaps) fused = fused.dropDuplicates(SourceIdCol, RowIdCol)
 
     // Time-window filter (P5/M5/M6): Catalyst pushes this into every scan.
     val startTs = opts.procStart.map(EpochTime.toEpochMillis)

@@ -53,4 +53,5 @@ case class FrameSource(
     timestampCol: String,
     tsConvert: Option[Column => Column] = None,
     removeCols: Seq[String] = Nil,
+    renameCols: Map[String, String] = Map.empty,
     secondarySortCol: Option[String] = None)

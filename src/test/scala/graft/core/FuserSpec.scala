@@ -99,6 +99,31 @@ class FuserSpec extends SparkTestBase {
     assert(at5000.getAs[Double]("bid") == 10.9)
   }
 
+  test("per-source rename map applied before fusing (P2)") {
+    val res = Fuser.fuseFrames(Seq(
+      FrameSource(trades, "trades", "Timestamp",
+        renameCols = Map("Price" -> "Px"))))
+    assert(res.df.columns.contains("Px") && !res.df.columns.contains("Price"))
+  }
+
+  test("dedupOverlaps collapses re-read rows per (source, row id) (P6)") {
+    val overlapping = trades.union(trades.limit(2)) // simulate re-read span
+    val res = Fuser.fuseFrames(
+      Seq(FrameSource(overlapping, "trades", "Timestamp",
+        secondarySortCol = Some("Syn_id"))),
+      FuseOptions(dedupOverlaps = true))
+    assert(res.df.count() == 3)
+  }
+
+  test("run report aggregates per-source stats (K5)") {
+    val res = Fuser.fuseFrames(Seq(
+      FrameSource(trades, "trades", "Timestamp"),
+      FrameSource(spread, "spread", "Timestamp")))
+    val stats = Fuser.runReport(res)
+    assert(stats.map(s => (s.descriptor, s.rows, s.startTs, s.endTs)) == Seq(
+      ("spread", 3L, 2000L, 6000L), ("trades", 3L, 1000L, 5000L)))
+  }
+
   test("auto-converts native timestamp columns to epoch ms") {
     val df = Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
       .toDF("ts").withColumn("v", lit(1))
