@@ -423,6 +423,17 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF-partitioned ANN (rows-only: centroid assignment is engine-side;
+    * the spec checks recall against brute force).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      nCells = 16, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

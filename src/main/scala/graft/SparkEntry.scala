@@ -56,6 +56,7 @@ object SparkEntry {
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
     "q_ann_lsh"          -> (Queries.annLsh _),
+    "q_ann_ivf"          -> (Queries.annIvf _),
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),

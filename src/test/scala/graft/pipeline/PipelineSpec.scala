@@ -113,6 +113,18 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.subsetOf(exact))      // verification step guarantees precision
   }
 
+  test("IVF top-k returns ranked neighbors from the query cell") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 5), "vec_id",
+      "embedding", nCells = 4, k = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      // the query vector itself lives in its own cell → exact-match rank 1
+      val r1 = rs.find(_.getAs[Long]("rank") == 1L).get
+      assert(r1.getAs[Double]("cosine") >= rs.map(_.getAs[Double]("cosine")).max - 1e-9)
+    }
+  }
+
   test("multimodal blob plumbing: schema, features, metadata pruning") {
     val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", "text")
     assert(blobs.schema("payload").dataType.typeName == "binary")
