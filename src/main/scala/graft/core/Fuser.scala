@@ -135,7 +135,12 @@ object Fuser {
     // name appearing in more than one source becomes `<col><sep><descriptor>`.
     var renames = Map.empty[String, String]
     if (opts.renameIdenticalCols) {
-      val exempt = Set(TimestampCol, SourceIdCol, RowIdCol) ++ opts.mergeColNames
+      // `__`-prefixed columns are engine-internal (preserved originals,
+      // provenance, tiebreaks) and merge by name like the timestamp column:
+      // the reference's rename plan is computed from the pre-conversion
+      // header probe and never sees them (core.py:297-318 vs core.py:942-945).
+      val exempt = (c: String) =>
+        c.startsWith("__") || c == SourceIdCol || opts.mergeColNames.contains(c)
       val colCounts = normalized.flatMap(_.columns).filterNot(exempt)
         .groupBy(identity).map { case (c, xs) => c -> xs.length }
       val colliding = colCounts.filter(_._2 > 1).keySet

@@ -45,12 +45,26 @@ object SourceLoader {
   /** Load one source directory as a DataFrame. */
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec.format match {
     case "parquet" =>
-      val df = spark.read.parquet(spec.path)
       spec.schema match {
         case Some(s) if spec.forceSchema =>
           // Cast to the declared schema (reference datasources.py:394-395).
-          df.select(s.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        case _ => df
+          // Files in one source directory may drift (e.g. an all-null column
+          // written int64 in one file, double in another) — the directory
+          // read would fail on the physical-type mismatch, so read per file
+          // with each file's own footer schema, cast, and union by name.
+          // Sources have few files; the per-file plan union is cheap and the
+          // scans still run distributed.
+          def castTo(df: DataFrame): DataFrame =
+            df.select(s.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(spec.path), spark.sparkContext.hadoopConfiguration)
+          val files = fs.listStatus(new org.apache.hadoop.fs.Path(spec.path))
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+          if (files.isEmpty) castTo(spark.read.parquet(spec.path))
+          else files.map(f => castTo(spark.read.parquet(f)))
+            .reduce(_.unionByName(_))
+        case _ => spark.read.parquet(spec.path)
       }
     case "csv" =>
       val base = spark.read

@@ -102,6 +102,54 @@ class GoldenParitySpec extends SparkTestBase {
     assert(bad.isEmpty, s"${bad.length}/${gotRows.length} rows differ from golden")
   }
 
+  test("parquet + ISO-string time conversion reproduces the same golden (P4 path)") {
+    assume(new java.io.File(RefData).isDirectory, "reference data not present")
+    // test_core_multi_overlapping_parquet_time_conversion.py:29-47 — same
+    // golden as the CSV fixture, but parquet sources whose timestamp is an
+    // ISO string converted via the user expression; the original column
+    // survives as __str_iso_timestamp and is projected away before compare.
+    val conv: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => org.apache.spark.sql.functions.unix_millis(c.cast(TimestampType))
+    // Declared schemas (the test's positional datatypes) force-cast each
+    // file — the trades files drift on CRC's physical type.
+    val tradesSchema = StructType(Seq(
+      StructField("Price", DoubleType), StructField("Quantity", DoubleType),
+      StructField("TradeID", LongType), StructField("RecTimestamp", LongType),
+      StructField("Syn_id", LongType), StructField("Batch_uid", LongType),
+      StructField("CRC", LongType), StructField("str_iso_timestamp", StringType)))
+    val spreadSchema = StructType(Seq(
+      StructField("bid", DoubleType), StructField("ask", DoubleType),
+      StructField("bid_size", DoubleType), StructField("ask_size", DoubleType),
+      StructField("Syn_id", LongType), StructField("Batch_uid", LongType),
+      StructField("str_iso_timestamp", StringType)))
+    def src(kind: String) = SourceSpec(
+      path = s"$RefData/full_tests/sourcedata/$kind/binance/MEME-USDT-PQ",
+      format = "parquet",
+      descriptor = if (kind == "trades") "trades_meme" else "bidask_meme",
+      timestampCol = "str_iso_timestamp",
+      schema = Some(if (kind == "trades") tradesSchema else spreadSchema),
+      forceSchema = kind == "trades",
+      tsConvert = Some(conv),
+      secondarySortCol = Some("Syn_id"))
+
+    val fused = Fuser.fuse(spark, Seq(src("trades"), src("spread")), FuseOptions(
+      procStart = Some(1699105680000L), procEnd = Some(1699228800000L),
+      forwardFillData = true, keepRowId = true)).df
+    val resampled = Resampler.resample(fused, "100l",
+      opts = ResampleOptions(ffillKeys = Seq("Price"),
+        tieCols = Seq(SourceIdCol, RowIdCol)))
+
+    val golden = spark.read.parquet(s"$RefData/verification/multi_overlap_millis.parquet")
+    assert(resampled.columns.contains("__str_iso_timestamp"))
+    val projected = resampled.select(golden.columns.map(
+      org.apache.spark.sql.functions.col).toSeq: _*)
+    val gotRows  = projected.orderBy(TimestampCol).collect()
+    val wantRows = golden.orderBy(TimestampCol).collect()
+    assert(gotRows.length == wantRows.length)
+    assert(gotRows.zip(wantRows).forall { case (g, w) => g == w },
+      "parquet-conversion output differs from golden")
+  }
+
   test("drop+merge golden: remove_cols, collision renames, remapped ffill keys (1m grid)") {
     assume(new java.io.File(RefData).isDirectory, "reference data not present")
     val drops = Seq("TradeID", "RecTimestamp", "Syn_id", "Batch_uid", "CRC")
