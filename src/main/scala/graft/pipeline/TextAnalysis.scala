@@ -105,7 +105,12 @@ object TextAnalysis {
   def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
     slice(array_sort(transform(array_distinct(shingles(text, n)), s => md5(s))), 1, k)
 
-  /** Single-value fingerprint (minimum shingle digest). */
+  /** Single-value fingerprint (minimum shingle digest), via the native
+    * [[graft.functions.MinMd5Hex]] expression: digests compare as raw bytes
+    * inside whole-stage codegen; only the winning digest is hex-encoded.
+    * Equivalent to `array_min(transform(shingles, md5))` (hex encoding is
+    * order-preserving), which remains the DuckDB-oracle formulation.
+    */
   def minFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => md5(s)))
+    graft.functions.MinMd5Hex.minMd5Hex(shingles(text, n))
 }
