@@ -88,14 +88,14 @@ object TextAnalysis {
     }
   }
 
-  /** Word n-gram shingles (space-joined), for fingerprinting and near-dup. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - lit(n)),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array())
-  }
+  /** Word n-gram shingles (space-joined), for fingerprinting and near-dup.
+    * Native single-pass expression ([[graft.functions.WordShingles]]); the
+    * equivalent builtin composition
+    * `transform(sequence(0, size(ws)-n), i -> concat_ws(" ", slice(ws, i+1, n)))`
+    * is what the DuckDB oracles replicate.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
 
   /** Document fingerprint: the k lexicographically-smallest md5 digests of
     * the word `n`-gram shingles (a winnowing-style min-hash sketch built
