@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinMd5Hex, WordShingles}
+
+/** SparkSessionExtensions entry point: makes the engine's native expressions
+  * available to pure-SQL users on any cluster via
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)` on a builder). Scala users can
+  * keep calling the Column APIs directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("min_md5_hex"),
+      new ExpressionInfo(classOf[MinMd5Hex].getName, "min_md5_hex"),
+      (exprs: Seq[Expression]) => MinMd5Hex(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+  }
+}
