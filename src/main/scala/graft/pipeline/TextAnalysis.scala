@@ -40,12 +40,13 @@ object TextAnalysis {
   def wordHits(text: Column, word: String): Column =
     regexp_count(lower(text), lit("\\b" + word + "\\b")).cast("long")
 
-  /** Count of whole-word hits from a word list, as one alternation regex
-    * (one scan instead of one per word; `\b`-anchored full-word matches make
-    * the count identical to summing per-word counts).
+  /** Count of whole-word hits from a word list — native single-pass scan
+    * ([[graft.functions.WordListHits]]), exactly equivalent to the oracle's
+    * `regexp_count(lower(text), '\b(w1|...|wN)\b')` for `\w`-only word lists
+    * (each match is a maximal word-character run equal to a target).
     */
   def wordListHits(text: Column, ws: Seq[String]): Column =
-    regexp_count(lower(text), lit("\\b(" + ws.mkString("|") + ")\\b")).cast("long")
+    graft.functions.WordListHits.wordListHits(text, ws)
 
   /** Quality-signal columns: length, token count, punctuation count, mean
     * token length, stopword(en) ratio, uppercase ratio. Deterministic
