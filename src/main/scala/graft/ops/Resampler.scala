@@ -1,8 +1,8 @@
 package graft.ops
 
-import graft.core.ForwardFill
 import graft.time.Intervals
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.time.{ZoneId, ZoneOffset}
@@ -64,7 +64,6 @@ object Resampler {
     val kEnd = if (opts.processBatchEnd) kNormMax + 1 else kNormMax
     if (kEnd < 0) return df.limit(0)
 
-    val spark    = df.sparkSession
     val dataCols = df.columns.filterNot(_ == tsCol).toSeq
 
     // Each event reports to the first boundary strictly after it:
@@ -74,37 +73,38 @@ object Resampler {
     val kExpr = ((delta - pmod(delta, lit(step))) / lit(step)).cast("long") + lit(1L)
 
     // Last event per bucket, totally ordered by (ts, tieCols). One shuffle,
-    // with map-side partial max_by.
+    // with map-side partial max_by. This is the ONLY descent over the input.
     val ordKey = struct((col(tsCol) +: opts.tieCols.map(col)): _*)
     val lastPerK = df
       .withColumn("__k", kExpr)
       .filter(col("__k") <= lit(kEnd)) // events past the last boundary never emit
       .groupBy(col("__k"))
-      .agg(max_by(struct(dataCols.map(col): _*), ordKey).as("__row"),
-           max(col(tsCol)).as("__src_ts"))
+      .agg(max_by(struct(dataCols.map(col): _*), ordKey).as("__row"))
 
-    // Dense grid of boundaries; join the sampled rows onto it.
-    val grid = spark.range(0L, kEnd + 1L)
-      .select(col("id").as("__k"), (lit(b0) + col("id") * lit(step)).as(tsCol))
+    // Each non-empty bucket covers the grid span up to (exclusive) the next
+    // non-empty bucket; exploding that span generates its real row plus all
+    // its gap rows, each carrying the covering row for the ffill keys — the
+    // reference's prev_msg verbatim (a null ffill-key value in the covering
+    // row stays null on the gap rows, classes.py:608-623). No second descent,
+    // no grid join, no generic forward-fill machinery.
+    //
+    // The lead() window over lastPerK is a single partition, but its size is
+    // the number of NON-EMPTY buckets (<= min(#events, time-span/step)) and
+    // its rows are one struct wide — orders of magnitude below the input;
+    // range-partition the bucket index if a workload ever exceeds that.
+    val wLead = Window.orderBy(col("__k"))
+    val covered = lastPerK
+      .withColumn("__kend", coalesce(lead(col("__k"), 1).over(wLead) - 1L, lit(kEnd)))
+      .select(col("__k"), col("__row"),
+        explode(sequence(col("__k"), col("__kend"))).as("__kc"))
 
-    var out = grid.join(lastPerK, Seq("__k"), "left")
-      .select(Seq(col("__k"), col(tsCol), col("__src_ts")) ++
-        dataCols.map(c => col(s"__row.$c").as(c)): _*)
-
-    // A boundary whose sampled event is older than one step is a gap row:
-    // null out everything except the ffill keys...
-    val isGap = col("__src_ts").isNull || col("__src_ts") < col(tsCol) - lit(step)
-    out = dataCols.foldLeft(out) { (d, c) =>
-      if (opts.ffillKeys.contains(c)) d
-      else d.withColumn(c, when(isGap, lit(null)).otherwise(col(c)))
-    }
-    // ...and forward-fill the keys across gap rows (W3) — bucketed two-phase
-    // fill, no global window.
-    if (opts.ffillKeys.nonEmpty)
-      out = ForwardFill.partitioned(out, opts.ffillKeys, "__k")
-
-    out.drop("__k", "__src_ts")
-      .select(col(tsCol) +: dataCols.map(col): _*)
+    val isReal = col("__kc") === col("__k")
+    covered.select(
+      (lit(b0) + col("__kc") * lit(step)).as(tsCol) +:
+      dataCols.map { c =>
+        if (opts.ffillKeys.contains(c)) col(s"__row.$c").as(c)
+        else when(isReal, col(s"__row.$c")).as(c)
+      }: _*)
       .orderBy(col(tsCol))
   }
 
