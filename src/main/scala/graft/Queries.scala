@@ -206,6 +206,40 @@ object Queries {
        |FROM grid g LEFT JOIN ev_k e ON g.k = e.k
        |ORDER BY __timestamp""".stripMargin
 
+  /** Per-key resample: independent daily grid per event_type (the keyed,
+    * fully-distributed shape — no global grid, no driver scalars).
+    */
+  def resampleKeyed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = events(spark, dir).select($"event_type",
+      unix_millis($"ts".cast("timestamp")).as(TimestampCol), $"event_id", $"value")
+    Resampler.resampleByKey(src, "1d", Seq("event_type"),
+      opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
+  }
+
+  val resampleKeyedSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, event_id, value FROM events
+      |), bounds AS (
+      |  SELECT event_type, ((min(t) // 86400000) * 86400000 + 86400000) AS b0,
+      |         max(t) AS t1
+      |  FROM ev GROUP BY event_type
+      |), ev_k AS (
+      |  SELECT e.event_type, ((t - b0 + 86400000) // 86400000) AS k,
+      |         arg_max(event_id, t) AS event_id, arg_max(value, t) AS value
+      |  FROM ev e JOIN bounds b USING (event_type) GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT event_type, b0,
+      |         unnest(generate_series(0,
+      |           (CASE WHEN t1 >= b0 THEN (t1 - b0) // 86400000 ELSE -1 END) + 1)) AS k
+      |  FROM bounds
+      |)
+      |SELECT g.event_type, g.b0 + g.k * 86400000 AS __timestamp, e.event_id,
+      |       last_value(e.value IGNORE NULLS) OVER (PARTITION BY g.event_type
+      |         ORDER BY g.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM grid g LEFT JOIN ev_k e ON g.event_type = e.event_type AND g.k = e.k
+      |ORDER BY g.event_type, __timestamp""".stripMargin
+
   // ----------------------------------------------------------- forward fill
 
   /** W1: engine forward fill over the fused stream (scalable two-phase). */

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_minmax_ts"        -> (Queries.minmaxTs _),
     "q_resample_1h"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1h")),
     "q_resample_1d"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1d")),
+    "q_resample_keyed"   -> (Queries.resampleKeyed _),
     "q_ffill"            -> (Queries.ffill _),
     // dedup
     "q_dedup_exact"      -> (Queries.dedupExact _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_minmax_ts"       -> Queries.minmaxTsSql,
     "q_resample_1h"     -> Queries.resampleSql(3600000L),
     "q_resample_1d"     -> Queries.resampleSql(86400000L),
+    "q_resample_keyed"  -> Queries.resampleKeyedSql,
     "q_ffill"           -> Queries.ffillSql,
     "q_dedup_exact"     -> Queries.dedupExactSql,
     "q_dedup_jaccard"   -> Queries.dedupJaccardSql,

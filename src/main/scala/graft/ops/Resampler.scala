@@ -114,4 +114,71 @@ object Resampler {
   def resampleKeys(df: DataFrame, interval: String, ffillKeys: Seq[String],
       tieCols: Seq[String] = Nil): DataFrame =
     resample(df, interval, opts = ResampleOptions(ffillKeys = ffillKeys, tieCols = tieCols))
+
+  /** Per-key resample: an independent tumbling grid per key group (the
+    * 100 TB shape — resampling a million symbols is a million independent
+    * small grids, not one giant one). Same boundary semantics as
+    * [[resample]], but every step is keyed and fully distributed:
+    *
+    *  - per-key bounds = one narrow `groupBy(key)` aggregate, broadcast back;
+    *  - per-key bucket `groupBy(key, k)` with map-side `max_by`;
+    *  - coverage lead + explode windows are `partitionBy(key)` — parallel
+    *    across executors, nothing single-partition, no driver-side scalars.
+    *
+    * Day intervals align to UTC midnight (keyed variant does not take a
+    * custom timezone). Output: key columns + tsCol + data columns.
+    */
+  def resampleByKey(
+      df: DataFrame,
+      interval: String,
+      keyCols: Seq[String],
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      opts: ResampleOptions = ResampleOptions()): DataFrame = {
+    require(keyCols.nonEmpty, "resampleByKey requires key columns")
+    val step     = Intervals.toMillis(interval)
+    val dataCols = df.columns.filterNot(c => c == tsCol || keyCols.contains(c)).toSeq
+    val keys     = keyCols.map(col)
+
+    // Per-key grid origin and final boundary (sub-day units and UTC days are
+    // both epoch-aligned, so b0 = floor(min/step)*step + step).
+    val flushAdd = if (opts.processBatchEnd) 1L else 0L
+    val bounds = df.groupBy(keys: _*)
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select(keys :+
+        ((col("__t0") - pmod(col("__t0"), lit(step))) + lit(step)).as("__b0") :+
+        col("__t1"): _*)
+      .withColumn("__kend",
+        when(col("__t1") >= col("__b0"),
+          ((col("__t1") - col("__b0") - pmod(col("__t1") - col("__b0"), lit(step))) / lit(step))
+            .cast("long")).otherwise(lit(-1L)) + lit(flushAdd))
+      .filter(col("__kend") >= 0)
+      .drop("__t1")
+
+    val withB0 = df.join(broadcast(bounds), keyCols)
+    val delta  = col(tsCol) - col("__b0")
+    val kExpr  = ((delta - pmod(delta, lit(step))) / lit(step)).cast("long") + lit(1L)
+
+    val ordKey = struct((col(tsCol) +: opts.tieCols.map(col)): _*)
+    val lastPerK = withB0
+      .withColumn("__k", kExpr)
+      .filter(col("__k") <= col("__kend"))
+      .groupBy(keys :+ col("__k"): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), ordKey).as("__row"),
+           first(col("__b0")).as("__b0"), first(col("__kend")).as("__kend"))
+
+    val wLead = Window.partitionBy(keys: _*).orderBy(col("__k"))
+    val covered = lastPerK
+      .withColumn("__kcend", coalesce(lead(col("__k"), 1).over(wLead) - 1L, col("__kend")))
+      .select(keys ++ Seq(col("__k"), col("__b0"), col("__row"),
+        explode(sequence(col("__k"), col("__kcend"))).as("__kc")): _*)
+
+    val isReal = col("__kc") === col("__k")
+    covered.select(
+      keys ++ Seq((col("__b0") + col("__kc") * lit(step)).as(tsCol)) ++
+      dataCols.map { c =>
+        if (opts.ffillKeys.contains(c)) col(s"__row.$c").as(c)
+        else when(isReal, col(s"__row.$c")).as(c)
+      }: _*)
+      .orderBy(keys :+ col(tsCol): _*)
+  }
 }

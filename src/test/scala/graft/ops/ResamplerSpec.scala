@@ -98,6 +98,40 @@ class ResamplerSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("Letter")).toSeq == Seq("A", "B", "C", "D", "E"))
   }
 
+  test("per-key resample: independent grids per key, matches global per group") {
+    val base = 1577836800000L
+    val df = Seq(
+      ("a", base + 191L, "A1"), ("a", base + 5654L, "A2"),
+      ("b", base + 60191L, "B1"), ("b", base + 62100L, "B2"), ("b", base + 65900L, "B3")
+    ).toDF("sym", "__timestamp", "v")
+    val out = Resampler.resampleByKey(df, "1s", Seq("sym"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).orNull))
+    // Per key, the keyed result equals resampling that key's stream alone.
+    val expected = Seq("a", "b").flatMap { k =>
+      Resampler.resample(df.filter($"sym" === k).drop("sym"), "1s")
+        .collect().map(r => (k, r.getLong(0), Option(r.getString(1)).orNull))
+    }
+    assert(out.toSeq == expected)
+    // and key b's grid starts at its own aligned boundary, not key a's.
+    assert(out.filter(_._1 == "b").head._2 == base + 61000L)
+  }
+
+  test("per-key resample with ffill keys") {
+    val df = Seq(
+      ("x", 1000L, Some(1.0)), ("x", 5500L, Some(2.0)),
+      ("y", 2200L, Some(9.0)), ("y", 4100L, None)
+    ).toDF("sym", "__timestamp", "p")
+    val out = Resampler.resampleByKey(df, "1s", Seq("sym"),
+      opts = ResampleOptions(ffillKeys = Seq("p")))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).orNull))
+    assert(out.toSeq == Seq(
+      ("x", 2000L, 1.0), ("x", 3000L, 1.0), ("x", 4000L, 1.0), ("x", 5000L, 1.0),
+      ("x", 6000L, 2.0),
+      ("y", 3000L, 9.0), ("y", 4000L, 9.0),
+      // gap semantics verbatim: the covering real row's p is null → stays null
+      ("y", 5000L, null)))
+  }
+
   test("day interval aligns to UTC midnight") {
     val df = Seq(
       (1627776123213L, "A"), // 2021-08-01T00:02:03.213Z
