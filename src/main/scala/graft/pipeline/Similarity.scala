@@ -119,23 +119,26 @@ object Similarity {
   }
 
   /** IVF index: pick `nCells` seed centroids deterministically (the corpus
-    * rows with the lowest ids), assign every vector to its nearest centroid.
-    * Queries probe `nProbe` nearest cells. One Lloyd iteration refines the
-    * centroids without any driver-side loop.
+    * rows with the lowest ids — collected once, like a broadcast), assign
+    * every vector to its nearest centroid with a single codegen'd
+    * `array_max` over per-centroid similarity structs: no crossJoin, no
+    * shuffle, no window — one narrow map over the corpus.
     */
   def ivfAssign(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int): DataFrame = {
-    val centroids = df.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("__centroid"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__sim", "__rk", "__centroid")
+    val centroids: Array[(Long, Array[Double])] = df.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // struct ordering = (sim, -cell): max picks highest sim, smallest cell on tie
+    val candidates = centroids.map { case (id, vec) =>
+      struct(cosine(col(vecCol), array(vec.map(lit): _*)).as("sim"),
+        lit(-id).as("negCell"))
+    }
+    df.withColumn("cell_id", -array_max(array(candidates: _*)).getField("negCell"))
   }
 
   /** IVF top-k: search only within the query vector's own cell(s). */

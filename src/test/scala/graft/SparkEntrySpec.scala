@@ -1,0 +1,26 @@
+package graft
+
+/** The driver's smoke contract: entry() returns rows on a plain session. */
+class SparkEntrySpec extends SparkTestBase {
+
+  test("entry runs end-to-end on sf0.001 and returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.contains(core.Fuser.TimestampCol))
+    assert(df.count() > 0)
+  }
+
+  test("every query name has either an oracle or is documented rows-only") {
+    val rowsOnly = Set("q_dedup_minhash", "q_simhash", "q_ann_lsh", "q_ann_ivf",
+      "q_multimodal_feats")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
+  }
+
+  test("all queries run non-empty at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}
