@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression guards: the scale properties claimed in README
+  * (pushdown, single descents, broadcasts) asserted against the actual
+  * physical plans so they can't silently regress.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(SimpleMode)
+
+  test("time-filter bounds reach the parquet scan (PushedFilters)") {
+    val plan = planOf("q_time_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+  }
+
+  test("resample descends the source exactly once") {
+    val plan = planOf("q_resample_1h")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("keyed resample descends the source at most twice (bounds + main)") {
+    val plan = planOf("q_resample_keyed")
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2, plan)
+    assert(plan.contains("BroadcastExchange"), plan) // bounds broadcast back
+  }
+
+  test("join enrichment broadcasts the dimension tables") {
+    val plan = planOf("q_join_enrich")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("fused merge is one range exchange over the union") {
+    val plan = planOf("q_fuse_merge")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("column pruning: minmax aggregate reads only its columns") {
+    val plan = planOf("q_minmax_ts")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
+    assert(read.split(",").length == 2, read) // ts + event_type only
+  }
+}

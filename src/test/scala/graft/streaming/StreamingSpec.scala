@@ -54,6 +54,28 @@ class StreamingSpec extends SparkTestBase {
       (5000L, "B"), (6000L, "fill(B)"), (7000L, "C")))
   }
 
+  test("file-stream source picks up landing files end-to-end") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = StructType(Seq(StructField("Timestamp", LongType),
+      StructField("Price", DoubleType)))
+    val stream = StreamingFuser.openStream(spark, dir, "csv", schema)
+    val fused = StreamingFuser.fuseStreams(Seq(
+      graft.sources.FrameSource(stream, "live_trades", "Timestamp")))
+    val q = fused.writeStream.format("memory").queryName("filestream")
+      .outputMode("append").start()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f1.csv"),
+      "Timestamp,Price\n1000,1.5\n2000,2.5\n")
+    q.processAllAvailable()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f2.csv"),
+      "Timestamp,Price\n3000,3.5\n")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("filestream").orderBy(TimestampCol).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1000L, 2000L, 3000L))
+    assert(rows.forall(_.getAs[Int]("exsym_lookup") == 0))
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
