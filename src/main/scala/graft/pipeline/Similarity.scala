@@ -19,15 +19,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two array columns in double precision (sequential
-    * left-to-right summation — deterministic).
+    * left-to-right summation — deterministic). Native single-pass
+    * expression; the builtin equivalent is
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, +)`.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorDot.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native single-pass expression
+    * ([[graft.functions.CosineSim]]), bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` (same sequential double summation).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   /** Exact brute-force top-k by cosine: for every row of `queries`, the `k`
     * nearest rows of `corpus` (excluding self-matches by id). Rank by
