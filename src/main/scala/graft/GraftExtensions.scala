@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinMd5Hex, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, VectorDot, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
   }
 }
