@@ -132,6 +132,16 @@ class ResamplerSpec extends SparkTestBase {
       ("y", 5000L, null)))
   }
 
+  test("day interval aligns to midnight in a configured timezone (A3)") {
+    // 2021-08-01T00:02:03.213Z = 2021-07-31T20:02 in America/New_York (UTC-4):
+    // next NY midnight boundary = 2021-08-01T00:00 NY = 2021-08-01T04:00Z.
+    val df = Seq((1627776123213L, "A")).toDF("__timestamp", "v")
+    val rows = Resampler.resample(df, "1d",
+      opts = Resampler.ResampleOptions(tz = java.time.ZoneId.of("America/New_York")))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1627790400000L))
+  }
+
   test("day interval aligns to UTC midnight") {
     val df = Seq(
       (1627776123213L, "A"), // 2021-08-01T00:02:03.213Z
