@@ -114,11 +114,18 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
 
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("table"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    // Dedup candidate pairs on the narrow (id, id) key, then join the
+    // vectors back for verification — running distinct() with the embedding
+    // arrays as grouping keys would shuffle and compare full vectors.
+    val a = bucketed.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("table"), col("bucket"))
+    val cands = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
