@@ -384,7 +384,7 @@ object Queries {
 
   val tokenStatsSql: String =
     """SELECT source, count(*) AS n_docs,
-      |       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
       |       round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS DOUBLE)
       |             / count(*), 6) AS avg_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -477,7 +477,7 @@ object Queries {
 
   val multimodalMetaSql: String =
     """SELECT 'text' AS modality, 'utf8' AS format, count(*) AS n,
-      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |       max(octet_length(encode(text))) AS max_bytes
       |FROM documents GROUP BY 1, 2 ORDER BY modality, format""".stripMargin
 

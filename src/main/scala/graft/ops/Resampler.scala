@@ -39,7 +39,12 @@ object Resampler {
       processBatchEnd: Boolean = true,
       tz: ZoneId = ZoneOffset.UTC,
       /** Tiebreak columns completing the event order for equal timestamps. */
-      tieCols: Seq[String] = Nil)
+      tieCols: Seq[String] = Nil,
+      /** Range buckets for the coverage window of the global [[resample]]
+        * (parallelism of the gap-span computation; keyed resample doesn't
+        * need it). Should be >= executor parallelism.
+        */
+      coverageBuckets: Int = 256)
 
   /** Resample `df` to the `interval` grid. `tsCol` must be epoch-ms Long.
     * Output schema = input schema with `tsCol` holding the grid boundary;
@@ -85,16 +90,42 @@ object Resampler {
     // non-empty bucket; exploding that span generates its real row plus all
     // its gap rows, each carrying the covering row for the ffill keys — the
     // reference's prev_msg verbatim (a null ffill-key value in the covering
-    // row stays null on the gap rows, classes.py:608-623). No second descent,
-    // no grid join, no generic forward-fill machinery.
+    // row stays null on the gap rows, classes.py:608-623).
     //
-    // The lead() window over lastPerK is a single partition, but its size is
-    // the number of NON-EMPTY buckets (<= min(#events, time-span/step)) and
-    // its rows are one struct wide — orders of magnitude below the input;
-    // range-partition the bucket index if a workload ever exceeds that.
-    val wLead = Window.orderBy(col("__k"))
+    // "Next non-empty bucket" is a lead() over bucket order. Running it as one
+    // global window would serialize every non-empty bucket into a single task
+    // — at a fine grid (the reference's flagship is 100 ms) non-empty buckets
+    // ≈ event count, so that window is a scale-killer. Instead the k-space is
+    // range-partitioned into `coverageBuckets` equal slices: lead() runs
+    // within each slice (parallel windows), and each slice's final row chains
+    // to the next non-empty slice's first k, a per-slice scalar collected from
+    // a narrow ts-only descent (<= coverageBuckets rows — the same bounded
+    // two-phase carry `ForwardFill.partitioned` uses, with no unpartitioned
+    // window anywhere).
+    val sliceWidth = kEnd / opts.coverageBuckets + 1
+    val sliceExpr  = expr(s"__k div $sliceWidth")
+
+    // First non-empty k per slice (narrow scan: only tsCol survives pruning).
+    val sliceFirst = df
+      .select(kExpr.as("__k"))
+      .filter(col("__k") <= lit(kEnd))
+      .groupBy(sliceExpr.as("__slice"))
+      .agg(min(col("__k")).as("__first"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // slice -> first non-empty k of the NEXT non-empty slice
+    val nextFirst: Map[Long, Long] =
+      sliceFirst.zip(sliceFirst.drop(1)).map { case ((s, _), (_, f)) => s -> f }.toMap
+    val carryNext: Column =
+      if (nextFirst.isEmpty) lit(null).cast("long")
+      else element_at(typedLit(nextFirst), col("__slice"))
+
+    val wLead = Window.partitionBy(col("__slice")).orderBy(col("__k"))
     val covered = lastPerK
-      .withColumn("__kend", coalesce(lead(col("__k"), 1).over(wLead) - 1L, lit(kEnd)))
+      .withColumn("__slice", sliceExpr)
+      .withColumn("__kend",
+        coalesce(lead(col("__k"), 1).over(wLead), carryNext, lit(kEnd + 1L)) - 1L)
       .select(col("__k"), col("__row"),
         explode(sequence(col("__k"), col("__kend"))).as("__kc"))
 

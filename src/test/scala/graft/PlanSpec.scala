@@ -18,9 +18,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
   }
 
-  test("resample descends the source exactly once") {
+  test("resample main plan descends the source exactly once") {
+    // the coverage-carry pre-job is a separate narrow (ts-only) descent,
+    // executed at plan-build; the returned plan itself stays single-scan
     val plan = planOf("q_resample_1h")
     assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("resample windows are all partitioned (no single-task coverage window)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_resample_1h", "q_resample_1d", "q_resample_keyed")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has unpartitioned windows:\n${bad.mkString("\n")}")
+    }
   }
 
   test("keyed resample descends the source at most twice (bounds + main)") {

@@ -60,6 +60,16 @@ def main():
             print(f"FAIL {name}: columns differ\n  spark={spark_cols}\n  duck ={duck_cols}")
             n_fail += 1
             continue
+        # The driver hashes typed values: a DuckDB HUGEINT vs Spark BIGINT is a
+        # mismatch even when the values are equal. Compare physical types too.
+        spark_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        duck_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        type_diff = {c: (spark_types[c], duck_types[c]) for c in spark_types
+                     if spark_types[c] != duck_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: column types differ (spark, duck): {type_diff}")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: row count {len(spark_rows)} vs {len(duck_rows)}")
             n_fail += 1
