@@ -272,12 +272,23 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
+  /** Document-frequency cap for the shingle inverted index: shingles shared
+    * by more docs than this are boilerplate, not near-dup signal, and each
+    * one costs O(df²) join pairs on a single reducer — the skew bomb at
+    * corpus scale. The cap must exceed the largest expected duplicate-group
+    * size (dup groups make their own shingles "hot"); 100 is comfortably
+    * above the planted group sizes here while still bounding any one
+    * shingle's join fan-out to 100² pairs.
+    */
+  private val JaccardMaxShingleDf = 100
+
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
-      n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+      n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf)
+      .orderBy("id_a", "id_b")
 
   val dedupJaccardSql: String =
-    """WITH w AS (
+    raw"""WITH w AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
       |  FROM documents
       |), sh AS (
@@ -286,11 +297,15 @@ object Queries {
       |  FROM w
       |), ex AS (
       |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), hot AS (
+      |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) > $JaccardMaxShingleDf
+      |), exf AS (
+      |  SELECT * FROM ex ANTI JOIN hot USING (shingle)
       |), sizes AS (
       |  SELECT doc_id, len(shingles) AS n_sh FROM sh
       |), shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT id_a, id_b,
