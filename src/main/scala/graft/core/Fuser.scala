@@ -83,11 +83,20 @@ object Fuser {
       .sortBy(_.descriptor).toSeq
   }
 
-  /** Load + fuse path-based sources. */
+  /** Load + fuse path-based sources. Parquet sources without a declared
+    * `secondarySortCol` get a recompute-stable file-order row id attached
+    * (see `SourceLoader.parquetRowId`) so the fused tie order is
+    * deterministic across actions and task retries.
+    */
   def fuse(spark: SparkSession, specs: Seq[SourceSpec], opts: FuseOptions): FuseResult =
     fuseFrames(
       specs.map { s =>
-        FrameSource(SourceLoader.load(spark, s), s.descriptor, s.timestampCol,
+        var df = SourceLoader.load(spark, s)
+        if (s.secondarySortCol.isEmpty && s.format == "parquet")
+          // forceSchema loads project `_metadata` away; keep their legacy id
+          df = scala.util.Try(
+            df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path))).getOrElse(df)
+        FrameSource(df, s.descriptor, s.timestampCol,
           tsConvert = s.tsConvert, removeCols = s.removeCols,
           secondarySortCol = s.secondarySortCol)
       },
@@ -117,11 +126,18 @@ object Fuser {
           case _        => df.withColumn(tsName, col(tsName).cast(LongType))
         }
     }
+    // Tiebreak id preference: user-declared monotone id > a pre-attached
+    // `__rowid` (e.g. SourceLoader.parquetRowId, stable across retries) >
+    // monotonically_increasing_id. The last is deterministic only when the
+    // frame's partition layout is (scan-only lineage, no upstream shuffle);
+    // order-exact pipelines should declare `secondarySortCol` or fuse via
+    // `Fuser.fuse` over parquet sources.
+    val rowId = src.secondarySortCol.map(col(_).cast(LongType))
+      .orElse(if (df.columns.contains(RowIdCol)) Some(col(RowIdCol).cast(LongType)) else None)
+      .getOrElse(monotonically_increasing_id())
     df.withColumnRenamed(tsName, TimestampCol)
       .withColumn(SourceIdCol, lit(id))
-      .withColumn(RowIdCol,
-        src.secondarySortCol.map(col(_).cast(LongType))
-          .getOrElse(monotonically_increasing_id()))
+      .withColumn(RowIdCol, rowId)
   }
 
   /** Fuse DataFrame sources (the core API). */

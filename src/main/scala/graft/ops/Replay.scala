@@ -20,6 +20,19 @@ object Replay {
   sealed trait Status
   case object Ok        extends Status
   case object ForceStop extends Status
+  /** No loadable files in any source (reference `NOVALIDFILESTOPROCESS`,
+    * classes.py:690-705).
+    */
+  case object NoValidFilesToProcess extends Status
+
+  /** Run a load-and-replay body, mapping an empty-source failure to the
+    * reference's `NOVALIDFILESTOPROCESS` status instead of an exception —
+    * the reference returns this status from `start_tsf` rather than raising
+    * (classes.py:690-705).
+    */
+  def withSources(body: => Status): Status =
+    try body
+    catch { case _: graft.sources.NoValidFilesException => NoValidFilesToProcess }
 
   final class StopFlag {
     private val stopped = new AtomicBoolean(false)

@@ -1,19 +1,37 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+
+/** Raised when a source directory holds no loadable data files — callers can
+  * map it to the reference's `NOVALIDFILESTOPROCESS` replay status
+  * (classes.py:690-705) via `Replay.withSources`.
+  */
+final class NoValidFilesException(what: String)
+  extends RuntimeException(s"no valid files to process: $what")
+
 /** Loads a [[SourceSpec]] into a DataFrame.
   *
   * Spark-first reimagining of the reference's `CSVSrc`/`ParquetSrc`
-  * (datasources.py:215-440): one `spark.read` over the whole directory
+  * (datasources.py:215-440): one `spark.read` over the source's file list
   * replaces the per-file loop; Hadoop codecs replace the gzip magic-byte
-  * sniffing (datasources.py:320-337); schema inference fallback replaces the
-  * `pl.ComputeError` retry (datasources.py:253-263). File enumeration order
-  * (datasources.py:189-212) is irrelevant to correctness here because the
-  * fused stream is globally sorted; `input_file_name()` is available for
-  * provenance diagnostics.
+  * sniffing. File enumeration order (datasources.py:189-212) is irrelevant to
+  * correctness here because the fused stream is globally sorted;
+  * `input_file_name()` is available for provenance diagnostics.
+  *
+  * Driver-side work is bounded by the FILE COUNT, never row count: the
+  * listing and the one-line header probes match the reference's own
+  * per-file planning cost (core.py:738-783) and stay trivial for the
+  * "directory of daily/hourly files" layout both engines target. A
+  * 100k-file source would want a distributed listing — out of scope, as
+  * documented in the reference too.
   */
 object SourceLoader {
 
@@ -29,11 +47,90 @@ object SourceLoader {
     case other                      => throw new IllegalArgumentException(s"Unknown type: $other")
   }
 
-  /** Read just the header of a CSV directory (names only, all-string schema —
-    * no data scan) to support positional type lists (classes.py:125-131).
+  /** Enumerate a source's data files (S6/S7). Errors mirror the reference's
+    * compression scan (`_check_compression`, datasources.py:320-337): zip is
+    * unsupported, and one directory must not mix plain and gzip CSV. An empty
+    * or missing directory raises [[NoValidFilesException]].
+    */
+  def listSourceFiles(spark: SparkSession, path: String, format: String): Seq[String] = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val p  = new Path(path)
+    val statuses =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.listStatus(p)
+      else Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = statuses.filter(_.isFile).map(_.getPath).toSeq
+    val names = files.map(_.getName)
+    format match {
+      case "parquet" =>
+        val pq = files.filter(_.getName.endsWith(".parquet"))
+        if (pq.isEmpty) throw new NoValidFilesException(s"$path (no .parquet files)")
+        pq.map(_.toString).sorted
+      case "csv" =>
+        if (names.exists(_.endsWith(".zip")))
+          throw new IllegalArgumentException(
+            s"zip-compressed sources are not supported: $path (reference datasources.py:330-333)")
+        val plain = files.filter(_.getName.endsWith(".csv"))
+        val gz    = files.filter(_.getName.endsWith(".csv.gz"))
+        if (plain.nonEmpty && gz.nonEmpty)
+          throw new IllegalArgumentException(
+            s"source dir mixes .csv and .csv.gz files: $path (reference datasources.py:320-337)")
+        val all = plain ++ gz
+        if (all.isEmpty) throw new NoValidFilesException(s"$path (no .csv/.csv.gz files)")
+        all.map(_.toString).sorted
+      case other => throw new IllegalArgumentException(s"Unknown source format: $other")
+    }
+  }
+
+  /** Read one file's actual first line (gzip-aware via the Hadoop codec
+    * factory — the reference's magic-byte sniff, core.py:738-783) and split it
+    * as a CSV header. Quoted fields are unquoted; separators inside quotes are
+    * not supported in the header row (neither engine needs them).
+    */
+  def actualCsvHeader(spark: SparkSession, file: String, sep: Char = ','): Seq[String] = {
+    val conf  = spark.sparkContext.hadoopConfiguration
+    val fs    = FileSystem.get(new URI(file), conf)
+    val path  = new Path(file)
+    val codec = Option(new CompressionCodecFactory(conf).getCodec(path))
+    val raw   = fs.open(path)
+    val in    = codec.map(_.createInputStream(raw)).getOrElse(raw)
+    val rd    = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      val line = Option(rd.readLine()).getOrElse(
+        throw new NoValidFilesException(s"$file is empty"))
+      line.split(sep).toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    } finally rd.close()
+  }
+
+  /** Real P7 header validation (reference `_check_transform_headers_on_load`,
+    * core.py:949-980): every file's ACTUAL header must carry exactly the
+    * declared column names, and all files must agree on order (Spark binds a
+    * CSV schema positionally, so a silently reordered file would misbind
+    * columns — fail fast instead). Returns the on-disk column order.
+    */
+  def validateHeaders(
+      spark: SparkSession,
+      files: Seq[String],
+      declared: Option[Seq[String]]): Seq[String] = {
+    val first = actualCsvHeader(spark, files.head)
+    files.tail.foreach { f =>
+      val h = actualCsvHeader(spark, f)
+      require(h == first,
+        s"file $f header (${h.mkString(",")}) differs from ${files.head} (${first.mkString(",")})")
+    }
+    declared.foreach { want =>
+      require(first.length == want.length && first.toSet == want.toSet,
+        s"source header (${first.mkString(",")}) does not match declared schema " +
+          s"(${want.mkString(",")})")
+    }
+    first
+  }
+
+  /** Read just the header of a CSV directory (names only — a one-line driver
+    * probe, no data scan) to support positional type lists
+    * (classes.py:125-131).
     */
   def csvHeader(spark: SparkSession, path: String): Seq[String] =
-    spark.read.option("header", "true").csv(path).columns.toSeq
+    actualCsvHeader(spark, listSourceFiles(spark, path, "csv").head)
 
   /** Zip a positional type list against the header names → StructType. */
   def zipPositional(header: Seq[String], types: Seq[DataType]): StructType = {
@@ -45,6 +142,7 @@ object SourceLoader {
   /** Load one source directory as a DataFrame. */
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec.format match {
     case "parquet" =>
+      val files = listSourceFiles(spark, spec.path, "parquet")
       spec.schema match {
         case Some(s) if spec.forceSchema =>
           // Cast to the declared schema (reference datasources.py:394-395).
@@ -56,43 +154,72 @@ object SourceLoader {
           // scans still run distributed.
           def castTo(df: DataFrame): DataFrame =
             df.select(s.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(spec.path), spark.sparkContext.hadoopConfiguration)
-          val files = fs.listStatus(new org.apache.hadoop.fs.Path(spec.path))
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString)
-          if (files.isEmpty) castTo(spark.read.parquet(spec.path))
-          else files.map(f => castTo(spark.read.parquet(f)))
-            .reduce(_.unionByName(_))
-        case _ => spark.read.parquet(spec.path)
+          files.map(f => castTo(spark.read.parquet(f))).reduce(_.unionByName(_))
+        case _ => spark.read.parquet(files: _*)
       }
     case "csv" =>
+      val files = listSourceFiles(spark, spec.path, "csv")
+      // PERMISSIVE mode gives per-cell null fallback for malformed typed
+      // values — subsuming the reference's whole-file re-infer retry
+      // (datasources.py:253-263) without ever masking a validation error.
       val base = spark.read
         .option("header", spec.hasHeader.toString)
         .option("mode", "PERMISSIVE")
+      val actual: Option[Seq[String]] =
+        if (spec.hasHeader)
+          Some(validateHeaders(spark, files, spec.schema.map(_.fieldNames.toSeq)))
+        else None
       val resolved: Option[StructType] = spec.schema.orElse {
         spec.positionalTypes.map { ts =>
-          zipPositional(csvHeader(spark, spec.path), ts)
+          zipPositional(actual.getOrElse(
+            throw new IllegalArgumentException(
+              "positional types require a header row to zip against")), ts)
         }
       }
       resolved match {
         case Some(s) =>
-          try {
-            val df = base.schema(s).csv(spec.path)
-            validateHeader(df, s); df
-          } catch {
-            // Inference retry path (reference datasources.py:253-263).
-            case _: Exception => base.option("inferSchema", "true").csv(spec.path)
+          actual match {
+            case Some(hdr) =>
+              // Bind the schema in the FILE's column order (Spark binds CSV
+              // schemas positionally), then project back to declared order —
+              // the by-name binding the reference gets from Polars dtype
+              // dicts (classes.py:133-171).
+              val byName = s.fields.map(f => f.name -> f).toMap
+              base.schema(StructType(hdr.map(byName(_)))).csv(files: _*)
+                .select(s.fieldNames.map(col).toSeq: _*)
+            case None =>
+              base.schema(s).csv(files: _*)
           }
         case None =>
           // No declared types: infer (reference warns, classes.py:137-143).
-          base.option("inferSchema", "true").csv(spec.path)
+          base.option("inferSchema", "true").csv(files: _*)
       }
     case other => throw new IllegalArgumentException(s"Unknown source format: $other")
   }
 
-  /** Header/shape validation (P7, reference core.py:949-980): loaded columns
-    * must match the declared schema's names.
+  /** Deterministic per-source row id for parquet sources: sorted-file index
+    * in the high bits, `_metadata.row_index` (the physical row position in
+    * its file) in the low 40 bits. Both inputs are functions of the files
+    * alone, so the id is stable across task retries, plan re-optimization and
+    * repeated actions — unlike `monotonically_increasing_id`, whose value
+    * depends on runtime partition layout. It is also monotone in (file order,
+    * row order), reproducing the reference's concat order
+    * (core.py:467-470) as a sort tiebreaker. Files are keyed by name
+    * (unique within a source directory).
+    */
+  def parquetRowId(spark: SparkSession, path: String): org.apache.spark.sql.Column = {
+    val files = listSourceFiles(spark, path, "parquet")
+    val idx: Map[String, Long] = files.zipWithIndex.map { case (f, i) =>
+      new Path(f).getName -> i.toLong
+    }.toMap
+    element_at(typedLit(idx), col("_metadata.file_name")) * lit(1L << 40) +
+      col("_metadata.row_index")
+  }
+
+  /** Header/shape validation of an already-loaded frame: loaded columns must
+    * match the declared schema's names. (The load path validates the on-disk
+    * header itself via [[validateHeaders]]; this remains for frames built
+    * outside [[load]].)
     */
   def validateHeader(df: DataFrame, expected: StructType): Unit = {
     val got  = df.columns.toSet
@@ -108,7 +235,8 @@ object SourceLoader {
     */
   def timeBounds(df: DataFrame, tsCol: String): (Long, Long) = {
     val row = df.agg(min(col(tsCol)), max(col(tsCol))).head()
-    if (row.isNullAt(0)) throw new IllegalStateException("source has no rows")
+    if (row.isNullAt(0))
+      throw new NoValidFilesException("source has no rows in the requested window")
     (row.getLong(0), row.getLong(1))
   }
 }

@@ -130,4 +130,27 @@ class FuserSpec extends SparkTestBase {
     val res = Fuser.fuseFrames(Seq(FrameSource(df, "t", "ts")))
     assert(res.df.first().getAs[Long](TimestampCol) == 1577836800000L)
   }
+
+  test("parquet sources get a recompute-stable row id: identical order across actions") {
+    // Intra-millisecond ties across two files: without a stable tiebreaker,
+    // two actions on the same plan may disagree (M4 determinism).
+    val d = java.nio.file.Files.createTempDirectory("graft_rowid").toString + "/src"
+    Seq((1000L, "a1"), (1000L, "a2"), (2000L, "a3")).toDF("t", "v")
+      .coalesce(1).write.parquet(d)
+    Seq((1000L, "b1"), (2000L, "b2")).toDF("t", "v")
+      .coalesce(1).write.mode("append").parquet(d)
+    val spec = graft.sources.SourceSpec(path = d, format = "parquet",
+      descriptor = "s", timestampCol = "t")
+    def run() = Fuser.fuse(spark, Seq(spec),
+      FuseOptions(keepRowId = true)).df.collect().toSeq
+    val once  = run()
+    val again = run()
+    assert(once == again)
+    // row ids are monotone within a file: high bits = sorted-file index,
+    // low bits = physical row position.
+    val ids = once.map(_.getAs[Long](Fuser.RowIdCol))
+    assert(ids.distinct.length == ids.length)
+    val byFile = ids.groupBy(_ >> 40)
+    assert(byFile.size == 2, s"expected 2 file groups, got $byFile")
+  }
 }

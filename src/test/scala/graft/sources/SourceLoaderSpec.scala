@@ -78,6 +78,70 @@ class SourceLoaderSpec extends SparkTestBase {
     }
   }
 
+  test("wrong on-disk header fails loudly, not silent nulls (P7, core.py:949-980)") {
+    val bad = Files.createTempDirectory("graft_badhdr").toString
+    Files.writeString(Paths.get(bad, "part-1.csv"),
+      "Timestamp,Cost,Note\n1000,1.5,a\n") // declared column is Price, not Cost
+    val spec = SourceSpec(path = bad, format = "csv", descriptor = "t",
+      timestampCol = "Timestamp",
+      schema = Some(StructType(Seq(StructField("Timestamp", LongType),
+        StructField("Price", DoubleType), StructField("Note", StringType)))))
+    val e = intercept[IllegalArgumentException](SourceLoader.load(spark, spec))
+    assert(e.getMessage.contains("Cost"), e.getMessage)
+  }
+
+  test("reordered on-disk header binds by name, not position") {
+    val re = Files.createTempDirectory("graft_reorder").toString
+    Files.writeString(Paths.get(re, "part-1.csv"),
+      "Price,Timestamp,Note\n1.5,1000,a\n") // declared order differs
+    val spec = SourceSpec(path = re, format = "csv", descriptor = "t",
+      timestampCol = "Timestamp",
+      schema = Some(StructType(Seq(StructField("Timestamp", LongType),
+        StructField("Price", DoubleType), StructField("Note", StringType)))))
+    val df = SourceLoader.load(spark, spec)
+    assert(df.columns.toSeq == Seq("Timestamp", "Price", "Note"))
+    val r = df.head()
+    assert(r.getLong(0) == 1000L && r.getDouble(1) == 1.5)
+  }
+
+  test("files disagreeing on header order fail fast (Spark binds positionally)") {
+    val mix = Files.createTempDirectory("graft_hdrmix").toString
+    Files.writeString(Paths.get(mix, "a.csv"), "Timestamp,Price\n1000,1.5\n")
+    Files.writeString(Paths.get(mix, "b.csv"), "Price,Timestamp\n2.5,2000\n")
+    val e = intercept[IllegalArgumentException] {
+      SourceLoader.load(spark, SourceSpec(path = mix, format = "csv",
+        descriptor = "t", timestampCol = "Timestamp",
+        positionalTypes = Some(Seq(LongType, DoubleType))))
+    }
+    assert(e.getMessage.contains("differs"), e.getMessage)
+  }
+
+  test("mixed .csv and .csv.gz in one dir errors (S7, datasources.py:320-337)") {
+    val mixed = Files.createTempDirectory("graft_mixed").toString
+    Files.writeString(Paths.get(mixed, "a.csv"), "T,V\n1,2\n")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$mixed/b.csv.gz"))
+    out.write("T,V\n3,4\n".getBytes); out.close()
+    val e = intercept[IllegalArgumentException] {
+      SourceLoader.listSourceFiles(spark, mixed, "csv")
+    }
+    assert(e.getMessage.contains("mixes"), e.getMessage)
+  }
+
+  test("empty source dir surfaces NOVALIDFILESTOPROCESS (classes.py:690-705)") {
+    val empty = Files.createTempDirectory("graft_empty").toString
+    intercept[NoValidFilesException] {
+      SourceLoader.load(spark, SourceSpec(path = empty, format = "csv",
+        descriptor = "t", timestampCol = "T"))
+    }
+    val status = graft.ops.Replay.withSources {
+      SourceLoader.load(spark, SourceSpec(path = empty, descriptor = "t",
+        timestampCol = "T"))
+      graft.ops.Replay.Ok
+    }
+    assert(status == graft.ops.Replay.NoValidFilesToProcess)
+  }
+
   test("friendly type mapping (classes.py:95-100)") {
     assert(SourceLoader.friendlyType("int") == LongType)
     assert(SourceLoader.friendlyType("float") == DoubleType)
