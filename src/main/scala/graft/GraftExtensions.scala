@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, VectorDot, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -34,5 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_list_hits"),
+      new ExpressionInfo(classOf[WordListHits].getName, "word_list_hits"),
+      (exprs: Seq[Expression]) => WordListHits(exprs.head, {
+        // the word list must be a foldable array literal
+        val arr = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        arr.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      })))
   }
 }

@@ -59,10 +59,21 @@ object Fuser {
 
   case class FuseResult(
       df: DataFrame,
-      renames: Map[String, String],       // original -> renamed (collision pass)
+      renames: Map[String, Seq[String]],  // original -> all renamed forms (collision pass)
       sourceIds: Map[String, Int],        // descriptor -> exsym id
       startTs: Option[Long],
-      endTs: Option[Long])
+      endTs: Option[Long]) {
+
+    /** Rewrite a user column list (e.g. resample `ffillKeys`) to the
+      * post-rename column names: a key that collided expands to every
+      * `<key><sep><descriptor>` form, others pass through — the engine-level
+      * analog of the reference's `modify_transformations`
+      * (classes.py:648-664), so callers never reverse-engineer the rename
+      * policy.
+      */
+    def remapFfillKeys(keys: Seq[String]): Seq[String] =
+      keys.flatMap(k => renames.getOrElse(k, Seq(k)))
+  }
 
   /** Per-source replay stats (K5, the reference's run-report at
     * core.py:874-914).
@@ -149,7 +160,7 @@ object Fuser {
 
     // Collision rename (§1.4, reference core.py:297-318): a non-merge column
     // name appearing in more than one source becomes `<col><sep><descriptor>`.
-    var renames = Map.empty[String, String]
+    var renames = Map.empty[String, Seq[String]]
     if (opts.renameIdenticalCols) {
       // `__`-prefixed columns are engine-internal (preserved originals,
       // provenance, tiebreaks) and merge by name like the timestamp column:
@@ -163,7 +174,7 @@ object Fuser {
       normalized = normalized.zip(sources).map { case (df, src) =>
         df.columns.filter(colliding).foldLeft(df) { (d, c) =>
           val newName = s"$c${opts.separator}${src.descriptor}"
-          renames += (c -> newName)
+          renames += (c -> (renames.getOrElse(c, Seq.empty) :+ newName))
           d.withColumnRenamed(c, newName)
         }
       }

@@ -156,8 +156,12 @@ object Resampler {
     *  - coverage lead + explode windows are `partitionBy(key)` — parallel
     *    across executors, nothing single-partition, no driver-side scalars.
     *
-    * Day intervals align to UTC midnight (keyed variant does not take a
-    * custom timezone). Output: key columns + tsCol + data columns.
+    * Day intervals align each key's grid to midnight in `opts.tz` (reference
+    * classes.py:787-793), computed as a column expression over the per-key
+    * min timestamp — the same `midnight(t0) + step` rule `Intervals
+    * .nextBoundary` applies driver-side for the global grid, DST handled by
+    * Spark's zone-aware timestamp functions. Output: key columns + tsCol +
+    * data columns.
     */
   def resampleByKey(
       df: DataFrame,
@@ -170,14 +174,24 @@ object Resampler {
     val dataCols = df.columns.filterNot(c => c == tsCol || keyCols.contains(c)).toSeq
     val keys     = keyCols.map(col)
 
-    // Per-key grid origin and final boundary (sub-day units and UTC days are
-    // both epoch-aligned, so b0 = floor(min/step)*step + step).
+    // Per-key grid origin: sub-day units and UTC days are epoch-aligned
+    // (b0 = floor(min/step)*step + step); day grids in another timezone
+    // originate at tz-midnight of the key's first event plus the step, with
+    // the on-boundary rule (a t0 exactly on a boundary starts the next one)
+    // matching Intervals.nextBoundary(initialize = true).
+    val b0Of: Column => Column =
+      if (Intervals.isDayInterval(interval) && opts.tz.normalized != ZoneOffset.UTC) { t0 =>
+        val tzId = opts.tz.getId
+        val mid = unix_millis(to_utc_timestamp(
+          date_trunc("DAY", from_utc_timestamp(timestamp_millis(t0), tzId)), tzId))
+        val cand = mid + lit(step)
+        when(cand === t0, t0 + lit(step)).otherwise(cand)
+      } else { t0 => t0 - pmod(t0, lit(step)) + lit(step) }
+
     val flushAdd = if (opts.processBatchEnd) 1L else 0L
     val bounds = df.groupBy(keys: _*)
       .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
-      .select(keys :+
-        ((col("__t0") - pmod(col("__t0"), lit(step))) + lit(step)).as("__b0") :+
-        col("__t1"): _*)
+      .select(keys :+ b0Of(col("__t0")).as("__b0") :+ col("__t1"): _*)
       .withColumn("__kend",
         when(col("__t1") >= col("__b0"),
           ((col("__t1") - col("__b0") - pmod(col("__t1") - col("__b0"), lit(step))) / lit(step))

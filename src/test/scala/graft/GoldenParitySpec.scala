@@ -160,13 +160,15 @@ class GoldenParitySpec extends SparkTestBase {
       format = "csv", descriptor = desc, timestampCol = "Timestamp",
       positionalTypes = Some(types), removeCols = drops)
 
-    val fused = Fuser.fuse(spark,
+    val fres = Fuser.fuse(spark,
       Seq(src("BTC-USD-OVERLAP", "BTC"), src("ETH-USD-OVERLAP", "ETH")),
-      FuseOptions(forwardFillData = true, keepRowId = true)).df
+      FuseOptions(forwardFillData = true, keepRowId = true))
+    val fused = fres.df
 
     // Reference remaps ffill keys to their collision-renamed forms
-    // (classes.py:648-664): every output column whose prefix is `Price`.
-    val ffillKeys = fused.columns.filter(_.split("\\|\\|")(0) == "Price").toSeq
+    // (classes.py:648-664); the engine exposes the same rewrite.
+    val ffillKeys = fres.remapFfillKeys(Seq("Price"))
+    assert(ffillKeys.toSet == Set("Price||BTC", "Price||ETH"))
     val out = Resampler.resample(fused, "1m",
       opts = ResampleOptions(ffillKeys = ffillKeys,
         tieCols = Seq(SourceIdCol, RowIdCol)))

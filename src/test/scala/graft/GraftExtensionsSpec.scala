@@ -19,9 +19,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       val row = spark.sql(
-        "SELECT word_shingles('a b c d', 2) AS sh, min_md5_hex(array('a','b')) AS fp").head
+        "SELECT word_shingles('a b c d', 2) AS sh, min_md5_hex(array('a','b')) AS fp, " +
+        "word_list_hits('the cat sat on the mat', array('the', 'cat')) AS hits").head
       assert(row.getSeq[String](0) == Seq("a b", "b c", "c d"))
       assert(row.getString(1).matches("[0-9a-f]{32}"))
+      assert(row.getLong(2) == 3L) // 'the' twice + 'cat' once
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -142,6 +142,17 @@ class ResamplerSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1627790400000L))
   }
 
+  test("per-key day grid aligns to midnight in a configured timezone (A3 keyed)") {
+    val df = Seq(
+      ("x", 1627776123213L, "A"), // 2021-08-01T00:02Z = 07-31 20:02 NY → b0 = 08-01T04:00Z
+      ("y", 1627869600000L, "B")  // 2021-08-02T02:00Z = 08-01 22:00 NY → b0 = 08-02T04:00Z
+    ).toDF("k", "__timestamp", "v")
+    val rows = Resampler.resampleByKey(df, "1d", Seq("k"),
+      opts = Resampler.ResampleOptions(tz = java.time.ZoneId.of("America/New_York")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("x", 1627790400000L), ("y", 1627876800000L)))
+  }
+
   test("day interval aligns to UTC midnight") {
     val df = Seq(
       (1627776123213L, "A"), // 2021-08-01T00:02:03.213Z
