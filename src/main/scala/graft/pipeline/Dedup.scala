@@ -61,9 +61,16 @@ object Dedup {
     val filtered =
       if (maxShingleDf == Int.MaxValue) sh
       else {
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf).select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
+        // df cap as a count window over the shingle partitioning rather than
+        // a groupBy + anti-join: the regex-heavy shingle lineage is descended
+        // once, and the self-join below shuffles on the same key, so the
+        // window's exchange is the join's exchange (ReusedExchange). A hot
+        // shingle does serialize its own rows into one window task, but that
+        // is O(df) counting — the guard's job is to stop the O(df²) join
+        // blowup, and df-linear work per key is what any groupBy pays too.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        sh.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxShingleDf).drop("__df")
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
 
