@@ -106,7 +106,8 @@ object Fuser {
         if (s.secondarySortCol.isEmpty && s.format == "parquet")
           // forceSchema loads project `_metadata` away; keep their legacy id
           df = scala.util.Try(
-            df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path))).getOrElse(df)
+            df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path,
+              s.fileSortRegex, s.fileSortIdx))).getOrElse(df)
         FrameSource(df, s.descriptor, s.timestampCol,
           tsConvert = s.tsConvert, removeCols = s.removeCols,
           secondarySortCol = s.secondarySortCol)

@@ -140,7 +140,12 @@ object SourceLoader {
   }
 
   /** Load one source directory as a DataFrame. */
-  def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec.format match {
+  def load(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val df = loadFull(spark, spec)
+    spec.numRows.map(df.limit).getOrElse(df)
+  }
+
+  private def loadFull(spark: SparkSession, spec: SourceSpec): DataFrame = spec.format match {
     case "parquet" =>
       val files = listSourceFiles(spark, spec.path, "parquet")
       spec.schema match {
@@ -197,6 +202,21 @@ object SourceLoader {
     case other => throw new IllegalArgumentException(s"Unknown source format: $other")
   }
 
+  /** Order files chronologically by an integer extracted from the filename —
+    * the reference's `sort_data` (datasources.py:189-212): all matches of
+    * `regex` against the file NAME are collected and match `idx` parsed as
+    * the integer sort key. Files without a match at `idx` are skipped
+    * (reference: IndexError → pass).
+    */
+  def orderFiles(files: Seq[String], regex: String, idx: Int = 0): Seq[String] = {
+    val r = regex.r
+    files.flatMap { f =>
+      val ms = r.findAllIn(new Path(f).getName).toSeq
+      if (ms.isDefinedAt(idx)) scala.util.Try(ms(idx).toLong).toOption.map(f -> _)
+      else None
+    }.sortBy(_._2).map(_._1)
+  }
+
   /** Deterministic per-source row id for parquet sources: sorted-file index
     * in the high bits, `_metadata.row_index` (the physical row position in
     * its file) in the low 40 bits. Both inputs are functions of the files
@@ -207,8 +227,13 @@ object SourceLoader {
     * (core.py:467-470) as a sort tiebreaker. Files are keyed by name
     * (unique within a source directory).
     */
-  def parquetRowId(spark: SparkSession, path: String): org.apache.spark.sql.Column = {
-    val files = listSourceFiles(spark, path, "parquet")
+  def parquetRowId(
+      spark: SparkSession,
+      path: String,
+      fileSortRegex: Option[String] = None,
+      fileSortIdx: Int = 0): org.apache.spark.sql.Column = {
+    val listed = listSourceFiles(spark, path, "parquet")
+    val files  = fileSortRegex.map(orderFiles(listed, _, fileSortIdx)).getOrElse(listed)
     val idx: Map[String, Long] = files.zipWithIndex.map { case (f, i) =>
       new Path(f).getName -> i.toLong
     }.toMap

@@ -29,6 +29,16 @@ import org.apache.spark.sql.types.StructType
   *                         tiebreaker (reference `secondary_sort_col`)
   * @param forceSchema      for parquet: cast columns to the declared schema
   *                         (reference datasources.py:364,394-395)
+  * @param numRows          optional row limit applied at load — the
+  *                         reference's `num_rows` probe/sampling knob
+  *                         (datasources.py:230,369)
+  * @param fileSortRegex    optional regex ordering the source's files
+  *                         chronologically by an extracted integer (reference
+  *                         `file_sort_regex`, datasources.py:189-212); used
+  *                         for the deterministic row-id's file order. Files
+  *                         without a match are skipped, like the reference.
+  * @param fileSortIdx      which regex match within the filename is the sort
+  *                         key (reference `file_sort_idx`)
   */
 case class SourceSpec(
     path: String,
@@ -41,7 +51,10 @@ case class SourceSpec(
     removeCols: Seq[String] = Nil,
     tsConvert: Option[Column => Column] = None,
     secondarySortCol: Option[String] = None,
-    forceSchema: Boolean = false)
+    forceSchema: Boolean = false,
+    numRows: Option[Int] = None,
+    fileSortRegex: Option[String] = None,
+    fileSortIdx: Int = 0)
 
 /** A source already materialized as a DataFrame — the Spark-idiomatic core
   * input. `SourceSpec`s are loaded into `FrameSource`s; users composing

@@ -142,6 +142,24 @@ class SourceLoaderSpec extends SparkTestBase {
     assert(status == graft.ops.Replay.NoValidFilesToProcess)
   }
 
+  test("numRows limit on load (datasources.py:230,369)") {
+    val spec = SourceSpec(path = dir, format = "csv", descriptor = "t",
+      timestampCol = "Timestamp",
+      positionalTypes = Some(Seq(LongType, DoubleType, StringType)),
+      numRows = Some(3))
+    assert(SourceLoader.load(spark, spec).count() == 3)
+  }
+
+  test("regex file ordering by extracted integer (S6, datasources.py:189-212)") {
+    val fs = Seq("day-10.parquet", "day-2.parquet", "day-1.parquet", "README")
+    assert(SourceLoader.orderFiles(fs, "\\d+") ==
+      Seq("day-1.parquet", "day-2.parquet", "day-10.parquet"))
+    // idx selects which match is the key: data-1-of-20 style names
+    val multi = Seq("f-1-part3.parquet", "f-2-part1.parquet")
+    assert(SourceLoader.orderFiles(multi, "\\d+", 1) ==
+      Seq("f-2-part1.parquet", "f-1-part3.parquet"))
+  }
+
   test("friendly type mapping (classes.py:95-100)") {
     assert(SourceLoader.friendlyType("int") == LongType)
     assert(SourceLoader.friendlyType("float") == DoubleType)
