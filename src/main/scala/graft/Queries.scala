@@ -537,6 +537,36 @@ object Queries {
       |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= epoch_ms(c.ts)
       |ORDER BY p.event_id""".stripMargin
 
+  /** Time-range join (beyond-reference): every click by the same user within
+    * the 6 hours before each purchase — the bucketed interval join, never a
+    * nested loop. Verified against DuckDB's native inequality join.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"user_id", $"value")
+    graft.ops.RangeJoin.timeRange(purchases, clicks,
+      keyCols = Seq("user_id"), tsCol = TimestampCol,
+      lookbackMs = 6L * 3600000L, lookaheadMs = 0L,
+      rightCols = Seq("value"), rightPrefix = "click_")
+      .withColumnRenamed(s"click_$TimestampCol", "click_ts")
+      .orderBy("event_id", "click_ts")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT epoch_ms(p.ts) AS __timestamp, p.event_id, p.user_id, p.value,
+      |       c.value AS click_value, epoch_ms(c.ts) AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 21600000 AND epoch_ms(p.ts)
+      |ORDER BY p.event_id, click_ts""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {

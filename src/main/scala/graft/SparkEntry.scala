@@ -63,6 +63,7 @@ object SparkEntry {
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
     // relational / temporal joins (beyond-reference capabilities)
     "q_asof_join"        -> (Queries.asofJoin _),
+    "q_range_join"       -> (Queries.rangeJoin _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_join_enrich"      -> (Queries.joinEnrich _)
   )
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_asof_join"       -> Queries.asofJoinSql,
+    "q_range_join"      -> Queries.rangeJoinSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_join_enrich"     -> Queries.joinEnrichSql
   )

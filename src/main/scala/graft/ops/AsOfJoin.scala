@@ -25,8 +25,11 @@ object AsOfJoin {
     * @param keyCols    equality keys present on both sides
     * @param tsCol      epoch-ms Long event-time column name on both sides
     * @param rightCols  right columns to attach, renamed via `rightPrefix`
-    * @param toleranceMs optional max staleness: matches older than
-    *                   `left.ts - toleranceMs` are nulled out
+    * @param toleranceMs optional max staleness: matches further than
+    *                   `toleranceMs` from the left timestamp are nulled out
+    * @param forward    false (default): most recent right row with
+    *                   `right.ts <= left.ts`; true: earliest right row with
+    *                   `right.ts >= left.ts` (both inclusive)
     */
   def asof(
       left: DataFrame,
@@ -35,7 +38,8 @@ object AsOfJoin {
       tsCol: String,
       rightCols: Seq[String],
       rightPrefix: String = "right_",
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val rTs      = s"${rightPrefix}$tsCol"
@@ -43,26 +47,39 @@ object AsOfJoin {
     // The right row travels as ONE struct so the matched row attaches
     // atomically — a legitimately-null field in the newest right row must not
     // fall through to an older row's value.
+    //
+    // Side ordering makes the boundary inclusive in either direction:
+    // backward sorts right rows (side 0) before coincident left rows and
+    // carries the LAST right struct up to the current row; forward sorts
+    // them after (side 2) and takes the FIRST right struct from the current
+    // row on.
+    val rightSide = if (forward) 2 else 0
     val taggedRight = right.select(
       keyCols.map(col) :+ col(tsCol) :+
         struct(col(tsCol).as(rTs) +: rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*)
-          .as("__rrow") :+ lit(0).as("__side"): _*)
+          .as("__rrow") :+ lit(rightSide).as("__side"): _*)
     val taggedLeft = left.withColumn("__side", lit(1))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val attached = unioned
-      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+    val attached = (if (forward)
+      unioned.withColumn("__rrow",
+        first(col("__rrow"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    else
+      unioned.withColumn("__rrow",
+        last(col("__rrow"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .filter(col("__side") === 1)
 
     val withTol = toleranceMs match {
-      case Some(tol) => attached.withColumn("__rrow",
-        when(col(s"__rrow.$rTs") < col(tsCol) - lit(tol), lit(null))
-          .otherwise(col("__rrow")))
+      case Some(tol) =>
+        val stale =
+          if (forward) col(s"__rrow.$rTs") > col(tsCol) + lit(tol)
+          else col(s"__rrow.$rTs") < col(tsCol) - lit(tol)
+        attached.withColumn("__rrow", when(stale, lit(null)).otherwise(col("__rrow")))
       case None => attached
     }
     withTol.select(leftCols.map(col) ++

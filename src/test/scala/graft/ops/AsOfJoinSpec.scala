@@ -45,6 +45,35 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(at4000.getDouble(at4000.fieldIndex("q_px")) == 11.0) // 1000ms = tol, kept
   }
 
+  test("forward direction attaches the earliest right row at-or-after") {
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "__timestamp",
+      rightCols = Seq("px"), rightPrefix = "q_", forward = true)
+      .orderBy("sym", "__timestamp").collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(r.fieldIndex("q_px"))).orNull,
+      Option(r.get(r.fieldIndex("q___timestamp"))).orNull))
+    assert(got.toSeq == Seq(
+      ("A", 500L, 10.0, 1000L),
+      ("A", 1000L, 10.0, 1000L), // on-boundary inclusive in forward too
+      ("A", 2500L, 11.0, 3000L),
+      ("A", 4000L, null, null),  // nothing ahead
+      ("B", 1999L, 20.0, 2000L),
+      ("B", 2001L, null, null)))
+  }
+
+  test("forward tolerance nulls out matches too far ahead") {
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "__timestamp",
+      rightCols = Seq("px"), rightPrefix = "q_", forward = true,
+      toleranceMs = Some(400L))
+      .orderBy("sym", "__timestamp").collect()
+    val at500 = out.find(r => r.getString(0) == "A" && r.getLong(1) == 500L).get
+    assert(at500.isNullAt(at500.fieldIndex("q_px"))) // 500ms ahead > 400ms tol
+    val at1000 = out.find(r => r.getString(0) == "A" && r.getLong(1) == 1000L).get
+    assert(at1000.getDouble(at1000.fieldIndex("q_px")) == 10.0) // 0ms ahead, kept
+    val atB = out.find(r => r.getString(0) == "B" && r.getLong(1) == 1999L).get
+    assert(atB.getDouble(atB.fieldIndex("q_px")) == 20.0) // 1ms ahead, kept
+  }
+
   test("null field in matched right row is attached as null, not skipped") {
     val q2 = Seq(("A", 1000L, Some(10.0)), ("A", 2000L, None))
       .toDF("sym", "__timestamp", "px")
