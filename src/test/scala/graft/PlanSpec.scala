@@ -42,6 +42,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan) // bounds broadcast back
   }
 
+  test("range join plans as an equi join, never a nested loop") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("asof join windows are key-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_asof_join")(spark, dir)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned windows:\n${bad.mkString("\n")}")
+  }
+
   test("join enrichment broadcasts the dimension tables") {
     val plan = planOf("q_join_enrich")
     assert(plan.contains("BroadcastHashJoin"), plan)
