@@ -1,0 +1,92 @@
+package graft.time
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.{ZoneId, ZoneOffset}
+
+/** Property tests for the grid math underpinning the resampler — the
+  * invariants every golden test implicitly relies on, checked over the whole
+  * input space instead of fixed points. (Plain ScalaCheck runner: the
+  * scalatest-plus bridge isn't in the offline cache.)
+  */
+class IntervalPropsSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tsGen = Gen.chooseNum(0L, 4102444800000L) // 1970..2100
+  private val stepGen = Gen.oneOf(
+    Gen.chooseNum(1L, 1000L).map(n => s"${n}l"),
+    Gen.chooseNum(1L, 3600L).map(n => s"${n}s"),
+    Gen.chooseNum(1L, 1440L).map(n => s"${n}m"),
+    Gen.chooseNum(1L, 48L).map(n => s"${n}h"),
+    Gen.chooseNum(1L, 14L).map(n => s"${n}d"))
+  private val tzGen = Gen.oneOf(
+    ZoneOffset.UTC, ZoneId.of("America/New_York"), ZoneId.of("Asia/Tokyo"),
+    ZoneId.of("Australia/Adelaide") /* half-hour offset */)
+
+  test("next boundary is strictly after ts and within one step (+tz slack for days)") {
+    check(forAll(tsGen, stepGen, tzGen) { (ts, interval, tz) =>
+      val step = Intervals.toMillis(interval)
+      val b    = Intervals.nextBoundary(ts, interval, initialize = true, tz)
+      // Strictly ahead, and no further than one full step for epoch-aligned
+      // units. Day units align to tz midnight: the first boundary can sit up
+      // to one day + offset-change further out.
+      val slack = if (Intervals.isDayInterval(interval)) step + 16L * 3600000L else step
+      Prop(b > ts && b - ts <= slack) :| s"ts=$ts interval=$interval tz=$tz b=$b"
+    })
+  }
+
+  test("non-day boundaries are step-multiples; on-boundary ts advances a full step") {
+    check(forAll(tsGen, stepGen) { (ts, interval) =>
+      val step = Intervals.toMillis(interval)
+      if (Intervals.isDayInterval(interval)) Prop.passed
+      else {
+        val b = Intervals.nextBoundary(ts, interval, initialize = true)
+        val aligned = b % step == 0
+        val onBoundary = Intervals.nextBoundary(b, interval, initialize = true) == b + step
+        Prop(aligned && onBoundary) :| s"ts=$ts interval=$interval b=$b"
+      }
+    })
+  }
+
+  test("boundaryIndexFor: an event lands strictly before its boundary, within one step") {
+    check(forAll(tsGen, stepGen, tsGen) { (ts, interval, other) =>
+      val step = Intervals.toMillis(interval)
+      val b0   = Intervals.nextBoundary(other min ts, interval, initialize = true)
+      val k    = Intervals.boundaryIndexFor(ts, b0, step)
+      val boundary = b0 + k * step
+      Prop(boundary > ts && boundary - step <= ts) :| s"ts=$ts b0=$b0 k=$k"
+    })
+  }
+
+  test("lastBoundaryAtOrBefore is the inverse of the index rule") {
+    check(forAll(tsGen, stepGen, tsGen) { (ts, interval, other) =>
+      val step = Intervals.toMillis(interval)
+      val b0   = Intervals.nextBoundary(other min ts, interval, initialize = true)
+      val lb   = Intervals.lastBoundaryAtOrBefore(ts, b0, step)
+      Prop(lb <= ts && ts - lb < step && (lb - b0) % step == 0) :| s"ts=$ts b0=$b0 lb=$lb"
+    })
+  }
+
+  test("1d boundaries fall on tz midnight") {
+    check(forAll(tsGen, tzGen) { (ts, tz) =>
+      val b = Intervals.nextBoundary(ts, "1d", initialize = true, tz)
+      val local = java.time.Instant.ofEpochMilli(b).atZone(tz).toLocalTime
+      Prop(local == java.time.LocalTime.MIDNIGHT) :| s"ts=$ts tz=$tz b=$b local=$local"
+    })
+  }
+
+  test("epoch coercion digit rule: 10-digit seconds scale, 13-digit millis pass") {
+    check(forAll(Gen.chooseNum(1000000000L, 9999999999L)) { secs =>
+      Prop(EpochTime.toEpochMillis(secs) == secs * 1000L)
+    })
+    check(forAll(Gen.chooseNum(1000000000000L, 4102444800000L)) { ms =>
+      Prop(EpochTime.toEpochMillis(ms) == ms)
+    })
+  }
+}
