@@ -1,0 +1,106 @@
+package graft
+
+import graft.core.{ForwardFill, Fuser}
+import graft.core.Fuser.{FuseOptions, TimestampCol}
+import graft.ops.{AsOfJoin, RangeJoin, Resampler}
+import graft.ops.Resampler.ResampleOptions
+import graft.sources.FrameSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: drives the flagship paths (fuse → resample → ffill, as-of,
+  * range join) over synthetic streams one to two orders of magnitude past the
+  * bench SF, printing rows/sec per stage. The point is shape, not speed: a
+  * single-task stage or a quadratic join shows up here as a cliff long before
+  * it ooms a cluster. Row counts are asserted against closed-form
+  * expectations so the run is also a correctness check at volume.
+  *
+  * Usage: `runMain graft.Stress [eventsPerSource]` (default 10M per source).
+  */
+object Stress {
+
+  /** Times a full materialization through the noop sink — a bare `count()`
+    * would let Catalyst eliminate the very operators under test (global
+    * sorts, windows). Returns the row count from a second (pruned, cheap)
+    * action.
+    */
+  private def timed(name: String, df: DataFrame): Long = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val s = (System.nanoTime() - t0) / 1e9
+    val n = df.count()
+    println(f"""{"stage":"$name","rows":$n,"sec":$s%.2f,"rows_per_sec":${(n / s).toLong}}""")
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-stress").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t0     = 1600000000000L
+    val spanMs = 30L * 86400000L // 30 days
+    // Deterministic pseudo-random event times: id * large-prime mod span.
+    def stream(salt: Long, valCol: String): DataFrame =
+      spark.range(n).select(
+        (lit(t0) + pmod(col("id") * lit(2654435761L + salt), lit(spanMs))).as("ts"),
+        col("id"),
+        pmod(col("id") * lit(31L + salt), lit(100000L)).as("user_id"),
+        (pmod(col("id") * lit(7L + salt), lit(1000L)) / lit(10.0)).as(valCol))
+
+    val a = stream(0L, "price")
+    val b = stream(17L, "quote")
+
+    // 1. Fuse: union + range-partitioned global sort (2n rows through one
+    // range exchange).
+    val fused = Fuser.fuseFrames(
+      Seq(FrameSource(a, "trades", "ts", secondarySortCol = Some("id")),
+          FrameSource(b, "quotes", "ts", secondarySortCol = Some("id"))),
+      FuseOptions(keepRowId = true)).df
+    val fusedRows = timed("fuse_sort", fused)
+
+    // 2. Resample the fused stream to a 1s grid (dense: ~2.6M boundaries,
+    // nearly all non-empty at n >= 10M — the coverage path at full density).
+    val res = Resampler.resample(fused, "1s",
+      opts = ResampleOptions(ffillKeys = Seq("price"), tieCols = Seq("exsym_lookup", "__rowid")))
+    val gridRows = timed("resample_1s", res)
+    // closed form from the actual event bounds (grid = b0..first boundary > t1)
+    val Array(tMin, tMax) = fused
+      .agg(min(col(TimestampCol)), max(col(TimestampCol))).head().toSeq.toArray.map(_.asInstanceOf[Long])
+    val b0 = graft.time.Intervals.nextBoundary(tMin, "1s", initialize = true)
+    val expectedGrid = Math.floorDiv(tMax - b0, 1000L) + 2L
+
+    // 3. Two-phase forward fill over the fused stream (every column).
+    val filled = ForwardFill.partitioned(fused, Seq("price", "quote"), TimestampCol,
+      Seq(col("exsym_lookup"), col("__rowid")))
+    val filledRows = timed("ffill", filled)
+
+    // 4. As-of join: n trades × n quotes on 100k keys (one shuffle each side,
+    // per-key windows).
+    val asof = AsOfJoin.asof(
+      a.select(unix_millis(timestamp_millis(col("ts"))).as(TimestampCol), col("id"), col("user_id"), col("price")),
+      b.select(unix_millis(timestamp_millis(col("ts"))).as(TimestampCol), col("user_id"), col("quote")),
+      keyCols = Seq("user_id"), tsCol = TimestampCol, rightCols = Seq("quote"))
+    timed("asof_join", asof)
+
+    // 5. Range join with a 2s window (bounded fan-out equi-join).
+    val rj = RangeJoin.timeRange(
+      a.select(col("ts").as(TimestampCol), col("id"), col("user_id")),
+      b.select(col("ts").as(TimestampCol), col("user_id"), col("quote")),
+      keyCols = Seq("user_id"), tsCol = TimestampCol,
+      lookbackMs = 1000L, lookaheadMs = 1000L, rightCols = Seq("quote"))
+    timed("range_join_2s", rj)
+
+    // Shape assertions: counts match closed forms.
+    assert(fusedRows == 2 * n, "fuse must preserve rows")
+    assert(gridRows == expectedGrid, s"grid $gridRows vs $expectedGrid")
+    assert(filledRows == 2 * n, "ffill must preserve rows")
+    println(s"""{"stage":"done","events":${2 * n}}""")
+    spark.stop()
+  }
+}
