@@ -70,6 +70,66 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** Deterministic stand-in for a resize: sample the payload down to
+    * `targetBytes` evenly-spaced bytes (a real image resize keeps this map
+    * signature: bytes in, smaller bytes out).
+    */
+  def stubResize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload == null || payload.length <= targetBytes) return payload
+    val out  = new Array[Byte](targetBytes)
+    val step = payload.length.toDouble / targetBytes
+    var i = 0
+    while (i < targetBytes) { out(i) = payload((i * step).toInt); i += 1 }
+    out
+  }
+
+  /** Distributed resize over the blob table: payload replaced by its resized
+    * form, metadata's `n_bytes` updated. Map-shaped mapPartitions — the
+    * production signature for image thumbnailing.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"),
+        col("meta.modality"), col("meta.format"))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, payload, modality, format) =>
+        val r = stubResize(payload, targetBytes)
+        (id, r, modality, format, if (r == null) 0L else r.length.toLong)
+      })
+      .toDF(idCol, "payload", "modality", "format", "n_bytes")
+      .select(col(idCol), col("payload"),
+        struct(col("modality"), col("format"), col("n_bytes"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height")).as("meta"))
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames and emit every
+    * `everyN`-th frame as its own row (id, frame_idx, frame). One-to-many
+    * iterator shape — the production signature for video frame extraction,
+    * where output rows far outnumber inputs and must stream through the
+    * partition without materializing a file's full frame list.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      frameBytes: Int,
+      everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        if (payload == null) Iterator.empty
+        else Iterator.range(0, payload.length / frameBytes)
+          .filter(_ % everyN == 0)
+          .map(f => (id, f.toLong,
+            java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)))
+      })
+      .toDF(idCol, "frame_idx", "frame")
+  }
+
   /** Metadata-only summary — demonstrates payload-free column pruning. */
   def metaSummary(df: DataFrame): DataFrame =
     df.groupBy(col("meta.modality").as("modality"), col("meta.format").as("format"))
