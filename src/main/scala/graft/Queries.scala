@@ -331,6 +331,15 @@ object Queries {
       .select(col("doc_id"), col("simhash").cast("string").as("simhash"))
       .orderBy("doc_id")
 
+  /** Banded SimHash near-dup pairs within Hamming distance 3 (rows-only:
+    * signatures are engine-side xxhash64; the spec verifies banding against
+    * planted near-dups and the signed/unsigned signature equivalence).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(tbl(spark, dir, "documents"), "text", "doc_id",
+      maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   // ------------------------------------------------------------ text analysis
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_jaccard"    -> (Queries.dedupJaccard _),
     "q_dedup_minhash"    -> (Queries.dedupMinhash _),
     "q_simhash"          -> (Queries.simhash _),
+    "q_simhash_neardup"  -> (Queries.simhashNearDup _),
     // text analysis
     "q_text_quality"     -> (Queries.textQuality _),
     "q_lang_id"          -> (Queries.langId _),

@@ -185,4 +185,61 @@ object Dedup {
     simhashDf(df, textCol, idCol)
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Signed-long SimHash signature (same 64 bits as [[simhashDf]]'s unsigned
+    * decimal rendering) — the form bit operations want.
+    */
+  def simhashLongDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"__v$b")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits: the signature is split
+    * into `maxHamming + 1` bands — two signatures within that distance must
+    * share at least one band untouched (pigeonhole), so candidates come from
+    * a band-bucket equijoin on narrow (band, bits) keys, then one
+    * `bit_count(xor)` verifies each candidate. Never all-pairs; the same
+    * banded shape as MinHash LSH. Output: (id_a, id_b, hamming).
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands // uneven tail bits join the last band
+    val sigs  = simhashLongDf(df, textCol, idCol)
+
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { i =>
+        val shifted = shiftrightunsigned(col("simhash"), i * width)
+        val bits =
+          if (i == bands - 1) shifted // last band runs to bit 63
+          else shifted.bitwiseAND(lit((1L << width) - 1))
+        struct(lit(i).as("band"), bits.as("bits"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
+
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
+      col("band"), col("bits"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
 }
