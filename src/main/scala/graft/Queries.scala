@@ -413,6 +413,26 @@ object Queries {
       |             / count(*), 6) AS avg_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** BPE-ish pretoken stats per source (the LLM-token-count estimate). */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))
+      .withColumn("avg_bpe",
+        round(col("bpe_tokens").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+
+  val tokenBpeSql: String = {
+    // DuckDB single-quoted literals pass backslashes through to RE2 verbatim
+    val pat = TextAnalysis.BpePattern
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpe_tokens,
+       |       round(CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+       |             / count(*), 6) AS avg_bpe
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.minFingerprint(col("text"), n = 3).as("fp"))

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_text_quality"     -> (Queries.textQuality _),
     "q_lang_id"          -> (Queries.langId _),
     "q_token_stats"      -> (Queries.tokenStats _),
+    "q_token_bpe"        -> (Queries.tokenBpe _),
     "q_fingerprint"      -> (Queries.fingerprint _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_text_quality"    -> Queries.textQualitySql,
     "q_lang_id"         -> Queries.langIdSql,
     "q_token_stats"     -> Queries.tokenStatsSql,
+    "q_token_bpe"       -> Queries.tokenBpeSql,
     "q_fingerprint"     -> Queries.fingerprintSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,

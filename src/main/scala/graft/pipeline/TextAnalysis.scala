@@ -32,6 +32,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit(TokenPattern)).cast("long")
 
+  /** GPT-2-style pretokenizer pattern (lookahead-free subset so the Java and
+    * RE2 regex dialects count identically): a leading-space word, number or
+    * symbol run, else a whitespace run. Each match approximates one BPE
+    * pretoken, giving the standard fast estimate of LLM token counts without
+    * a vocabulary.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish pretoken count: total matches of [[BpePattern]]. Single spaces
+    * fold into the following word (`' ?'`), so only residual whitespace runs
+    * count as their own token — the same arithmetic GPT-2's pretokenizer
+    * produces on ASCII text.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Whitespace-separated words as an array (empty-safe). */
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
