@@ -231,10 +231,14 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
 
+    // shuffle_hash (not broadcast): both sides are the same banded lineage,
+    // so a shuffled join's two exchanges canonicalize identically and the
+    // 64-sum signature aggregation runs ONCE (ReusedExchange); a broadcast
+    // side would recompute it.
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
-      col("band"), col("bits"))
+      col("band"), col("bits")).hint("shuffle_hash")
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
-      col("band"), col("bits"))
+      col("band"), col("bits")).hint("shuffle_hash")
     a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
