@@ -137,22 +137,30 @@ object Similarity {
     * `array_max` over per-centroid similarity structs: no crossJoin, no
     * shuffle, no window — one narrow map over the corpus.
     */
-  def ivfAssign(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      nCells: Int): DataFrame = {
-    val centroids: Array[(Long, Array[Double])] = df.orderBy(col(idCol)).limit(nCells)
+  /** Collect the seed centroids (lowest-id corpus rows): one bounded job. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Array[(Long, Array[Double])] =
+    df.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Nearest-centroid cell id as a single codegen'd column expression. */
+  def ivfCellExpr(vecCol: String, centroids: Array[(Long, Array[Double])]): Column = {
     // struct ordering = (sim, -cell): max picks highest sim, smallest cell on tie
     val candidates = centroids.map { case (id, vec) =>
       struct(cosine(col(vecCol), array(vec.map(lit): _*)).as("sim"),
         lit(-id).as("negCell"))
     }
-    df.withColumn("cell_id", -array_max(array(candidates: _*)).getField("negCell"))
+    -array_max(array(candidates.toSeq: _*)).getField("negCell")
   }
+
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): DataFrame =
+    df.withColumn("cell_id", ivfCellExpr(vecCol, ivfCentroids(df, idCol, vecCol, nCells)))
 
   /** IVF top-k: search only within the query vector's own cell(s). */
   def ivfTopK(
@@ -162,10 +170,16 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       k: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, nCells)
-    val qAssigned = assigned.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+    // Centroids collected once; the corpus-wide assignment expression runs in
+    // exactly one pass. The query branch semi-joins FIRST so the (cheap but
+    // corpus-sized) assignment never runs a second full pass.
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+    val cellOf    = ivfCellExpr(vecCol, centroids)
+    val qAssigned = df.join(broadcast(queries.select(col(idCol))), Seq(idCol), "left_semi")
+      .withColumn("cell_id", cellOf)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
-    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
+    val c = df.withColumn("cell_id", cellOf)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(qAssigned), Seq("cell_id"))
