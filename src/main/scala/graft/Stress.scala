@@ -100,7 +100,34 @@ object Stress {
     assert(fusedRows == 2 * n, "fuse must preserve rows")
     assert(gridRows == expectedGrid, s"grid $gridRows vs $expectedGrid")
     assert(filledRows == 2 * n, "ffill must preserve rows")
-    println(s"""{"stage":"done","events":${2 * n}}""")
+
+    // ---- text-dedup pipeline at volume: nd synthetic docs of 50 pseudo-
+    // random words over a 5k vocab; every 100th doc duplicates its
+    // predecessor, so exact-dup group count has a closed form.
+    val nd = math.max(100000L, n / 20L)
+    val docs = spark.range(nd).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"),
+          pmod(xxhash64(col("id") - when(pmod(col("id"), lit(100)) === 99, lit(1L)).otherwise(lit(0L)), i),
+            lit(5000L))))).as("text"))
+
+    val dupGroups = timed("dedup_exact",
+      graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id"))
+    val expectedGroups = nd - nd / 100 // each planted dup folds into its base
+
+    val mh = timed("dedup_minhash_lsh",
+      graft.pipeline.Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8))
+    val sh = timed("simhash_neardup",
+      graft.pipeline.Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3))
+
+    assert(dupGroups == expectedGroups, s"groups $dupGroups vs $expectedGroups")
+    // identical docs are jaccard-1.0 / hamming-0: both banded paths must
+    // surface every planted pair
+    assert(mh >= nd / 100, s"minhash pairs $mh < planted ${nd / 100}")
+    assert(sh >= nd / 100, s"simhash pairs $sh < planted ${nd / 100}")
+    println(s"""{"stage":"done","events":${2 * n},"docs":$nd}""")
     spark.stop()
   }
 }
