@@ -596,7 +596,60 @@ object Queries {
       | AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 21600000 AND epoch_ms(p.ts)
       |ORDER BY p.event_id, click_ts""".stripMargin
 
+  /** Sessionization (beyond-reference): per-user sessions split at 1h gaps,
+    * summarized. Verified against the same lag+cumsum construction in SQL.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id",
+      unix_millis($"ts".cast("timestamp")).as(TimestampCol), $"event_id")
+    graft.ops.Sessionize.sessions(ev, Seq("user_id"), TimestampCol,
+      gapMs = 3600000L, tieCols = Seq("event_id"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
+      |), flagged AS (
+      |  SELECT user_id, t, event_id,
+      |         coalesce(t - lag(t) OVER w > 3600000, TRUE) AS is_start
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), numbered AS (
+      |  SELECT user_id, t,
+      |         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
+      |       count(*) AS n_events, max(t) - min(t) AS span_ms
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
+
+  /** Exact percentile profile per order priority (beyond-reference): both
+    * engines define exact continuous percentiles by the same linear
+    * interpolation, so the oracle is bit-comparable after rounding.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -66,6 +66,8 @@ object SparkEntry {
     // relational / temporal joins (beyond-reference capabilities)
     "q_asof_join"        -> (Queries.asofJoin _),
     "q_range_join"       -> (Queries.rangeJoin _),
+    "q_sessionize"       -> (Queries.sessionize _),
+    "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_join_enrich"      -> (Queries.joinEnrich _)
   )
@@ -95,6 +97,8 @@ object SparkEntry {
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_asof_join"       -> Queries.asofJoinSql,
     "q_range_join"      -> Queries.rangeJoinSql,
+    "q_sessionize"      -> Queries.sessionizeSql,
+    "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_join_enrich"     -> Queries.joinEnrichSql
   )
