@@ -525,8 +525,10 @@ object Queries {
       |       max(octet_length(encode(text))) AS max_bytes
       |FROM documents GROUP BY 1, 2 ORDER BY modality, format""".stripMargin
 
-  /** Feature extraction over binary payloads (rows-only: the stub codec is
-    * engine-side by design).
+  /** Feature extraction over binary payloads. The stub codec is a 16-bin
+    * high-nibble byte histogram, which the oracle reproduces from the hex
+    * encoding (first hex char of each byte = its high nibble), so even the
+    * "decode" path gets a full hash check on the two exported bins.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val blobs = Multimodal.toBlobTable(tbl(spark, dir, "documents"), "doc_id", "text", "text")
@@ -535,6 +537,16 @@ object Queries {
         round(element_at(col("features"), 8), 6).as("f7"))
       .orderBy("doc_id")
   }
+
+  val multimodalFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  round(CAST(len(list_filter(regexp_extract_all(h, '(.).', 1), x -> x = '0')) AS DOUBLE) / n, 6) AS f0,
+      |  round(CAST(len(list_filter(regexp_extract_all(h, '(.).', 1), x -> x = '7')) AS DOUBLE) / n, 6) AS f7
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ as-of join
 

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
+    "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
     "q_asof_join"       -> Queries.asofJoinSql,
     "q_range_join"      -> Queries.rangeJoinSql,
     "q_sessionize"      -> Queries.sessionizeSql,

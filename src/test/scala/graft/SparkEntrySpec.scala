@@ -11,8 +11,7 @@ class SparkEntrySpec extends SparkTestBase {
 
   test("every query name has either an oracle or is documented rows-only") {
     val rowsOnly = Set("q_dedup_minhash", "q_simhash", "q_simhash_neardup",
-      "q_ann_lsh", "q_ann_ivf",
-      "q_multimodal_feats")
+      "q_ann_lsh", "q_ann_ivf")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
