@@ -54,6 +54,29 @@ object StreamingResampler {
       .select(col("__boundary").as(tsCol) +: dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Streaming sessionization: Spark's native `session_window` (gap-based
+    * merging session windows with watermark-driven close) — the streaming
+    * analog of [[graft.ops.Sessionize]]. Emits one row per closed session
+    * with the same summary columns as the batch `sessions`, minus the
+    * per-key ordinal (streams have no total order to number sessions by;
+    * `session_start` is the natural key).
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      gapMs: Long,
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    df.withColumn("__evt", timestamp_millis(col(tsCol)))
+      .withWatermark("__evt", watermarkDelay)
+      .groupBy(session_window(col("__evt"), s"$gapMs milliseconds") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+           min(col(tsCol)).as("session_start"),
+           max(col(tsCol)).as("session_end"))
+      .select(keyCols.map(col) ++ Seq(col("session_start"), col("session_end"),
+        col("n_events"), (col("session_end") - col("session_start")).as("span_ms")): _*)
+  }
+
   /** State carried between micro-batches per stream key: the last emitted
     * boundary and the serialized previous row (the reference's
     * `next_batch_ts` + `prev_msg`).

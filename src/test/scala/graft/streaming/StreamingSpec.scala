@@ -76,6 +76,29 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Int]("exsym_lookup") == 0))
   }
 
+  test("streaming sessionization closes gap-split sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("user", TimestampCol)
+    val out = StreamingResampler.sessionize(df, Seq("user"), gapMs = 5000L,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    input.addData(("u1", 1000L), ("u1", 2000L), ("u1", 8000L), ("u2", 1500L))
+    q.processAllAvailable()
+    // advance the watermark far past every session's close
+    input.addData(("u3", 60000L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").orderBy("user", "session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // u1: [1000,2000] (gap 6000 splits) then [8000]; u2: [1500]
+    assert(rows.toSeq.take(3) == Seq(
+      ("u1", 1000L, 2000L, 2L),
+      ("u1", 8000L, 8000L, 1L),
+      ("u2", 1500L, 1500L, 1L)), rows.toSeq.mkString(","))
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
