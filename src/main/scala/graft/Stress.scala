@@ -127,7 +127,28 @@ object Stress {
     // surface every planted pair
     assert(mh >= nd / 100, s"minhash pairs $mh < planted ${nd / 100}")
     assert(sh >= nd / 100, s"simhash pairs $sh < planted ${nd / 100}")
-    println(s"""{"stage":"done","events":${2 * n},"docs":$nd}""")
+
+    // ---- vector similarity at volume: nv pseudo-random 64-dim embeddings,
+    // every 100th a copy of its predecessor. Identical vectors share every
+    // LSH bucket, so the sign-LSH path must surface all planted pairs.
+    val nv = nd / 5
+    val vecs = spark.range(nv).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id") - when(pmod(col("id"), lit(100)) === 99, lit(1L)).otherwise(lit(0L)), i),
+          lit(2000L)).cast("double") - 1000.0) / 1000.0).as("embedding"))
+
+    val lsh = timed("ann_lsh_pairs",
+      graft.pipeline.Similarity.lshPairs(vecs, "vec_id", "embedding",
+        dim = 64, threshold = 0.999, bitsPerTable = 12, tables = 4))
+    assert(lsh >= nv / 100, s"lsh pairs $lsh < planted ${nv / 100}")
+
+    val ivf = timed("ann_ivf_topk",
+      graft.pipeline.Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 50),
+        "vec_id", "embedding", nCells = 64, k = 5))
+    assert(ivf > 0, "ivf returned nothing")
+
+    println(s"""{"stage":"done","events":${2 * n},"docs":$nd,"vecs":$nv}""")
     spark.stop()
   }
 }
