@@ -73,13 +73,30 @@ object ForwardFill {
       .groupBy(col("__ffb"))
       .agg(sumAggs.head, sumAggs.tail: _*)
 
-    // Cross-bucket carry: forward-fill the summaries (numBuckets rows — a
-    // trivially small single-partition window), shifted one bucket so bucket
-    // b sees only the carry-in from buckets < b.
-    val wB = Window.orderBy(col("__ffb")).rowsBetween(Window.unboundedPreceding, -1)
-    val carry = fillCols.foldLeft(summaries) { (d, c) =>
-      d.withColumn(s"__carry_$c", last(col(s"__lv_$c"), ignoreNulls = true).over(wB))
-    }.select(col("__ffb") +: fillCols.map(c => col(s"__carry_$c")): _*)
+    // Cross-bucket carry: forward-fill the summaries shifted one bucket, so
+    // bucket b sees only the carry-in from buckets < b. The summaries are
+    // <= numBuckets rows — collected and filled driver-side (bounded, like
+    // the resampler's slice map) instead of an unpartitioned window, so no
+    // stage anywhere funnels data-sized input into one task.
+    val spark   = df.sparkSession
+    val sumRows = summaries.collect().sortBy(_.getLong(0))
+    val carryRows = new Array[org.apache.spark.sql.Row](sumRows.length)
+    val lastSeen  = scala.collection.mutable.ArrayBuffer.fill[Any](fillCols.length)(null)
+    for (i <- sumRows.indices) {
+      carryRows(i) = org.apache.spark.sql.Row.fromSeq(
+        sumRows(i).getLong(0) +: lastSeen.toSeq)
+      for (j <- fillCols.indices) {
+        val v = sumRows(i).get(j + 1)
+        if (v != null) lastSeen(j) = v
+      }
+    }
+    val sumSchema = summaries.schema
+    val carrySchema = org.apache.spark.sql.types.StructType(
+      sumSchema.head +: fillCols.zipWithIndex.map { case (c, j) =>
+        sumSchema(j + 1).copy(name = s"__carry_$c")
+      })
+    val carry = spark.createDataFrame(
+      java.util.Arrays.asList(carryRows: _*), carrySchema)
 
     // Single wide pass: within-bucket windows (parallel across executors),
     // then patch each bucket's leading nulls from the broadcast carry-in.

@@ -48,6 +48,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("forward fill has no unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_ffill")(spark, dir)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned windows:\n${bad.mkString("\n")}")
+  }
+
   test("asof join windows are key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = SparkEntry.queries("q_asof_join")(spark, dir)
