@@ -73,11 +73,21 @@ class IntervalPropsSpec extends AnyFunSuite {
     })
   }
 
-  test("1d boundaries fall on tz midnight") {
+  test("1d boundaries fall on tz midnight (except across DST transitions)") {
+    // The reference adds a FIXED 24h step to the tz-midnight origin (aware
+    // datetime + timedelta is absolute-time addition), so a boundary directly
+    // after a DST change sits at 23:00/01:00 local — faithful, not a bug.
+    // The property therefore only demands midnight when the zone offset is
+    // unchanged between the origin midnight and the boundary.
     check(forAll(tsGen, tzGen) { (ts, tz) =>
       val b = Intervals.nextBoundary(ts, "1d", initialize = true, tz)
+      val date     = java.time.Instant.ofEpochMilli(ts).atZone(tz).toLocalDate
+      val midnight = date.atStartOfDay(tz).toInstant.toEpochMilli
+      val sameOffset = tz.getRules.getOffset(java.time.Instant.ofEpochMilli(midnight)) ==
+        tz.getRules.getOffset(java.time.Instant.ofEpochMilli(b))
       val local = java.time.Instant.ofEpochMilli(b).atZone(tz).toLocalTime
-      Prop(local == java.time.LocalTime.MIDNIGHT) :| s"ts=$ts tz=$tz b=$b local=$local"
+      Prop(!sameOffset || local == java.time.LocalTime.MIDNIGHT) :|
+        s"ts=$ts tz=$tz b=$b local=$local sameOffset=$sameOffset"
     })
   }
 
