@@ -192,6 +192,8 @@ object Fuser {
     // Time-window filter (P5/M5/M6): Catalyst pushes this into every scan.
     val startTs = opts.procStart.map(EpochTime.toEpochMillis)
     val endTs   = opts.procEnd.map(EpochTime.toEpochMillis)
+    for (s <- startTs; e <- endTs)
+      require(s < e, s"procstart ($s) must be before procend ($e) — reference core.py:179-201")
     startTs.foreach(s => fused = fused.filter(col(TimestampCol) >= lit(s)))
     endTs.foreach(e => fused = fused.filter(col(TimestampCol) <= lit(e)))
 

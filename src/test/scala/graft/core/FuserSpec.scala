@@ -55,6 +55,14 @@ class FuserSpec extends SparkTestBase {
     assert(ts == Seq(2000L, 3000L, 3000L, 5000L))
   }
 
+  test("inverted time window fails fast (core.py:179-201)") {
+    val e = intercept[IllegalArgumentException] {
+      Fuser.fuseFrames(Seq(FrameSource(trades, "trades", "Timestamp")),
+        FuseOptions(procStart = Some(5000L), procEnd = Some(2000L)))
+    }
+    assert(e.getMessage.contains("procstart"), e.getMessage)
+  }
+
   test("ISO string bounds are coerced like the reference scalar rules") {
     val res = Fuser.fuseFrames(
       Seq(FrameSource(trades, "trades", "Timestamp")),
