@@ -154,6 +154,29 @@ object Dedup {
     }
   }
 
+  /** Embedding-cosine near-duplicate document pairs: join the document table
+    * to its embedding table and pair documents whose vectors exceed the
+    * cosine threshold. `exact = false` (default) routes through the sign-LSH
+    * bucketed path — the 100 TB shape; `exact = true` is the O(n²)
+    * verification path for bounded corpora. Returns (id_a, id_b, cosine)
+    * with document ids.
+    */
+  def embeddingNearDups(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      docIdCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      exact: Boolean = false): DataFrame = {
+    // left-semi keeps only embeddings with a live document row — narrow join
+    val live = embeddings.join(
+      docs.select(col(docIdCol).as(vecIdCol)), Seq(vecIdCol), "left_semi")
+    if (exact) Similarity.thresholdPairs(live, vecIdCol, vecCol, threshold)
+    else Similarity.lshPairs(live, vecIdCol, vecCol, dim, threshold)
+  }
+
   /** 64-bit SimHash per document: each word token votes its xxhash64 bit
     * pattern; the signature takes the sign of each bit's vote sum.
     *
