@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, VectorDot, WordListHits, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, RollingMinHash, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (exprs: Seq[Expression]) => RollingMinHash(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("word_list_hits"),
       new ExpressionInfo(classOf[WordListHits].getName, "word_list_hits"),

@@ -433,6 +433,35 @@ object Queries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Rolling-hash document fingerprint: min Rabin-Karp hash over 16-byte
+    * windows (native single-pass expression). The oracle reproduces the
+    * polynomial hash per window from `ascii()` code points with the powers
+    * pre-reduced mod M — exact integer parity on ASCII corpora.
+    */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingMinHash.rollingMinHash(col("text"), 16).as("rhash"))
+      .orderBy("doc_id")
+
+  val fingerprintRollingSql: String = {
+    val M = graft.functions.RollingMinHash.Mod
+    val B = graft.functions.RollingMinHash.Base
+    val w = 16
+    // h(i) = sum_j ascii(text[i+j]) * B^(w-1-j) mod M, powers pre-reduced
+    val terms = (0 until w).map { j =>
+      val p = BigInt(B).modPow(BigInt(w - 1 - j), BigInt(M))
+      s"CAST(ascii(text[i+$j]) AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) >= $w THEN
+       |    CAST(list_aggregate(
+       |      [($terms) % $M for i in range(1, length(text) - $w + 2)],
+       |      'min') AS BIGINT)
+       |  END AS rhash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.minFingerprint(col("text"), n = 3).as("fp"))

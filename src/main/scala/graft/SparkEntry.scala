@@ -55,6 +55,7 @@ object SparkEntry {
     "q_token_stats"      -> (Queries.tokenStats _),
     "q_token_bpe"        -> (Queries.tokenBpe _),
     "q_fingerprint"      -> (Queries.fingerprint _),
+    "q_fingerprint_rolling" -> (Queries.fingerprintRolling _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_token_stats"     -> Queries.tokenStatsSql,
     "q_token_bpe"       -> Queries.tokenBpeSql,
     "q_fingerprint"     -> Queries.fingerprintSql,
+    "q_fingerprint_rolling" -> Queries.fingerprintRollingSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
