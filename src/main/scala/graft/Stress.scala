@@ -140,7 +140,8 @@ object Stress {
 
     val lsh = timed("ann_lsh_pairs",
       graft.pipeline.Similarity.lshPairs(vecs, "vec_id", "embedding",
-        dim = 64, threshold = 0.999, bitsPerTable = 12, tables = 4))
+        dim = 64, threshold = 0.999,
+        bitsPerTable = graft.pipeline.Similarity.lshBitsFor(nv), tables = 4))
     assert(lsh >= nv / 100, s"lsh pairs $lsh < planted ${nv / 100}")
 
     val ivf = timed("ann_ivf_topk",

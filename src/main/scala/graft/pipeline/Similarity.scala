@@ -82,6 +82,17 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucketSize` for a corpus of `n` vectors: candidate-pair work per
+    * bucket is O(occupancy²), so bits must grow with log₂(n) — a fixed bit
+    * width that is fine at 10⁵ vectors quietly goes quadratic at 10⁷.
+    */
+  def lshBitsFor(n: Long, targetBucketSize: Int = 32): Int = {
+    require(n > 0 && targetBucketSize > 0)
+    val bits = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt
+    math.min(30, math.max(4, bits))
+  }
+
   /** Sign-random-projection LSH bucket id for each vector: bit b set iff
     * dot(vec, plane_b) > 0. Vectors in the same bucket are near in angle.
     */
