@@ -25,7 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int])))
+        foldableArg(exprs, 1, "word_shingles", "an integer n") match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        })))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
@@ -38,16 +42,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
       (exprs: Seq[Expression]) => RollingMinHash(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int])))
+        foldableArg(exprs, 1, "rolling_min_hash", "an integer window") match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"rolling_min_hash window must be an integer literal, got $other")
+        })))
     ext.injectFunction((
       new FunctionIdentifier("word_list_hits"),
       new ExpressionInfo(classOf[WordListHits].getName, "word_list_hits"),
-      (exprs: Seq[Expression]) => WordListHits(exprs.head, {
-        // the word list must be a foldable array literal
-        val arr = exprs(1).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        arr.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq
-      })))
+      (exprs: Seq[Expression]) => WordListHits(exprs.head,
+        foldableArg(exprs, 1, "word_list_hits", "an array literal of words") match {
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+            arr.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"word_list_hits requires an array literal of words, got $other")
+        })))
+  }
+
+  /** Evaluate a constructor argument that must be a foldable literal, with a
+    * clear error instead of an NPE for column arguments.
+    */
+  private def foldableArg(exprs: Seq[Expression], i: Int, fn: String,
+      what: String): Any = {
+    require(exprs.length > i && exprs(i).foldable,
+      s"$fn requires $what as argument ${i + 1}")
+    val v = exprs(i).eval(null)
+    require(v != null, s"$fn argument ${i + 1} must not be null")
+    v
   }
 }

@@ -104,10 +104,13 @@ object Fuser {
       specs.map { s =>
         var df = SourceLoader.load(spark, s)
         if (s.secondarySortCol.isEmpty && s.format == "parquet")
-          // forceSchema loads project `_metadata` away; keep their legacy id
-          df = scala.util.Try(
-            df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path,
-              s.fileSortRegex, s.fileSortIdx))).getOrElse(df)
+          // Narrow catch: only the known unresolvable-`_metadata` case
+          // (forceSchema/partitioned loads project it away) falls back to the
+          // legacy id — a bad regex or FS failure must propagate, not
+          // silently demote the determinism guarantee.
+          try df = df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path,
+            s.fileSortRegex, s.fileSortIdx))
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
         FrameSource(df, s.descriptor, s.timestampCol,
           tsConvert = s.tsConvert, removeCols = s.removeCols,
           secondarySortCol = s.secondarySortCol)

@@ -181,11 +181,14 @@ object Resampler {
     // matching Intervals.nextBoundary(initialize = true).
     val b0Of: Column => Column =
       if (Intervals.isDayInterval(interval) && opts.tz.normalized != ZoneOffset.UTC) { t0 =>
+        // first boundary of {midnight_tz + k*step} strictly after t0 — the
+        // same general formula as Intervals.nextBoundary (handles on-boundary
+        // AND 25h DST fall-back days; delta >= 0 since midnight <= t0)
         val tzId = opts.tz.getId
         val mid = unix_millis(to_utc_timestamp(
           date_trunc("DAY", from_utc_timestamp(timestamp_millis(t0), tzId)), tzId))
-        val cand = mid + lit(step)
-        when(cand === t0, t0 + lit(step)).otherwise(cand)
+        val delta = t0 - mid
+        mid + (delta - pmod(delta, lit(step))) + lit(step)
       } else { t0 => t0 - pmod(t0, lit(step)) + lit(step) }
 
     val flushAdd = if (opts.processBatchEnd) 1L else 0L

@@ -97,7 +97,10 @@ object SourceLoader {
     try {
       val line = Option(rd.readLine()).getOrElse(
         throw new NoValidFilesException(s"$file is empty"))
-      line.split(sep).toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      // strip a UTF-8 BOM (Excel exports); limit -1 keeps trailing empty
+      // fields so a trailing separator fails loudly instead of mis-zipping
+      line.stripPrefix("\uFEFF").split(sep.toString, -1).toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
     } finally rd.close()
   }
 
@@ -112,6 +115,8 @@ object SourceLoader {
       files: Seq[String],
       declared: Option[Seq[String]]): Seq[String] = {
     val first = actualCsvHeader(spark, files.head)
+    require(first.distinct.length == first.length,
+      s"source header has duplicate column names: ${first.mkString(",")}")
     files.tail.foreach { f =>
       val h = actualCsvHeader(spark, f)
       require(h == first,
@@ -145,9 +150,42 @@ object SourceLoader {
     spec.numRows.map(df.limit).getOrElse(df)
   }
 
+  /** The spec's file list: listed, and narrowed by `fileSortRegex` when set
+    * (files without a sort key are excluded from processing entirely, like
+    * the reference's `sort_data` — never loaded with an undefined order).
+    */
+  private def specFiles(spark: SparkSession, spec: SourceSpec): Seq[String] = {
+    val listed = listSourceFiles(spark, spec.path, spec.format)
+    spec.fileSortRegex match {
+      case Some(r) =>
+        val ordered = orderFiles(listed, r, spec.fileSortIdx)
+        if (ordered.isEmpty)
+          throw new NoValidFilesException(s"${spec.path} (no files match $r)")
+        ordered
+      case None => listed
+    }
+  }
+
+  /** True when `path` is a directory containing subdirectories (a partitioned
+    * / nested parquet layout that directory listing can't flatten).
+    */
+  private def hasSubdirs(spark: SparkSession, path: String): Boolean = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val p  = new Path(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.isDirectory)
+  }
+
   private def loadFull(spark: SparkSession, spec: SourceSpec): DataFrame = spec.format match {
+    case "parquet" if spec.schema.isEmpty && !spec.forceSchema &&
+        scala.util.Try(listSourceFiles(spark, spec.path, "parquet")).isFailure &&
+        hasSubdirs(spark, spec.path) =>
+      // Partitioned/nested layout (e.g. date=.../part-*.parquet): delegate to
+      // Spark's partition discovery; per-file validation and the file-order
+      // row id don't apply here.
+      spark.read.parquet(spec.path)
     case "parquet" =>
-      val files = listSourceFiles(spark, spec.path, "parquet")
+      val files = specFiles(spark, spec)
       spec.schema match {
         case Some(s) if spec.forceSchema =>
           // Cast to the declared schema (reference datasources.py:394-395).
@@ -163,7 +201,7 @@ object SourceLoader {
         case _ => spark.read.parquet(files: _*)
       }
     case "csv" =>
-      val files = listSourceFiles(spark, spec.path, "csv")
+      val files = specFiles(spark, spec)
       // PERMISSIVE mode gives per-cell null fallback for malformed typed
       // values — subsuming the reference's whole-file re-infer retry
       // (datasources.py:253-263) without ever masking a validation error.

@@ -73,11 +73,16 @@ object Intervals {
     val step = toMillis(interval)
     if (!initialize) ts + step
     else if (isDayInterval(interval)) {
-      // Midnight (in tz) of the timestamp's date, plus the interval.
+      // First boundary of the grid {midnight_tz(date(ts)) + k*step} strictly
+      // after ts. The reference computes `midnight + step` with only an
+      // equality guard (classes.py:793,798-800), which is the k=1 case of
+      // this formula everywhere it is well-defined; on 25-hour DST fall-back
+      // days `midnight + step` can land AT OR BEFORE ts (undefined behavior
+      // in the reference) — the general formula keeps the documented
+      // "strictly after" contract there.
       val date: LocalDate = Instant.ofEpochMilli(ts).atZone(tz).toLocalDate
       val midnight        = date.atStartOfDay(tz).toInstant.toEpochMilli
-      val next            = midnight + step
-      if (next == ts) ts + step else next
+      midnight + (Math.floorDiv(ts - midnight, step) + 1) * step
     } else {
       val next = floorTo(ts, step) + step
       if (next == ts) ts + step else next // unreachable for step>0; kept for parity

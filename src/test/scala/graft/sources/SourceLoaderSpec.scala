@@ -160,6 +160,64 @@ class SourceLoaderSpec extends SparkTestBase {
       Seq("f-2-part1.parquet", "f-1-part3.parquet"))
   }
 
+  test("BOM-prefixed header validates cleanly") {
+    val d = Files.createTempDirectory("graft_bom").toString
+    Files.write(Paths.get(d, "a.csv"),
+      ("﻿" + "Timestamp,Price\n1000,1.5\n").getBytes("UTF-8"))
+    val df = SourceLoader.load(spark, SourceSpec(path = d, format = "csv",
+      descriptor = "t", timestampCol = "Timestamp",
+      positionalTypes = Some(Seq(LongType, DoubleType))))
+    assert(df.columns.toSeq == Seq("Timestamp", "Price"))
+    assert(df.count() == 1)
+  }
+
+  test("trailing separator in header fails loudly, not by mis-zipping") {
+    val d = Files.createTempDirectory("graft_trail").toString
+    Files.writeString(Paths.get(d, "a.csv"), "Timestamp,Price,\n1000,1.5,x\n")
+    val e = intercept[IllegalArgumentException] {
+      SourceLoader.load(spark, SourceSpec(path = d, format = "csv",
+        descriptor = "t", timestampCol = "Timestamp",
+        positionalTypes = Some(Seq(LongType, DoubleType))))
+    }
+    assert(e.getMessage.contains("positional types"), e.getMessage)
+  }
+
+  test("duplicate header names fail fast") {
+    val d = Files.createTempDirectory("graft_duphdr").toString
+    Files.writeString(Paths.get(d, "a.csv"), "a,a,b\n1,2,3\n")
+    val e = intercept[IllegalArgumentException] {
+      SourceLoader.load(spark, SourceSpec(path = d, format = "csv",
+        descriptor = "t", timestampCol = "a",
+        schema = Some(StructType(Seq(StructField("a", LongType),
+          StructField("b", LongType), StructField("b", LongType))))))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("partitioned parquet layout falls back to partition discovery") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_part").toString + "/src"
+    Seq((1000L, "x", 1), (2000L, "y", 2)).toDF("Timestamp", "V", "part")
+      .write.partitionBy("part").parquet(d)
+    val df = SourceLoader.load(spark, SourceSpec(path = d, descriptor = "p",
+      timestampCol = "Timestamp"))
+    assert(df.count() == 2)
+    assert(df.columns.contains("part"))
+  }
+
+  test("fileSortRegex excludes non-matching files from processing") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_regex").toString + "/src"
+    Seq((1000L, 1.0)).toDF("t", "v").coalesce(1).write.parquet(d)
+    // add a decoy parquet file with no digits in its name
+    val fs = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(fs.toPath, Paths.get(d, "decoy.parquet"))
+    val spec = SourceSpec(path = d, descriptor = "p", timestampCol = "t",
+      fileSortRegex = Some("\\d+"))
+    // only the part-NNNN file (1 row); the decoy is excluded entirely
+    assert(SourceLoader.load(spark, spec).count() == 1)
+  }
+
   test("friendly type mapping (classes.py:95-100)") {
     assert(SourceLoader.friendlyType("int") == LongType)
     assert(SourceLoader.friendlyType("float") == DoubleType)
