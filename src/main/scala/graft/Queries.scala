@@ -712,6 +712,25 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** ROLLUP subtotal hierarchy (beyond-reference): per (flag, status) totals
+    * plus per-flag and grand-total rows. Both engines emit NULL group keys
+    * for subtotal rows; ordering pins NULLS FIRST to Spark's ASC default.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val rollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders   = tbl(spark, dir, "orders")

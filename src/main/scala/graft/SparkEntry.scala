@@ -70,6 +70,7 @@ object SparkEntry {
     "q_sessionize"       -> (Queries.sessionize _),
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
+    "q_rollup"           -> (Queries.rollup _),
     "q_join_enrich"      -> (Queries.joinEnrich _)
   )
 
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_sessionize"      -> Queries.sessionizeSql,
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
+    "q_rollup"          -> Queries.rollupSql,
     "q_join_enrich"     -> Queries.joinEnrichSql
   )
 }
