@@ -302,7 +302,7 @@ object Queries {
       |), exf AS (
       |  SELECT * FROM ex ANTI JOIN hot USING (shingle)
       |), sizes AS (
-      |  SELECT doc_id, len(shingles) AS n_sh FROM sh
+      |  SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id
       |), shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

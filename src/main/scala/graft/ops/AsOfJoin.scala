@@ -54,7 +54,11 @@ object AsOfJoin {
     // them after (side 2) and takes the FIRST right struct from the current
     // row on.
     val rightSide = if (forward) 2 else 0
-    val taggedRight = right.select(
+    // Equi-join semantics: a NULL key never matches, but a window
+    // partitionBy groups NULLs together — so null-keyed right rows must not
+    // enter the union (null-keyed left rows then correctly attach nothing).
+    val rightNonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val taggedRight = right.filter(rightNonNullKeys).select(
       keyCols.map(col) :+ col(tsCol) :+
         struct(col(tsCol).as(rTs) +: rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*)
           .as("__rrow") :+ lit(rightSide).as("__side"): _*)

@@ -72,7 +72,10 @@ object Dedup {
         sh.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxShingleDf).drop("__df")
       }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // Sizes from the SAME filtered universe as the shared counts — mixing
+    // filtered numerators with unfiltered denominators would systematically
+    // underestimate similarity for docs containing capped shingles.
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
 
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
@@ -169,12 +172,22 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       dim: Int,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      /** LSH bucket bits; None sizes them from the live corpus count via
+        * `Similarity.lshBitsFor` (bits must grow with log₂(n) or candidate
+        * pairs go quadratic — one bounded count() job).
+        */
+      bitsPerTable: Option[Int] = None,
+      tables: Int = 4): DataFrame = {
     // left-semi keeps only embeddings with a live document row — narrow join
     val live = embeddings.join(
       docs.select(col(docIdCol).as(vecIdCol)), Seq(vecIdCol), "left_semi")
     if (exact) Similarity.thresholdPairs(live, vecIdCol, vecCol, threshold)
-    else Similarity.lshPairs(live, vecIdCol, vecCol, dim, threshold)
+    else {
+      val bits = bitsPerTable.getOrElse(Similarity.lshBitsFor(live.count()))
+      Similarity.lshPairs(live, vecIdCol, vecCol, dim, threshold,
+        bitsPerTable = bits, tables = tables)
+    }
   }
 
   /** 64-bit SimHash per document: each word token votes its xxhash64 bit
@@ -187,20 +200,13 @@ object Dedup {
     * decimal(20,0). Output: (idCol, simhash).
     */
   def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.words(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val voteAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"__v$b")
-    }
-    val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
-    val sig = (0 until 64).map { b =>
-      val bitVal = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(b))
-      when(col(s"__v$b") > 0, lit(bitVal)).otherwise(lit(java.math.BigDecimal.ZERO))
-        .cast("decimal(20,0)")
-    }.reduce(_ + _)
-    votes.select(col(idCol), sig.cast("decimal(20,0)").as("simhash"))
+    // one signature pipeline (simhashLongDf); this is just the unsigned
+    // decimal rendering of the same 64 bits
+    val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+    simhashLongDf(df, textCol, idCol).select(col(idCol),
+      when(col("simhash") < 0, lit(two64) + col("simhash").cast("decimal(20,0)"))
+        .otherwise(col("simhash").cast("decimal(20,0)"))
+        .cast("decimal(20,0)").as("simhash"))
   }
 
   /** SimHash near-dup groups: docs with identical simhash. */

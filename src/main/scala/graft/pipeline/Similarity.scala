@@ -182,11 +182,13 @@ object Similarity {
       nCells: Int,
       k: Int): DataFrame = {
     // Centroids collected once; the corpus-wide assignment expression runs in
-    // exactly one pass. The query branch semi-joins FIRST so the (cheap but
-    // corpus-sized) assignment never runs a second full pass.
+    // exactly one pass. Queries are assigned from their OWN vectors (the
+    // query frame needn't be a corpus subset — external query tables work,
+    // and a query id coinciding with a corpus id never silently swaps in the
+    // corpus vector).
     val centroids = ivfCentroids(df, idCol, vecCol, nCells)
     val cellOf    = ivfCellExpr(vecCol, centroids)
-    val qAssigned = df.join(broadcast(queries.select(col(idCol))), Seq(idCol), "left_semi")
+    val qAssigned = queries.select(col(idCol), col(vecCol))
       .withColumn("cell_id", cellOf)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
     val c = df.withColumn("cell_id", cellOf)

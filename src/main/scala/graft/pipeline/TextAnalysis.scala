@@ -52,9 +52,12 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  /** Count of whole-word occurrences of `word` (case-insensitive). */
+  /** Count of whole-word occurrences of `word` (case-insensitive). The word
+    * is regex-quoted and lowercased to match the lowered text.
+    */
   def wordHits(text: Column, word: String): Column =
-    regexp_count(lower(text), lit("\\b" + word + "\\b")).cast("long")
+    regexp_count(lower(text),
+      lit("\\b" + java.util.regex.Pattern.quote(word.toLowerCase) + "\\b")).cast("long")
 
   /** Count of whole-word hits from a word list — native single-pass scan
     * ([[graft.functions.WordListHits]]), exactly equivalent to the oracle's

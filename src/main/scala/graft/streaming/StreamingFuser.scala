@@ -43,6 +43,10 @@ object StreamingFuser {
     val normalized = sources.zipWithIndex.map { case (src, id) =>
       var df = src.df
       if (src.removeCols.nonEmpty) df = df.drop(src.removeCols: _*)
+      // Per-source user renames BEFORE timestamp handling (batch parity:
+      // Fuser.normalize applies renameCols first, so timestampCol may be a
+      // post-rename name).
+      src.renameCols.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
       df = src.tsConvert match {
         case Some(f) => df.withColumn(s"__${src.timestampCol}", col(src.timestampCol))
           .withColumn(src.timestampCol, f(col(src.timestampCol)).cast("long"))
@@ -57,8 +61,11 @@ object StreamingFuser {
       df.withColumnRenamed(src.timestampCol, Fuser.TimestampCol)
         .withColumn(Fuser.SourceIdCol, lit(id))
     }
-    // Collision rename across sources (same policy as batch).
-    val exempt = Set(Fuser.TimestampCol, Fuser.SourceIdCol) ++ mergeColNames
+    // Collision rename across sources (same policy as batch, incl. the
+    // `__`-prefixed engine-internal exemption — preserved originals like
+    // `__<tsCol>` merge by name, Fuser.fuseFrames' exempt rule).
+    val exempt = (c: String) =>
+      c.startsWith("__") || c == Fuser.SourceIdCol || mergeColNames.contains(c)
     val colliding = normalized.flatMap(_.columns).filterNot(exempt)
       .groupBy(identity).collect { case (c, xs) if xs.length > 1 => c }.toSet
     val renamed = normalized.zip(sources).map { case (df, src) =>

@@ -41,6 +41,9 @@ object StreamingResampler {
       interval: String,
       tsCol: String = graft.core.Fuser.TimestampCol,
       watermarkDelay: String = "10 seconds"): DataFrame = {
+    // Day grids here are epoch-aligned = UTC midnight only; the batch
+    // resampler's tz-midnight day alignment has no streaming analog in this
+    // API. Sub-day units are identical to batch.
     val step     = Intervals.toMillis(interval)
     val dataCols = df.columns.filterNot(_ == tsCol).toSeq
     // Boundary an event reports to: first grid point strictly after ts
@@ -77,11 +80,8 @@ object StreamingResampler {
         col("n_events"), (col("session_end") - col("session_start")).as("span_ms")): _*)
   }
 
-  /** State carried between micro-batches per stream key: the last emitted
-    * boundary and the serialized previous row (the reference's
-    * `next_batch_ts` + `prev_msg`).
-    */
-  case class FillState(nextBoundary: Long, prevRow: Array[Byte])
+  // (per-key gap-fill state is the (nextBoundary, prevValue) tuple held in
+  // GroupState — see gapFill's state encoder)
 
   /** Stage 2 — dense-grid gap fill for a keyed stream of stage-1 rows.
     *
@@ -95,31 +95,47 @@ object StreamingResampler {
   def gapFill[K, V](
       ds: Dataset[(K, Long, V)],
       stepMs: Long,
-      fill: V => V)(implicit ke: Encoder[K], ve: Encoder[V],
+      fill: V => V,
+      /** Evict a key's state after this much processing-time inactivity
+        * (e.g. "1 hour") — without it, a churning key space (session ids,
+        * delisted instruments) grows the state store without bound.
+        */
+      idleTimeout: Option[String] = None)(implicit ke: Encoder[K], ve: Encoder[V],
       tupleEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
     implicit val stateEnc: Encoder[(Long, V)] = Encoders.tuple(Encoders.scalaLong, ve)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, V), (K, Long, V)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: K, rows: Iterator[(K, Long, V)], state: GroupState[(Long, V)]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
-          val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, V)]
-          var (nextB, prev) = state.getOption match {
-            case Some((b, p)) => (b, Some(p))
-            case None         => (sorted.headOption.map(_._2).getOrElse(0L), None)
-          }
-          sorted.foreach { case (_, b, v) =>
-            // emit fills for skipped boundaries
-            while (nextB < b && prev.nonEmpty) {
-              out += ((key, nextB, fill(prev.get)))
-              nextB += stepMs
+          if (state.hasTimedOut) {
+            // idle key: release its state; trailing gaps stay unfilled (the
+            // reference's tail-flush analog is the batch finalize, not here)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, V)]
+            var (nextB, prev) = state.getOption match {
+              case Some((b, p)) => (b, Some(p))
+              case None         => (sorted.headOption.map(_._2).getOrElse(0L), None)
             }
-            out += ((key, b, v))
-            nextB = b + stepMs
-            prev = Some(v)
+            sorted.foreach { case (_, b, v) =>
+              // emit fills for skipped boundaries
+              while (nextB < b && prev.nonEmpty) {
+                out += ((key, nextB, fill(prev.get)))
+                nextB += stepMs
+              }
+              out += ((key, b, v))
+              nextB = b + stepMs
+              prev = Some(v)
+            }
+            prev.foreach(p => state.update((nextB, p)))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          prev.foreach(p => state.update((nextB, p)))
-          out.iterator
       }
   }
 }

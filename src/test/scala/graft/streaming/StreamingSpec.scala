@@ -99,6 +99,24 @@ class StreamingSpec extends SparkTestBase {
       ("u2", 1500L, 1500L, 1L)), rows.toSeq.mkString(","))
   }
 
+  test("streaming fuse applies renameCols and exempts __-prefixed columns (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Long, Double)]
+    val b = MemoryStream[(Long, Double)]
+    // renameCols maps event_time -> ts before timestamp handling; both
+    // sources use tsConvert so each produces a preserved original __ts,
+    // which must MERGE by name (not collide into __ts||A / __ts||B).
+    val fused = StreamingFuser.fuseStreams(Seq(
+      graft.sources.FrameSource(a.toDF().toDF("event_time", "px"), "A", "ts",
+        renameCols = Map("event_time" -> "ts"),
+        tsConvert = Some(c => c * 1000)),
+      graft.sources.FrameSource(b.toDF().toDF("ts", "px"), "B", "ts",
+        tsConvert = Some(c => c * 1000))))
+    assert(fused.columns.count(_ == "__ts") == 1, fused.columns.toSeq)
+    assert(fused.columns.toSet ==
+      Set(TimestampCol, "__ts", "px||A", "px||B", "exsym_lookup"), fused.columns.toSeq)
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
