@@ -57,8 +57,12 @@ object ForwardFill {
     val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
     val width    = math.max((hi - lo) / numBuckets, 1e-9)
 
-    val bCol = least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
-                     lit(numBuckets - 1L)).cast("long")
+    // null order keys sort first in global() (nulls-first asc); bucket -1
+    // gives them the same position here — least() alone would skip the null
+    // and dump the row into the LAST bucket
+    val bCol = when(col(orderCol).isNull, lit(-1L))
+      .otherwise(least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+                       lit(numBuckets - 1L)).cast("long"))
 
     // Bucket summaries straight from the input (narrow, column-pruned scan):
     // the last non-null value per bucket per column == the same summary

@@ -158,6 +158,10 @@ object Fuser {
   /** Fuse DataFrame sources (the core API). */
   def fuseFrames(sources: Seq[FrameSource], opts: FuseOptions = FuseOptions()): FuseResult = {
     require(sources.nonEmpty, "at least one source required")
+    // duplicate descriptors would make collision renames collide AGAIN
+    // (both rename to `col||desc` and merge back) and corrupt sourceIds
+    require(sources.map(_.descriptor).distinct.length == sources.length,
+      s"source descriptors must be unique: ${sources.map(_.descriptor).mkString(", ")}")
 
     val ids        = sources.zipWithIndex.map { case (s, i) => s.descriptor -> i }.toMap
     var normalized = sources.zipWithIndex.map { case (s, i) => normalize(s, i) }

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean  = left.nullable || right.nullable
+  // null when an input array is null OR contains a null element (matching
+  // the builtin zip_with/aggregate formulation)
+  override def nullable: Boolean  = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _)  => true
@@ -51,7 +53,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSim.cosine($a, $lf, $b, $rf);")
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.CosineSim.cosine($a, $lf, $b, $rf);
+         |${ev.isNull} = ${ev.value}_r == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_r.doubleValue();
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
@@ -60,8 +66,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 object CosineSim {
 
-  /** Static kernel invoked from generated code. */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+  /** Static kernel invoked from generated code. Returns null (boxed) when
+    * either array contains a null element — reading through a null slot
+    * would silently yield 0.0; the builtin formulation returns NULL.
+    */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
@@ -70,6 +79,7 @@ object CosineSim {
     var nb  = 0.0
     var i   = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -77,7 +87,7 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Column API. */

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean  = left.nullable || right.nullable
+  // null when an input array is null OR contains a null element
+  override def nullable: Boolean  = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _)  => true
@@ -39,7 +40,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorDot.dot($a, $lf, $b, $rf);")
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorDot.dot($a, $lf, $b, $rf);
+         |${ev.isNull} = ${ev.value}_r == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_r.doubleValue();
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
@@ -48,19 +53,22 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
 object VectorDot {
 
-  /** Static kernel invoked from generated code. */
-  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+  /** Static kernel invoked from generated code. Returns null (boxed) when
+    * either array contains a null element (see CosineSim.cosine).
+    */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     require(b.numElements() == n, s"vector_dot: length mismatch $n vs ${b.numElements()}")
     var acc = 0.0
     var i   = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Column API. */

@@ -28,7 +28,7 @@ case class WordListHits(child: Expression, words: Seq[String]) extends UnaryExpr
     s"word_list_hits requires non-empty \\w-only words, got $words")
 
   private lazy val targets: Array[Array[Byte]] =
-    words.map(_.toLowerCase.getBytes("UTF-8")).toArray
+    words.map(_.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8")).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean  = child.nullable

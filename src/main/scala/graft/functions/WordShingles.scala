@@ -103,11 +103,20 @@ object WordShingles {
     org.apache.spark.sql.graftbridge.Bridge.column(
       WordShingles(org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
-  /** SQL registration: `SELECT word_shingles(text, 3)`. */
+  /** SQL registration: `SELECT word_shingles(text, 3)`. `n` must be a
+    * foldable integer literal.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]),
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "word_shingles requires (text, <integer literal n>)")
+        exprs(1).eval(null) match {
+          case n: java.lang.Number => WordShingles(exprs.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+      },
       "scala_udf")
 }

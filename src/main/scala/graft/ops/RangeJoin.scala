@@ -50,6 +50,12 @@ object RangeJoin {
       s"window must be non-negative and non-empty: [-$lookbackMs, +$lookaheadMs]")
     val width = lookbackMs + lookaheadMs
     val rTs   = s"$rightPrefix$tsCol"
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "column name __b is reserved by RangeJoin")
+    val reserved = (rightCols.map(c => s"$rightPrefix$c") :+ rTs).toSet
+    val clash = left.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(",")} clash with prefixed right columns; pick another rightPrefix")
 
     // floorDiv as integer column math (pmod keeps remainders non-negative).
     def bucketOf(ts: Column): Column =

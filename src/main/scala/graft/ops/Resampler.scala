@@ -46,6 +46,27 @@ object Resampler {
         */
       coverageBuckets: Int = 256)
 
+  /** Max elements per materialized `sequence()` array in the gap-span
+    * explode. A single `sequence(k, kend)` materializes the WHOLE span as
+    * one in-memory array before exploding — a year-long quiet gap on a
+    * 100 ms grid would be a 300M-element allocation (and sequence() caps at
+    * 2³¹). Chunking explodes bounded arrays: an outer explode over chunk
+    * indices, an inner one over ≤ ChunkSize grid points.
+    */
+  private val ChunkSize = 65536L
+
+  /** Two-level bounded explode of the inclusive range [fromCol, toCol] into
+    * `outCol`, preserving all other columns.
+    */
+  private def chunkedExplode(fromCol: String, toCol: String, outCol: String)(
+      df: DataFrame): DataFrame =
+    df.withColumn("__chunk",
+        explode(sequence(expr(s"$fromCol div $ChunkSize"), expr(s"$toCol div $ChunkSize"))))
+      .withColumn(outCol,
+        explode(sequence(greatest(col(fromCol), col("__chunk") * lit(ChunkSize)),
+          least(col(toCol), col("__chunk") * lit(ChunkSize) + lit(ChunkSize - 1)))))
+      .drop("__chunk")
+
   /** Resample `df` to the `interval` grid. `tsCol` must be epoch-ms Long.
     * Output schema = input schema with `tsCol` holding the grid boundary;
     * rows ordered by boundary.
@@ -122,19 +143,23 @@ object Resampler {
       else element_at(typedLit(nextFirst), col("__slice"))
 
     val wLead = Window.partitionBy(col("__slice")).orderBy(col("__k"))
-    val covered = lastPerK
+    // flatten the covering struct BEFORE the chunked explode: Catalyst's
+    // nested-field extraction cannot be pushed through stacked generators
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and flat columns dodge it
+    val withKend = lastPerK
       .withColumn("__slice", sliceExpr)
       .withColumn("__kend",
         coalesce(lead(col("__k"), 1).over(wLead), carryNext, lit(kEnd + 1L)) - 1L)
-      .select(col("__k"), col("__row"),
-        explode(sequence(col("__k"), col("__kend"))).as("__kc"))
+      .select(col("__k") +: col("__kend") +:
+        dataCols.map(c => col(s"__row.$c").as(c)): _*)
+    val covered = chunkedExplode("__k", "__kend", "__kc")(withKend)
 
     val isReal = col("__kc") === col("__k")
     covered.select(
       (lit(b0) + col("__kc") * lit(step)).as(tsCol) +:
       dataCols.map { c =>
-        if (opts.ffillKeys.contains(c)) col(s"__row.$c").as(c)
-        else when(isReal, col(s"__row.$c")).as(c)
+        if (opts.ffillKeys.contains(c)) col(c)
+        else when(isReal, col(c)).as(c)
       }: _*)
       .orderBy(col(tsCol))
   }
@@ -202,7 +227,14 @@ object Resampler {
       .filter(col("__kend") >= 0)
       .drop("__t1")
 
-    val withB0 = df.join(broadcast(bounds), keyCols)
+    // Null-safe join: groupBy above treats NULL as a key group, so the join
+    // back must too — a plain equi-join would silently drop null-key events.
+    val bk = bounds.select(
+      keyCols.map(k => col(k).as(s"__bk_$k")) ++
+        Seq(col("__b0"), col("__kend")): _*)
+    val joinCond = keyCols.map(k => col(k) <=> col(s"__bk_$k")).reduce(_ && _)
+    val withB0 = df.join(broadcast(bk), joinCond)
+      .drop(keyCols.map(k => s"__bk_$k"): _*)
     val delta  = col(tsCol) - col("__b0")
     val kExpr  = ((delta - pmod(delta, lit(step))) / lit(step)).cast("long") + lit(1L)
 
@@ -215,17 +247,20 @@ object Resampler {
            first(col("__b0")).as("__b0"), first(col("__kend")).as("__kend"))
 
     val wLead = Window.partitionBy(keys: _*).orderBy(col("__k"))
-    val covered = lastPerK
+    // flatten before the chunked explode (see the global path's note on
+    // nested-field extraction vs stacked generators)
+    val withKcend = lastPerK
       .withColumn("__kcend", coalesce(lead(col("__k"), 1).over(wLead) - 1L, col("__kend")))
-      .select(keys ++ Seq(col("__k"), col("__b0"), col("__row"),
-        explode(sequence(col("__k"), col("__kcend"))).as("__kc")): _*)
+      .select(keys ++ Seq(col("__k"), col("__kcend"), col("__b0")) ++
+        dataCols.map(c => col(s"__row.$c").as(c)): _*)
+    val covered = chunkedExplode("__k", "__kcend", "__kc")(withKcend)
 
     val isReal = col("__kc") === col("__k")
     covered.select(
       keys ++ Seq((col("__b0") + col("__kc") * lit(step)).as(tsCol)) ++
       dataCols.map { c =>
-        if (opts.ffillKeys.contains(c)) col(s"__row.$c").as(c)
-        else when(isReal, col(s"__row.$c")).as(c)
+        if (opts.ffillKeys.contains(c)) col(c)
+        else when(isReal, col(c)).as(c)
       }: _*)
       .orderBy(keys :+ col(tsCol): _*)
   }

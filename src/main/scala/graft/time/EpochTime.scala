@@ -1,7 +1,6 @@
 package graft.time
 
 import java.time.{Instant, LocalDateTime, OffsetDateTime, ZoneOffset, ZonedDateTime}
-import java.time.format.DateTimeFormatter
 
 /** Scalar time coercions for user-facing start/end bounds.
   *
@@ -29,12 +28,15 @@ object EpochTime {
     if (d == 10) n * 1000L else n
   }
 
-  def fromNumber(n: Double): Long = fromNumber(Math.round(Math.floor(n)))
-
-  private val isoVariants = Seq(
-    DateTimeFormatter.ISO_OFFSET_DATE_TIME,
-    DateTimeFormatter.ISO_ZONED_DATE_TIME
-  )
+  /** Float epochs follow the reference (helpers.py:69-70): a 10-digit
+    * integer part means seconds, and the WHOLE float scales ×1000 — the
+    * fractional part carries sub-second precision, so flooring first would
+    * drop it.
+    */
+  def fromNumber(n: Double): Long = {
+    val intPart = Math.floor(Math.abs(n)).toLong
+    if (countDigits(intPart) == 10) (n * 1000L).toLong else n.toLong
+  }
 
   /** Parse an ISO-8601 string; naive datetimes are assumed UTC (the reference
     * warns + converts, helpers/helpers.py:74-84). Also accepts bare dates.

@@ -16,7 +16,9 @@ class EpochTimeSpec extends AnyFunSuite {
     assert(EpochTime.fromNumber(1577836800L) == 1577836800000L)
     assert(EpochTime.fromNumber(1577836800000L) == 1577836800000L)
     assert(EpochTime.toEpochMillis(1577836800L) == 1577836800000L)
-    assert(EpochTime.toEpochMillis(1577836800.5) == 1577836800000L)
+    // float seconds scale as a whole — the fractional part is sub-second
+    // precision (reference: int(dateobj * 1000), helpers.py:69-70)
+    assert(EpochTime.toEpochMillis(1577836800.5) == 1577836800500L)
   }
 
   test("ISO string parsing, naive assumed UTC") {
