@@ -153,6 +153,19 @@ class ResamplerSpec extends SparkTestBase {
     assert(rows == Seq(("x", 1627790400000L), ("y", 1627876800000L)))
   }
 
+  test("keyed resample streams a huge per-key gap through bounded chunks") {
+    // one key with a ~200k-point gap on a 10l grid: the span must explode
+    // through bounded chunk arrays, and counts match the closed form
+    val df = Seq(("k", 1000000L, 1.0), ("k", 3000000L, 2.0))
+      .toDF("key", "__timestamp", "v")
+    val out = Resampler.resampleByKey(df, "10l", Seq("key"),
+      opts = Resampler.ResampleOptions(ffillKeys = Seq("v")))
+    // b0 = 1000010; 200000 boundaries <= 3000000 (on-grid) + tail flush
+    assert(out.count() == 200001L)
+    val first = out.orderBy("__timestamp").limit(1).collect().head
+    assert(first.getLong(1) == 1000010L && first.getDouble(2) == 1.0)
+  }
+
   test("day interval aligns to UTC midnight") {
     val df = Seq(
       (1627776123213L, "A"), // 2021-08-01T00:02:03.213Z
