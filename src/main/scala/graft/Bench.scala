@@ -25,14 +25,22 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would let
       // Catalyst prune the query down to a row count).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          Some(e.getClass.getSimpleName)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total  = results.map(_._2).sum
+    // failures must be visible in the stdout JSON — a crashed query records
+    // its time-to-failure, which would otherwise read as a FASTER bench
+    val errors = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

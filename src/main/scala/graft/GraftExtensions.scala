@@ -16,48 +16,52 @@ import graft.functions.{CosineSim, MinMd5Hex, RollingMinHash, VectorDot, WordLis
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(exprs: Seq[Expression], n: Int, fn: String): Unit =
+    require(exprs.length == n, s"$fn takes $n argument(s), got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("min_md5_hex"),
       new ExpressionInfo(classOf[MinMd5Hex].getName, "min_md5_hex"),
-      (exprs: Seq[Expression]) => MinMd5Hex(exprs.head)))
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "min_md5_hex"); MinMd5Hex(exprs.head) }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "word_shingles"); WordShingles(exprs.head,
         foldableArg(exprs, 1, "word_shingles", "an integer n") match {
           case n: java.lang.Number => n.intValue()
           case other => throw new IllegalArgumentException(
             s"word_shingles n must be an integer literal, got $other")
-        })))
+        }) }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "cosine_sim"); CosineSim(exprs.head, exprs(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "vector_dot"); VectorDot(exprs.head, exprs(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
-      (exprs: Seq[Expression]) => RollingMinHash(exprs.head,
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "rolling_min_hash"); RollingMinHash(exprs.head,
         foldableArg(exprs, 1, "rolling_min_hash", "an integer window") match {
           case n: java.lang.Number => n.intValue()
           case other => throw new IllegalArgumentException(
             s"rolling_min_hash window must be an integer literal, got $other")
-        })))
+        }) }))
     ext.injectFunction((
       new FunctionIdentifier("word_list_hits"),
       new ExpressionInfo(classOf[WordListHits].getName, "word_list_hits"),
-      (exprs: Seq[Expression]) => WordListHits(exprs.head,
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "word_list_hits"); WordListHits(exprs.head,
         foldableArg(exprs, 1, "word_list_hits", "an array literal of words") match {
           case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
-            arr.toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.toString).toSeq
+            val ws = arr.toObjectArray(org.apache.spark.sql.types.StringType)
+            require(!ws.contains(null), "word_list_hits word list must not contain nulls")
+            ws.map(_.toString).toSeq
           case other => throw new IllegalArgumentException(
             s"word_list_hits requires an array literal of words, got $other")
-        })))
+        }) }))
   }
 
   /** Evaluate a constructor argument that must be a foldable literal, with a

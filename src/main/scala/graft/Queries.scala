@@ -97,7 +97,8 @@ object Queries {
       |  UNION ALL
       |  SELECT epoch_ms(ts), NULL, NULL, NULL, 1, event_id, user_id, value
       |  FROM events WHERE event_type = 'purchase'
-      |) ORDER BY __timestamp, exsym_lookup""".stripMargin
+      |) ORDER BY __timestamp, exsym_lookup,
+      |  coalesce("event_id||clicks", "event_id||purchases")""".stripMargin
 
   /** P5/M5: engine time-window filter from ISO scalar bounds. The epoch-ms
     * bounds are also applied to the RAW scan column (ns Long / µs timestamp)
@@ -194,15 +195,23 @@ object Queries {
        |  SELECT unnest(generate_series(0, (CASE WHEN t1 >= b0 THEN (t1 - b0) // $stepMs ELSE -1 END) + 1)) AS k, b0
        |  FROM params
        |), ev_k AS (
-       |  SELECT ((t - b0 + $stepMs) // $stepMs) AS k,
-       |         arg_max(event_id, t) AS event_id, arg_max(user_id, t) AS user_id,
-       |         arg_max(value, t) AS value
-       |  FROM ev, params GROUP BY 1
+       |  -- one whole row per bucket, tie-broken like the engine's
+       |  -- max_by(struct(...), (t, event_id)) — per-field arg_max could tear
+       |  -- fields from different tied rows
+       |  SELECT k, event_id, user_id, value FROM (
+       |    SELECT ((t - b0 + $stepMs) // $stepMs) AS k, event_id, user_id, value,
+       |           row_number() OVER (PARTITION BY ((t - b0 + $stepMs) // $stepMs)
+       |             ORDER BY t DESC, event_id DESC) AS rn
+       |    FROM ev, params) WHERE rn = 1
        |)
        |SELECT g.b0 + g.k * $stepMs AS __timestamp,
        |       e.event_id AS event_id, e.user_id AS user_id,
-       |       last_value(e.value IGNORE NULLS) OVER (ORDER BY g.k
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       |       -- struct-wrapped fill: gap rows copy the covering bucket's value
+       |       -- even when that value is NULL (engine semantics); a bare
+       |       -- IGNORE NULLS would reach back past it
+       |       (last_value(CASE WHEN e.k IS NOT NULL THEN {'v': e.value} END IGNORE NULLS)
+       |         OVER (ORDER BY g.k
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS value
        |FROM grid g LEFT JOIN ev_k e ON g.k = e.k
        |ORDER BY __timestamp""".stripMargin
 
@@ -225,9 +234,11 @@ object Queries {
       |         max(t) AS t1
       |  FROM ev GROUP BY event_type
       |), ev_k AS (
-      |  SELECT e.event_type, ((t - b0 + 86400000) // 86400000) AS k,
-      |         arg_max(event_id, t) AS event_id, arg_max(value, t) AS value
-      |  FROM ev e JOIN bounds b USING (event_type) GROUP BY 1, 2
+      |  SELECT event_type, k, event_id, value FROM (
+      |    SELECT e.event_type, ((t - b0 + 86400000) // 86400000) AS k, event_id, value,
+      |           row_number() OVER (PARTITION BY e.event_type, ((t - b0 + 86400000) // 86400000)
+      |             ORDER BY t DESC, event_id DESC) AS rn
+      |    FROM ev e JOIN bounds b USING (event_type)) WHERE rn = 1
       |), grid AS (
       |  SELECT event_type, b0,
       |         unnest(generate_series(0,
@@ -235,8 +246,9 @@ object Queries {
       |  FROM bounds
       |)
       |SELECT g.event_type, g.b0 + g.k * 86400000 AS __timestamp, e.event_id,
-      |       last_value(e.value IGNORE NULLS) OVER (PARTITION BY g.event_type
-      |         ORDER BY g.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |       (last_value(CASE WHEN e.k IS NOT NULL THEN {'v': e.value} END IGNORE NULLS)
+      |         OVER (PARTITION BY g.event_type ORDER BY g.k
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS value
       |FROM grid g LEFT JOIN ev_k e ON g.event_type = e.event_type AND g.k = e.k
       |ORDER BY g.event_type, __timestamp""".stripMargin
 
@@ -589,9 +601,11 @@ object Queries {
     val purchases = ev.filter($"event_type" === "purchase")
       .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
         $"event_id", $"user_id", $"value")
+    // unique (user, ts) click rows: DuckDB's ASOF tie pick is unspecified,
+    // so collapse ms-level ties identically on both sides
     val clicks = ev.filter($"event_type" === "click")
-      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
-        $"user_id", $"value")
+      .groupBy($"user_id", unix_millis($"ts".cast("timestamp")).as(TimestampCol))
+      .agg(max($"value").as("value"))
     graft.ops.AsOfJoin.asof(purchases, clicks,
       keyCols = Seq("user_id"), tsCol = TimestampCol,
       rightCols = Seq("value"), rightPrefix = "click_")
@@ -601,10 +615,12 @@ object Queries {
 
   val asofJoinSql: String =
     """SELECT epoch_ms(p.ts) AS __timestamp, p.event_id, p.user_id, p.value,
-      |       c.value AS click_value, epoch_ms(c.ts) AS click_ts
+      |       c.value AS click_value, c.t AS click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+      |ASOF LEFT JOIN (SELECT user_id, epoch_ms(ts) AS t, max(value) AS value
+      |                FROM events WHERE event_type = 'click'
+      |                GROUP BY user_id, epoch_ms(ts)) c
+      |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= c.t
       |ORDER BY p.event_id""".stripMargin
 
   /** Time-range join (beyond-reference): every click by the same user within
@@ -625,7 +641,7 @@ object Queries {
       lookbackMs = 6L * 3600000L, lookaheadMs = 0L,
       rightCols = Seq("value"), rightPrefix = "click_")
       .withColumnRenamed(s"click_$TimestampCol", "click_ts")
-      .orderBy("event_id", "click_ts")
+      .orderBy("event_id", "click_ts", "click_value")
   }
 
   val rangeJoinSql: String =
@@ -635,7 +651,7 @@ object Queries {
       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id
       | AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 21600000 AND epoch_ms(p.ts)
-      |ORDER BY p.event_id, click_ts""".stripMargin
+      |ORDER BY p.event_id, click_ts, click_value""".stripMargin
 
   /** Sessionization (beyond-reference): per-user sessions split at 1h gaps,
     * summarized. Verified against the same lag+cumsum construction in SQL.

@@ -15,21 +15,10 @@ object SparkEntry {
     * gap fill + forward-filled value (the reference's core end-to-end path:
     * M1-M4 + A1-A5 + W3).
     */
-  def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val ev  = Queries.events(spark, dir)
-    val a = ev.filter($"event_type".isin("click", "view"))
-      .select($"ts", $"event_id", $"user_id", $"value")
-    val b = ev.filter(!$"event_type".isin("click", "view"))
-      .select($"ts", $"event_id", $"event_type", $"props")
-    val fused = graft.core.Fuser.fuseFrames(
-      Seq(FrameSource(a, "clicks", "ts", secondarySortCol = Some("event_id")),
-          FrameSource(b, "txns", "ts", secondarySortCol = Some("event_id"))),
-      graft.core.Fuser.FuseOptions(mergeColNames = Seq("event_id"))).df
-    Resampler.resample(fused, "1h",
+  def entry(spark: SparkSession): DataFrame =
+    // same fuse as the oracle-verified q_fuse_merge, resampled to 1h
+    Resampler.resample(Queries.fuseMerge(spark, "/root/testdata/sf0.001"), "1h",
       opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
-  }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

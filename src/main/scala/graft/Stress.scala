@@ -21,14 +21,16 @@ object Stress {
 
   /** Times a full materialization through the noop sink — a bare `count()`
     * would let Catalyst eliminate the very operators under test (global
-    * sorts, windows). Returns the row count from a second (pruned, cheap)
-    * action.
+    * sorts, windows). The row count rides along as an observed metric, so
+    * the pipeline executes exactly once.
     */
   private def timed(name: String, df: DataFrame): Long = {
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
+    val obs = org.apache.spark.sql.Observation()
+    val t0  = System.nanoTime()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
     val s = (System.nanoTime() - t0) / 1e9
-    val n = df.count()
+    val n = obs.get("n").asInstanceOf[Long]
     println(f"""{"stage":"$name","rows":$n,"sec":$s%.2f,"rows_per_sec":${(n / s).toLong}}""")
     n
   }
@@ -83,8 +85,8 @@ object Stress {
     // 4. As-of join: n trades × n quotes on 100k keys (one shuffle each side,
     // per-key windows).
     val asof = AsOfJoin.asof(
-      a.select(unix_millis(timestamp_millis(col("ts"))).as(TimestampCol), col("id"), col("user_id"), col("price")),
-      b.select(unix_millis(timestamp_millis(col("ts"))).as(TimestampCol), col("user_id"), col("quote")),
+      a.select(col("ts").as(TimestampCol), col("id"), col("user_id"), col("price")),
+      b.select(col("ts").as(TimestampCol), col("user_id"), col("quote")),
       keyCols = Seq("user_id"), tsCol = TimestampCol, rightCols = Seq("quote"))
     timed("asof_join", asof)
 

@@ -16,6 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Remove any previous dump FIRST: a query that fails mid-run must
+      // leave no stale parquet behind, or a rerun into the same outDir
+      // would let the parity gate silently pass on last run's results.
+      val dest = Paths.get(s"$outDir/$name")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

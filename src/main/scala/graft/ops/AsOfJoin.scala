@@ -66,8 +66,11 @@ object AsOfJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
+    // __rrow as the final order key makes right-side ties deterministic:
+    // backward picks the struct-largest tied right row, forward the
+    // smallest (left rows carry null __rrow and are unaffected).
     val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rrow"))
     val attached = (if (forward)
       unioned.withColumn("__rrow",
         first(col("__rrow"), ignoreNulls = true)
