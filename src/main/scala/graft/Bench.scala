@@ -37,10 +37,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total  = results.map(_._2).sum
     // failures must be visible in the stdout JSON — a crashed query records
-    // its time-to-failure, which would otherwise read as a FASTER bench
-    val errors = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // its time-to-failure, which would otherwise read as a FASTER bench.
+    // The key is only present when something failed, keeping the healthy
+    // output exactly on the documented shape.
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
