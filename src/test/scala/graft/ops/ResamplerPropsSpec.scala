@@ -73,6 +73,30 @@ class ResamplerPropsSpec extends SparkTestBase {
     run(seed = 4, interval = "100l", n = 30, spanMs = 600000L)
   }
 
+  test("keyed resample matches the per-key simulation on random streams") {
+    val rnd = new scala.util.Random(21)
+    val events = (0 until 300).map { i =>
+      val key = s"k${rnd.nextInt(4)}"
+      val ts  = 1600000000000L + (rnd.nextDouble() * 600000L).toLong
+      val v   = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toDouble)
+      (key, ts, v, i.toLong)
+    }
+    val df = events.toDF("key", "__timestamp", "value", "id")
+    val got = Resampler.resampleByKey(df, "10s", Seq("key"),
+      opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("id")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("value"))).map(_.asInstanceOf[Double]),
+        Option(r.get(r.fieldIndex("id"))).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = events.groupBy(_._1).toSeq.flatMap { case (k, evs) =>
+      simulate(evs.map(e => (e._2, e._3, e._4)), "10s", ffillValue = true)
+        .map { case (b, v, id) => (k, b, v, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want,
+      s"first diff at ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("matches with heavy timestamp ties") {
     val rnd = new scala.util.Random(9)
     val events = (0 until 120).map { i =>
