@@ -81,4 +81,42 @@ object RangeJoin {
       rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")) :+
       col(rTs): _*)
   }
+
+  /** Streaming time-range join: the same pairing semantics over two streams,
+    * as a native stream-stream inner join. The range condition on event time
+    * plus watermarks lets Spark bound each side's join state (old rows are
+    * evicted once the other side's watermark passes the window), so state
+    * size tracks the window span × arrival rate, not stream length.
+    *
+    * Both inputs must carry an epoch-ms Long `tsCol`; `watermarkDelay`
+    * bounds out-of-order tolerance on both sides.
+    */
+  def timeRangeStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      lookbackMs: Long,
+      lookaheadMs: Long,
+      rightCols: Seq[String],
+      rightPrefix: String = "right_",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    require(lookbackMs >= 0 && lookaheadMs >= 0 && lookbackMs + lookaheadMs > 0,
+      s"window must be non-negative and non-empty: [-$lookbackMs, +$lookaheadMs]")
+    val rTs = s"$rightPrefix$tsCol"
+    val l = left.withColumn("__levt", timestamp_millis(col(tsCol)))
+      .withWatermark("__levt", watermarkDelay)
+    val r = right.select(
+        keyCols.map(c => col(c).as(s"__rk_$c")) :+ col(tsCol).as(rTs) :+
+          struct(rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*).as("__rrow"): _*)
+      .withColumn("__revt", timestamp_millis(col(rTs)))
+      .withWatermark("__revt", watermarkDelay)
+    val keyCond = keyCols.map(c => col(c) === col(s"__rk_$c")).reduce(_ && _)
+    val rangeCond = col("__revt") >= col("__levt") - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
+      col("__revt") <= col("__levt") + expr(s"INTERVAL $lookaheadMs MILLISECONDS")
+    l.join(r, keyCond && rangeCond)
+      .select(left.columns.map(col).toSeq ++
+        rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")) :+
+        col(rTs): _*)
+  }
 }

@@ -117,6 +117,31 @@ class StreamingSpec extends SparkTestBase {
       Set(TimestampCol, "__ts", "px||A", "px||B", "exsym_lookup"), fused.columns.toSeq)
   }
 
+  test("stream-stream range join pairs rows within the window, watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val out = graft.ops.RangeJoin.timeRangeStream(
+      trades.toDF().toDF("sym", TimestampCol, "qty"),
+      quotes.toDF().toDF("sym", TimestampCol, "px"),
+      keyCols = Seq("sym"), tsCol = TimestampCol,
+      lookbackMs = 5000L, lookaheadMs = 0L,
+      rightCols = Seq("px"), rightPrefix = "q_",
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("rjstream")
+      .outputMode("append").start()
+    quotes.addData(("A", 4000L, 1.0), ("A", 8000L, 2.0), ("B", 7000L, 3.0))
+    trades.addData(("A", 9000L, 10.0), ("B", 20000L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rjstream")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("q_px")))).sorted.toSeq
+    // A@9000 window [4000,9000] pairs both A-quotes at 4000 and 8000;
+    // B@20000 window [15000,20000] pairs nothing
+    assert(rows == Seq(("A", 9000L, 1.0), ("A", 9000L, 2.0)), rows)
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
