@@ -10,8 +10,10 @@ class PlanSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(q: String): String =
+  private def planOf(q: String): String = {
+    assumeTestData(dir)
     SparkEntry.queries(q)(spark, dir).queryExecution.explainString(SimpleMode)
+  }
 
   test("time-filter bounds reach the parquet scan (PushedFilters)") {
     val plan = planOf("q_time_filter")
@@ -27,6 +29,7 @@ class PlanSpec extends SparkTestBase {
 
   test("resample windows are all partitioned (no single-task coverage window)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
     for (q <- Seq("q_resample_1h", "q_resample_1d", "q_resample_keyed")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val bad = df.queryExecution.optimizedPlan.collect {
@@ -50,6 +53,7 @@ class PlanSpec extends SparkTestBase {
 
   test("forward fill has no unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
     val df = SparkEntry.queries("q_ffill")(spark, dir)
     val bad = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
@@ -59,6 +63,7 @@ class PlanSpec extends SparkTestBase {
 
   test("asof join windows are key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
     val df = SparkEntry.queries("q_asof_join")(spark, dir)
     val bad = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w

@@ -9,7 +9,31 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkTestBase.session
 
-  override def afterAll(): Unit = () // session shared across suites; JVM exit cleans up
+  /** Skip (not fail) when the driver-generated fixtures are absent. */
+  def assumeTestData(dir: String): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir not present")
+
+  /** Run `body` against a genuinely new SparkSession built with
+    * GraftExtensions (extensions only apply at build time), restoring the
+    * shared session afterwards and never stopping the shared context.
+    */
+  def withExtensionsSession[T](body: SparkSession => T): T = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      body(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
 
 object SparkTestBase {

@@ -28,8 +28,6 @@ class MinMd5HexSpec extends SparkTestBase {
   test("SQL registration") {
     MinMd5Hex.register(spark)
     val out = spark.sql("SELECT min_md5_hex(array('b', 'a')) AS fp").head.getString(0)
-    assert(out == com.google.common.hash.Hashing.md5().hashBytes("a".getBytes).toString ||
-           out.matches("[0-9a-f]{32}"))
     // exact: min(md5('a'), md5('b'))
     val expected = Seq("a", "b").map { s =>
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)

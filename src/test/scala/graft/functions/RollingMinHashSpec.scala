@@ -8,14 +8,16 @@ class RollingMinHashSpec extends SparkTestBase {
   import spark.implicits._
 
   /** Direct (non-rolling) reference: hash every window from scratch. */
-  private def naive(s: String, w: Int): Option[Long] = {
+  private def windowHashes(s: String, w: Int): Seq[Long] = {
     val b = s.getBytes("UTF-8")
-    if (b.length < w) return None
-    Some((0 to b.length - w).map { i =>
+    (0 to b.length - w).map { i =>
       (i until i + w).foldLeft(0L)((h, j) =>
         (h * RollingMinHash.Base + (b(j) & 0xff)) % RollingMinHash.Mod)
-    }.min)
+    }
   }
+
+  private def naive(s: String, w: Int): Option[Long] =
+    if (s.getBytes("UTF-8").length < w) None else Some(windowHashes(s, w).min)
 
   test("rolling update matches per-window recomputation") {
     val rnd = new scala.util.Random(3)
@@ -36,14 +38,7 @@ class RollingMinHashSpec extends SparkTestBase {
     val Some(ha) = naive(a, 16)
     // min over windows is not guaranteed equal across docs, but the shared
     // window's hash is in both window sets — check via the naive sets
-    def windows(s: String) = {
-      val bs = s.getBytes("UTF-8")
-      (0 to bs.length - 16).map { i =>
-        (i until i + 16).foldLeft(0L)((h, j) =>
-          (h * RollingMinHash.Base + (bs(j) & 0xff)) % RollingMinHash.Mod)
-      }.toSet
-    }
-    assert(windows(a).intersect(windows(b)).nonEmpty)
+    assert(windowHashes(a, 16).toSet.intersect(windowHashes(b, 16).toSet).nonEmpty)
     assert(naive(a, 16) == naive(a, 16)) // deterministic
     assert(ha >= 0 && ha < RollingMinHash.Mod)
   }
@@ -58,19 +53,9 @@ class RollingMinHashSpec extends SparkTestBase {
   }
 
   test("SQL registration via extensions") {
-    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    try {
-      val s2 = org.apache.spark.sql.SparkSession.builder()
-        .master("local[2]").config("spark.ui.enabled", "false")
-        .withExtensions(new graft.GraftExtensions).getOrCreate()
+    withExtensionsSession { s2 =>
       val v = s2.sql("SELECT rolling_min_hash('0123456789abcdefgh', 16) AS h").head().getLong(0)
       assert(Some(v) == naive("0123456789abcdefgh", 16))
-    } finally {
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      prior.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
     }
   }
 }

@@ -29,8 +29,10 @@ class StreamingSpec extends SparkTestBase {
 
     val rows = spark.table("resampled").orderBy(TimestampCol)
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    // Non-empty buckets only (gap fill is stage 2): A@.191→1s, B@5.654→6s, C@10.155→11s
-    assert(rows.toSeq.take(3) ==
+    // Non-empty buckets only (gap fill is stage 2): A@.191→1s, B@5.654→6s,
+    // C@10.155→11s; Z's own bucket is still open at watermark 30s, so these
+    // are EXACTLY the emitted rows — a duplicate or spurious bucket fails
+    assert(rows.toSeq ==
       Seq((1577836801000L, "A"), (1577836806000L, "B"), (1577836811000L, "C")))
   }
 
@@ -92,8 +94,9 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     val rows = spark.table("sessions").orderBy("user", "session_start")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // u1: [1000,2000] (gap 6000 splits) then [8000]; u2: [1500]
-    assert(rows.toSeq.take(3) == Seq(
+    // u1: [1000,2000] (gap 6000 splits) then [8000]; u2: [1500]; u3's
+    // session is still open at the final watermark, so exactly these rows
+    assert(rows.toSeq == Seq(
       ("u1", 1000L, 2000L, 2L),
       ("u1", 8000L, 8000L, 1L),
       ("u2", 1500L, 1500L, 1L)), rows.toSeq.mkString(","))
