@@ -42,6 +42,24 @@ class ForwardFillSpec extends SparkTestBase {
     assert(g.toSeq == p.toSeq)
   }
 
+  test("null order keys: partitioned matches global (nulls-first leading bucket)") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 2000).map { i =>
+      (if (rnd.nextDouble() < 0.02) None else Some(i.toLong), // ~2% null ts
+       if (rnd.nextDouble() < 0.5) None else Some(rnd.nextInt(100).toDouble),
+       i.toLong) // tiebreak id keeps the order total among null ts
+    }
+    val df = data.toDF("ts", "x", "id").repartition(8)
+    val g = ForwardFill.global(df, Seq("x"), Seq(col("ts"), col("id")))
+      .orderBy(col("ts").asc_nulls_first, col("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)))
+    val p = ForwardFill.partitioned(df, Seq("x"), "ts", tieCols = Seq(col("id")),
+      numBuckets = 16)
+      .orderBy(col("ts").asc_nulls_first, col("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)))
+    assert(g.toSeq == p.toSeq)
+  }
+
   test("partitioned fill with long all-null stretches crossing buckets") {
     // Only the first row non-null: every bucket after the first must carry it.
     val data = (0 until 1000).map(i => (i.toLong, if (i == 0) Some(42.0) else None))
