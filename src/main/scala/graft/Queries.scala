@@ -747,6 +747,23 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Exact distinct-count profile (beyond-reference; the scale path is
+    * `approx_count_distinct`, whose HLL sketch differs between engines, so
+    * the oracle checks the exact form both engines define identically).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val distinctCountsSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders   = tbl(spark, dir, "orders")

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
+    "q_distinct"         -> (Queries.distinctCounts _),
     "q_join_enrich"      -> (Queries.joinEnrich _)
   )
 
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,
+    "q_distinct"        -> Queries.distinctCountsSql,
     "q_join_enrich"     -> Queries.joinEnrichSql
   )
 }
