@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a narrow intermediate once before a self-join.
+    *
+    * AQE does not reuse the identical exchanges of a self-join's two sides
+    * (measured: the signature/shingle lineage is descended once per side),
+    * so the expensive upstream of every banded dedup join would run twice.
+    * An EAGER localCheckpoint runs the lineage exactly once and replaces it
+    * with the materialized partitions; lazy persist would not be enough —
+    * the two map stages of a shuffle join launch concurrently and would
+    * both compute the not-yet-cached partitions. The checkpointed tables
+    * are narrow (ids + fixed-width hashes, never document text), so the
+    * stored footprint is a small fraction of the input even at corpus
+    * scale. Trade-off: local checkpoints are not lineage-recoverable on
+    * executor loss — the job re-runs instead, the standard batch trade.
+    */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint()
+
   /** Exact dedup: keep the lowest-id row per distinct text digest.
     * Returns (idCol, digest, dupCount).
     */
@@ -58,7 +75,7 @@ object Dedup {
     // per pair and only perturbs a count by 1 — far below any threshold.
     val sh = explodedShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-    val filtered =
+    val filteredLineage =
       if (maxShingleDf == Int.MaxValue) sh
       else {
         // df cap as a count window over the shingle partitioning rather than
@@ -72,6 +89,9 @@ object Dedup {
         sh.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxShingleDf).drop("__df")
       }
+    // The filtered inverted index feeds three consumers (sizes + both join
+    // sides): materialize the regex-heavy shingle lineage exactly once.
+    val filtered = materializeOnce(filteredLineage)
     // Sizes from the SAME filtered universe as the shared counts — mixing
     // filtered numerators with unfiltered denominators would systematically
     // underestimate similarity for docs containing capped shingles.
@@ -124,7 +144,9 @@ object Dedup {
       rowsPerBand: Int = 2,
       verifyThreshold: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigDf = minhashSignatures(df, textCol, idCol, n, numHashes)
+    // One row per doc of fixed-width hashes: materialize so the shingle
+    // explode + minhash aggregation runs once, not once per join side.
+    val sigDf = materializeOnce(minhashSignatures(df, textCol, idCol, n, numHashes))
 
     val banded = sigDf.select(col(idCol),
       explode(array((0 until bands).map { b =>
@@ -142,13 +164,21 @@ object Dedup {
 
     if (verifyThreshold <= 0.0) cands
     else {
-      // Verify only the candidates: shingle sets are joined onto the pair
-      // list (bounded by candidate count, not corpus size).
-      val shingled = df.select(col(idCol),
-        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
+      // Verify only the candidates: the candidate pair list is materialized
+      // (it feeds the id semi-join AND the pair spine), then shingle sets
+      // are computed ONLY for docs appearing in some candidate pair (a
+      // left-semi join pushes the candidate id set into the scan) and
+      // materialized once so both pair sides attach from the same table.
+      // The regex shingle pass here is candidate-bounded, not corpus-sized.
+      val candIds = materializeOnce(cands)
+      val ids = candIds.select(col("id_a").as(idCol))
+        .union(candIds.select(col("id_b").as(idCol))).distinct()
+      val shingled = materializeOnce(
+        df.join(ids, Seq(idCol), "left_semi").select(col(idCol),
+          array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh")))
       val aSh = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
       val bSh = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-      cands.join(aSh, Seq("id_a")).join(bSh, Seq("id_b"))
+      candIds.join(aSh, Seq("id_a")).join(bSh, Seq("id_b"))
         .withColumn("__shared", size(array_intersect(col("__sh_a"), col("__sh_b"))))
         .withColumn("jaccard", col("__shared").cast("double") /
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__shared")).cast("double"))
@@ -248,7 +278,9 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands // uneven tail bits join the last band
-    val sigs  = simhashLongDf(df, textCol, idCol)
+    // (id, simhash) only: materialize so the token explode + 64-sum vote
+    // aggregation runs once, not once per join side.
+    val sigs  = materializeOnce(simhashLongDf(df, textCol, idCol))
 
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { i =>
@@ -260,10 +292,10 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
 
-    // shuffle_hash (not broadcast): both sides are the same banded lineage,
-    // so a shuffled join's two exchanges canonicalize identically and the
-    // 64-sum signature aggregation runs ONCE (ReusedExchange); a broadcast
-    // side would recompute it.
+    // shuffle_hash (not broadcast): a corpus-sized broadcast of one banded
+    // side is the real scale risk — pin a shuffled join. (The signature
+    // aggregation itself is already materialized above, so neither side
+    // recomputes it regardless of join strategy.)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
       col("band"), col("bits")).hint("shuffle_hash")
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("__sb"),

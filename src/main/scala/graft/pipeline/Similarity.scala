@@ -88,9 +88,12 @@ object Similarity {
     * width that is fine at 10⁵ vectors quietly goes quadratic at 10⁷.
     */
   def lshBitsFor(n: Long, targetBucketSize: Int = 32): Int = {
-    require(n > 0 && targetBucketSize > 0)
-    val bits = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt
-    math.min(30, math.max(4, bits))
+    require(targetBucketSize > 0)
+    if (n <= 0) 4 // empty corpus: minimum width (no pairs exist anyway)
+    else {
+      val bits = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt
+      math.min(30, math.max(4, bits))
+    }
   }
 
   /** Sign-random-projection LSH bucket id for each vector: bit b set iff
@@ -117,23 +120,34 @@ object Similarity {
       bitsPerTable: Int = 12,
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(
-      col(idCol), col(vecCol),
+    // (id, table, bucket) only — the vectors are re-attached from `df` for
+    // verification below. Materialized once: the bucket computation is
+    // tables × bits dot products per vector, and AQE would otherwise
+    // descend it once per self-join side (Dedup.materializeOnce scaladoc).
+    val bucketed = Dedup.materializeOnce(df.select(
+      col(idCol),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("table"),
           lshBucket(col(vecCol), hyperplanes(dim, bitsPerTable, seed + t)).as("bucket"))
       }: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
+      .select(col(idCol), col("tb.table"), col("tb.bucket")))
 
     // Dedup candidate pairs on the narrow (id, id) key, then join the
     // vectors back for verification — running distinct() with the embedding
     // arrays as grouping keys would shuffle and compare full vectors.
     val a = bucketed.select(col(idCol).as("id_a"), col("table"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col("table"), col("bucket"))
-    val cands = a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val vecs = df.select(col(idCol), col(vecCol))
+    val cands = Dedup.materializeOnce(
+      a.join(b, Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    // Vectors re-attached candidate-bounded: semi-join the corpus to the ids
+    // that appear in some candidate pair, materialize once, feed both sides
+    // — the full-width embedding column is read from parquet exactly once.
+    val ids = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val vecs = Dedup.materializeOnce(
+      df.select(col(idCol), col(vecCol)).join(ids, Seq(idCol), "left_semi"))
     cands
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
@@ -142,19 +156,102 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** IVF index: pick `nCells` seed centroids deterministically (the corpus
-    * rows with the lowest ids — collected once, like a broadcast), assign
-    * every vector to its nearest centroid with a single codegen'd
-    * `array_max` over per-centroid similarity structs: no crossJoin, no
-    * shuffle, no window — one narrow map over the corpus.
+  /** IVF index: train `nCells` centroids, assign every vector to its nearest
+    * centroid with a single codegen'd `array_max` over per-centroid
+    * similarity structs: no crossJoin, no shuffle, no window — one narrow
+    * map over the corpus.
     */
-  /** Collect the seed centroids (lowest-id corpus rows): one bounded job. */
+  /** Train centroids with spherical k-means on a bounded driver-side sample:
+    * a deterministic pseudo-random sample (ordered by `xxhash64(id)` — a
+    * top-K job, not a full sort), k-means++ seeding, then `iters` Lloyd
+    * iterations with cosine assignment (mean-then-normalize updates). Empty
+    * cells are reseeded to the point farthest from its centroid, so all
+    * `nCells` cells stay live — balanced cells are what keep the per-cell
+    * probe join sub-quadratic at corpus scale. Everything is seeded and the
+    * sample order is data-determined, so centroids are reproducible across
+    * runs. Returned cell ids are 0..nCells-1.
+    */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): Array[(Long, Array[Double])] =
-    df.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      nCells: Int, sampleSize: Int = 4096, iters: Int = 8,
+      seed: Long = 42L): Array[(Long, Array[Double])] = {
+    require(nCells > 0, "nCells must be positive")
+    val sample = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(math.max(sampleSize, nCells))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => r.getSeq[Double](1).toArray)
+      .filter(v => v != null && v.nonEmpty)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.clone() else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    val k   = math.min(nCells, pts.length)
+    val rnd = new scala.util.Random(seed)
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // k-means++ seeding on angular distance (1 - cosine)
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = pts(rnd.nextInt(pts.length)).clone()
+    val bestD = pts.map(p => 1.0 - dot(p, centroids(0)))
+    for (c <- 1 until k) {
+      val total = bestD.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(pts.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pts.length - 1 && r > bestD(i)) { r -= bestD(i); i += 1 }
+          i
+        }
+      centroids(c) = pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val d = 1.0 - dot(pts(i), centroids(c))
+        if (d < bestD(i)) bestD(i) = d
+        i += 1
+      }
+    }
+    // Lloyd: assign to max-cosine centroid (lowest index on ties), update to
+    // the normalized mean, reseed empty cells to the globally worst-fit point
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bestSim = dot(pts(i), centroids(0)); var c = 1
+        while (c < k) {
+          val s = dot(pts(i), centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums   = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < pts.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < pts(i).length) { sums(c)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k) {
+        if (counts(c) > 0) centroids(c) = normalize(sums(c))
+        else {
+          val worst = pts.indices.maxBy(i => 1.0 - dot(pts(i), centroids(assign(i))))
+          centroids(c) = pts(worst).clone()
+        }
+      }
+    }
+    centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
 
   /** Nearest-centroid cell id as a single codegen'd column expression. */
   def ivfCellExpr(vecCol: String, centroids: Array[(Long, Array[Double])]): Column = {

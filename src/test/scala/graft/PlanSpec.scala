@@ -83,6 +83,22 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("banded dedup/LSH self-joins read a materialized table, not a re-descended lineage") {
+    // The signature/shingle lineage is eagerly localCheckpoint'ed before the
+    // self-join (AQE does not reuse the identical exchanges), so the final
+    // plan must read "Scan ExistingRDD" and the expensive upstream must be
+    // GONE from it: zero parquet scans in all four (signatures, candidate
+    // pairs, and the candidate-bounded shingle/vector re-attach are each
+    // materialized once; their scans happen inside the checkpoint jobs).
+    for ((q, maxScans) <- Seq("q_dedup_jaccard" -> 0, "q_simhash_neardup" -> 0,
+                              "q_dedup_minhash" -> 0, "q_ann_lsh" -> 0)) {
+      val plan = planOf(q)
+      assert(plan.contains("ExistingRDD"), s"$q: no checkpoint scan\n$plan")
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans <= maxScans, s"$q: $scans parquet scans (max $maxScans)\n$plan")
+    }
+  }
+
   test("column pruning: minmax aggregate reads only its columns") {
     val plan = planOf("q_minmax_ts")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
