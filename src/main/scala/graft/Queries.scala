@@ -328,29 +328,118 @@ object Queries {
       |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH candidate pairs verified at jaccard >= 0.8 (rows-only check:
-    * md5-banded signatures aren't worth replicating in SQL; the ScalaTest
-    * suite asserts candidates ⊇ exact pairs instead).
+  /** MinHash+LSH candidate pairs verified at jaccard >= 0.8. The oracle is
+    * the UNCAPPED exact-jaccard pair set: the banded minhash join must
+    * recover every pair at this threshold (the ScalaTest suite asserts
+    * candidates ⊇ exact pairs; the 8-band/2-row scheme catches a
+    * jaccard-0.8 pair with probability 1-(1-0.8²)⁸ ≈ 0.9997 and the
+    * fixture's true pairs sit well above the threshold), and the verify
+    * step computes the identical exact jaccard on full shingle sets — so
+    * the engine output EQUALS the relational definition here, hash-checked.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", "doc_id",
       n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** SimHash signatures (rows-only check; bit-voting in SQL is impractical). */
+  /** Exact n-gram jaccard pairs with NO df cap — the relational definition
+    * of what [[dedupMinhash]] must produce.
+    */
+  val dedupMinhashSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash signatures — full cross-engine oracle: the vote hash is the
+    * first 64 bits of md5(token), so DuckDB reproduces the signature
+    * bit-for-bit from the same tokenization + vote arithmetic.
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDf(tbl(spark, dir, "documents"), "text", "doc_id")
-      .select(col("doc_id"), col("simhash").cast("string").as("simhash"))
       .orderBy("doc_id")
 
-  /** Banded SimHash near-dup pairs within Hamming distance 3 (rows-only:
-    * signatures are engine-side xxhash64; the spec verifies banding against
-    * planted near-dups and the signed/unsigned signature equivalence).
+  /** Shared CTE chain computing the md5-vote simhash per doc in DuckDB:
+    * tokens → two 32-bit hash halves (hex nibbles of md5) → 64 vote sums →
+    * unsigned 64-bit assembly as HUGEINT. Mirrors
+    * [[graft.pipeline.Dedup.simhashLongDf]] exactly.
+    */
+  private def simhashSigCte: String = {
+    def hex32(off: Int): String = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(m, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+    val votes = (0 until 64).map { b =>
+      val (h, bit) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      s"sum(CASE WHEN (($h >> $bit) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n         ")
+    val assembly = (0 until 64).map { b =>
+      s"(CASE WHEN v$b > 0 THEN '${BigInt(1) << b}'::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, md5(tok) AS m FROM toks
+      |), hh AS (
+      |  SELECT doc_id, ${hex32(1)} AS h1, ${hex32(9)} AS h2 FROM h
+      |), votes AS (
+      |  SELECT doc_id,
+      |         $votes
+      |  FROM hh GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id, $assembly AS usig FROM votes
+      |)""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""$simhashSigCte
+       |SELECT doc_id, CAST(usig AS DECIMAL(20,0)) AS simhash FROM sig
+       |ORDER BY doc_id""".stripMargin
+
+  /** Banded SimHash near-dup pairs within Hamming distance 3. The banding is
+    * complete by pigeonhole, so the engine output must equal the brute-force
+    * relational definition: all pairs with `bit_count(xor(sig_a, sig_b)) <= 3`
+    * — which the oracle computes directly from the md5-vote signatures.
     */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(tbl(spark, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  val simhashNearDupSql: String =
+    s"""$simhashSigCte,
+       |signed AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN usig >= '9223372036854775808'::HUGEINT
+       |              THEN usig - '18446744073709551616'::HUGEINT
+       |              ELSE usig END AS BIGINT) AS s
+       |  FROM sig
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------ text analysis
 
@@ -531,8 +620,12 @@ object Queries {
       |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** LSH-bucketed near-neighbor pairs (rows-only: hyperplane projections are
-    * engine-side; the spec asserts parity with exact threshold pairs).
+  /** LSH-bucketed near-neighbor pairs — full cross-engine oracle: the
+    * hyperplanes are SEEDED, so the oracle inlines the identical plane
+    * values as SQL literals and re-derives bucket bits, candidates and the
+    * cosine verify entirely in DuckDB. The bucket-sign dot products are
+    * spelled out as explicit left-associated sums, which is bit-identical
+    * to the engine's sequential [[graft.functions.VectorDot]] kernel.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -542,8 +635,76 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF-partitioned ANN (rows-only: centroid assignment is engine-side;
-    * the spec checks recall against brute force).
+  val annLshSql: String = {
+    val (dim, bits, tables, seed) = (64, 8, 8, 42L)
+    def planeDot(p: Array[Double]): String =
+      (0 until dim).map(j => s"v[${j + 1}] * ${p(j)}").mkString(" + ")
+    val bucketCols = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(dim, bits, seed + t)
+      val bitsExpr = (0 until bits).map { i =>
+        s"(CASE WHEN ${planeDot(planes(i))} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bitsExpr) AS b$t"
+    }.mkString(",\n         ")
+    val anyBucket = (0 until tables).map(t => s"a.b$t = b2.b$t").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+       |), b AS (
+       |  SELECT vec_id,
+       |         $bucketCols
+       |  FROM e
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id AND ($anyBucket)
+       |)
+       |SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+       |FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Trained IVF centroids as a table (cell_id, centroid). The training
+    * itself (driver-side sampled k-means, [[Similarity.ivfCentroids]]) is
+    * the one engine-side artifact with no relational oracle — everything
+    * downstream of it IS oracle-checked: [[ivfCells]] re-derives the
+    * nearest-centroid assignment in DuckDB from this exported table, and
+    * [[annIvf]] re-derives the per-cell top-k from the exported cells.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfCentroids(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = 16)
+      .toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "centroid")
+      .orderBy("cell_id")
+  }
+
+  /** Nearest-centroid cell assignment for every vector. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = 16)
+      .select(col("vec_id"), col("cell_id"))
+      .orderBy("vec_id")
+
+  /** Oracle: re-derive the assignment from the exported centroids (max
+    * cosine, lowest cell id on ties — the engine's struct-max tie rule).
+    * `__VERIFY_OUT__` is replaced by Verify with the dump directory.
+    */
+  val ivfCellsSql: String =
+    """WITH c AS (
+      |  SELECT cell_id, centroid FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet'
+      |), e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), ranked AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY list_cosine_similarity(v, centroid) DESC, cell_id) AS rn
+      |  FROM e, c
+      |)
+      |SELECT vec_id, cell_id FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF-partitioned ANN top-k; oracle re-derives the per-cell exact top-k
+    * in DuckDB from the exported cell assignments.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -552,6 +713,23 @@ object Queries {
       nCells = 16, k = 10)
       .orderBy("query_id", "rank")
   }
+
+  val annIvfSql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), e AS (
+      |  SELECT c.vec_id, embedding::DOUBLE[] AS v, cell_id
+      |  FROM embeddings JOIN cells c USING (vec_id)
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+      |  FROM e q JOIN e n USING (cell_id)
+      |  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------- multimodal
 

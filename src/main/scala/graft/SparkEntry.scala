@@ -49,6 +49,8 @@ object SparkEntry {
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
     "q_ann_lsh"          -> (Queries.annLsh _),
+    "q_ivf_centroids"    -> (Queries.ivfCentroids _),
+    "q_ivf_cells"        -> (Queries.ivfCells _),
     "q_ann_ivf"          -> (Queries.annIvf _),
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
@@ -65,7 +67,13 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names + ORDER BY as the Spark
-    * side). Queries without an entry get the driver's rows-only check.
+    * side). Queries without an entry get the driver's rows-only check —
+    * after round 3 that is ONLY `q_ivf_centroids` (a trained k-means
+    * artifact; everything derived from it is oracle-checked).
+    *
+    * `__VERIFY_OUT__` inside a SQL string is replaced by [[Verify]] with
+    * the dump directory, letting an oracle re-derive a query from another
+    * query's exported parquet (IVF cells from centroids, top-k from cells).
     */
   def oracleSql: Map[String, String] = Map(
     "q_fuse_merge"      -> Queries.fuseMergeSql,
@@ -87,6 +95,12 @@ object SparkEntry {
     "q_fingerprint_rolling" -> Queries.fingerprintRollingSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
+    "q_ann_lsh"         -> Queries.annLshSql,
+    "q_ivf_cells"       -> Queries.ivfCellsSql,
+    "q_ann_ivf"         -> Queries.annIvfSql,
+    "q_dedup_minhash"   -> Queries.dedupMinhashSql,
+    "q_simhash"         -> Queries.simhashSql,
+    "q_simhash_neardup" -> Queries.simhashNearDupSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
     "q_asof_join"       -> Queries.asofJoinSql,

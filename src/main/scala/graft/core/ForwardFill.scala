@@ -36,15 +36,45 @@ object ForwardFill {
     }
   }
 
+  /** Quantile-derived bucket bounds for [[partitioned]]: `numBuckets - 1`
+    * interior split points from `approxQuantile` (one narrow pass over the
+    * order column, nulls ignored), deduplicated — a heavy repeated value
+    * collapses its splits, yielding fewer but still balanced buckets. Uniform
+    * value-range bucketing would concentrate a bursty distribution (90% of
+    * events in 1% of the time span) into a couple of buckets, each a single
+    * window task; quantile bounds keep every bucket near `rows/numBuckets`
+    * regardless of the distribution.
+    */
+  private[graft] def bucketBounds(
+      df: DataFrame, orderCol: String, numBuckets: Int): Array[Double] = {
+    val probes = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    df.select(col(orderCol).cast("double").as(orderCol))
+      .stat.approxQuantile(orderCol, probes, 0.001)
+      .distinct.sorted
+  }
+
+  /** Bucket id from sorted split bounds: number of splits <= value, as one
+    * codegen'd sum of comparisons (splits are bounded by `numBuckets`, so
+    * the projection stays small). Null order keys sort first in global()
+    * (nulls-first asc); bucket -1 gives them the same position here.
+    */
+  private def bucketCol(orderCol: String, splits: Array[Double]): Column = {
+    val v = col(orderCol).cast("double")
+    val idx =
+      if (splits.isEmpty) lit(0L)
+      else splits.map(s => when(v >= lit(s), 1L).otherwise(0L)).reduce(_ + _)
+    when(col(orderCol).isNull, lit(-1L)).otherwise(idx)
+  }
+
   /** Scalable forward fill. `orderCol` must be numeric (e.g. epoch millis or
     * a dense index); `tieCols` complete the total order within equal
     * `orderCol` values. `numBuckets` should be >= the executor parallelism.
     *
-    * The input lineage is descended twice, but the bucket-summary descent
-    * reads ONLY (orderCol, tieCols, fillCols) — parquet column pruning makes
-    * it a narrow scan — and aggregates with map-side combine, so the extra
-    * cost at scale is a fraction of one full pass (verified via
-    * `.explain`: the wide window pass appears exactly once in the plan).
+    * The input lineage is descended twice, but the bucket-bounds descent
+    * reads ONLY the order column — parquet column pruning makes it a narrow
+    * scan — so the extra cost at scale is a fraction of one full pass
+    * (verified via `.explain`: the wide window pass appears exactly once in
+    * the plan).
     */
   def partitioned(
       df: DataFrame,
@@ -53,16 +83,7 @@ object ForwardFill {
       tieCols: Seq[Column] = Nil,
       numBuckets: Int = 256): DataFrame = {
     if (df.isEmpty) return df
-    val Row2 = df.agg(min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double")).head()
-    val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
-    val width    = math.max((hi - lo) / numBuckets, 1e-9)
-
-    // null order keys sort first in global() (nulls-first asc); bucket -1
-    // gives them the same position here — least() alone would skip the null
-    // and dump the row into the LAST bucket
-    val bCol = when(col(orderCol).isNull, lit(-1L))
-      .otherwise(least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
-                       lit(numBuckets - 1L)).cast("long"))
+    val bCol = bucketCol(orderCol, bucketBounds(df, orderCol, numBuckets))
 
     // Bucket summaries straight from the input (narrow, column-pruned scan):
     // the last non-null value per bucket per column == the same summary

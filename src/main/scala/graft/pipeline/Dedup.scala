@@ -247,13 +247,22 @@ object Dedup {
 
   /** Signed-long SimHash signature (same 64 bits as [[simhashDf]]'s unsigned
     * decimal rendering) — the form bit operations want.
+    *
+    * The per-token vote hash is the first 64 bits of `md5(token)`, split
+    * into two 32-bit halves (`conv` of 8 hex chars each — fits a signed
+    * long). md5 — not an engine-seeded xxhash — so the ENTIRE signature is
+    * reproducible in any engine and the DuckDB oracle checks it bit-for-bit
+    * ([[graft.Queries.simhashSql]] regenerates the same arithmetic).
     */
   def simhashLongDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.words(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__m", md5(col("__tok")))
+      .withColumn("__h1", conv(substring(col("__m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__m"), 9, 8), 16, 10).cast("long"))
     val voteAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      val (h, bit) = if (b < 32) (col("__h1"), b) else (col("__h2"), b - 32)
+      sum(when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"__v$b")
     }
     val votes = toks.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)

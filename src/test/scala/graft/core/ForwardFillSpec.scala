@@ -60,6 +60,31 @@ class ForwardFillSpec extends SparkTestBase {
     assert(g.toSeq == p.toSeq)
   }
 
+  test("bursty distribution: quantile buckets stay balanced and fill stays exact") {
+    // 90% of events inside 1% of the time span — uniform value-range buckets
+    // would put ~90% of rows into 2-3 buckets (each one window task).
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 20000).map { i =>
+      val ts = if (i < 18000) 1000000L + rnd.nextInt(10000)        // the burst
+               else rnd.nextLong() % 1000000L + 1000000L           // the tail
+      (math.abs(ts), if (rnd.nextDouble() < 0.6) None else Some(rnd.nextInt(50).toDouble), i.toLong)
+    }
+    val df = data.toDF("ts", "x", "id").repartition(8)
+
+    val splits = ForwardFill.bucketBounds(df, "ts", 32)
+    val counts = data.map { case (ts, _, _) => splits.count(ts.toDouble >= _) }
+      .groupBy(identity).map(_._2.size).toSeq.sorted
+    val median = counts(counts.size / 2)
+    assert(counts.max <= 2 * math.max(median, 1),
+      s"max bucket ${counts.max} vs median $median (buckets=${counts.size})")
+
+    val g = ForwardFill.global(df, Seq("x"), Seq(col("ts"), col("id")))
+      .orderBy("ts", "id").collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+    val p = ForwardFill.partitioned(df, Seq("x"), "ts", tieCols = Seq(col("id")), numBuckets = 32)
+      .orderBy("ts", "id").collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+    assert(g.toSeq == p.toSeq)
+  }
+
   test("partitioned fill with long all-null stretches crossing buckets") {
     // Only the first row non-null: every bucket after the first must carry it.
     val data = (0 until 1000).map(i => (i.toLong, if (i == 0) Some(42.0) else None))
