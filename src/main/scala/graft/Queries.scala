@@ -100,29 +100,38 @@ object Queries {
       |) ORDER BY __timestamp, exsym_lookup,
       |  coalesce("event_id||clicks", "event_id||purchases")""".stripMargin
 
-  /** P5/M5: engine time-window filter from ISO scalar bounds. The epoch-ms
-    * bounds are also applied to the RAW scan column (ns Long / µs timestamp)
-    * so the predicate reaches the parquet footer (`PushedFilters`) and prunes
-    * row groups — the fuse-level `__timestamp` filter alone sits above the
-    * ms conversion expression, which parquet cannot evaluate. At 100 TB the
-    * row-group skip is the difference between a full scan and a seek.
+  /** Events with epoch-ms bounds `[startMs, endMs]` applied to the RAW scan
+    * column (ns Long / µs timestamp) BEFORE normalization, so the predicate
+    * reaches the parquet footer (`PushedFilters`) and prunes row groups —
+    * a filter above the ms-conversion expression is opaque to parquet. At
+    * 100 TB the row-group skip is the difference between a full scan and a
+    * seek. Any windowed query (fuse/resample/asof/range) should source from
+    * this instead of filtering [[events]] post-hoc.
+    */
+  def eventsBetween(spark: SparkSession, dir: String,
+      startMs: Long, endMs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = tbl(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanos
+        raw.filter(col("ts") >= startMs * 1000000L &&
+                   col("ts") <= endMs * 1000000L + 999999L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case dt =>
+        raw.filter(col("ts") >= timestamp_millis(lit(startMs)).cast(dt) &&
+                   col("ts") < timestamp_millis(lit(endMs + 1)).cast(dt))
+    }
+  }
+
+  /** P5/M5: engine time-window filter from ISO scalar bounds, pushed to the
+    * raw scan column via [[eventsBetween]].
     */
   def timeFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val startMs = graft.time.EpochTime.toEpochMillis("2024-01-10T00:00:00Z")
     val endMs   = graft.time.EpochTime.toEpochMillis("2024-01-20T00:00:00Z")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = tbl(spark, dir, "events")
-    val pushed = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => // raw nanos
-        raw.filter(col("ts") >= startMs * 1000000L &&
-                   col("ts") <= endMs * 1000000L + 999999L)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        raw.filter(col("ts") >= timestamp_millis(lit(startMs)).cast(raw.schema("ts").dataType) &&
-                   col("ts") < timestamp_millis(lit(endMs + 1)).cast(raw.schema("ts").dataType))
-    }
-    val src = pushed.select($"ts", $"event_id", $"event_type", $"value")
+    val src = eventsBetween(spark, dir, startMs, endMs)
+      .select($"ts", $"event_id", $"event_type", $"value")
     Fuser.fuseFrames(
       Seq(FrameSource(src, "events", "ts", secondarySortCol = Some("event_id"))),
       FuseOptions(procStart = Some(startMs), procEnd = Some(endMs))).df
@@ -181,14 +190,35 @@ object Queries {
     Resampler.resample(purchaseStream(spark, dir), interval,
       opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
 
-  /** Oracle for [[resample]]: same grid math in SQL. `stepMs` must match the
-    * interval. Works for sub-day units (epoch-aligned grid); the day grid is
-    * UTC-midnight-aligned which coincides with epoch alignment.
+  /** Windowed resample: purchases inside an ISO window (bounds pushed to the
+    * raw parquet column via [[eventsBetween]]) onto a 1h grid — the shape
+    * every bounded-replay resample should take: `PushedFilters` prunes row
+    * groups BEFORE the grid work, instead of scanning the full history.
     */
-  def resampleSql(stepMs: Long): String =
+  def resampleWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val startMs = graft.time.EpochTime.toEpochMillis("2024-01-10T00:00:00Z")
+    val endMs   = graft.time.EpochTime.toEpochMillis("2024-01-20T00:00:00Z")
+    val src = eventsBetween(spark, dir, startMs, endMs)
+      .filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+    Resampler.resample(src, "1h",
+      opts = ResampleOptions(ffillKeys = Seq("value"), tieCols = Seq("event_id")))
+  }
+
+  val resampleWindowSql: String = resampleSql(3600000L,
+    "event_type = 'purchase' AND epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) <= 1705708800000")
+
+  /** Oracle for [[resample]]: same grid math in SQL. `stepMs` must match the
+    * interval; `where` must match the engine-side source filter. Works for
+    * sub-day units (epoch-aligned grid); the day grid is UTC-midnight-aligned
+    * which coincides with epoch alignment.
+    */
+  def resampleSql(stepMs: Long, where: String = "event_type = 'purchase'"): String =
     s"""WITH ev AS (
        |  SELECT epoch_ms(ts) AS t, event_id, user_id, value
-       |  FROM events WHERE event_type = 'purchase'
+       |  FROM events WHERE $where
        |), params AS (
        |  SELECT ((min(t) // $stepMs) * $stepMs + $stepMs) AS b0, max(t) AS t1 FROM ev
        |), grid AS (

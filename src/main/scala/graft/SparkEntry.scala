@@ -31,6 +31,7 @@ object SparkEntry {
     "q_resample_1h"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1h")),
     "q_resample_1d"      -> ((s: SparkSession, d: String) => Queries.resample(s, d, "1d")),
     "q_resample_keyed"   -> (Queries.resampleKeyed _),
+    "q_resample_window"  -> (Queries.resampleWindow _),
     "q_ffill"            -> (Queries.ffill _),
     // dedup
     "q_dedup_exact"      -> (Queries.dedupExact _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_resample_1h"     -> Queries.resampleSql(3600000L),
     "q_resample_1d"     -> Queries.resampleSql(86400000L),
     "q_resample_keyed"  -> Queries.resampleKeyedSql,
+    "q_resample_window" -> Queries.resampleWindowSql,
     "q_ffill"           -> Queries.ffillSql,
     "q_dedup_exact"     -> Queries.dedupExactSql,
     "q_dedup_jaccard"   -> Queries.dedupJaccardSql,

@@ -16,8 +16,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("time-filter bounds reach the parquet scan (PushedFilters)") {
-    val plan = planOf("q_time_filter")
-    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+    // not just the dedicated filter query: ANY windowed query sourced from
+    // eventsBetween must prune row groups at the scan
+    for (q <- Seq("q_time_filter", "q_resample_window")) {
+      val plan = planOf(q)
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,".r.findFirstIn(plan).isDefined,
+        s"$q:\n$plan")
+    }
   }
 
   test("resample main plan descends the source exactly once") {
