@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of join — the streaming analog of [[graft.ops.AsOfJoin]]'s
+  * backward mode: each left event attaches the most recent right event with
+  * `rightTs <= leftTs` on the same key and within `maxStalenessMs`
+  * (reference N/A — it has no joins at all, SURVEY §2.9; this is the
+  * "latest quote per trade" enrichment every live pipeline needs).
+  *
+  * Shape: the same union trick as the batch operator, expressed as custom
+  * state — both streams are tagged and merged, grouped by key, and a
+  * `flatMapGroupsWithState` keeps ONLY the right rows still inside the
+  * staleness horizon as state (the staleness bound doubles as the watermark:
+  * state per key is bounded by `maxStalenessMs / right-event-spacing` rows,
+  * not by history). Left rows emit in append mode, so each left event is
+  * enriched exactly once.
+  *
+  * Ordering caveats, inherent to append-mode streaming:
+  *  - within a micro-batch, rows are processed in (ts, side) order with
+  *    right-before-left on equal timestamps — boundary-inclusive like batch;
+  *  - a right row that arrives in a LATER micro-batch than a left row with a
+  *    larger timestamp cannot retroactively re-enrich it (the batch operator
+  *    is the replay/backfill path; bound micro-batch skew with the trigger);
+  *  - right rows duplicated on (key, ts) within one batch are resolved by
+  *    arrival order (pre-dedup them, as the batch query does).
+  */
+object StreamingAsOfJoin {
+
+  /** Typed API mirroring [[StreamingResampler.gapFill]]'s style.
+    *
+    * @param left           (key, epochMsTs, payload) probe stream
+    * @param right          (key, epochMsTs, payload) reference stream
+    * @param maxStalenessMs matches older than this are dropped (emitted as
+    *                       None) AND pruned from state — the state bound
+    * @param idleTimeout    optional processing-time eviction for churning
+    *                       key spaces (e.g. "1 hour"), like gapFill's
+    */
+  def asof[K, L, R](
+      left: Dataset[(K, Long, L)],
+      right: Dataset[(K, Long, R)],
+      maxStalenessMs: Long,
+      idleTimeout: Option[String] = None)(implicit
+      ke: Encoder[K],
+      envEnc: Encoder[(K, Long, Int, Option[L], Option[R])],
+      stateEnc: Encoder[List[(Long, R)]],
+      outEnc: Encoder[(K, Long, L, Option[R])]): Dataset[(K, Long, L, Option[R])] = {
+    require(maxStalenessMs >= 0, "maxStalenessMs must be >= 0")
+    val l = left.map  { case (k, ts, v) => (k, ts, 1, Option(v), Option.empty[R]) }
+    val r = right.map { case (k, ts, v) => (k, ts, 0, Option.empty[L], Option(v)) }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    l.union(r).groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, R)], (K, Long, L, Option[R])](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Int, Option[L], Option[R])],
+         state: GroupState[List[(Long, R)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (ts, side) order: side 0 rights sort before coincident lefts,
+            // so a left event AT a right timestamp sees it (inclusive <=)
+            val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
+            var buf    = state.getOption.getOrElse(Nil) // ascending rTs
+            val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, L, Option[R])]
+            sorted.foreach {
+              case (_, ts, 0, _, Some(rv)) =>
+                // replace-then-insert keeps one row per rTs (last arrival
+                // wins); re-sort because state carried from a previous batch
+                // may hold timestamps above a late-but-in-horizon right
+                buf = (buf.filterNot(_._1 == ts) :+ ((ts, rv))).sortBy(_._1)
+              case (_, ts, 1, Some(lv), _) =>
+                val m = buf.takeWhile(_._1 <= ts).lastOption
+                  .filter(_._1 >= ts - maxStalenessMs)
+                out += ((key, ts, lv, m.map(_._2)))
+              case _ => () // unreachable: tags are constructed above
+            }
+            // prune state to the staleness horizon behind the newest event
+            val maxSeen = (buf.iterator.map(_._1) ++ sorted.iterator.map(_._2))
+              .foldLeft(Long.MinValue)(math.max)
+            if (maxSeen > Long.MinValue)
+              buf = buf.dropWhile(_._1 < maxSeen - maxStalenessMs)
+            state.update(buf)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+}

@@ -145,6 +145,55 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq(("A", 9000L, 1.0), ("A", 9000L, 2.0)), rows)
   }
 
+  test("streaming as-of join mirrors batch backward semantics (tolerance + cross-batch state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val out = StreamingAsOfJoin.asof(
+      trades.toDS(), quotes.toDS(), maxStalenessMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+
+    // batch 1: quotes at 1000/4000 (A), 2000 (B); trades probe them
+    quotes.addData(("A", 1000L, 1.0), ("A", 4000L, 1.5), ("B", 2000L, 9.0))
+    trades.addData(
+      ("A", 4000L, 10.0),  // AT a quote ts -> inclusive match 1.5
+      ("A", 3000L, 11.0),  // between quotes -> 1.0
+      ("B", 8000L, 12.0),  // staleness: 8000-2000 > 5000 -> None
+      ("C", 3000L, 13.0))  // no quotes for key -> None
+    q.processAllAvailable()
+    // batch 2: state carries A@4000 across batches; a newer quote supersedes
+    trades.addData(("A", 6000L, 14.0))
+    q.processAllAvailable()
+    quotes.addData(("A", 7000L, 2.0))
+    trades.addData(("A", 7500L, 15.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("asofstream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sorted.toSeq
+    assert(rows == Seq(
+      ("A", 3000L, 11.0, Some(1.0)),
+      ("A", 4000L, 10.0, Some(1.5)),
+      ("A", 6000L, 14.0, Some(1.5)), // cross-batch state
+      ("A", 7500L, 15.0, Some(2.0)), // superseded by newer quote
+      ("B", 8000L, 12.0, None),      // beyond staleness horizon
+      ("C", 3000L, 13.0, None)), rows)
+
+    // parity with the batch operator on the SAME data (tolerance = staleness)
+    val bLeft = Seq(("A", 4000L, 10.0), ("A", 3000L, 11.0), ("B", 8000L, 12.0),
+      ("C", 3000L, 13.0), ("A", 6000L, 14.0), ("A", 7500L, 15.0))
+      .toDF("sym", "ts", "qty")
+    val bRight = Seq(("A", 1000L, 1.0), ("A", 4000L, 1.5), ("B", 2000L, 9.0),
+      ("A", 7000L, 2.0)).toDF("sym", "ts", "px")
+    val batch = graft.ops.AsOfJoin.asof(bLeft, bRight, Seq("sym"), "ts",
+      rightCols = Seq("px"), rightPrefix = "q_", toleranceMs = Some(5000L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(r.fieldIndex("q_px"))).map(_.asInstanceOf[Double]))).sorted.toSeq
+    assert(batch == rows, s"batch=$batch stream=$rows")
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
