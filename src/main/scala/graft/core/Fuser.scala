@@ -106,11 +106,16 @@ object Fuser {
         if (s.secondarySortCol.isEmpty && s.format == "parquet")
           // Narrow catch: only the known unresolvable-`_metadata` case
           // (forceSchema/partitioned loads project it away) falls back to the
-          // legacy id — a bad regex or FS failure must propagate, not
-          // silently demote the determinism guarantee.
+          // legacy id — any OTHER analysis failure (e.g. a column conflict),
+          // a bad regex or an FS failure must propagate, not silently demote
+          // the determinism guarantee.
           try df = df.withColumn(RowIdCol, SourceLoader.parquetRowId(spark, s.path,
             s.fileSortRegex, s.fileSortIdx))
-          catch { case _: org.apache.spark.sql.AnalysisException => () }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("_metadata") ||
+                   Option(e.getCondition).exists(_.contains("UNRESOLVED_COLUMN")) => ()
+          }
         FrameSource(df, s.descriptor, s.timestampCol,
           tsConvert = s.tsConvert, removeCols = s.removeCols,
           secondarySortCol = s.secondarySortCol)

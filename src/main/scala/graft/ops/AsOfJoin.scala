@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * broadcast of either side required, skew-safe under AQE. An event exactly
   * at a right timestamp sees that right row (inclusive `<=`, matching the
   * fuse engine's boundary rules).
+  *
+  * Hot-key caveat: the per-key carry window serializes ONE key's full
+  * (left + right) history into a single task — inherent to per-key running
+  * state, and AQE skew-split cannot split a window partition. For mega-keys
+  * use [[graft.streaming.StreamingAsOfJoin]] (bounded state, no per-key
+  * history) or shard the key by a coarse time bucket and stitch boundaries.
   */
 object AsOfJoin {
 
@@ -58,19 +64,30 @@ object AsOfJoin {
     // partitionBy groups NULLs together — so null-keyed right rows must not
     // enter the union (null-keyed left rows then correctly attach nothing).
     val rightNonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    // Tiebreak struct restricted to ORDERABLE right columns: sorting by the
+    // whole __rrow would fail at analysis if any attached column is
+    // non-orderable (e.g. MapType). Rows tied on (ts, all orderable cols)
+    // but differing in a non-orderable column pick arbitrarily — the
+    // remaining nondeterminism is unobservable through ordering anyway.
+    val orderableRight = rightCols.filter { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType)
+    }
     val taggedRight = right.filter(rightNonNullKeys).select(
       keyCols.map(col) :+ col(tsCol) :+
         struct(col(tsCol).as(rTs) +: rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*)
-          .as("__rrow") :+ lit(rightSide).as("__side"): _*)
+          .as("__rrow") :+
+        struct(col(tsCol) +: orderableRight.map(col): _*).as("__rtie") :+
+        lit(rightSide).as("__side"): _*)
     val taggedLeft = left.withColumn("__side", lit(1))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
-    // __rrow as the final order key makes right-side ties deterministic:
+    // __rtie as the final order key makes right-side ties deterministic:
     // backward picks the struct-largest tied right row, forward the
-    // smallest (left rows carry null __rrow and are unaffected).
+    // smallest (left rows carry null __rtie and are unaffected).
     val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"), col("__rrow"))
+      .orderBy(col(tsCol), col("__side"), col("__rtie"))
     val attached = (if (forward)
       unioned.withColumn("__rrow",
         first(col("__rrow"), ignoreNulls = true)

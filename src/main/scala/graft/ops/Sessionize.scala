@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * the key, parallel across executors, nothing single-task. Session ids are
   * per-key ordinals (0-based first session), deterministic given a total
   * (ts, tieCols) order.
+  *
+  * Hot-key caveat: a per-key running ordinal is inherently sequential, so
+  * ONE key's whole history sorts and numbers inside one window task (every
+  * engine pays this; AQE skew-split cannot split a window partition). For a
+  * mega-key (a bot user with 10⁸ events) prefer the streaming
+  * `session_window` variant ([[graft.streaming.StreamingResampler.sessionize]]),
+  * which never materializes a key's full history, or pre-split the key.
   */
 object Sessionize {
 

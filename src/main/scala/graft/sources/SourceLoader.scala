@@ -98,8 +98,11 @@ object SourceLoader {
       val line = Option(rd.readLine()).getOrElse(
         throw new NoValidFilesException(s"$file is empty"))
       // strip a UTF-8 BOM (Excel exports); limit -1 keeps trailing empty
-      // fields so a trailing separator fails loudly instead of mis-zipping
-      line.stripPrefix("\uFEFF").split(sep.toString, -1).toSeq
+      // fields so a trailing separator fails loudly instead of mis-zipping.
+      // The separator is regex-quoted: split() takes a regex, so '|' or '.'
+      // separators would otherwise split on every character.
+      line.stripPrefix("\uFEFF")
+        .split(java.util.regex.Pattern.quote(sep.toString), -1).toSeq
         .map(_.trim.stripPrefix("\"").stripSuffix("\""))
     } finally rd.close()
   }
@@ -144,11 +147,18 @@ object SourceLoader {
     StructType(header.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
   }
 
-  /** Load one source directory as a DataFrame. */
-  def load(spark: SparkSession, spec: SourceSpec): DataFrame = {
-    val df = loadFull(spark, spec)
-    spec.numRows.map(df.limit).getOrElse(df)
-  }
+  /** Load one source directory as a DataFrame. `spec.numRows` caps rows
+    * PER FILE (the reference's probe/sampling semantics, datasources.py:230
+    * — each file contributes its first `num_rows` rows), not globally.
+    */
+  def load(spark: SparkSession, spec: SourceSpec): DataFrame = loadFull(spark, spec)
+
+  /** Per-file row cap for parquet scans: `_metadata.row_index` is the row's
+    * physical position in its file, so one metadata filter expresses
+    * first-n-per-file without any per-file plan unions.
+    */
+  private def perFileCap(df: DataFrame, spec: SourceSpec): DataFrame =
+    spec.numRows.map(n => df.filter(col("_metadata.row_index") < n)).getOrElse(df)
 
   /** The spec's file list: listed, and narrowed by `fileSortRegex` when set
     * (files without a sort key are excluded from processing entirely, like
@@ -183,7 +193,7 @@ object SourceLoader {
       // Partitioned/nested layout (e.g. date=.../part-*.parquet): delegate to
       // Spark's partition discovery; per-file validation and the file-order
       // row id don't apply here.
-      spark.read.parquet(spec.path)
+      perFileCap(spark.read.parquet(spec.path), spec)
     case "parquet" =>
       val files = specFiles(spark, spec)
       spec.schema match {
@@ -197,8 +207,11 @@ object SourceLoader {
           // scans still run distributed.
           def castTo(df: DataFrame): DataFrame =
             df.select(s.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-          files.map(f => castTo(spark.read.parquet(f))).reduce(_.unionByName(_))
-        case _ => spark.read.parquet(files: _*)
+          files.map { f =>
+            val one = castTo(spark.read.parquet(f))
+            spec.numRows.map(one.limit).getOrElse(one)
+          }.reduce(_.unionByName(_))
+        case _ => perFileCap(spark.read.parquet(files: _*), spec)
       }
     case "csv" =>
       val files = specFiles(spark, spec)
@@ -219,7 +232,7 @@ object SourceLoader {
               "positional types require a header row to zip against")), ts)
         }
       }
-      resolved match {
+      def readCsv(fs: Seq[String]): DataFrame = resolved match {
         case Some(s) =>
           actual match {
             case Some(hdr) =>
@@ -228,14 +241,21 @@ object SourceLoader {
               // the by-name binding the reference gets from Polars dtype
               // dicts (classes.py:133-171).
               val byName = s.fields.map(f => f.name -> f).toMap
-              base.schema(StructType(hdr.map(byName(_)))).csv(files: _*)
+              base.schema(StructType(hdr.map(byName(_)))).csv(fs: _*)
                 .select(s.fieldNames.map(col).toSeq: _*)
             case None =>
-              base.schema(s).csv(files: _*)
+              base.schema(s).csv(fs: _*)
           }
         case None =>
           // No declared types: infer (reference warns, classes.py:137-143).
-          base.option("inferSchema", "true").csv(files: _*)
+          base.option("inferSchema", "true").csv(fs: _*)
+      }
+      spec.numRows match {
+        // per-file cap: CSV has no physical row index, so read each file
+        // separately under the SAME bound schema and union the capped heads
+        // (numRows is a probe-style knob — small n, few files)
+        case Some(n) => files.map(f => readCsv(Seq(f)).limit(n)).reduce(_.unionByName(_))
+        case None    => readCsv(files)
       }
     case other => throw new IllegalArgumentException(s"Unknown source format: $other")
   }
@@ -275,8 +295,15 @@ object SourceLoader {
     val idx: Map[String, Long] = files.zipWithIndex.map { case (f, i) =>
       new Path(f).getName -> i.toLong
     }.toMap
-    element_at(typedLit(idx), col("_metadata.file_name")) * lit(1L << 40) +
-      col("_metadata.row_index")
+    // A scanned file missing from the listing (added between list and scan,
+    // or duplicate basenames across glob dirs) must fail fast — a silent
+    // null id would quietly demote the stable-tiebreak guarantee.
+    val fileIdx = element_at(typedLit(idx), col("_metadata.file_name"))
+    val checked = when(fileIdx.isNull,
+      raise_error(concat(
+        lit(s"parquetRowId: scanned file not in the listing of $path: "),
+        col("_metadata.file_name")))).otherwise(fileIdx)
+    checked * lit(1L << 40) + col("_metadata.row_index")
   }
 
   /** Header/shape validation of an already-loaded frame: loaded columns must

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   *                         tiebreaker (reference `secondary_sort_col`)
   * @param forceSchema      for parquet: cast columns to the declared schema
   *                         (reference datasources.py:364,394-395)
-  * @param numRows          optional row limit applied at load — the
+  * @param numRows          optional PER-FILE row cap applied at load (each
+  *                         file contributes its first `numRows` rows) — the
   *                         reference's `num_rows` probe/sampling knob
   *                         (datasources.py:230,369)
   * @param fileSortRegex    optional regex ordering the source's files

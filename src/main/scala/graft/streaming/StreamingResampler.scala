@@ -116,6 +116,8 @@ object StreamingResampler {
             state.remove()
             Iterator.empty
           } else {
+            // materializes ONE key's micro-batch (bounded by trigger size,
+            // not by history) — the per-key sort GroupState cannot give us
             val sorted = rows.toSeq.sortBy(_._2)
             val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, V)]
             var (nextB, prev) = state.getOption match {

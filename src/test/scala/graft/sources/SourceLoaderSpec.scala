@@ -142,12 +142,17 @@ class SourceLoaderSpec extends SparkTestBase {
     assert(status == graft.ops.Replay.NoValidFilesToProcess)
   }
 
-  test("numRows limit on load (datasources.py:230,369)") {
+  test("numRows caps rows PER FILE (datasources.py:230,369)") {
+    // 2 files x 2 rows; numRows = 1 takes each file's FIRST row (reference
+    // per-file head semantics, not a global limit)
     val spec = SourceSpec(path = dir, format = "csv", descriptor = "t",
       timestampCol = "Timestamp",
       positionalTypes = Some(Seq(LongType, DoubleType, StringType)),
-      numRows = Some(3))
-    assert(SourceLoader.load(spark, spec).count() == 3)
+      numRows = Some(1))
+    val rows = SourceLoader.load(spark, spec).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1000L, 3000L))
+    // a cap above any file's row count changes nothing
+    assert(SourceLoader.load(spark, spec.copy(numRows = Some(5))).count() == 4)
   }
 
   test("regex file ordering by extracted integer (S6, datasources.py:189-212)") {
