@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.Resampler
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -608,6 +608,97 @@ object Queries {
       |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** PII scrub (training-data hygiene): emails/URLs replaced by placeholder
+    * tokens. The synthetic corpus contains none, so the query PLANTS a
+    * deterministic email+URL suffix on every 7th doc from `doc_id` — both
+    * engines build the identical input — then verifies the full rewrite via
+    * md5 of the scrubbed text plus redaction/length audit columns.
+    */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com at https://ex.org/d"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextAnalysis.scrub(planted)).as("scrubbed_md5"),
+        TextAnalysis.scrubCount(planted).as("n_redactions"),
+        length(TextAnalysis.scrub(planted)).as("n_chars_after"))
+      .orderBy("doc_id")
+  }
+
+  val scrubSql: String = {
+    val email = TextAnalysis.EmailPattern
+    val url   = TextAnalysis.UrlPattern
+    raw"""WITH p AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0
+      |              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+      |                   || '@example.com at https://ex.org/d' || CAST(doc_id AS VARCHAR)
+      |              ELSE text END AS t
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+      |                        '$url', '<URL>', 'g') AS scrubbed,
+      |         CAST(len(regexp_extract_all(t, '$email'))
+      |              + len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_redactions
+      |  FROM p
+      |)
+      |SELECT doc_id, md5(scrubbed) AS scrubbed_md5, n_redactions,
+      |       CAST(length(scrubbed) AS INTEGER) AS n_chars_after
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Top word bigrams by document frequency (corpus vocabulary profiling):
+    * distinct-per-doc shingle explode → one map-side-combined count → top-20
+    * via TakeOrdered (count desc, bigram asc — deterministic), never a full
+    * sort of the vocabulary.
+    */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    Dedup.explodedShingles(tbl(spark, dir, "documents"), "text", "doc_id", n = 2)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(20)
+
+  val ngramFreqSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))])) AS shingle
+      |  FROM w
+      |)
+      |SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+      |ORDER BY df DESC, shingle LIMIT 20""".stripMargin
+
+  /** Deterministic stratified sample: hash-of-id sampling with per-source
+    * rates (downweight src0, drop src1, default half) — reproducible across
+    * engines, partitionings and appends; the oracle recomputes the identical
+    * md5-derived score.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(tbl(spark, dir, "documents"), "doc_id", "source",
+      rates = Map("src0" -> 0.2, "src1" -> 0.0), defaultFraction = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String = {
+    val hex8 = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         CAST($hex8 AS DOUBLE) / 4294967296.0 AS score
+       |  FROM documents)
+       |WHERE score < (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.0
+       |               ELSE 0.5 END)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------- similarity
 

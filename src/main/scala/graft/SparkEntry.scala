@@ -46,6 +46,9 @@ object SparkEntry {
     "q_token_bpe"        -> (Queries.tokenBpe _),
     "q_fingerprint"      -> (Queries.fingerprint _),
     "q_fingerprint_rolling" -> (Queries.fingerprintRolling _),
+    "q_scrub"            -> (Queries.scrub _),
+    "q_ngram_freq"       -> (Queries.ngramFreq _),
+    "q_sample_stratified" -> (Queries.sampleStratified _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
@@ -95,6 +98,9 @@ object SparkEntry {
     "q_token_bpe"       -> Queries.tokenBpeSql,
     "q_fingerprint"     -> Queries.fingerprintSql,
     "q_fingerprint_rolling" -> Queries.fingerprintRollingSql,
+    "q_scrub"           -> Queries.scrubSql,
+    "q_ngram_freq"      -> Queries.ngramFreqSql,
+    "q_sample_stratified" -> Queries.sampleStratifiedSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_ann_lsh"         -> Queries.annLshSql,

@@ -117,6 +117,27 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.wordShingles(text, n)
 
+  /** PII scrub patterns, restricted to the regex subset Java and RE2 parse
+    * identically (no lookaround, no backrefs) so oracles reproduce the
+    * rewrite byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern   = "https?://[^\\s]+"
+
+  /** Scrub emails and URLs from a text column (training-data hygiene pass):
+    * each match is replaced with its placeholder token. Pure
+    * `regexp_replace` — codegen'd, one pass per pattern, no UDF.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(UrlPattern), lit("<URL>"))
+
+  /** Count of scrubbed spans (emails + URLs) for audit/quality columns. */
+  def scrubCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(UrlPattern)))
+      .cast("long")
+
   /** Document fingerprint: the k lexicographically-smallest md5 digests of
     * the word `n`-gram shingles (a winnowing-style min-hash sketch built
     * from codegen'd builtins; md5 is identically defined everywhere, so
