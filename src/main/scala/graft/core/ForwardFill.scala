@@ -53,16 +53,17 @@ object ForwardFill {
       .distinct.sorted
   }
 
-  /** Bucket id from sorted split bounds: number of splits <= value, as one
-    * codegen'd sum of comparisons (splits are bounded by `numBuckets`, so
-    * the projection stays small). Null order keys sort first in global()
-    * (nulls-first asc); bucket -1 gives them the same position here.
+  /** Bucket id from sorted split bounds: number of splits <= value, via the
+    * native O(log splits) [[graft.functions.SearchSorted]] binary search (a
+    * chained when-sum over 255 splits measured ~30x slower at 40M rows).
+    * Null order keys sort first in global() (nulls-first asc); bucket -1
+    * gives them the same position here.
     */
   private def bucketCol(orderCol: String, splits: Array[Double]): Column = {
     val v = col(orderCol).cast("double")
     val idx =
       if (splits.isEmpty) lit(0L)
-      else splits.map(s => when(v >= lit(s), 1L).otherwise(0L)).reduce(_ + _)
+      else graft.functions.SearchSorted.searchSorted(v, splits)
     when(col(orderCol).isNull, lit(-1L)).otherwise(idx)
   }
 

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** `search_sorted(value, splits)` — the number of `splits` elements `<=`
+  * the value: the bucket index of `value` in the partition induced by the
+  * sorted split points (numpy's `searchsorted(side='right')`).
+  *
+  * Exists because quantile-derived bucketing (ForwardFill) needs a per-row
+  * bucket id against up to ~256 split points: a chained
+  * `when(v >= s0, 1) + when(v >= s1, 1) + ...` column is O(splits) CaseWhen
+  * nodes evaluated per row — measured ~30x slower end-to-end at 40M rows —
+  * while this is one codegen'd O(log splits) binary search over a constant
+  * array baked into the generated class.
+  */
+case class SearchSorted(child: Expression, splits: Array[Double])
+    extends UnaryExpression {
+
+  require(splits.nonEmpty, "search_sorted requires at least one split")
+  require(splits.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "splits must be strictly increasing")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"search_sorted requires double, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SearchSorted.bucketOf(v.asInstanceOf[Double], splits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one constant array per expression instance, shared by all rows
+    val arr = ctx.addReferenceObj("splits", splits, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SearchSorted.bucketOf($c, $arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SearchSorted =
+    copy(child = newChild)
+}
+
+object SearchSorted {
+
+  /** Count of splits <= v via binary search (splits strictly increasing). */
+  def bucketOf(v: Double, splits: Array[Double]): Long = {
+    var lo = 0
+    var hi = splits.length // invariant: splits(<lo) <= v < splits(>=hi)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (splits(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  def searchSorted(value: Column, splits: Array[Double]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SearchSorted(org.apache.spark.sql.graftbridge.Bridge.expression(value), splits))
+}
