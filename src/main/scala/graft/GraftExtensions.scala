@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, RollingMinHash, VectorDot, WordListHits, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, RollingMinHash, SearchSorted, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -61,6 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ws.map(_.toString).toSeq
           case other => throw new IllegalArgumentException(
             s"word_list_hits requires an array literal of words, got $other")
+        }) }))
+    ext.injectFunction((
+      new FunctionIdentifier("search_sorted"),
+      new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "search_sorted"); SearchSorted(exprs.head,
+        foldableArg(exprs, 1, "search_sorted", "an array literal of sorted doubles") match {
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val ds = arr.toObjectArray(org.apache.spark.sql.types.DoubleType)
+            require(!ds.contains(null), "search_sorted splits must not contain nulls")
+            ds.map(_.asInstanceOf[java.lang.Number].doubleValue())
+          case other => throw new IllegalArgumentException(
+            s"search_sorted requires an array literal of doubles, got $other")
         }) }))
   }
 

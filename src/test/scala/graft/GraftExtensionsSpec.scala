@@ -12,6 +12,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(row.getSeq[String](0) == Seq("a b", "b c", "c d"))
       assert(row.getString(1).matches("[0-9a-f]{32}"))
       assert(row.getLong(2) == 3L) // 'the' twice + 'cat' once
+      val ss = spark.sql(
+        "SELECT search_sorted(15.0D, array(10.0D, 20.0D)) AS b").head
+      assert(ss.getLong(0) == 1L)
     }
   }
 
