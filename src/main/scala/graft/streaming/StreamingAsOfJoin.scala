@@ -65,17 +65,20 @@ object StreamingAsOfJoin {
             val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
             var buf    = state.getOption.getOrElse(Nil) // ascending rTs
             val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, L, Option[R])]
-            sorted.foreach {
-              case (_, ts, 0, _, Some(rv)) =>
+            // the side TAG decides the branch (a null payload must not
+            // demote a left row to silence or drop a right tombstone)
+            sorted.foreach { case (_, ts, side, lvOpt, rvOpt) =>
+              if (side == 0) {
                 // replace-then-insert keeps one row per rTs (last arrival
                 // wins); re-sort because state carried from a previous batch
                 // may hold timestamps above a late-but-in-horizon right
+                val rv = rvOpt.getOrElse(null.asInstanceOf[R])
                 buf = (buf.filterNot(_._1 == ts) :+ ((ts, rv))).sortBy(_._1)
-              case (_, ts, 1, Some(lv), _) =>
+              } else {
                 val m = buf.takeWhile(_._1 <= ts).lastOption
                   .filter(_._1 >= ts - maxStalenessMs)
-                out += ((key, ts, lv, m.map(_._2)))
-              case _ => () // unreachable: tags are constructed above
+                out += ((key, ts, lvOpt.getOrElse(null.asInstanceOf[L]), m.map(_._2)))
+              }
             }
             // prune state to the staleness horizon behind the newest event
             val maxSeen = (buf.iterator.map(_._1) ++ sorted.iterator.map(_._2))
