@@ -66,13 +66,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("search_sorted"),
       new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),
       (exprs: Seq[Expression]) => { arity(exprs, 2, "search_sorted"); SearchSorted(exprs.head,
-        foldableArg(exprs, 1, "search_sorted", "an array literal of sorted doubles") match {
+        foldableArg(exprs, 1, "search_sorted", "an array literal of sorted numbers") match {
           case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
-            val ds = arr.toObjectArray(org.apache.spark.sql.types.DoubleType)
+            // extract with the literal's ACTUAL element type — toObjectArray
+            // with DoubleType would ClassCastException on array(10, 20)
+            val elemType = exprs(1).dataType match {
+              case org.apache.spark.sql.types.ArrayType(et, _) => et
+              case other => throw new IllegalArgumentException(
+                s"search_sorted requires an array literal, got $other")
+            }
+            val ds = arr.toObjectArray(elemType)
             require(!ds.contains(null), "search_sorted splits must not contain nulls")
-            ds.map(_.asInstanceOf[java.lang.Number].doubleValue())
+            ds.toIndexedSeq.map {
+              case n: java.lang.Number => n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"search_sorted splits must be numeric, got $other")
+            }
           case other => throw new IllegalArgumentException(
-            s"search_sorted requires an array literal of doubles, got $other")
+            s"search_sorted requires an array literal of numbers, got $other")
         }) }))
   }
 

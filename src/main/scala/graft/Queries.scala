@@ -360,16 +360,17 @@ object Queries {
 
   /** MinHash+LSH candidate pairs verified at jaccard >= 0.8. The oracle is
     * the UNCAPPED exact-jaccard pair set: the banded minhash join must
-    * recover every pair at this threshold (the ScalaTest suite asserts
-    * candidates ⊇ exact pairs; the 8-band/2-row scheme catches a
-    * jaccard-0.8 pair with probability 1-(1-0.8²)⁸ ≈ 0.9997 and the
-    * fixture's true pairs sit well above the threshold), and the verify
-    * step computes the identical exact jaccard on full shingle sets — so
-    * the engine output EQUALS the relational definition here, hash-checked.
+    * recover every pair at this threshold and the verify step computes the
+    * identical exact jaccard on full shingle sets — so the engine output
+    * EQUALS the relational definition, hash-checked. 16 bands of 2 put the
+    * miss probability of even a borderline jaccard-0.8 pair at
+    * (1-0.8²)¹⁶ ≈ 1e-7 (and the fixture's true pairs sit well above the
+    * threshold), so the equality is a property of the scheme, not of one
+    * lucky fixture; the spec additionally asserts candidates ⊇ exact pairs.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", "doc_id",
-      n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8)
+      n = 3, bands = 16, rowsPerBand = 2, verifyThreshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram jaccard pairs with NO df cap — the relational definition
@@ -791,10 +792,20 @@ object Queries {
     * nearest-centroid assignment in DuckDB from this exported table, and
     * [[annIvf]] re-derives the per-cell top-k from the exported cells.
     */
+  /** Training is deterministic, so cache the trained centroids per data dir
+    * — q_ivf_centroids / q_ivf_cells / q_ann_ivf would otherwise each rerun
+    * the sample job + Lloyd iterations inside one Verify/Bench pass.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]]
+  private def trainedCentroids(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    ivfCache.getOrElseUpdate(dir,
+      Similarity.ivfCentroids(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 16))
+
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Similarity.ivfCentroids(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      nCells = 16)
+    trainedCentroids(spark, dir)
       .toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("cell_id", "centroid")
       .orderBy("cell_id")
@@ -802,13 +813,15 @@ object Queries {
 
   /** Nearest-centroid cell assignment for every vector. */
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAssign(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      nCells = 16)
+    Similarity.ivfAssign(tbl(spark, dir, "embeddings"), "embedding",
+      trainedCentroids(spark, dir))
       .select(col("vec_id"), col("cell_id"))
       .orderBy("vec_id")
 
   /** Oracle: re-derive the assignment from the exported centroids (max
-    * cosine, lowest cell id on ties — the engine's struct-max tie rule).
+    * ROUNDED cosine, lowest cell id on ties — mirroring the engine's
+    * round-6 argmax exactly; unrounded similarities would let float
+    * summation-order differences flip near-tie cells between engines).
     * `__VERIFY_OUT__` is replaced by Verify with the dump directory.
     */
   val ivfCellsSql: String =
@@ -819,7 +832,7 @@ object Queries {
       |), ranked AS (
       |  SELECT vec_id, cell_id,
       |         row_number() OVER (PARTITION BY vec_id
-      |           ORDER BY list_cosine_similarity(v, centroid) DESC, cell_id) AS rn
+      |           ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, cell_id) AS rn
       |  FROM e, c
       |)
       |SELECT vec_id, cell_id FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
@@ -831,7 +844,7 @@ object Queries {
     import spark.implicits._
     val e = tbl(spark, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
-      nCells = 16, k = 10)
+      k = 10, centroids = trainedCentroids(spark, dir))
       .orderBy("query_id", "rank")
   }
 

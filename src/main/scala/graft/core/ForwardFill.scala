@@ -48,7 +48,11 @@ object ForwardFill {
   private[graft] def bucketBounds(
       df: DataFrame, orderCol: String, numBuckets: Int): Array[Double] = {
     val probes = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    // NaN keys are excluded from the bounds (they would corrupt the
+    // quantile sketch); search_sorted buckets them LAST, matching Spark's
+    // sort order (NaN greater than every double).
     df.select(col(orderCol).cast("double").as(orderCol))
+      .filter(!isnan(col(orderCol)))
       .stat.approxQuantile(orderCol, probes, 0.001)
       .distinct.sorted
   }

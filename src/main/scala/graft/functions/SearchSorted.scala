@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * while this is one codegen'd O(log splits) binary search over a constant
   * array baked into the generated class.
   */
-case class SearchSorted(child: Expression, splits: Array[Double])
+case class SearchSorted(child: Expression, splits: Seq[Double])
     extends UnaryExpression {
+  // Seq, not Array: case-class equality on Array is reference identity,
+  // which would defeat Catalyst canonicalization / subexpression
+  // elimination for equal split sets. The evaluation kernel gets an Array.
 
   require(splits.nonEmpty, "search_sorted requires at least one split")
   require(splits.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
     "splits must be strictly increasing")
+
+  @transient private lazy val splitsArr: Array[Double] = splits.toArray
 
   override def dataType: DataType = LongType
 
@@ -33,11 +38,11 @@ case class SearchSorted(child: Expression, splits: Array[Double])
     }
 
   override def nullSafeEval(v: Any): Any =
-    SearchSorted.bucketOf(v.asInstanceOf[Double], splits)
+    SearchSorted.bucketOf(v.asInstanceOf[Double], splitsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // one constant array per expression instance, shared by all rows
-    val arr = ctx.addReferenceObj("splits", splits, "double[]")
+    val arr = ctx.addReferenceObj("splits", splitsArr, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.SearchSorted.bucketOf($c, $arr);")
   }
@@ -48,8 +53,13 @@ case class SearchSorted(child: Expression, splits: Array[Double])
 
 object SearchSorted {
 
-  /** Count of splits <= v via binary search (splits strictly increasing). */
+  /** Count of splits <= v via binary search (splits strictly increasing).
+    * NaN sorts greater than every double in Spark's ordering, so it lands
+    * in the LAST bucket — `splits(mid) <= NaN` alone would be false
+    * everywhere and silently bucket NaN rows first.
+    */
   def bucketOf(v: Double, splits: Array[Double]): Long = {
+    if (java.lang.Double.isNaN(v)) return splits.length.toLong
     var lo = 0
     var hi = splits.length // invariant: splits(<lo) <= v < splits(>=hi)
     while (lo < hi) {
@@ -61,5 +71,6 @@ object SearchSorted {
 
   def searchSorted(value: Column, splits: Array[Double]): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
-      SearchSorted(org.apache.spark.sql.graftbridge.Bridge.expression(value), splits))
+      SearchSorted(org.apache.spark.sql.graftbridge.Bridge.expression(value),
+        splits.toIndexedSeq))
 }

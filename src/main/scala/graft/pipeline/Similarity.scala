@@ -177,11 +177,14 @@ object Similarity {
     require(nCells > 0, "nCells must be positive")
     val sample = df
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      // null / null-element vectors are excluded BEFORE sampling (a null
+      // cell would NPE at extraction and could not vote a centroid anyway)
+      .filter(col("__v").isNotNull &&
+        !exists(col("__v"), e => e.isNull) && size(col("__v")) > 0)
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(math.max(sampleSize, nCells))
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-      .filter(v => v != null && v.nonEmpty)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
 
     def normalize(v: Array[Double]): Array[Double] = {
@@ -253,11 +256,17 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 
-  /** Nearest-centroid cell id as a single codegen'd column expression. */
+  /** Nearest-centroid cell id as a single codegen'd column expression.
+    * The similarity is rounded to 6 decimals before the argmax (ties then
+    * break to the smallest cell id): an unrounded argmax would let a
+    * different engine's float summation order flip near-tie assignments,
+    * which is exactly what the cross-engine cell-assignment oracle
+    * re-derives.
+    */
   def ivfCellExpr(vecCol: String, centroids: Array[(Long, Array[Double])]): Column = {
     // struct ordering = (sim, -cell): max picks highest sim, smallest cell on tie
     val candidates = centroids.map { case (id, vec) =>
-      struct(cosine(col(vecCol), array(vec.map(lit): _*)).as("sim"),
+      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
         lit(-id).as("negCell"))
     }
     -array_max(array(candidates.toSeq: _*)).getField("negCell")
@@ -268,7 +277,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCells: Int): DataFrame =
-    df.withColumn("cell_id", ivfCellExpr(vecCol, ivfCentroids(df, idCol, vecCol, nCells)))
+    ivfAssign(df, vecCol, ivfCentroids(df, idCol, vecCol, nCells))
+
+  /** Assignment against ALREADY-TRAINED centroids (training is a separate,
+    * deterministic step — callers deriving several frames from one index
+    * should train once and thread the centroids through).
+    */
+  def ivfAssign(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    df.withColumn("cell_id", ivfCellExpr(vecCol, centroids))
 
   /** IVF top-k: search only within the query vector's own cell(s). */
   def ivfTopK(
@@ -277,13 +296,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCells: Int,
-      k: Int): DataFrame = {
-    // Centroids collected once; the corpus-wide assignment expression runs in
-    // exactly one pass. Queries are assigned from their OWN vectors (the
-    // query frame needn't be a corpus subset — external query tables work,
-    // and a query id coinciding with a corpus id never silently swaps in the
-    // corpus vector).
-    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+      k: Int): DataFrame =
+    ivfTopK(df, queries, idCol, vecCol, k,
+      ivfCentroids(df, idCol, vecCol, nCells))
+
+  /** IVF top-k against already-trained centroids. */
+  def ivfTopK(
+      df: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    // Centroids trained/collected once; the corpus-wide assignment
+    // expression runs in exactly one pass. Queries are assigned from their
+    // OWN vectors (the query frame needn't be a corpus subset — external
+    // query tables work, and a query id coinciding with a corpus id never
+    // silently swaps in the corpus vector).
     val cellOf    = ivfCellExpr(vecCol, centroids)
     val qAssigned = queries.select(col(idCol), col(vecCol))
       .withColumn("cell_id", cellOf)

@@ -63,19 +63,36 @@ object StreamingAsOfJoin {
             // (ts, side) order: side 0 rights sort before coincident lefts,
             // so a left event AT a right timestamp sees it (inclusive <=)
             val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
-            var buf    = state.getOption.getOrElse(Nil) // ascending rTs
-            val out    = scala.collection.mutable.ArrayBuffer.empty[(K, Long, L, Option[R])]
+            // ascending rTs; ArrayBuffer so the common append path (batch
+            // rows already arrive ts-ordered) is amortized O(1) — a
+            // filterNot+sort per right row would be O(b²logb) on a hot key
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, R)]
+            state.getOption.foreach(buf ++= _)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, L, Option[R])]
             // the side TAG decides the branch (a null payload must not
             // demote a left row to silence or drop a right tombstone)
+            // index of the first buffer entry with rTs > ts (binary search)
+            def upperBound(ts: Long): Int = {
+              var lo = 0; var hi = buf.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (buf(mid)._1 <= ts) lo = mid + 1 else hi = mid
+              }
+              lo
+            }
             sorted.foreach { case (_, ts, side, lvOpt, rvOpt) =>
               if (side == 0) {
-                // replace-then-insert keeps one row per rTs (last arrival
-                // wins); re-sort because state carried from a previous batch
-                // may hold timestamps above a late-but-in-horizon right
+                // keep one row per rTs (last arrival wins), buffer sorted:
+                // common case appends at the tail; a late-but-in-horizon
+                // right (state carried from a previous batch holds larger
+                // timestamps) inserts at its binary-searched position
                 val rv = rvOpt.getOrElse(null.asInstanceOf[R])
-                buf = (buf.filterNot(_._1 == ts) :+ ((ts, rv))).sortBy(_._1)
+                val at = upperBound(ts)
+                if (at > 0 && buf(at - 1)._1 == ts) buf(at - 1) = (ts, rv)
+                else buf.insert(at, (ts, rv))
               } else {
-                val m = buf.takeWhile(_._1 <= ts).lastOption
+                val at = upperBound(ts)
+                val m = (if (at > 0) Some(buf(at - 1)) else None)
                   .filter(_._1 >= ts - maxStalenessMs)
                 out += ((key, ts, lvOpt.getOrElse(null.asInstanceOf[L]), m.map(_._2)))
               }
@@ -83,9 +100,10 @@ object StreamingAsOfJoin {
             // prune state to the staleness horizon behind the newest event
             val maxSeen = (buf.iterator.map(_._1) ++ sorted.iterator.map(_._2))
               .foldLeft(Long.MinValue)(math.max)
-            if (maxSeen > Long.MinValue)
-              buf = buf.dropWhile(_._1 < maxSeen - maxStalenessMs)
-            state.update(buf)
+            state.update(
+              if (maxSeen > Long.MinValue)
+                buf.dropWhile(_._1 < maxSeen - maxStalenessMs).toList
+              else buf.toList)
             idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }
