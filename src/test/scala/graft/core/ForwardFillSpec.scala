@@ -85,6 +85,24 @@ class ForwardFillSpec extends SparkTestBase {
     assert(g.toSeq == p.toSeq)
   }
 
+  test("NaN order keys bucket last, matching global sort order") {
+    // Spark sorts NaN greater than every double: the partitioned fill must
+    // place NaN-keyed rows in the LAST bucket or their fills/carries diverge
+    val data = (0 until 500).map { i =>
+      val ts = if (i % 50 == 0) Double.NaN else i.toDouble
+      (ts, if (i % 3 == 0) Some(i.toDouble) else None, i.toLong)
+    }
+    val df = data.toDF("ts", "x", "id").repartition(4)
+    def render(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(2), Option(r.get(1)))).toSeq
+    val g = render(ForwardFill.global(df, Seq("x"), Seq(col("ts"), col("id")))
+      .orderBy(col("ts"), col("id")).collect())
+    val p = render(ForwardFill.partitioned(df, Seq("x"), "ts",
+      tieCols = Seq(col("id")), numBuckets = 8)
+      .orderBy(col("ts"), col("id")).collect())
+    assert(g == p)
+  }
+
   test("partitioned fill with long all-null stretches crossing buckets") {
     // Only the first row non-null: every bucket after the first must carry it.
     val data = (0 until 1000).map(i => (i.toLong, if (i == 0) Some(42.0) else None))
