@@ -104,6 +104,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("ngram frequency top-k is TakeOrdered, never a full vocabulary sort") {
+    val plan = planOf("q_ngram_freq")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("column pruning: minmax aggregate reads only its columns") {
     val plan = planOf("q_minmax_ts")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
