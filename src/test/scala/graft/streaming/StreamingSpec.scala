@@ -194,6 +194,51 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == rows, s"batch=$batch stream=$rows")
   }
 
+  test("randomized streaming as-of equals batch as-of under ts-ordered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd  = new scala.util.Random(17)
+    val keys = Seq("A", "B", "C")
+    // unique (key, ts) on each side: the batch operator's right-tie rule
+    // (struct-max) and the stream's last-arrival rule only coincide when
+    // (key, ts) is unique — mirroring how q_asof_join pre-collapses ties
+    def gen(n: Int): Seq[(String, Long, Double)] =
+      rnd.shuffle(
+        (for (k <- keys; ts <- rnd.shuffle((1L to 300L).toList).take(n))
+          yield (k, ts * 100L, rnd.nextInt(1000).toDouble)).toList)
+    val lefts  = gen(60)
+    val rights = gen(40)
+
+    val staleness = 3000L
+    // split by event time: batch i holds ts < cut(i) — the in-order arrival
+    // the streaming operator documents (cross-batch late rights excluded)
+    val cuts = Seq(10000L, 20000L, Long.MaxValue)
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val out = StreamingAsOfJoin.asof(trades.toDS(), quotes.toDS(), staleness)
+    val q = out.writeStream.format("memory").queryName("asofprop")
+      .outputMode("append").start()
+    var lo = Long.MinValue
+    cuts.foreach { hi =>
+      quotes.addData(rights.filter(r => r._2 >= lo && r._2 < hi))
+      trades.addData(lefts.filter(l => l._2 >= lo && l._2 < hi))
+      q.processAllAvailable()
+      lo = hi
+    }
+    q.stop()
+
+    val streamed = spark.table("asofprop")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sorted.toSeq
+    val batch = graft.ops.AsOfJoin.asof(
+        lefts.toDF("k", "ts", "v"), rights.toDF("k", "ts", "v"),
+        Seq("k"), "ts", rightCols = Seq("v"), rightPrefix = "r_",
+        toleranceMs = Some(staleness))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(r.fieldIndex("r_v"))).map(_.asInstanceOf[Double]))).sorted.toSeq
+    assert(streamed.length == lefts.length)
+    assert(streamed == batch)
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
