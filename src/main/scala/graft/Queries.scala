@@ -701,6 +701,31 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence packing: per-source contiguous token-budget bins (the
+    * pretraining packing pass). Token counts use the word-token rule so the
+    * oracle reproduces the cumsum exactly.
+    */
+  def packBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packByBudget(
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "source", "n_tokens", budget = 512L, orderCols = Seq(col("doc_id")))
+      .orderBy("doc_id")
+
+  val packBudgetSql: String =
+    """SELECT doc_id, source, n_tokens,
+      |       CAST(floor(start / 512) AS BIGINT) AS bin_id,
+      |       CAST(start - floor(start / 512) * 512 AS BIGINT) AS bin_offset
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM (SELECT doc_id, source,
+      |               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- similarity
 
   def annTopK(spark: SparkSession, dir: String): DataFrame = {

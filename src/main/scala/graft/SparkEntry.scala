@@ -49,6 +49,7 @@ object SparkEntry {
     "q_scrub"            -> (Queries.scrub _),
     "q_ngram_freq"       -> (Queries.ngramFreq _),
     "q_sample_stratified" -> (Queries.sampleStratified _),
+    "q_pack_budget"      -> (Queries.packBudget _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_scrub"           -> Queries.scrubSql,
     "q_ngram_freq"      -> Queries.ngramFreqSql,
     "q_sample_stratified" -> Queries.sampleStratifiedSql,
+    "q_pack_budget"     -> Queries.packBudgetSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_ann_lsh"         -> Queries.annLshSql,

@@ -32,6 +32,33 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < fraction)
   }
 
+  /** Contiguous token-budget packing (pretraining sequence packing): walk
+    * the documents of each stratum in a deterministic order, accumulate
+    * token counts, and assign bin `floor(startOffset / budget)` — docs
+    * whose cumulative window crosses a budget boundary start the next
+    * fill. A bin may overflow by at most its last document's tokens (the
+    * standard greedy contiguous scheme; exact first-fit-with-reset is
+    * inherently sequential state and does not distribute).
+    *
+    * Scale shape: one window cumsum per stratum — key-partitioned,
+    * parallel across strata, no global window. Adds `bin_id` and
+    * `bin_offset` (the doc's token start offset within its bin).
+    */
+  def packByBudget(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      budget: Long,
+      orderCols: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("bin_id", floor(start / lit(budget)).cast("long"))
+      .withColumn("bin_offset", (start - floor(start / lit(budget)) * lit(budget)).cast("long"))
+  }
+
   /** Per-stratum sampling rates (e.g. downweight a dominant source): rows in
     * a stratum missing from `rates` fall back to `defaultFraction`.
     */
