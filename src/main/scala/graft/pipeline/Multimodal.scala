@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque `binary`
   * columns with a typed metadata struct alongside. The Spark-side machinery
-  * (schema, batching, partition sizing) is real; the codec step is a
-  * clearly-marked deterministic stub because no image/audio libraries ship in
-  * this environment — swap `stubDecode` for a real decoder (e.g. a JNI/FFM
-  * binding) without touching the plan shape.
+  * (schema, batching, partition sizing) is real. IMAGES decode for real via
+  * the JDK's own `javax.imageio` readers ([[decodeImage]]/[[decodeImages]] —
+  * PNG/JPEG/GIF/BMP ship with Java SE, no external media libs needed);
+  * audio/video remain a clearly-marked deterministic stub ([[stubDecode]])
+  * because no codec libraries ship in this environment — swap it for a real
+  * decoder (e.g. a JNI/FFM binding) without touching the plan shape.
   *
   * Scale notes: payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
   * governs batch memory; feature extraction is `mapPartitions` over an
@@ -68,6 +70,59 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => (id, stubDecode(payload)) })
       .toDF(idCol, "features")
+  }
+
+  /** REAL image decode via the JDK's bundled ImageIO readers: returns
+    * (width, height, 16-bin L1-normalized luminance histogram), or None
+    * when the payload is not a decodable image (wrong magic, truncated
+    * file). Deterministic: integer Rec.601 luma, row-major scan.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = new Array[Double](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            bins(lum >> 4) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        var b = 0
+        while (b < 16) { bins(b) /= n; b += 1 }
+        Some((w, h, bins))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed REAL image decode over the blob table: width/height/feature
+    * columns from actual pixel data (null for undecodable payloads — report
+    * them, don't fail the job). Same bounded-memory mapPartitions shape as
+    * [[extractFeatures]]; one image is decoded at a time per task.
+    */
+  def decodeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeImage(payload) match {
+          case Some((w, h, feats)) => (id, Some(w), Some(h), Some(feats))
+          case None                => (id, None, None, None)
+        }
+      })
+      .toDF(idCol, "width", "height", "features")
   }
 
   /** Deterministic stand-in for a resize: sample the payload down to
