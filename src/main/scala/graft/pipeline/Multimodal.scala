@@ -125,6 +125,58 @@ object Multimodal {
       .toDF(idCol, "width", "height", "features")
   }
 
+  /** REAL image thumbnail: decode, scale to fit `maxDim` (aspect-preserving,
+    * never upscales), re-encode as PNG. Returns None for undecodable
+    * payloads. Uses AWT's headless-safe Graphics2D bilinear scaling — all
+    * JDK, no external codec.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] = {
+    require(maxDim > 0)
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+                    math.max(1, math.round(img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bytes)
+      Some((bytes.toByteArray, w, h))
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed real image thumbnailing: payloads re-encoded at thumbnail
+    * size with meta width/height/n_bytes/format updated; undecodable rows
+    * pass through unchanged (their meta untouched). Same map shape as
+    * [[resizePayloads]].
+    */
+  def resizeImages(df: DataFrame, idCol: String, maxDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"), col("meta.modality"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, modality) =>
+        resizeImage(payload, maxDim) match {
+          case Some((bytes, w, h)) =>
+            (id, bytes, modality, "png", bytes.length.toLong, Some(w), Some(h))
+          case None =>
+            (id, payload, modality, null: String,
+              if (payload == null) 0L else payload.length.toLong, None, None)
+        }
+      })
+      .toDF(idCol, "payload", "modality", "format", "n_bytes", "width", "height")
+      .select(col(idCol), col("payload"),
+        struct(col("modality"), col("format"), col("n_bytes"),
+          col("width"), col("height")).as("meta"))
+  }
+
   /** Deterministic stand-in for a resize: sample the payload down to
     * `targetBytes` evenly-spaced bytes (a real image resize keeps this map
     * signature: bytes in, smaller bytes out).
