@@ -12,10 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Shape: the same union trick as the batch operator, expressed as custom
   * state — both streams are tagged and merged, grouped by key, and a
   * `flatMapGroupsWithState` keeps ONLY the right rows still inside the
-  * staleness horizon as state (the staleness bound doubles as the watermark:
-  * state per key is bounded by `maxStalenessMs / right-event-spacing` rows,
-  * not by history). Left rows emit in append mode, so each left event is
-  * enriched exactly once.
+  * staleness horizon BEHIND THE NEWEST LEFT event as state. Anchoring the
+  * prune on left progress (not right progress) matters: sources advance
+  * through micro-batches independently, and a rights-ahead batch must not
+  * evict quotes that slower-arriving trades still need. State per key is
+  * bounded by `maxStalenessMs / right-event-spacing` rows once left events
+  * flow; a key receiving rights but never lefts accumulates until
+  * `idleTimeout` evicts it. Left rows emit in append mode, so each left
+  * event is enriched exactly once.
   *
   * Ordering caveats, inherent to append-mode streaming:
   *  - within a micro-batch, rows are processed in (ts, side) order with
@@ -44,7 +48,7 @@ object StreamingAsOfJoin {
       idleTimeout: Option[String] = None)(implicit
       ke: Encoder[K],
       envEnc: Encoder[(K, Long, Int, Option[L], Option[R])],
-      stateEnc: Encoder[List[(Long, R)]],
+      stateEnc: Encoder[(Long, List[(Long, R)])],
       outEnc: Encoder[(K, Long, L, Option[R])]): Dataset[(K, Long, L, Option[R])] = {
     require(maxStalenessMs >= 0, "maxStalenessMs must be >= 0")
     val l = left.map  { case (k, ts, v) => (k, ts, 1, Option(v), Option.empty[R]) }
@@ -54,20 +58,22 @@ object StreamingAsOfJoin {
       else GroupStateTimeout.NoTimeout()
 
     l.union(r).groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Long, R)], (K, Long, L, Option[R])](
+      .flatMapGroupsWithState[(Long, List[(Long, R)]), (K, Long, L, Option[R])](
         OutputMode.Append(), timeoutConf) {
         (key: K, rows: Iterator[(K, Long, Int, Option[L], Option[R])],
-         state: GroupState[List[(Long, R)]]) =>
+         state: GroupState[(Long, List[(Long, R)])]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // (ts, side) order: side 0 rights sort before coincident lefts,
             // so a left event AT a right timestamp sees it (inclusive <=)
             val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
-            // ascending rTs; ArrayBuffer so the common append path (batch
-            // rows already arrive ts-ordered) is amortized O(1) — a
-            // filterNot+sort per right row would be O(b²logb) on a hot key
+            // state = (newest left ts seen, rights ascending by rTs);
+            // ArrayBuffer so the common append path (batch rows already
+            // arrive ts-ordered) is amortized O(1) — a filterNot+sort per
+            // right row would be O(b²logb) on a hot key
+            var maxLeft = state.getOption.map(_._1).getOrElse(Long.MinValue)
             val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, R)]
-            state.getOption.foreach(buf ++= _)
+            state.getOption.foreach(buf ++= _._2)
             val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, L, Option[R])]
             // the side TAG decides the branch (a null payload must not
             // demote a left row to silence or drop a right tombstone)
@@ -95,15 +101,19 @@ object StreamingAsOfJoin {
                 val m = (if (at > 0) Some(buf(at - 1)) else None)
                   .filter(_._1 >= ts - maxStalenessMs)
                 out += ((key, ts, lvOpt.getOrElse(null.asInstanceOf[L]), m.map(_._2)))
+                if (ts > maxLeft) maxLeft = ts
               }
             }
-            // prune state to the staleness horizon behind the newest event
-            val maxSeen = (buf.iterator.map(_._1) ++ sorted.iterator.map(_._2))
-              .foldLeft(Long.MinValue)(math.max)
-            state.update(
-              if (maxSeen > Long.MinValue)
-                buf.dropWhile(_._1 < maxSeen - maxStalenessMs).toList
-              else buf.toList)
+            // Prune to the staleness horizon behind the newest LEFT seen —
+            // NOT the newest right: sources advance through micro-batches
+            // independently, and a rights-ahead batch must not evict quotes
+            // that slower-arriving trades (ts-ordered per the contract)
+            // still need. No lefts yet -> keep everything (idleTimeout is
+            // the escape for keys whose lefts never come).
+            state.update((maxLeft,
+              if (maxLeft > Long.MinValue)
+                buf.dropWhile(_._1 < maxLeft - maxStalenessMs).toList
+              else buf.toList))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }
