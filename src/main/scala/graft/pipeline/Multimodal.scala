@@ -160,14 +160,15 @@ object Multimodal {
   def resizeImages(df: DataFrame, idCol: String, maxDim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col("payload"), col("meta.modality"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, payload, modality) =>
+    df.select(col(idCol).cast("long"), col("payload"),
+        col("meta.modality"), col("meta.format"))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, payload, modality, format) =>
         resizeImage(payload, maxDim) match {
           case Some((bytes, w, h)) =>
             (id, bytes, modality, "png", bytes.length.toLong, Some(w), Some(h))
-          case None =>
-            (id, payload, modality, null: String,
+          case None => // passthrough keeps the original format untouched
+            (id, payload, modality, format,
               if (payload == null) 0L else payload.length.toLong, None, None)
         }
       })

@@ -43,6 +43,10 @@ object Sampling {
     * Scale shape: one window cumsum per stratum — key-partitioned,
     * parallel across strata, no global window. Adds `bin_id` and
     * `bin_offset` (the doc's token start offset within its bin).
+    * `orderCols` must define a TOTAL order within each stratum (include a
+    * tiebreaker) or the cumsum — and therefore the packing — is
+    * nondeterministic. One stratum's packing is one window task (the
+    * hot-key caveat of every per-key running ordinal; see Sessionize).
     */
   def packByBudget(
       df: DataFrame,
