@@ -72,25 +72,61 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** Max pixels a payload may claim before we decode it: a few-hundred-byte
+    * "bomb" PNG whose header claims 100000×100000 would make ImageIO try a
+    * multi-GB raster allocation (an OutOfMemoryError — NOT catchable as
+    * Exception — killing the task). Dimensions are read from the HEADER
+    * only (no pixel decode) and oversized payloads are rejected as
+    * undecodable. 16M px = 4096² ≈ 64 MB ARGB.
+    */
+  val MaxImagePixels: Long = 16L * 1024 * 1024
+
+  /** Decode via an explicit in-memory stream: the ImageIO.read(InputStream)
+    * default spools every payload through a temp FILE on executor disk
+    * (FileCacheImageInputStream) — pure overhead for byte arrays, and a
+    * hard failure on read-only tmpdirs. Returns null when no reader claims
+    * the bytes or the claimed dimensions exceed [[MaxImagePixels]].
+    */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, true, true)
+        // header-only dimension probe BEFORE any raster allocation
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally stream.close()
+  }
+
   /** REAL image decode via the JDK's bundled ImageIO readers: returns
     * (width, height, 16-bin L1-normalized luminance histogram), or None
     * when the payload is not a decodable image (wrong magic, truncated
-    * file). Deterministic: integer Rec.601 luma, row-major scan.
+    * file, bomb header). Deterministic: integer Rec.601 luma, row-major
+    * scan via bulk row reads (per-pixel getRGB pays a ColorModel lookup
+    * per call).
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight
         val bins = new Array[Double](16)
+        val row  = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
               (rgb & 0xff) * 114) / 1000
             bins(lum >> 4) += 1.0
@@ -134,7 +170,7 @@ object Multimodal {
     require(maxDim > 0)
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
       val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
@@ -152,24 +188,29 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Distributed real image thumbnailing: payloads re-encoded at thumbnail
-    * size with meta width/height/n_bytes/format updated; undecodable rows
-    * pass through unchanged (their meta untouched). Same map shape as
+  /** Distributed real image thumbnailing. ONLY rows whose
+    * `meta.modality == imageModality` are decoded — a non-image payload
+    * whose leading bytes happen to match an image magic must not be
+    * silently replaced by a lossy thumbnail. Resized rows get re-encoded
+    * PNG payloads with meta format/n_bytes/width/height updated;
+    * everything else (other modalities, undecodable images) passes through
+    * with payload AND meta fully untouched. Same map shape as
     * [[resizePayloads]].
     */
-  def resizeImages(df: DataFrame, idCol: String, maxDim: Int): DataFrame = {
+  def resizeImages(df: DataFrame, idCol: String, maxDim: Int,
+      imageModality: String = "image"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("payload"),
-        col("meta.modality"), col("meta.format"))
-      .as[(Long, Array[Byte], String, String)]
-      .mapPartitions(_.map { case (id, payload, modality, format) =>
-        resizeImage(payload, maxDim) match {
+        col("meta.modality"), col("meta.format"), col("meta.n_bytes"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, String, Long, Option[Int], Option[Int])]
+      .mapPartitions(_.map { case (id, payload, modality, format, nBytes, w0, h0) =>
+        (if (modality == imageModality) resizeImage(payload, maxDim) else None) match {
           case Some((bytes, w, h)) =>
             (id, bytes, modality, "png", bytes.length.toLong, Some(w), Some(h))
-          case None => // passthrough keeps the original format untouched
-            (id, payload, modality, format,
-              if (payload == null) 0L else payload.length.toLong, None, None)
+          case None => // full passthrough: original payload AND meta
+            (id, payload, modality, format, nBytes, w0, h0)
         }
       })
       .toDF(idCol, "payload", "modality", "format", "n_bytes", "width", "height")

@@ -17,9 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * through micro-batches independently, and a rights-ahead batch must not
   * evict quotes that slower-arriving trades still need. State per key is
   * bounded by `maxStalenessMs / right-event-spacing` rows once left events
-  * flow; a key receiving rights but never lefts accumulates until
-  * `idleTimeout` evicts it. Left rows emit in append mode, so each left
-  * event is enriched exactly once.
+  * flow; for a key receiving rights while its lefts lag or never arrive,
+  * `maxRightRows` is the HARD memory bound (oldest rights evicted first —
+  * only lefts further behind than the cap window lose matches). Note
+  * `idleTimeout` cannot cover that case: GroupState processing-time
+  * timeouts reset on every batch in which the key receives ANY data, so a
+  * rights-active key never times out — the timeout only reaps fully-silent
+  * keys. Left rows emit in append mode, so each left event is enriched
+  * exactly once.
+  *
+  * State schema: `(newest left ts, right buffer)` — changing this breaks
+  * restarting an existing query's checkpoint (Spark state-store schema
+  * check); wipe the checkpoint and replay on upgrade.
   *
   * Ordering caveats, inherent to append-mode streaming:
   *  - within a micro-batch, rows are processed in (ts, side) order with
@@ -39,18 +48,24 @@ object StreamingAsOfJoin {
     * @param maxStalenessMs matches older than this are dropped (emitted as
     *                       None) AND pruned from state — the state bound
     * @param idleTimeout    optional processing-time eviction for churning
-    *                       key spaces (e.g. "1 hour"), like gapFill's
+    *                       key spaces (e.g. "1 hour"), like gapFill's —
+    *                       reaps only keys receiving NO data at all
+    * @param maxRightRows   hard per-key cap on buffered right rows (oldest
+    *                       evicted) for keys whose lefts lag behind their
+    *                       rights indefinitely
     */
   def asof[K, L, R](
       left: Dataset[(K, Long, L)],
       right: Dataset[(K, Long, R)],
       maxStalenessMs: Long,
-      idleTimeout: Option[String] = None)(implicit
+      idleTimeout: Option[String] = None,
+      maxRightRows: Int = 10000)(implicit
       ke: Encoder[K],
       envEnc: Encoder[(K, Long, Int, Option[L], Option[R])],
       stateEnc: Encoder[(Long, List[(Long, R)])],
       outEnc: Encoder[(K, Long, L, Option[R])]): Dataset[(K, Long, L, Option[R])] = {
     require(maxStalenessMs >= 0, "maxStalenessMs must be >= 0")
+    require(maxRightRows > 0, "maxRightRows must be positive")
     val l = left.map  { case (k, ts, v) => (k, ts, 1, Option(v), Option.empty[R]) }
     val r = right.map { case (k, ts, v) => (k, ts, 0, Option.empty[L], Option(v)) }
     val timeoutConf =
@@ -110,10 +125,13 @@ object StreamingAsOfJoin {
             // that slower-arriving trades (ts-ordered per the contract)
             // still need. No lefts yet -> keep everything (idleTimeout is
             // the escape for keys whose lefts never come).
+            val pruned =
+              if (maxLeft > Long.MinValue) buf.dropWhile(_._1 < maxLeft - maxStalenessMs)
+              else buf
+            // hard memory bound for left-lagging keys: keep the NEWEST rows
             state.update((maxLeft,
-              if (maxLeft > Long.MinValue)
-                buf.dropWhile(_._1 < maxLeft - maxStalenessMs).toList
-              else buf.toList))
+              (if (pruned.length > maxRightRows) pruned.takeRight(maxRightRows)
+               else pruned).toList))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }

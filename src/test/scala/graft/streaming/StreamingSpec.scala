@@ -239,6 +239,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming as-of caps right-side state for left-lagging keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    // hard cap 5: 20 quotes arrive before any trade; only the newest 5
+    // survive in state, so a very-late trade matches within that window
+    // and a trade older than the kept window finds nothing
+    val out = StreamingAsOfJoin.asof(
+      trades.toDS(), quotes.toDS(), maxStalenessMs = 1000000L, maxRightRows = 5)
+    val q = out.writeStream.format("memory").queryName("asofcap")
+      .outputMode("append").start()
+    quotes.addData((1L to 20L).map(i => ("K", i * 100L, i.toDouble)))
+    q.processAllAvailable() // rights-only batch: state must cap at 5
+    trades.addData(("K", 2000L, 1.0), ("K", 1200L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asofcap")
+      .collect().map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    // kept quotes after cap: ts 1600..2000 (values 16..20)
+    assert(rows == Seq((1200L, None), (2000L, Some(20.0))), rows)
+  }
+
   test("streaming fuse unions heterogeneous sources with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Double)]
