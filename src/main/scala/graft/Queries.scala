@@ -411,8 +411,9 @@ object Queries {
 
   /** Shared CTE chain computing the md5-vote simhash per doc in DuckDB:
     * tokens → two 32-bit hash halves (hex nibbles of md5) → 64 vote sums →
-    * unsigned 64-bit assembly as HUGEINT. Mirrors
-    * [[graft.pipeline.Dedup.simhashLongDf]] exactly.
+    * unsigned 64-bit assembly as HUGEINT → signed BIGINT (`signed.s`), the
+    * engine's output type. Mirrors [[graft.pipeline.Dedup.simhashLongDf]]
+    * exactly.
     */
   private def simhashSigCte: String = {
     def hex32(off: Int): String = (0 until 8).map { i =>
@@ -439,12 +440,18 @@ object Queries {
       |  FROM hh GROUP BY doc_id
       |), sig AS (
       |  SELECT doc_id, $assembly AS usig FROM votes
+      |), signed AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN usig >= '9223372036854775808'::HUGEINT
+      |              THEN usig - '18446744073709551616'::HUGEINT
+      |              ELSE usig END AS BIGINT) AS s
+      |  FROM sig
       |)""".stripMargin
   }
 
   val simhashSql: String =
     s"""$simhashSigCte
-       |SELECT doc_id, CAST(usig AS DECIMAL(20,0)) AS simhash FROM sig
+       |SELECT doc_id, s AS simhash FROM signed
        |ORDER BY doc_id""".stripMargin
 
   /** Banded SimHash near-dup pairs within Hamming distance 3. The banding is
@@ -458,14 +465,7 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   val simhashNearDupSql: String =
-    s"""$simhashSigCte,
-       |signed AS (
-       |  SELECT doc_id,
-       |         CAST(CASE WHEN usig >= '9223372036854775808'::HUGEINT
-       |              THEN usig - '18446744073709551616'::HUGEINT
-       |              ELSE usig END AS BIGINT) AS s
-       |  FROM sig
-       |)
+    s"""$simhashSigCte
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
        |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
@@ -828,12 +828,21 @@ object Queries {
       Similarity.ivfCentroids(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
         nCells = 16))
 
+  /** Exploded (cell_id, dim_idx, value) rather than (cell_id, array) —
+    * every column is a sortable scalar, so generic row comparators (pandas
+    * sort_values cannot factorize array cells) handle the dump, and the
+    * exact double values still round-trip bit-for-bit through parquet.
+    * [[ivfCellsSql]] reassembles the vectors with a `list(... ORDER BY
+    * dim_idx)` aggregation.
+    */
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     trainedCentroids(spark, dir)
-      .toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("cell_id", "centroid")
-      .orderBy("cell_id")
+      .toSeq.flatMap { case (id, v) =>
+        v.iterator.zipWithIndex.map { case (x, i) => (id, i, x) }
+      }
+      .toDF("cell_id", "dim_idx", "value")
+      .orderBy("cell_id", "dim_idx")
   }
 
   /** Nearest-centroid cell assignment for every vector. */
@@ -851,7 +860,8 @@ object Queries {
     */
   val ivfCellsSql: String =
     """WITH c AS (
-      |  SELECT cell_id, centroid FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet'
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS centroid
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
       |), e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |), ranked AS (

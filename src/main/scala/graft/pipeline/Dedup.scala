@@ -220,24 +220,19 @@ object Dedup {
     }
   }
 
-  /** 64-bit SimHash per document: each word token votes its xxhash64 bit
-    * pattern; the signature takes the sign of each bit's vote sum.
+  /** 64-bit SimHash per document: each word token votes its md5 bit pattern;
+    * the signature takes the sign of each bit's vote sum.
     *
-    * Plan shape: explode tokens → one xxhash64 per token → a single hash
+    * Plan shape: explode tokens → one md5 per token → a single hash
     * aggregation with 64 conditional sums (bit b of the token hash, +1/-1) —
     * map-side combined, whole-stage-codegen'd, one pass over the data. The
-    * signature is assembled from the 64 vote signs as an unsigned
-    * decimal(20,0). Output: (idCol, simhash).
+    * signature is the signed 64-bit long carrying the 64 vote-sign bits
+    * (render unsigned via `Long.toUnsignedString` if needed — a signed
+    * BIGINT survives every engine's type system unchanged, where an
+    * unsigned decimal(20,0) rendering does not). Output: (idCol, simhash).
     */
-  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // one signature pipeline (simhashLongDf); this is just the unsigned
-    // decimal rendering of the same 64 bits
-    val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
-    simhashLongDf(df, textCol, idCol).select(col(idCol),
-      when(col("simhash") < 0, lit(two64) + col("simhash").cast("decimal(20,0)"))
-        .otherwise(col("simhash").cast("decimal(20,0)"))
-        .cast("decimal(20,0)").as("simhash"))
-  }
+  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashLongDf(df, textCol, idCol)
 
   /** SimHash near-dup groups: docs with identical simhash. */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -245,8 +240,9 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Signed-long SimHash signature (same 64 bits as [[simhashDf]]'s unsigned
-    * decimal rendering) — the form bit operations want.
+  /** Signed-long SimHash signature — the canonical form ([[simhashDf]]
+    * delegates here); bit operations and cross-engine comparison both want
+    * the signed BIGINT.
     *
     * The per-token vote hash is the first 64 bits of `md5(token)`, split
     * into two 32-bit halves (`conv` of 8 hex chars each — fits a signed
