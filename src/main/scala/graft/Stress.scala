@@ -68,9 +68,14 @@ object Stress {
 
     // 2. Resample the fused stream to a 1s grid (dense: ~2.6M boundaries,
     // nearly all non-empty at n >= 10M — the coverage path at full density).
-    val res = Resampler.resample(fused, "1s",
-      opts = ResampleOptions(ffillKeys = Seq("price"), tieCols = Seq("exsym_lookup", "__rowid")))
+    val resOpts = ResampleOptions(ffillKeys = Seq("price"),
+      tieCols = Seq("exsym_lookup", "__rowid"))
+    val res = Resampler.resample(fused, "1s", opts = resOpts)
     val gridRows = timed("resample_1s", res)
+    // same grid without the total-order contract: the final range-shuffle +
+    // sort disappears (what a consumer that re-shuffles anyway should use)
+    val gridRowsNoSort = timed("resample_1s_nosort",
+      Resampler.resample(fused, "1s", opts = resOpts.copy(sorted = false)))
     // closed form from the actual event bounds (grid = b0..first boundary > t1)
     val Array(tMin, tMax) = fused
       .agg(min(col(TimestampCol)), max(col(TimestampCol))).head().toSeq.toArray.map(_.asInstanceOf[Long])
@@ -101,6 +106,7 @@ object Stress {
     // Shape assertions: counts match closed forms.
     assert(fusedRows == 2 * n, "fuse must preserve rows")
     assert(gridRows == expectedGrid, s"grid $gridRows vs $expectedGrid")
+    assert(gridRowsNoSort == expectedGrid, s"nosort grid $gridRowsNoSort vs $expectedGrid")
     assert(filledRows == 2 * n, "ffill must preserve rows")
 
     // ---- text-dedup pipeline at volume: nd synthetic docs of 50 pseudo-

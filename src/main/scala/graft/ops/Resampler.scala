@@ -44,7 +44,18 @@ object Resampler {
         * (parallelism of the gap-span computation; keyed resample doesn't
         * need it). Should be >= executor parallelism.
         */
-      coverageBuckets: Int = 256)
+      coverageBuckets: Int = 256,
+      /** Emit rows in a total order (global: by boundary; keyed: by key then
+        * boundary). The total order costs a full range-shuffle + sort of the
+        * resampled grid as the FINAL stage — at a fine grid that sort
+        * dominates the whole job (measured: the 1s-grid stress stage is
+        * sort-bound). Set false when the consumer re-shuffles anyway
+        * (writes partitioned output, joins, aggregates): rows then stay on
+        * their coverage partitions, ascending by boundary within each
+        * coverage slice (global) / within each key run (keyed), with no
+        * cross-partition order guarantee.
+        */
+      sorted: Boolean = true)
 
   /** Max elements per materialized `sequence()` array in the gap-span
     * explode. A single `sequence(k, kend)` materializes the WHOLE span as
@@ -69,7 +80,7 @@ object Resampler {
 
   /** Resample `df` to the `interval` grid. `tsCol` must be epoch-ms Long.
     * Output schema = input schema with `tsCol` holding the grid boundary;
-    * rows ordered by boundary.
+    * rows ordered by boundary when `opts.sorted` (see [[ResampleOptions]]).
     */
   def resample(
       df: DataFrame,
@@ -155,13 +166,13 @@ object Resampler {
     val covered = chunkedExplode("__k", "__kend", "__kc")(withKend)
 
     val isReal = col("__kc") === col("__k")
-    covered.select(
+    val out = covered.select(
       (lit(b0) + col("__kc") * lit(step)).as(tsCol) +:
       dataCols.map { c =>
         if (opts.ffillKeys.contains(c)) col(c)
         else when(isReal, col(c)).as(c)
       }: _*)
-      .orderBy(col(tsCol))
+    if (opts.sorted) out.orderBy(col(tsCol)) else out
   }
 
   /** Convenience: resample preserving the engine's column order with the
@@ -256,12 +267,12 @@ object Resampler {
     val covered = chunkedExplode("__k", "__kcend", "__kc")(withKcend)
 
     val isReal = col("__kc") === col("__k")
-    covered.select(
+    val out = covered.select(
       keys ++ Seq((col("__b0") + col("__kc") * lit(step)).as(tsCol)) ++
       dataCols.map { c =>
         if (opts.ffillKeys.contains(c)) col(c)
         else when(isReal, col(c)).as(c)
       }: _*)
-      .orderBy(keys :+ col(tsCol): _*)
+    if (opts.sorted) out.orderBy(keys :+ col(tsCol): _*) else out
   }
 }

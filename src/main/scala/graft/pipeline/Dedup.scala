@@ -35,9 +35,51 @@ object Dedup {
     * stored footprint is a small fraction of the input even at corpus
     * scale. Trade-off: local checkpoints are not lineage-recoverable on
     * executor loss — the job re-runs instead, the standard batch trade.
+    *
+    * Lifecycle: the checkpointed blocks live until the JVM exits (fine for
+    * one-shot batch jobs). A long-lived session issuing many dedup/ANN
+    * queries should bracket each query + its consuming action in
+    * [[withMaterialized]], which unpersists every checkpoint created inside
+    * the bracket on exit.
     */
-  private[graft] def materializeOnce(df: DataFrame): DataFrame =
-    df.localCheckpoint()
+  private[graft] def materializeOnce(df: DataFrame): DataFrame = {
+    val out   = df.localCheckpoint()
+    val stack = scopeStack.get()
+    if (!stack.isEmpty) stack.peek() += out
+    out
+  }
+
+  /** Open checkpoint scopes on this thread (innermost first); checkpoints
+    * register to the innermost scope only — a nested bracket releases its
+    * own checkpoints without touching the outer scope's.
+    */
+  private val scopeStack =
+    ThreadLocal.withInitial[java.util.ArrayDeque[scala.collection.mutable.Buffer[DataFrame]]](
+      () => new java.util.ArrayDeque())
+
+  /** Bracket for long-lived sessions: every checkpoint [[materializeOnce]]
+    * creates inside `body` (on this thread) is unpersisted when the bracket
+    * exits, so repeated dedup/ANN queries don't leak storage. The bracket
+    * must enclose the CONSUMING ACTION too — a local checkpoint has no
+    * lineage to recompute from, so a frame escaping the bracket lazily
+    * cannot be evaluated after its blocks are dropped.
+    */
+  def withMaterialized[T](body: => T): T = {
+    val stack = scopeStack.get()
+    val scope = scala.collection.mutable.Buffer.empty[DataFrame]
+    stack.push(scope)
+    try body
+    finally {
+      stack.pop()
+      scope.foreach { df =>
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+      }
+    }
+  }
 
   /** Exact dedup: keep the lowest-id row per distinct text digest.
     * Returns (idCol, digest, dupCount).

@@ -132,6 +132,28 @@ class ResamplerSpec extends SparkTestBase {
       ("y", 5000L, null)))
   }
 
+  test("sorted=false: same rows, no top-level global sort in the plan") {
+    val opts = ResampleOptions(ffillKeys = Seq("Letter"))
+    val sortedOut = Resampler.resample(lettersGapDf, "1s", opts = opts)
+    val unsorted  = Resampler.resample(lettersGapDf, "1s",
+      opts = opts.copy(sorted = false))
+    assert(unsorted.collect().toSeq.sortBy(_.getLong(0)) ==
+      sortedOut.collect().toSeq)
+    // the unsorted plan must not range-shuffle: no Sort above the projection
+    val plan = unsorted.queryExecution.optimizedPlan.toString()
+    assert(!plan.trim.startsWith("Sort"), s"unexpected top-level sort:\n$plan")
+    // keyed path honors the flag too
+    val df = Seq(("a", 1000L, 1.0), ("a", 5500L, 2.0), ("b", 2200L, 9.0))
+      .toDF("sym", "__timestamp", "p")
+    val kOpts = ResampleOptions(ffillKeys = Seq("p"))
+    val kSorted = Resampler.resampleByKey(df, "1s", Seq("sym"), opts = kOpts)
+    val kUnsorted = Resampler.resampleByKey(df, "1s", Seq("sym"),
+      opts = kOpts.copy(sorted = false))
+    assert(kUnsorted.collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1))) ==
+      kSorted.collect().toSeq)
+    assert(!kUnsorted.queryExecution.optimizedPlan.toString().trim.startsWith("Sort"))
+  }
+
   test("day interval aligns to midnight in a configured timezone (A3)") {
     // 2021-08-01T00:02:03.213Z = 2021-07-31T20:02 in America/New_York (UTC-4):
     // next NY midnight boundary = 2021-08-01T00:00 NY = 2021-08-01T04:00Z.
