@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.Resampler
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1110,6 +1110,49 @@ object Queries {
   val distinctCountsSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sketch-certified distinct counts: the exact per-type distinct is the
+    * oracle truth; the booleans assert each engine-side estimate (HLL++ and
+    * DataSketches HLL) lands inside its 5% budget — the oracle pins them
+    * true, so a drifting sketch fails the hash check.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.approxDistinctByKey(events(spark, dir), Seq("event_type"), "user_id")
+      .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       true AS approx_ok, true AS hll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Per-event-type HLL sketches unioned into a global distinct estimate —
+    * the mergeable-profile pattern (sketch per cut, union without rescan).
+    */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllPartUnion(events(spark, dir), "event_type", "user_id")
+
+  val sketchUnionSql: String =
+    """SELECT count(DISTINCT event_type) AS n_parts,
+      |       count(DISTINCT user_id) AS n_exact, true AS union_ok
+      |FROM events""".stripMargin
+
+  /** Count-min heavy hitters over document tokens: exact top-20 (oracle) +
+    * the CM guarantee (never under-counts, over-counts within 3·eps·N)
+    * checked per item.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(spark, dir, "documents")
+      .select(explode(TextAnalysis.words(col("text"))).as("token"))
+    Sketches.heavyHitters(toks, "token", k = 20)
+  }
+
+  val heavyHittersSql: String =
+    raw"""WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents
+      |)
+      |SELECT token, count(*) AS n_exact, true AS cms_ok FROM toks
+      |GROUP BY token ORDER BY n_exact DESC, token LIMIT 20""".stripMargin
 
   def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -68,7 +68,11 @@ object SparkEntry {
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
     "q_distinct"         -> (Queries.distinctCounts _),
-    "q_join_enrich"      -> (Queries.joinEnrich _)
+    "q_join_enrich"      -> (Queries.joinEnrich _),
+    // sketches (approximate profiling with exact certificates)
+    "q_approx_distinct"  -> (Queries.approxDistinct _),
+    "q_sketch_union"     -> (Queries.sketchUnion _),
+    "q_heavy_hitters"    -> (Queries.heavyHitters _)
   )
 
   /** DuckDB oracle SQL per query (same column names + ORDER BY as the Spark
@@ -120,6 +124,9 @@ object SparkEntry {
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,
     "q_distinct"        -> Queries.distinctCountsSql,
-    "q_join_enrich"     -> Queries.joinEnrichSql
+    "q_join_enrich"     -> Queries.joinEnrichSql,
+    "q_approx_distinct" -> Queries.approxDistinctSql,
+    "q_sketch_union"    -> Queries.sketchUnionSql,
+    "q_heavy_hitters"   -> Queries.heavyHittersSql
   )
 }

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate sketches for profiling at data scale: HLL distinct counts,
+  * mergeable per-partition sketch union, and count-min heavy-hitter
+  * estimation (SURVEY §2.9 beyond-reference additions).
+  *
+  * Why sketches at 100 TB: an exact `count(DISTINCT x)` re-shuffles the full
+  * key universe per dimension cut, and an exact top-k over a heavy-tailed
+  * item column pays a full aggregation before it can truncate. The sketch
+  * versions are one-pass, map-side-combined, fixed-memory aggregates whose
+  * partial states MERGE — so a profiling pass computes one sketch per
+  * partition/day/file and any union of cuts later without rescanning data.
+  *
+  * Correctness posture: estimates are checked against the exact value with
+  * an explicit tolerance IN the output (`*_ok` boolean columns) — the
+  * cross-engine oracle reproduces the exact side and pins every `_ok` to
+  * true, so the driver hash-checks both the exact values and the claim that
+  * each engine-side estimate lands inside its error budget.
+  */
+object Sketches {
+
+  /** Per-key distinct-count estimates vs exact, in ONE aggregation pass:
+    *
+    *  - `n_exact`: exact distinct (the oracle-checkable truth),
+    *  - `approx_ok`: Spark's HLL++ (`approx_count_distinct`, relative sd
+    *    `rsd`) within `tol` of exact,
+    *  - `hll_ok`: the DataSketches HLL (`hll_sketch_agg` with 2^`lgK`
+    *    buckets → `hll_sketch_estimate`) within `tol` of exact.
+    *
+    * The DataSketches path is the one to keep at scale: its binary sketch
+    * column is storable and mergeable ([[hllPartUnion]]); the exact count
+    * here exists to certify the estimates.
+    */
+  def approxDistinctByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      rsd: Double = 0.02,
+      lgK: Int = 14,
+      tol: Double = 0.05): DataFrame = {
+    val exact = countDistinct(col(valueCol)).as("n_exact")
+    val within = (est: org.apache.spark.sql.Column) =>
+      abs(est.cast("double") - col("n_exact").cast("double")) <=
+        lit(tol) * col("n_exact").cast("double")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(exact,
+        approx_count_distinct(col(valueCol), rsd).as("__approx"),
+        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("__hll"))
+      .select(keyCols.map(col) ++ Seq(col("n_exact"),
+        within(col("__approx")).as("approx_ok"),
+        within(col("__hll")).as("hll_ok")): _*)
+  }
+
+  /** Sketch-union: build one HLL sketch PER `partCol` group (the artifact a
+    * profiling pass would persist per day/file/source), then union the part
+    * sketches — never the raw data — into a global distinct estimate.
+    * Output is one row: (n_parts, n_exact, union_ok). The union stage
+    * aggregates `n_parts` fixed-size binaries, so re-slicing a 100 TB
+    * profile by any combination of parts is a driver-scale job.
+    */
+  def hllPartUnion(
+      df: DataFrame,
+      partCol: String,
+      valueCol: String,
+      lgK: Int = 14,
+      tol: Double = 0.05): DataFrame = {
+    val parts = df.groupBy(col(partCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
+    val unioned = parts.agg(
+      count(lit(1)).as("n_parts"),
+      hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("__est"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
+    unioned.crossJoin(exact).select(
+      col("n_parts"),
+      col("n_exact"),
+      (abs(col("__est").cast("double") - col("n_exact").cast("double")) <=
+        lit(tol) * col("n_exact").cast("double")).as("union_ok"))
+  }
+
+  /** Heavy hitters with a count-min certificate: the exact top-`k` items by
+    * frequency (deterministic ties: count desc, item asc), each annotated
+    * with whether the count-min sketch estimate respects the CM guarantee
+    * `exact <= est <= exact + 3·eps·N` (CM never under-counts; the
+    * over-count budget is eps·N in expectation per probe, 3x for slack —
+    * deterministic for a fixed dataset + seed).
+    *
+    * Scale shape: the sketch is one map-side-combined aggregate into a
+    * fixed `depth x width` table (mergeable across partitions); the exact
+    * top-k is a TakeOrdered job; the probes are `k` bounded driver-side
+    * lookups. At 100 TB the exact side is the optional certificate and the
+    * sketch is the product — estimate any item's count without a second
+    * scan.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      k: Int = 20,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val skBytes = df
+      .agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence), lit(seed))
+        .as("__sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val budget = math.max(1L, math.ceil(3 * eps * cms.totalCount()).toLong)
+
+    val top = df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(itemCol).asc)
+      .limit(k)
+      .collect()
+    val rows = top.map { r =>
+      val item  = r.getString(0)
+      val exact = r.getLong(1)
+      // the SQL aggregate added strings as raw UTF-8 bytes; probe identically
+      val est = cms.estimateCount(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Row(item, exact, est >= exact && est <= exact + budget)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField(itemCol, StringType),
+        StructField("n_exact", LongType),
+        StructField("cms_ok", BooleanType))))
+  }
+}

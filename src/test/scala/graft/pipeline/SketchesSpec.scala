@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("approxDistinctByKey: exact counts right, estimates inside budget") {
+    // 3 keys with known distinct cardinalities 1000 / 100 / 1
+    val df = spark.range(2000).select(
+      when($"id" < 1000, "a").when($"id" < 1900, "b").otherwise("c").as("k"),
+      when($"id" < 1000, $"id")            // a: 1000 distinct
+        .when($"id" < 1900, pmod($"id", lit(100)))  // b: 100 distinct
+        .otherwise(lit(0L)).as("v"))
+    val out = Sketches.approxDistinctByKey(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out("a")._1 == 1000L && out("b")._1 == 100L && out("c")._1 == 1L)
+    out.values.foreach { case (_, approxOk, hllOk) =>
+      assert(approxOk && hllOk, s"estimate outside tolerance: $out")
+    }
+  }
+
+  test("hllPartUnion: union of part sketches estimates the global distinct") {
+    // 4 parts over overlapping value ranges; global distinct = 500
+    val df = spark.range(2000).select(
+      pmod($"id", lit(4)).cast("string").as("part"),
+      pmod($"id" * 13L, lit(500)).as("v"))
+    val Array(row) = Sketches.hllPartUnion(df, "part", "v").collect()
+    assert(row.getLong(0) == 4L)
+    assert(row.getLong(1) == 500L)
+    assert(row.getBoolean(2), "union estimate outside tolerance")
+  }
+
+  test("heavyHitters: exact top-k with CM certificate, deterministic tie order") {
+    // zipf-ish: token t<i> appears (50 - i) times, plus tied tail tokens
+    val df = (0 until 40).flatMap(i => Seq.fill(50 - i)(s"t$i"))
+      .toDF("token")
+    val out = Sketches.heavyHitters(df, "token", k = 10).collect()
+    assert(out.length == 10)
+    assert(out.head.getString(0) == "t0" && out.head.getLong(1) == 50L)
+    // descending counts, lexicographic on ties
+    val counts = out.map(_.getLong(1)).toSeq
+    assert(counts == counts.sortBy(-_))
+    out.foreach(r => assert(r.getBoolean(2), s"CM bound violated for ${r.getString(0)}"))
+  }
+
+  test("heavyHitters probe matches the SQL aggregate's UTF-8 item encoding") {
+    // non-ASCII tokens exercise the byte-level probe path
+    val df = (Seq.fill(30)("naïve") ++ Seq.fill(20)("café") ++ Seq.fill(10)("東京"))
+      .toDF("token")
+    val out = Sketches.heavyHitters(df, "token", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("naïve", 30L, true), ("café", 20L, true), ("東京", 10L, true)))
+  }
+}
