@@ -936,6 +936,55 @@ object Queries {
       |  round(CAST(len(list_filter(regexp_extract_all(h, '(.).', 1), x -> x = '7')) AS DOUBLE) / n, 6) AS f7
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode, driver-verifiable: WAV payloads are GENERATED from a
+    * closed-form PCM16 sample formula (so DuckDB can re-derive every decoded
+    * column relationally) and then decoded by the real RIFF/PCM decoder
+    * ([[Multimodal.decodeWav]]) through the distributed mapPartitions path.
+    * Rate/channels/frame-count vary per doc; the RMS comparison is exact
+    * because the decoder accumulates an integer sum of squares for PCM16 and
+    * normalizes once (sqrt and the final division are IEEE-deterministic).
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 120)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val rate     = Seq(8000, 16000, 44100)((d % 3).toInt)
+      val channels = 1 + (d % 2).toInt
+      val frames   = 240 + (d % 30).toInt * 8
+      val samples = Array.tabulate(frames * channels)(i =>
+        (((d * 7919L + i * 104729L) % 20000L) - 10000L).toShort)
+      (d, Multimodal.encodeWavPcm16(samples, rate, channels))
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeAudio(blobs, "doc_id").orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+      |         1 + doc_id % 2 AS ch,
+      |         240 + (doc_id % 30) * 8 AS frames
+      |  FROM documents WHERE doc_id < 120
+      |), s AS (
+      |  -- 943 = max samples - 1: frames<=240+29*8=472, ch<=2 -> 944 samples
+      |  -- (DuckDB's generate_series takes no lateral column args, so the
+      |  -- series is fixed-width and filtered per doc)
+      |  SELECT p.doc_id, ((p.doc_id * 7919 + g.i * 104729) % 20000) - 10000 AS v
+      |  FROM p JOIN generate_series(0, 943) g(i) ON g.i < p.frames * p.ch
+      |), agg AS (
+      |  SELECT doc_id, sum(v * v) AS ss, count(*) AS n FROM s GROUP BY doc_id
+      |)
+      |SELECT p.doc_id,
+      |       CAST(p.rate AS INTEGER) AS sample_rate,
+      |       CAST(p.ch AS INTEGER) AS channels,
+      |       CAST(16 AS INTEGER) AS bits,
+      |       CAST(p.frames AS BIGINT) AS n_frames,
+      |       CAST(p.frames AS DOUBLE) / p.rate AS duration_s,
+      |       sqrt(CAST(a.ss AS DOUBLE) / a.n) / 32768 AS rms
+      |FROM p JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

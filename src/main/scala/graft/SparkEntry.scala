@@ -60,6 +60,7 @@ object SparkEntry {
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
+    "q_audio_decode"     -> (Queries.audioDecode _),
     // relational / temporal joins (beyond-reference capabilities)
     "q_asof_join"        -> (Queries.asofJoin _),
     "q_range_join"       -> (Queries.rangeJoin _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_simhash_neardup" -> Queries.simhashNearDupSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
+    "q_audio_decode"    -> Queries.audioDecodeSql,
     "q_asof_join"       -> Queries.asofJoinSql,
     "q_range_join"      -> Queries.rangeJoinSql,
     "q_sessionize"      -> Queries.sessionizeSql,

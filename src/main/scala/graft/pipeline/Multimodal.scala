@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct alongside. The Spark-side machinery
   * (schema, batching, partition sizing) is real. IMAGES decode for real via
   * the JDK's own `javax.imageio` readers ([[decodeImage]]/[[decodeImages]] —
-  * PNG/JPEG/GIF/BMP ship with Java SE, no external media libs needed);
-  * audio/video remain a clearly-marked deterministic stub ([[stubDecode]])
-  * because no codec libraries ship in this environment — swap it for a real
-  * decoder (e.g. a JNI/FFM binding) without touching the plan shape.
+  * PNG/JPEG/GIF/BMP ship with Java SE, no external media libs needed); AUDIO
+  * decodes for real for WAV/PCM containers ([[decodeWav]]/[[decodeAudio]] —
+  * RIFF parsing is pure `java.nio`, no codec lib required). Only VIDEO
+  * remains a clearly-marked deterministic stub ([[stubDecode]]) because no
+  * video codec ships in this environment — swap it for a real decoder
+  * (e.g. a JNI/FFM binding) without touching the plan shape.
   *
   * Scale notes: payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
   * governs batch memory; feature extraction is `mapPartitions` over an
@@ -277,6 +279,148 @@ object Multimodal {
             java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)))
       })
       .toDF(idCol, "frame_idx", "frame")
+  }
+
+  // ------------------------------------------------------------------ audio
+
+  /** Decoded WAV facts: container-level (rate/channels/bits) plus
+    * signal-level (frame count, duration, RMS of full-scale-normalized
+    * samples across all channels, exact integer sum of squared samples for
+    * integer PCM — the cross-engine-reproducible form).
+    */
+  final case class WavInfo(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      nFrames: Long,
+      durationSec: Double,
+      rms: Double)
+
+  /** REAL WAV/PCM decode — RIFF chunk walk + sample scan in pure `java.nio`
+    * (WAV needs no codec: the container IS the samples). Supports PCM
+    * 8-bit unsigned / 16 / 24 / 32-bit signed little-endian and 32-bit IEEE
+    * float (format tags 1 and 3). Returns None for anything else (wrong
+    * magic, truncated header, extensible/compressed formats).
+    *
+    * Robustness mirrors the image path's bomb guard: chunk sizes are
+    * CLAIMS — every offset is clamped to the real payload length before any
+    * read, a data chunk longer than the payload is truncated to the bytes
+    * actually present, and the scan streams over the buffer without
+    * materializing a sample array, so a forged 4 GB size field cannot
+    * allocate anything.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavInfo] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    var pos = 12
+    var fmtTag = -1; var channels = 0; var sampleRate = 0; var bits = 0
+    var result: Option[WavInfo] = None
+    while (result.isEmpty && pos + 8 <= payload.length) {
+      val id   = tag(pos)
+      val size = bb.getInt(pos + 4).toLong & 0xffffffffL // size field is a claim
+      val start = pos + 8
+      if (id == "fmt " && size >= 16 && start + 16 <= payload.length) {
+        fmtTag     = bb.getShort(start).toInt & 0xffff
+        channels   = bb.getShort(start + 2).toInt & 0xffff
+        sampleRate = bb.getInt(start + 4)
+        bits       = bb.getShort(start + 14).toInt & 0xffff
+      } else if (id == "data") {
+        if (fmtTag != 1 && fmtTag != 3) return None // fmt missing or not PCM/float
+        if (channels <= 0 || sampleRate <= 0) return None
+        if (fmtTag == 3 && bits != 32) return None
+        if (fmtTag == 1 && bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+        val bytesPerSample = bits / 8
+        val blockAlign     = bytesPerSample * channels
+        val avail  = math.min(size, (payload.length - start).toLong)
+        val usable = avail - avail % blockAlign // whole frames only
+        val nSamples = usable / bytesPerSample
+        val nFrames  = nSamples / channels
+        // stream the samples. For 8/16-bit PCM the sum of squared RAW values
+        // is accumulated as an exact Long (v² <= 2^30, no precision loss to
+        // ~2^33 samples) and normalized once at the end — so the RMS is
+        // bit-reproducible by any engine that can sum integers (the
+        // cross-engine oracle recomputes it relationally). Wider formats
+        // would overflow the exact path and use double accumulation.
+        var sumSqI = 0L
+        var sumSqD = 0.0
+        val exactPath = fmtTag == 1 && bits <= 16
+        var i = 0L
+        while (i < nSamples) {
+          val off = start + (i * bytesPerSample).toInt
+          if (exactPath) {
+            val v = if (bits == 8) (payload(off) & 0xff) - 128
+                    else bb.getShort(off).toInt
+            sumSqI += v.toLong * v
+          } else {
+            val x: Double = (fmtTag, bits) match {
+              case (1, 24) =>
+                val v = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+                  (payload(off + 2) << 16) // top byte keeps its sign
+                v / 8388608.0
+              case (1, 32) => bb.getInt(off) / 2147483648.0
+              case _       => bb.getFloat(off).toDouble
+            }
+            sumSqD += x * x
+          }
+          i += 1
+        }
+        val fullScale = if (bits == 8) 128.0 else 32768.0
+        val rms =
+          if (nSamples == 0) 0.0
+          else if (exactPath) math.sqrt(sumSqI.toDouble / nSamples) / fullScale
+          else math.sqrt(sumSqD / nSamples)
+        result = Some(WavInfo(sampleRate, channels, bits, nFrames,
+          nFrames.toDouble / sampleRate, rms))
+      }
+      // advance word-aligned; a claimed size past the buffer ends the walk
+      val padded = size + (size & 1L)
+      pos = if (padded > (payload.length - start).toLong) payload.length
+            else start + padded.toInt
+    }
+    result
+  }
+
+  /** Minimal PCM16 mono/stereo WAV encoder (44-byte canonical header) — the
+    * generation side for specs and closed-form oracle queries; decodable by
+    * any WAV reader including [[decodeWav]] and `javax.sound.sampled`.
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Distributed REAL audio decode over the blob table: container + signal
+    * columns from actual WAV bytes (nulls for undecodable payloads — report,
+    * don't fail). Same bounded-memory mapPartitions shape as
+    * [[decodeImages]]: one payload streams through at a time per task.
+    */
+  def decodeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeWav(payload) match {
+          case Some(w) => (id, Some(w.sampleRate), Some(w.channels),
+            Some(w.bitsPerSample), Some(w.nFrames), Some(w.durationSec), Some(w.rms))
+          case None => (id, None, None, None, None, None, None)
+        }
+      })
+      .toDF(idCol, "sample_rate", "channels", "bits", "n_frames", "duration_s", "rms")
   }
 
   /** Metadata-only summary — demonstrates payload-free column pruning. */
