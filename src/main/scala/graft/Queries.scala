@@ -28,10 +28,22 @@ object Queries {
     * the legacy nanos-as-long conf; normalize to a µs TimestampType column so
     * downstream code is uniform (epoch-ms truncation then matches DuckDB's
     * `epoch_ms`).
+    *
+    * The conf is set ONLY when the plain read rejects the nanos column, and
+    * deliberately never restored: the returned frame is lazy and execution
+    * re-resolves the session conf at plan time, so a save/restore here would
+    * make the frame unreadable after return. The flag is additive — it only
+    * changes how TIMESTAMP(NANOS) columns surface, which no other input has.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = tbl(spark, dir, "events")
+    val df =
+      try tbl(spark, dir, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          tbl(spark, dir, "events")
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer div: ns values overflow double precision, so no `/`
