@@ -354,4 +354,38 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .distinct()
   }
+
+  /** Benchmark-contamination check: for every corpus document, count the
+    * distinct word `n`-gram shingles it shares with each benchmark/eval
+    * document, keeping pairs with at least `minShared` shared shingles.
+    * The standard decontamination pass run before training: any corpus
+    * document overlapping an eval set by enough n-grams is quarantined.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus (eval
+    * suites are thousands of documents, the corpus is billions), so its
+    * exploded shingle postings are BROADCAST — the corpus-side shingle
+    * explode then joins map-side with NO shuffle of corpus data at all; the
+    * only shuffle is the (corpus_id, bench_id) pair count, whose cardinality
+    * is bounded by real overlaps, not corpus size. Corpus shingles are
+    * deduplicated per document (`array_distinct`) before the join so a
+    * boilerplate-heavy document can't fan out on a repeated shingle.
+    *
+    * Output: `(id, bench_id, n_shared)` — one row per contaminated
+    * (corpus, benchmark) pair.
+    */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String, benchIdCol: String,
+                         n: Int, minShared: Long = 1L): DataFrame = {
+    def postings(df: DataFrame, id: String, outId: String) = df
+      .select(col(id).as(outId),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+    val benchPost  = postings(bench, benchIdCol, "bench_id")
+    val corpusPost = postings(corpus, idCol, "__cid")
+    corpusPost
+      .join(broadcast(benchPost), Seq("shingle"))
+      .groupBy(col("__cid"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("__cid").as(idCol), col("bench_id"), col("n_shared"))
+  }
 }

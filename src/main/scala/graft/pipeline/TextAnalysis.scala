@@ -154,4 +154,49 @@ object TextAnalysis {
     */
   def minFingerprint(text: Column, n: Int = 3): Column =
     graft.functions.MinMd5Hex.minMd5Hex(shingles(text, n))
+
+  /** Intra-document repetition signals (Gopher-style boilerplate filters):
+    * per document, the fraction of word occurrences that are repeats
+    * (`dup_word_frac`), the share of the most frequent word
+    * (`top_word_frac`), and the fraction of word-3-gram occurrences that are
+    * repeats (`dup_trigram_frac`). High values flag boilerplate / templated
+    * / degenerate documents for removal before training.
+    *
+    * Scale shape: both legs are explode → `groupBy` chains with map-side
+    * partial aggregation, keyed by (id, term) then id — the canonical
+    * distributed term-count shape, no per-document O(n²) array scans (a
+    * 10k-token document costs 10k rows, not 10⁸ comparisons). The final join
+    * is id-to-id between two frames both already hash-partitioned on the id
+    * by their last aggregation, so AQE plans it without an extra exchange.
+    *
+    * Output: `(id, n_words, dup_word_frac, top_word_frac,
+    * dup_trigram_frac)`; documents with no words produce no row; fractions
+    * are single divisions of exact integer counts (bit-reproducible by a SQL
+    * oracle); `dup_trigram_frac` is 0.0 for documents shorter than 3 words.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__text"))
+    val wordCounts = base
+      .select(col(idCol), explode(words(col("__text"))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+    val wordStats = wordCounts
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val triCounts = base
+      .select(col(idCol), explode(shingles(col("__text"), 3)).as("tg"))
+      .groupBy(col(idCol), col("tg")).agg(count(lit(1)).as("c"))
+    val triStats = triCounts
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tri"), count(lit(1)).as("nd_tri"))
+    wordStats.join(triStats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+        coalesce((col("n_tri") - col("nd_tri")).cast("double") / col("n_tri"),
+          lit(0.0)).as("dup_trigram_frac"))
+  }
 }
