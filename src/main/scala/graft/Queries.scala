@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.Resampler
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -736,6 +736,99 @@ object Queries {
       |  FROM (SELECT doc_id, source,
       |               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
       |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Overlapping token-window chunking (context-window pretraining prep):
+    * 24-token windows every 16 tokens, short tail kept. The oracle rebuilds
+    * the identical start grid with `range(0, n, stride)` and the identical
+    * window with a 1-based inclusive list slice.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunk(tbl(spark, dir, "documents"), "text", "doc_id",
+      chunkTokens = 24, strideTokens = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, ws, unnest(range(0, len(ws), 16)) AS s
+      |  FROM w WHERE len(ws) > 0
+      |)
+      |SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,
+      |       CAST(len(ws[s + 1 : s + 24]) AS BIGINT) AS n_tokens,
+      |       array_to_string(ws[s + 1 : s + 24], ' ') AS chunk_text
+      |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Benchmark decontamination: corpus docs sharing >= 3 distinct word
+    * trigrams with any benchmark doc. The "eval set" is every 50th doc of
+    * the corpus itself, so each bench doc's self-pair (and any exact dup)
+    * is a built-in positive control both engines must find.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = tbl(spark, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    Dedup.contaminationPairs(docs, bench, "text", "doc_id", "bench_id",
+      n = 3, minShared = 3L)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val contaminationSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), b AS (
+      |  SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 50 = 0
+      |)
+      |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      |FROM ex c JOIN b ON c.shingle = b.shingle
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** Gopher-style repetition stats: duplicate-word fraction, top-word
+    * fraction, duplicate-trigram fraction. All fractions are single IEEE
+    * divisions of exact integer counts, so the oracle is bit-comparable
+    * without rounding.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(tbl(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), wx AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM w
+      |), wc AS (
+      |  SELECT doc_id, word, count(*) AS c FROM wx GROUP BY doc_id, word
+      |), wstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |         count(*) AS n_distinct, max(c) AS top_c
+      |  FROM wc GROUP BY doc_id
+      |), tx AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS tg
+      |  FROM w
+      |), tc AS (
+      |  SELECT doc_id, tg, count(*) AS c FROM tx GROUP BY doc_id, tg
+      |), tstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS nd_tri
+      |  FROM tc GROUP BY doc_id
+      |)
+      |SELECT a.doc_id, a.n_words,
+      |       CAST(a.n_words - a.n_distinct AS DOUBLE) / a.n_words AS dup_word_frac,
+      |       CAST(a.top_c AS DOUBLE) / a.n_words AS top_word_frac,
+      |       coalesce(CAST(t.n_tri - t.nd_tri AS DOUBLE) / t.n_tri, 0.0) AS dup_trigram_frac
+      |FROM wstats a LEFT JOIN tstats t USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- similarity

@@ -50,6 +50,9 @@ object SparkEntry {
     "q_ngram_freq"       -> (Queries.ngramFreq _),
     "q_sample_stratified" -> (Queries.sampleStratified _),
     "q_pack_budget"      -> (Queries.packBudget _),
+    "q_chunk"            -> (Queries.chunk _),
+    "q_contamination"    -> (Queries.contamination _),
+    "q_repetition"       -> (Queries.repetition _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
@@ -108,6 +111,9 @@ object SparkEntry {
     "q_ngram_freq"      -> Queries.ngramFreqSql,
     "q_sample_stratified" -> Queries.sampleStratifiedSql,
     "q_pack_budget"     -> Queries.packBudgetSql,
+    "q_chunk"           -> Queries.chunkSql,
+    "q_contamination"   -> Queries.contaminationSql,
+    "q_repetition"      -> Queries.repetitionSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_ann_lsh"         -> Queries.annLshSql,

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Closed-form specs for the chunking / decontamination / repetition
+  * operators (the round-4 additions now wired into the verified surface).
+  */
+class ChunkRepetitionSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("chunk: window starts, tail keeping, overlap content, empty docs") {
+    // 10 tokens w0..w9, chunk=4, stride=3 -> starts 0,3,6,9:
+    //   [w0..w3] [w3..w6] [w6..w9] [w9]   (last is the kept short tail)
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"),        // 2 tokens, one short chunk
+      (3L, "   "),        // whitespace only -> zero tokens -> no chunks
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+
+    val out = Chunking.chunk(docs, "text", "doc_id", chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 1L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 4L, "w6 w7 w8 w9"),
+      (1L, 3L, 1L, "w9"),
+      (2L, 0L, 2L, "a b"),
+      (4L, 0L, 1L, "solo")))
+  }
+
+  test("chunk: stride == chunk gives a disjoint exact partition of the tokens") {
+    val text = (0 until 9).map(i => s"t$i").mkString(" ")
+    val out = Chunking.chunk(Seq((7L, text)).toDF("doc_id", "text"),
+      "text", "doc_id", chunkTokens = 3, strideTokens = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("t0 t1 t2", "t3 t4 t5", "t6 t7 t8"))
+    assert(out.map(_.getLong(2)).sum == 9L) // no token lost or duplicated
+  }
+
+  test("chunk rejects non-positive sizes") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Chunking.chunk(df, "text", "doc_id", 0, 1))
+    intercept[IllegalArgumentException](Chunking.chunk(df, "text", "doc_id", 4, 0))
+  }
+
+  test("contaminationPairs finds planted overlaps and nothing else") {
+    // bench doc B shares exactly the trigrams of "leaked secret eval prompt
+    // here" with corpus doc 10 (planted) and nothing with doc 11.
+    val corpus = Seq(
+      (10L, "intro text then leaked secret eval prompt here and more words"),
+      (11L, "completely unrelated corpus document about spark internals"),
+      (12L, "leaked secret eval prompt here") // exact eval fragment
+    ).toDF("doc_id", "text")
+    val bench = Seq((900L, "leaked secret eval prompt here"))
+      .toDF("bench_id", "text")
+
+    val pairs = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+      "bench_id", n = 3, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "leaked secret eval prompt here" has 3 trigrams; both carriers share all 3.
+    assert(pairs == Set((10L, 900L, 3L), (12L, 900L, 3L)))
+
+    // minShared above the overlap silences both.
+    val none = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+      "bench_id", n = 3, minShared = 4L).count()
+    assert(none == 0L)
+  }
+
+  test("contaminationPairs dedups repeated shingles per document") {
+    // the corpus doc repeats the leaked trigram 3 times; distinct-per-doc
+    // postings must count it ONCE, not fan out to 3
+    val corpus = Seq(
+      (1L, "x y z x y z x y z")
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "x y z")).toDF("bench_id", "text")
+    val out = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+      "bench_id", n = 3, minShared = 1L).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 1L) // "x y z" counted once
+  }
+
+  test("repetitionStats: hand-computed fractions") {
+    // doc 1: "a a a b" -> n=4, distinct=2, top=3
+    //   trigrams: "a a a","a a b" -> n_tri=2, distinct=2 -> dup_tri=0
+    // doc 2: "a b a b a b" -> n=6, distinct=2, top=3
+    //   trigrams: aba, bab, aba, bab -> n_tri=4, nd=2 -> dup_tri=0.5
+    // doc 3: "x y" -> shorter than 3 words -> dup_trigram_frac = 0.0
+    // doc 4: "" -> no words -> NO row
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "a b a b a b"),
+      (3L, "x y"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0.5, 0.75, 0.0),
+      (2L, 6L, 4.0 / 6.0, 0.5, 0.5),
+      (3L, 2L, 0.0, 0.5, 0.0)))
+  }
+}
