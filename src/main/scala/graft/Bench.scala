@@ -40,8 +40,18 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val first = (1 to 2).map(_ => timed())
-      val runs = if (first.exists(r => r._2.isEmpty && r._1 < 0.5)) first :+ timed()
-                 else first
+      val withShort =
+        if (first.exists(r => r._2.isEmpty && r._1 < 0.5)) first :+ timed()
+        else first
+      // High-variance guard: when the successful runs disagree by >1.5x the
+      // machine was transiently loaded (GC storm, page-cache eviction,
+      // co-tenant CPU); one more sample keeps min-of-N honest. BENCH_r04's
+      // phantom q_sessionize "regression" (runs 3.79/2.34 vs a reproducible
+      // 0.64 standalone) is exactly this mode.
+      val good = withShort.filter(_._2.isEmpty).map(_._1)
+      val runs =
+        if (good.size >= 2 && good.max / good.min > 1.5) withShort :+ timed()
+        else withShort
       // min over SUCCESSFUL runs: one failed + one successful run must
       // report the real query time, not the fast time-to-failure (the
       // errors key only reports when every run failed)
