@@ -24,26 +24,48 @@ object Queries {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads through
-    * the legacy nanos-as-long conf; normalize to a µs TimestampType column so
-    * downstream code is uniform (epoch-ms truncation then matches DuckDB's
-    * `epoch_ms`).
+  /** True iff `e` is Spark rejecting a parquet TIMESTAMP(NANOS) column.
+    * Matched on the structured error condition + the NANOS type parameter
+    * (stable across message rewording); falls back to the message text only
+    * when the exception carries no condition.
+    */
+  private def isNanosRejection(e: org.apache.spark.sql.AnalysisException): Boolean = {
+    import scala.jdk.CollectionConverters._
+    Option(e.getCondition) match {
+      case Some(cond) =>
+        cond == "PARQUET_TYPE_ILLEGAL" &&
+          e.getMessageParameters.asScala.values
+            .exists(v => v != null && v.contains("NANOS"))
+      case None => e.getMessage != null && e.getMessage.contains("NANOS")
+    }
+  }
+
+  /** Raw events scan: ts left exactly as stored (ns Long under the legacy
+    * conf for TIMESTAMP(NANOS) inputs, TimestampType otherwise), so callers
+    * can push predicates onto the scan column before any conversion.
     *
-    * The conf is set ONLY when the plain read rejects the nanos column, and
-    * deliberately never restored: the returned frame is lazy and execution
-    * re-resolves the session conf at plan time, so a save/restore here would
-    * make the frame unreadable after return. The flag is additive — it only
-    * changes how TIMESTAMP(NANOS) columns surface, which no other input has.
+    * The nanos-as-long conf is set ONLY when the plain read rejects the
+    * nanos column, and deliberately never restored: the returned frame is
+    * lazy and execution re-resolves the session conf at plan time, so a
+    * save/restore here would make the frame unreadable after return. The
+    * flag is additive — it only changes how TIMESTAMP(NANOS) columns
+    * surface, which no other input has.
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try tbl(spark, dir, "events")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException if isNanosRejection(e) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        tbl(spark, dir, "events")
+    }
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads through
+    * the legacy nanos-as-long conf ([[eventsRaw]]); normalize to a µs
+    * TimestampType column so downstream code is uniform (epoch-ms truncation
+    * then matches DuckDB's `epoch_ms`).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val df =
-      try tbl(spark, dir, "events")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          tbl(spark, dir, "events")
-      }
+    val df = eventsRaw(spark, dir)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer div: ns values overflow double precision, so no `/`
@@ -122,8 +144,7 @@ object Queries {
     */
   def eventsBetween(spark: SparkSession, dir: String,
       startMs: Long, endMs: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = tbl(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // raw nanos
         raw.filter(col("ts") >= startMs * 1000000L &&

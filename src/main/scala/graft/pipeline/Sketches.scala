@@ -70,8 +70,10 @@ object Sketches {
       tol: Double = 0.05): DataFrame = {
     val parts = df.groupBy(col(partCol))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
+    // count(col) skips a NULL part group, matching SQL count(DISTINCT part);
+    // its sketch still joins the union so no values are lost to the count.
     val unioned = parts.agg(
-      count(lit(1)).as("n_parts"),
+      count(col(partCol)).as("n_parts"),
       hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("__est"))
     val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
     unioned.crossJoin(exact).select(
@@ -103,7 +105,12 @@ object Sketches {
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
-    val skBytes = df
+    require(df.schema(itemCol).dataType == StringType,
+      s"heavyHitters requires a StringType item column; " +
+        s"'$itemCol' is ${df.schema(itemCol).dataType.simpleString}")
+    // nulls carry no frequency signal and would NPE the byte-probe below
+    val items = df.filter(col(itemCol).isNotNull)
+    val skBytes = items
       .agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence), lit(seed))
         .as("__sk"))
       .head().getAs[Array[Byte]](0)
@@ -111,7 +118,7 @@ object Sketches {
       new java.io.ByteArrayInputStream(skBytes))
     val budget = math.max(1L, math.ceil(3 * eps * cms.totalCount()).toLong)
 
-    val top = df.groupBy(col(itemCol))
+    val top = items.groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col(itemCol).asc)
       .limit(k)

@@ -46,6 +46,31 @@ class SketchesSpec extends SparkTestBase {
     out.foreach(r => assert(r.getBoolean(2), s"CM bound violated for ${r.getString(0)}"))
   }
 
+  test("hllPartUnion: NULL part group is excluded from n_parts but not the union") {
+    // part NULL holds values 400..499; n_parts must count the 2 real parts
+    // (SQL count-distinct semantics) while the union still sees all 500
+    // values — dropping the null group's sketch would break union_ok.
+    val df = spark.range(500).select(
+      when($"id" < 200, "p0").when($"id" < 400, "p1").otherwise(lit(null)).as("part"),
+      $"id".as("v"))
+    val Array(row) = Sketches.hllPartUnion(df, "part", "v").collect()
+    assert(row.getLong(0) == 2L, s"n_parts counted the NULL group: $row")
+    assert(row.getLong(1) == 500L)
+    assert(row.getBoolean(2), "union estimate lost the NULL part's values")
+  }
+
+  test("heavyHitters: null items ignored, non-string column rejected") {
+    val withNulls = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq.fill(4)(Option.empty[String])).toDF("token")
+    val out = Sketches.heavyHitters(withNulls, "token", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 5L), ("b", 3L)))
+    val longs = spark.range(10).toDF("token")
+    val err = intercept[IllegalArgumentException](
+      Sketches.heavyHitters(longs, "token"))
+    assert(err.getMessage.contains("StringType"))
+  }
+
   test("heavyHitters probe matches the SQL aggregate's UTF-8 item encoding") {
     // non-ASCII tokens exercise the byte-level probe path
     val df = (Seq.fill(30)("naïve") ++ Seq.fill(20)("café") ++ Seq.fill(10)("東京"))
