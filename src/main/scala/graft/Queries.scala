@@ -971,6 +971,40 @@ object Queries {
       .orderBy("cell_id", "dim_idx")
   }
 
+  /** Invariant oracle for the trained-centroid export. The training is not
+    * SQL-derivable (sampled k-means), so the oracle instead rebuilds the
+    * expected (cell, dim) GRID from independent ground truth — 16 cells
+    * pinned by this query, dims from the embeddings table itself — and
+    * echoes the dumped value only where every invariant holds:
+    *
+    *  - exactly one dump row per grid point (a missing or duplicated
+    *    (cell_id, dim_idx) changes the row count / values);
+    *  - every value finite (NaN/inf surfaces as a NULL mismatch);
+    *  - every centroid unit-norm to 1e-9 on ||c||² (the trainer always
+    *    normalizes; a zero or unnormalized vector nulls its whole cell).
+    *
+    * Any violation makes oracle != dump and the driver's hash check fails,
+    * so the last previously-unchecked row now has a real gate.
+    */
+  val ivfCentroidsSql: String =
+    """WITH dump AS (
+      |  SELECT cell_id, dim_idx, value
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet'
+      |), norms AS (
+      |  SELECT cell_id, sum(value * value) AS n2 FROM dump GROUP BY cell_id
+      |), grid AS (
+      |  SELECT c.cell_id, CAST(x.dim_idx AS INTEGER) AS dim_idx
+      |  FROM (SELECT unnest(range(0, 16)) AS cell_id) c,
+      |       (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS dim_idx) x
+      |)
+      |SELECT g.cell_id, g.dim_idx,
+      |       CASE WHEN isfinite(d.value) AND abs(n.n2 - 1) <= 1e-9
+      |            THEN d.value END AS value
+      |FROM grid g
+      |LEFT JOIN dump d ON d.cell_id = g.cell_id AND d.dim_idx = g.dim_idx
+      |LEFT JOIN norms n ON n.cell_id = g.cell_id
+      |ORDER BY g.cell_id, g.dim_idx""".stripMargin
+
   /** Nearest-centroid cell assignment for every vector. */
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfAssign(tbl(spark, dir, "embeddings"), "embedding",

@@ -80,9 +80,10 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names + ORDER BY as the Spark
-    * side). Queries without an entry get the driver's rows-only check —
-    * after round 3 that is ONLY `q_ivf_centroids` (a trained k-means
-    * artifact; everything derived from it is oracle-checked).
+    * side). As of round 5 EVERY query has an oracle — `q_ivf_centroids`
+    * (the trained k-means artifact) carries an invariant oracle over its
+    * own dump rather than a re-derivation, and everything derived from it
+    * is fully re-derived ([[Queries.ivfCentroidsSql]]).
     *
     * `__VERIFY_OUT__` inside a SQL string is replaced by [[Verify]] with
     * the dump directory, letting an oracle re-derive a query from another
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_ann_lsh"         -> Queries.annLshSql,
+    "q_ivf_centroids"   -> Queries.ivfCentroidsSql,
     "q_ivf_cells"       -> Queries.ivfCellsSql,
     "q_ann_ivf"         -> Queries.annIvfSql,
     "q_dedup_minhash"   -> Queries.dedupMinhashSql,

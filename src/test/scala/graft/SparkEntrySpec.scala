@@ -10,12 +10,9 @@ class SparkEntrySpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
-  test("every query name has either an oracle or is documented rows-only") {
-    // The trained k-means centroid table is the only engine-side artifact
-    // with no relational oracle; everything derived from it is oracled.
-    val rowsOnly = Set("q_ivf_centroids")
+  test("every query name has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
+    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   test("all queries run non-empty at sf0.001") {
