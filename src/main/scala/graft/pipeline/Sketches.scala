@@ -55,12 +55,40 @@ object Sketches {
         within(col("__hll")).as("hll_ok")): _*)
   }
 
-  /** Sketch-union: build one HLL sketch PER `partCol` group (the artifact a
-    * profiling pass would persist per day/file/source), then union the part
-    * sketches — never the raw data — into a global distinct estimate.
-    * Output is one row: (n_parts, n_exact, union_ok). The union stage
-    * aggregates `n_parts` fixed-size binaries, so re-slicing a 100 TB
-    * profile by any combination of parts is a driver-scale job.
+  /** The persistable profiling artifact: one row per `partCol` group with
+    * its row count and binary HLL sketch. Write this to parquet once per
+    * profiling pass (per day/file/source); any later union of any subset of
+    * parts ([[hllUnionEstimate]]) answers distinct-count questions WITHOUT
+    * rescanning the data — the "profile once, re-slice forever" path at
+    * 100 TB, where each part row is a few KB regardless of data size.
+    */
+  def hllPartSketches(
+      df: DataFrame,
+      partCol: String,
+      valueCol: String,
+      lgK: Int = 14): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valueCol), lit(lgK)).as("hll_sketch"))
+
+  /** Union stored part sketches (typically read back from parquet) into a
+    * global distinct estimate: (n_parts, n_rows, n_distinct_est). Sketches
+    * must share one lgK — DataSketches unions downgrade otherwise, so mixed
+    * configs are rejected rather than silently degraded.
+    */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      count(lit(1)).as("n_parts"),
+      sum(col("n_rows")).as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("hll_sketch"), lit(false)))
+        .as("n_distinct_est"))
+
+  /** Sketch-union certificate: build one HLL sketch PER `partCol` group
+    * ([[hllPartSketches]]), then union the part sketches — never the raw
+    * data — into a global distinct estimate checked against the exact
+    * count. Output is one row: (n_parts, n_exact, union_ok). The union
+    * stage aggregates `n_parts` fixed-size binaries, so re-slicing a
+    * 100 TB profile by any combination of parts is a driver-scale job.
     */
   def hllPartUnion(
       df: DataFrame,
@@ -68,8 +96,8 @@ object Sketches {
       valueCol: String,
       lgK: Int = 14,
       tol: Double = 0.05): DataFrame = {
-    val parts = df.groupBy(col(partCol))
-      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
+    val parts = hllPartSketches(df, partCol, valueCol, lgK)
+      .withColumnRenamed("hll_sketch", "__sk")
     // count(col) skips a NULL part group, matching SQL count(DISTINCT part);
     // its sketch still joins the union so no values are lost to the count.
     val unioned = parts.agg(

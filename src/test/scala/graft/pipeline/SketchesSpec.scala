@@ -46,6 +46,29 @@ class SketchesSpec extends SparkTestBase {
     out.foreach(r => assert(r.getBoolean(2), s"CM bound violated for ${r.getString(0)}"))
   }
 
+  test("hllPartSketches: parquet round trip and subset re-slice, no rescan") {
+    val tmp = java.nio.file.Files.createTempDirectory("hll_parts").toString
+    val df = spark.range(2000).select(
+      pmod($"id", lit(4)).cast("string").as("part"),
+      pmod($"id" * 13L, lit(500)).as("v"))
+    // profile once -> persist the artifact
+    Sketches.hllPartSketches(df, "part", "v").write.mode("overwrite").parquet(tmp)
+
+    // re-slice forever: unions read ONLY the stored sketch rows
+    val stored = spark.read.parquet(tmp)
+    val Array(all) = Sketches.hllUnionEstimate(stored).collect()
+    assert(all.getLong(0) == 4L && all.getLong(1) == 2000L)
+    assert(math.abs(all.getLong(2) - 500L) <= 25L, s"global estimate off: $all")
+
+    val subsetExact = df.filter($"part".isin("0", "1"))
+      .select("v").distinct().count()
+    val Array(sub) = Sketches.hllUnionEstimate(stored.filter($"part".isin("0", "1")))
+      .collect()
+    assert(sub.getLong(0) == 2L && sub.getLong(1) == 1000L)
+    assert(math.abs(sub.getLong(2) - subsetExact) <= 0.05 * subsetExact,
+      s"subset estimate ${sub.getLong(2)} vs exact $subsetExact")
+  }
+
   test("hllPartUnion: NULL part group is excluded from n_parts but not the union") {
     // part NULL holds values 400..499; n_parts must count the 2 real parts
     // (SQL count-distinct semantics) while the union still sees all 500
