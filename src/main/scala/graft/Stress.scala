@@ -136,6 +136,37 @@ object Stress {
     assert(mh >= nd / 100, s"minhash pairs $mh < planted ${nd / 100}")
     assert(sh >= nd / 100, s"simhash pairs $sh < planted ${nd / 100}")
 
+    // ---- chunk -> pack at volume: every synthetic doc has exactly 50
+    // tokens; chunk 24 / stride 16 gives starts 0,16,32,48 -> exactly 4
+    // chunks per doc (24,24,18,2 tokens). Both operators are narrow over
+    // the doc stream except packing's per-stratum window, so rows/sec here
+    // is the pure chunking throughput.
+    val chunks = graft.pipeline.Chunking.chunk(docs, "text", "doc_id",
+      chunkTokens = 24, strideTokens = 16)
+    val chunkRows = timed("chunk", chunks)
+    val packed = graft.pipeline.Sampling.packByBudget(
+      chunks.select(col("doc_id"), col("chunk_idx"),
+        pmod(col("doc_id"), lit(16)).as("stratum"), col("n_tokens")),
+      "stratum", "n_tokens", budget = 512L,
+      orderCols = Seq(col("doc_id"), col("chunk_idx")))
+    val packedRows = timed("chunk_pack", packed)
+    assert(chunkRows == 4L * nd, s"chunks $chunkRows vs ${4L * nd}")
+    assert(packedRows == chunkRows, "packing must preserve chunk rows")
+
+    // ---- decontamination at volume: the "eval set" is every 1000th doc
+    // (offset 500 — never one of the planted duplicate pairs, and never
+    // duplicated itself, since dups sit at id%100==99 copying id%100==98).
+    // Docs are 50 pseudo-random words over a 5k vocab, so two DIFFERENT
+    // docs cannot share 40 of 48 trigrams — the planted self-pairs are
+    // exactly the expected overlap set, measured with the bench postings
+    // broadcast against the full corpus explode.
+    val bench = docs.filter(pmod(col("doc_id"), lit(1000)) === 500)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val contamRows = timed("contamination",
+      graft.pipeline.Dedup.contaminationPairs(docs, bench, "text",
+        "doc_id", "bench_id", n = 3, minShared = 40L))
+    assert(contamRows == nd / 1000, s"contam pairs $contamRows vs ${nd / 1000}")
+
     // ---- vector similarity at volume: nv pseudo-random 64-dim embeddings,
     // every 100th a copy of its predecessor. Identical vectors share every
     // LSH bucket, so the sign-LSH path must surface all planted pairs.
