@@ -721,10 +721,15 @@ object Queries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** DuckDB replication of [[Sampling.hashScore]]'s integer: the first 8
+    * hex chars of md5 as a base-16 number (DuckDB has no conv()).
+    */
+  private def hex8Sql(arg: String): String = (0 until 8).map { i =>
+    s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+  }.mkString(" + ")
+
   val sampleStratifiedSql: String = {
-    val hex8 = (0 until 8).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-    }.mkString(" + ")
+    val hex8 = hex8Sql("CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, source FROM (
        |  SELECT doc_id, source,
        |         CAST($hex8 AS DOUBLE) / 4294967296.0 AS score
@@ -758,6 +763,72 @@ object Queries {
       |               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic weighted sample (Efraimidis–Spirakis exponential race,
+    * [[Sampling.weightedSample]]): 100 docs drawn with probability
+    * proportional to token count. The oracle replays the identical
+    * md5-derived race, so both engines select the same rows.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", k = 100)
+      .orderBy("doc_id")
+
+  val weightedSampleSql: String = {
+    val hex8 = hex8Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_tokens FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |         -ln(greatest(CAST($hex8 AS DOUBLE) / 4294967296.0, 1e-12))
+       |           / n_tokens AS score
+       |  FROM (SELECT doc_id, source,
+       |               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+       |        FROM documents)
+       |  ORDER BY score, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic proportional source mixing ([[Sampling.mixByParts]]):
+    * src0 weighted 3x, src1 dropped, everything else 1x. Stride-scheduling
+    * keys in pure integer arithmetic — both engines derive the identical
+    * global interleave order.
+    */
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixByParts(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", "source", parts = Map("src0" -> 3L, "src1" -> 0L),
+      defaultPart = 1L)
+      .orderBy("mix_key", "source", "doc_id")
+
+  val mixSourcesSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS mix_rank,
+      |         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 0 ELSE 1 END AS w
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, mix_rank,
+      |       CAST((2 * mix_rank - 1) *
+      |            (CASE source WHEN 'src0' THEN 1 ELSE 3 END) AS BIGINT) AS mix_key
+      |FROM r WHERE w > 0
+      |ORDER BY mix_key, source, doc_id""".stripMargin
+
+  /** Quantile sketch certificate ([[Sketches.approxPercentilesCertified]]):
+    * exact per-type value percentiles (oracle truth) plus the claim that
+    * every percentile_approx answer sits inside its guaranteed rank window
+    * — the oracle pins the claim true, so a drifting sketch fails the hash.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Sketches.approxPercentilesCertified(events(spark, dir), Seq("event_type"), "value")
+      .orderBy("event_type")
+
+  val approxPercentilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       true AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Overlapping token-window chunking (context-window pretraining prep):
     * 24-token windows every 16 tokens, short tail kept. The oracle rebuilds

@@ -53,6 +53,8 @@ object SparkEntry {
     "q_chunk"            -> (Queries.chunk _),
     "q_contamination"    -> (Queries.contamination _),
     "q_repetition"       -> (Queries.repetition _),
+    "q_weighted_sample"  -> (Queries.weightedSample _),
+    "q_mix_sources"      -> (Queries.mixSources _),
     // similarity
     "q_ann_topk"         -> (Queries.annTopK _),
     "q_ann_threshold"    -> (Queries.annThreshold _),
@@ -76,7 +78,8 @@ object SparkEntry {
     // sketches (approximate profiling with exact certificates)
     "q_approx_distinct"  -> (Queries.approxDistinct _),
     "q_sketch_union"     -> (Queries.sketchUnion _),
-    "q_heavy_hitters"    -> (Queries.heavyHitters _)
+    "q_heavy_hitters"    -> (Queries.heavyHitters _),
+    "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
 
   /** DuckDB oracle SQL per query (same column names + ORDER BY as the Spark
@@ -115,6 +118,8 @@ object SparkEntry {
     "q_chunk"           -> Queries.chunkSql,
     "q_contamination"   -> Queries.contaminationSql,
     "q_repetition"      -> Queries.repetitionSql,
+    "q_weighted_sample" -> Queries.weightedSampleSql,
+    "q_mix_sources"     -> Queries.mixSourcesSql,
     "q_ann_topk"        -> Queries.annTopKSql,
     "q_ann_threshold"   -> Queries.annThresholdSql,
     "q_ann_lsh"         -> Queries.annLshSql,
@@ -137,6 +142,7 @@ object SparkEntry {
     "q_join_enrich"     -> Queries.joinEnrichSql,
     "q_approx_distinct" -> Queries.approxDistinctSql,
     "q_sketch_union"    -> Queries.sketchUnionSql,
-    "q_heavy_hitters"   -> Queries.heavyHittersSql
+    "q_heavy_hitters"   -> Queries.heavyHittersSql,
+    "q_approx_percentiles" -> Queries.approxPercentilesSql
   )
 }

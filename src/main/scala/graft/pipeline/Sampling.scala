@@ -63,6 +63,72 @@ object Sampling {
       .withColumn("bin_offset", (start - floor(start / lit(budget)) * lit(budget)).cast("long"))
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis–Spirakis
+    * exponential race): each row gets score `-ln(u) / w` with `u` its
+    * [[hashScore]] and `w` its weight; the `k` smallest scores are the
+    * sample. Inclusion probability is proportional to weight, and because
+    * `u` is hash-derived the same rows win on every engine, partitioning
+    * and re-run. `u` is clamped away from 0 so a pathological all-zero hash
+    * cannot produce an infinite score.
+    *
+    * Scale shape: narrow score arithmetic + TakeOrdered(k) — no full sort,
+    * no shuffle beyond the top-k reduction; k rows reach the driver-side
+    * heap merge regardless of corpus size.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u     = greatest(hashScore(col(idCol)), lit(1e-12))
+    val score = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__score", score)
+      .orderBy(col("__score").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__score")
+  }
+
+  /** Deterministic proportional source interleave (pretraining data
+    * mixing): stratum `s` with integer weight `p_s` gets every row a mix
+    * key `(2r - 1) * (L / p_s)` where `r` is its 1-based rank within the
+    * stratum (by `orderCols`) and `L` the LCM of all weights. Sorting by
+    * `(mix_key, strata, id)` yields a stream whose every prefix holds each
+    * stratum within one row of its target share — the standard
+    * deterministic stride-scheduling order, in pure integer arithmetic so
+    * any SQL engine reproduces it bit-for-bit. Zero-weight strata are
+    * dropped.
+    *
+    * Scale shape: one keyed window per stratum (rank) + narrow arithmetic.
+    * The GLOBAL order is carried by the key, never computed — consumers
+    * that need physical order sort on read or bucket by `mix_key` range;
+    * nothing here is a single-task global window.
+    */
+  def mixByParts(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      parts: Map[String, Long],
+      defaultPart: Long): DataFrame = {
+    require((parts.values ++ Seq(defaultPart)).forall(_ >= 0), "weights must be >= 0")
+    val weights = (parts.values.toSeq :+ defaultPart).filter(_ > 0)
+    require(weights.nonEmpty, "at least one stratum must have positive weight")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = weights.foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    def chain(f: Long => Long): Column =
+      parts.foldLeft(lit(f(defaultPart))) { case (acc, (k, v)) =>
+        when(col(strataCol) === lit(k), lit(f(v))).otherwise(acc)
+      }
+    val weight = chain(identity)
+    val stride = chain(v => if (v == 0) 0L else l / v)
+    val r = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol).asc)).cast("long")
+    df.filter(weight > 0)
+      .withColumn("mix_rank", r)
+      .withColumn("mix_key", (col("mix_rank") * 2L - 1L) * stride)
+  }
+
   /** Per-stratum sampling rates (e.g. downweight a dominant source): rows in
     * a stratum missing from `rates` fall back to `defaultFraction`.
     */

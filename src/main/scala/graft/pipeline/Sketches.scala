@@ -111,6 +111,55 @@ object Sketches {
         lit(tol) * col("n_exact").cast("double")).as("union_ok"))
   }
 
+  /** Quantile sketch with a rank certificate: per-key exact percentiles
+    * (the oracle-checkable truth, rounded like every cross-engine double
+    * aggregate) plus `approx_ok` — whether EVERY `percentile_approx`
+    * answer's rank lands inside the sketch's guaranteed window
+    * `[(p - eps)·n, (p + eps)·n]`, `eps = 1/accuracy` (±1 rank slack for
+    * boundary rounding).
+    *
+    * Scale shape: two map-side-combined aggregation passes — one building
+    * the approx + exact answers, one counting ranks of the approx answers
+    * after a broadcast join of the tiny per-key answer table back onto the
+    * data. At 100 TB the exact column is the optional certificate; the
+    * approx sketch (mergeable, fixed memory) is the product.
+    */
+  def approxPercentilesCertified(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.9),
+      accuracy: Int = 1000): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p < 1),
+      s"percentiles must be in (0, 1): $percentiles")
+    val eps = 1.0 / accuracy
+    val pi  = percentiles.zipWithIndex
+    val v   = col(valueCol).cast("double")
+    val answers = df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      pi.map { case (p, i) =>
+        round(expr(s"percentile($valueCol, $p)"), 4).as(s"p${math.round(p * 100)}")
+      } ++ pi.map { case (p, i) =>
+        percentile_approx(v, lit(p), lit(accuracy)).as(s"__ap$i")
+      }: _*)
+    val rankAggs = pi.flatMap { case (_, i) => Seq(
+      sum(when(v < col(s"__ap$i"), 1L).otherwise(0L)).as(s"__lo$i"),
+      sum(when(v <= col(s"__ap$i"), 1L).otherwise(0L)).as(s"__hi$i")) }
+    val ranks = df
+      .join(broadcast(answers.select(keyCols.map(col) ++
+        pi.map { case (_, i) => col(s"__ap$i") }: _*)), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val ok = pi.map { case (p, i) =>
+      (col(s"__hi$i").cast("double") >= (lit(p) - eps) * col("n") - 1) &&
+        (col(s"__lo$i").cast("double") <= (lit(p) + eps) * col("n") + 1)
+    }.reduce(_ && _)
+    answers.join(ranks, keyCols).select(
+      keyCols.map(col) ++ Seq(col("n")) ++
+        pi.map { case (p, _) => col(s"p${math.round(p * 100)}") } :+
+        ok.as("approx_ok"): _*)
+  }
+
   /** Heavy hitters with a count-min certificate: the exact top-`k` items by
     * frequency (deterministic ties: count desc, item asc), each annotated
     * with whether the count-min sketch estimate respects the CM guarantee

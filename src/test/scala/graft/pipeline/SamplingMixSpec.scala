@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling, proportional mixing and the quantile certificate. */
+class SamplingMixSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("weightedSample: weight-proportional, partition-invariant, k-bounded") {
+    // 1000 light rows (w=1) + 1000 heavy rows (w=20): heavy rows hold ~95%
+    // of the total weight, so a 200-row sample must be heavy-dominated.
+    val df = spark.range(2000).select(
+      $"id", when($"id" < 1000, 1L).otherwise(20L).as("w"))
+    val picked = Sampling.weightedSample(df, "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 200)
+    val heavy = picked.count(_ >= 1000)
+    assert(heavy > 160, s"heavy rows underrepresented: $heavy/200")
+
+    // hash-keyed race: the same rows win under any partitioning
+    val repicked = Sampling.weightedSample(df.repartition(7), "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    assert(picked.sorted.toSeq == repicked.sorted.toSeq)
+  }
+
+  test("weightedSample: zero-weight rows never selected") {
+    val df = spark.range(100).select(
+      $"id", when($"id" < 50, 0L).otherwise(1L).as("w"))
+    val picked = Sampling.weightedSample(df, "id", "w", k = 60)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 50) // only 50 eligible rows exist
+    assert(picked.forall(_ >= 50))
+  }
+
+  test("mixByParts: exact stride-scheduling interleave, zero-weight dropped") {
+    // a:2 b:1 c:0 -> L=2; a keys 1,3,5..., b keys 2,6,10..., c gone.
+    val rows = (0 until 10).flatMap(i =>
+      Seq((s"a$i", "a"), (s"b$i", "b"), (s"c$i", "c")))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.mixByParts(df, "id", "src",
+      parts = Map("a" -> 2L, "b" -> 1L, "c" -> 0L), defaultPart = 1L)
+      .orderBy("mix_key", "src", "id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._1 == "c"))
+    // every prefix tracks the 2:1 target within one row
+    val srcSeq = out.map(_._1).toSeq
+    assert(srcSeq.take(9) == Seq("a", "b", "a", "a", "b", "a", "a", "b", "a"),
+      s"interleave order wrong: ${srcSeq.take(9)}")
+    // keys are the closed-form strides
+    assert(out.filter(_._1 == "a").map(_._3).toSeq == (1L to 19L by 2L))
+    assert(out.filter(_._1 == "b").map(_._3).toSeq == (2L to 38L by 4L))
+  }
+
+  test("mixByParts rejects all-zero weights") {
+    val df = Seq(("x", "a")).toDF("id", "src")
+    intercept[IllegalArgumentException](
+      Sampling.mixByParts(df, "id", "src", Map("a" -> 0L), defaultPart = 0L))
+  }
+
+  test("approxPercentilesCertified: exact values right, certificate holds") {
+    // two keys, values 0..999 (exact p50 = 499.5 by linear interpolation)
+    // and 0..99 doubled (p50 = 49.5)
+    val df = spark.range(1000).select(lit("k1").as("k"), $"id".cast("double").as("v"))
+      .union(spark.range(100).select(lit("k2").as("k"), $"id".cast("double").as("v")))
+    val out = Sketches.approxPercentilesCertified(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("k1") == ((1000L, 499.5, 899.1, true)), s"k1: ${out("k1")}")
+    assert(out("k2")._1 == 100L && out("k2")._2 == 49.5)
+    assert(out("k2")._4, "certificate failed on k2")
+  }
+}
