@@ -115,4 +115,49 @@ class PlanSpec extends SparkTestBase {
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
     assert(read.split(",").length == 2, read) // ts + event_type only
   }
+
+  test("weighted sample is TakeOrdered, never a full corpus sort") {
+    val plan = planOf("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("source mixing has no global window and no global sort before the final order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    // the operator itself (without the query's presentation orderBy): the
+    // rank window must be stratum-partitioned — the global order is carried
+    // by mix_key, never computed
+    val df = graft.pipeline.Sampling.mixByParts(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+      "doc_id", "source", Map("src0" -> 3L), defaultPart = 1L)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned windows:\n${bad.mkString("\n")}")
+  }
+
+  test("chunking is narrow: no exchange of any kind") {
+    assumeTestData(dir)
+    val df = graft.pipeline.Chunking.chunk(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+      chunkTokens = 24, strideTokens = 16)
+    val plan = df.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("Exchange"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("contamination broadcasts the benchmark postings, never the corpus") {
+    val plan = planOf("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must stream: no shuffle exchange below the join on
+    // the corpus shingle explode (the only hash exchanges allowed are the
+    // pair-count aggregation above the join)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("repetition stats joins its two aggregate legs without a third descent") {
+    val plan = planOf("q_repetition")
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2, plan)
+  }
 }
