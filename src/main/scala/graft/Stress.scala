@@ -167,6 +167,29 @@ object Stress {
         "doc_id", "bench_id", n = 3, minShared = 40L))
     assert(contamRows == nd / 1000, s"contam pairs $contamRows vs ${nd / 1000}")
 
+    // ---- weighted sample + proportional mix at volume. The sample is
+    // TakeOrdered(k): k rows reach the driver heap regardless of nd. The
+    // mix is one keyed window + integer stride arithmetic; its 600-row
+    // prefix must hold each source at its target share (s0 weighted 3 of
+    // total 6 -> exactly half, the stride-scheduling guarantee).
+    val wRows = timed("weighted_sample",
+      graft.pipeline.Sampling.weightedSample(
+        docs.select(col("doc_id"), (pmod(col("doc_id"), lit(10)) + 1).as("w")),
+        "doc_id", "w", k = 1000))
+    assert(wRows == 1000, s"weighted sample returned $wRows rows")
+
+    val mixed = graft.pipeline.Sampling.mixByParts(
+      docs.select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(4))).as("src")),
+      "doc_id", "src", parts = Map("s0" -> 3L), defaultPart = 1L)
+    val mRows = timed("mix_sources", mixed)
+    assert(mRows == nd, s"mix must keep all $nd rows, got $mRows")
+    val head = mixed.orderBy(col("mix_key"), col("src"), col("doc_id"))
+      .limit(600).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(head("s0") - 300L) <= 3,
+      s"mix prefix off target: $head")
+
     // ---- vector similarity at volume: nv pseudo-random 64-dim embeddings,
     // every 100th a copy of its predecessor. Identical vectors share every
     // LSH bucket, so the sign-LSH path must surface all planted pairs.
