@@ -56,6 +56,49 @@ class StreamingSpec extends SparkTestBase {
       (5000L, "B"), (6000L, "fill(B)"), (7000L, "C")))
   }
 
+  test("streaming exact dedup drops in-horizon duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+
+    val out = StreamingDedup.exactWithinWatermark(df, "text", "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    input.addData((1000L, "alpha"), (2000L, "beta"), (3000L, "alpha"))
+    q.processAllAvailable()
+    // second batch: in-horizon duplicates of both + one new doc
+    input.addData((4000L, "beta"), (5000L, "gamma"), (6000L, "alpha"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedup_stream").orderBy("ts_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1000L, "alpha"), (2000L, "beta"), (5000L, "gamma")))
+  }
+
+  test("streaming blocklist filter drops exactly the blocklisted texts") {
+    implicit val sqlCtx = spark.sqlContext
+    val blocklist = StreamingDedup.digests(
+      Seq("leaked eval prompt", "another benchmark item").toDF("text"), "text")
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    val out = StreamingDedup.withoutBlocklist(df, "text", blocklist)
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+
+    input.addData((1L, "clean document one"), (2L, "leaked eval prompt"),
+      (3L, "another benchmark item"), (4L, "clean document two"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("decontam_stream").orderBy("id")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L, 4L))
+  }
+
   test("file-stream source picks up landing files end-to-end") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
