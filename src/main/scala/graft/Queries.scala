@@ -347,6 +347,35 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
+  /** Near-dup cluster assignment: connected components over the verified
+    * jaccard pair set ([[Dedup.clusters]], hash-min label propagation) —
+    * the step that turns pairwise near-dup verdicts into dedup decisions.
+    * The oracle re-derives the components from the ALREADY-ORACLED
+    * q_dedup_jaccard dump with a recursive transitive-closure CTE, so the
+    * chain pairs → components is checked end to end.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM '__VERIFY_OUT__/q_dedup_jaccard/*.parquet'
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM '__VERIFY_OUT__/q_dedup_jaccard/*.parquet'
+      |), n AS (
+      |  SELECT DISTINCT src AS id FROM e
+      |), cc(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
+      |)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Document-frequency cap for the shingle inverted index: shingles shared
     * by more docs than this are boilerplate, not near-dup signal, and each
     * one costs O(df²) join pairs on a single reducer — the skew bomb at

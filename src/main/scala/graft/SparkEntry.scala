@@ -39,6 +39,7 @@ object SparkEntry {
     "q_dedup_minhash"    -> (Queries.dedupMinhash _),
     "q_simhash"          -> (Queries.simhash _),
     "q_simhash_neardup"  -> (Queries.simhashNearDup _),
+    "q_dedup_clusters"   -> (Queries.dedupClusters _),
     // text analysis
     "q_text_quality"     -> (Queries.textQuality _),
     "q_lang_id"          -> (Queries.langId _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> Queries.dedupMinhashSql,
     "q_simhash"         -> Queries.simhashSql,
     "q_simhash_neardup" -> Queries.simhashNearDupSql,
+    "q_dedup_clusters"  -> Queries.dedupClustersSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
     "q_audio_decode"    -> Queries.audioDecodeSql,

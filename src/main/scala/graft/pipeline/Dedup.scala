@@ -388,4 +388,89 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .select(col("__cid").as(idCol), col("bench_id"), col("n_shared"))
   }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  /** Connected-component cluster ids over a near-dup pair set: every id
+    * that appears in `pairs` gets `cluster_id` = the SMALLEST id reachable
+    * through the pair graph — the step that turns pairwise near-dup
+    * verdicts ([[jaccardPairs]], [[minhashLshPairs]], [[simhashNearDups]],
+    * [[graft.pipeline.Similarity.lshPairs]]) into dedup decisions. Ids
+    * with no pair are absent here (their cluster is trivially themselves);
+    * [[dedupByClusters]] handles them.
+    *
+    * Algorithm: hash-min label propagation — each round every node adopts
+    * the minimum label in its closed neighborhood; rounds needed = the
+    * graph diameter. Near-dup graphs are shallow (dup groups are cliques,
+    * transitive chains are short), so this converges in a handful of
+    * rounds; `maxIters` is a safety valve and non-convergence throws
+    * rather than returning partial labels.
+    *
+    * Scale shape: per round, one (dst-keyed) equi-join of the edge table
+    * against the label table + a min-aggregate — all hash-partitioned,
+    * map-side combined, O(E) per round. The edge and label tables hold
+    * only ids (never text or vectors), are materialized once per round
+    * ([[materializeOnce]]), and superseded rounds release their blocks
+    * immediately, so peak storage is 2 label tables + the edges.
+    */
+  def clusters(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val half = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    val edges = materializeOnce(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = materializeOnce(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
+    var changed = 1L
+    var iters   = 0
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nl")).as("__nmin"))
+      val next = materializeOnce(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+              .as("cluster_id"),
+            (col("cluster_id") > coalesce(col("__nmin"), col("cluster_id")))
+              .cast("long").as("__chg")))
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
+      releaseCheckpoint(labels)
+      labels = next.drop("__chg")
+      iters += 1
+    }
+    require(changed == 0L,
+      s"label propagation did not converge in $maxIters rounds " +
+        "(pathologically deep pair graph — raise maxIters)")
+    labels
+  }
+
+  /** Near-dup dedup materialization: keep the smallest-id representative
+    * of every [[clusters]] component plus every unpaired document. One
+    * anti-join of the corpus against the non-representative ids — the
+    * cluster table is pair-bounded, far smaller than the corpus.
+    */
+  def dedupByClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val drop = clusters(pairs, idACol, idBCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -86,6 +86,36 @@ class ChunkRepetitionSpec extends SparkTestBase {
     assert(out.head.getLong(2) == 1L) // "x y z" counted once
   }
 
+  test("clusters: transitive chains fold to the smallest reachable id") {
+    // components: {1,2,3} via 1-2, 2-3; {7,9}; 100 pairs nothing
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: deep path converges (diameter bound, not one round)") {
+    // a 12-node path, worst case for hash-min: the min label must walk the
+    // whole chain, one hop per round
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 12)
+    assert(out.forall(_._2 == 0L), s"chain not folded: ${out.toSeq.sorted}")
+  }
+
+  test("clusters: empty pair set yields empty labels, no convergence error") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(pairs).count() == 0L)
+  }
+
+  test("dedupByClusters keeps one representative per cluster plus singletons") {
+    val docs = Seq(1L, 2L, 3L, 7L, 9L, 42L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L, 42L))
+  }
+
   test("repetitionStats: hand-computed fractions") {
     // doc 1: "a a a b" -> n=4, distinct=2, top=3
     //   trigrams: "a a a","a a b" -> n_tri=2, distinct=2 -> dup_tri=0
