@@ -361,7 +361,8 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
 
-  val dedupClustersSql: String =
+  /** Shared recursive-CTE prefix: components of the oracled jaccard pairs. */
+  private val clusterCte: String =
     """WITH RECURSIVE e AS (
       |  SELECT id_a AS src, id_b AS dst FROM '__VERIFY_OUT__/q_dedup_jaccard/*.parquet'
       |  UNION ALL
@@ -372,9 +373,33 @@ object Queries {
       |  SELECT id, id FROM n
       |  UNION
       |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
-      |)
-      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-      |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
+      |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$clusterCte
+       |SELECT id AS doc_id, CAST(root AS BIGINT) AS cluster_id
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** End-to-end near-dup dedup: the kept corpus after dropping every
+    * non-representative cluster member ([[Dedup.dedupByClusters]]).
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.dedupByClusters(docs,
+      Dedup.jaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf),
+      "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepSql: String =
+    s"""$clusterCte
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)
+       |ORDER BY doc_id""".stripMargin
 
   /** Document-frequency cap for the shingle inverted index: shingles shared
     * by more docs than this are boilerplate, not near-dup signal, and each

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_simhash"          -> (Queries.simhash _),
     "q_simhash_neardup"  -> (Queries.simhashNearDup _),
     "q_dedup_clusters"   -> (Queries.dedupClusters _),
+    "q_dedup_keep"       -> (Queries.dedupKeep _),
     // text analysis
     "q_text_quality"     -> (Queries.textQuality _),
     "q_lang_id"          -> (Queries.langId _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_simhash"         -> Queries.simhashSql,
     "q_simhash_neardup" -> Queries.simhashNearDupSql,
     "q_dedup_clusters"  -> Queries.dedupClustersSql,
+    "q_dedup_keep"      -> Queries.dedupKeepSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
     "q_audio_decode"    -> Queries.audioDecodeSql,

@@ -136,6 +136,19 @@ object Stress {
     assert(mh >= nd / 100, s"minhash pairs $mh < planted ${nd / 100}")
     assert(sh >= nd / 100, s"simhash pairs $sh < planted ${nd / 100}")
 
+    // ---- pair -> cluster -> dedup decision at volume. The planted dups
+    // are nd/100 isolated 2-cliques, so label propagation must converge in
+    // one round and flag EXACTLY nd/100 non-representative members.
+    // (clusters() runs its propagation jobs eagerly, so time it directly.)
+    val tCl = System.nanoTime()
+    val cl = graft.pipeline.Dedup.clusters(
+      graft.pipeline.Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8))
+    val nonRep = cl.filter(col("id") =!= col("cluster_id")).count()
+    val sCl = (System.nanoTime() - tCl) / 1e9
+    println(f"""{"stage":"dedup_clusters","rows":${2 * nd / 100},"sec":$sCl%.2f,"rows_per_sec":${(2 * nd / 100 / sCl).toLong}}""")
+    assert(nonRep == nd / 100, s"non-representatives $nonRep vs ${nd / 100}")
+
     // ---- chunk -> pack at volume: every synthetic doc has exactly 50
     // tokens; chunk 24 / stride 16 gives starts 0,16,32,48 -> exactly 4
     // chunks per doc (24,24,18,2 tokens). Both operators are narrow over
