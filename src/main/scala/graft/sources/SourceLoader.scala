@@ -77,6 +77,14 @@ object SourceLoader {
         val all = plain ++ gz
         if (all.isEmpty) throw new NoValidFilesException(s"$path (no .csv/.csv.gz files)")
         all.map(_.toString).sorted
+      case "jsonl" =>
+        // beyond-reference format (the LLM-corpus staple); gz transparent
+        // via Hadoop codecs, plain/gz mixing allowed (no reference rule to
+        // honor here)
+        val jl = files.filter(f => f.getName.endsWith(".jsonl") ||
+          f.getName.endsWith(".jsonl.gz") || f.getName.endsWith(".json"))
+        if (jl.isEmpty) throw new NoValidFilesException(s"$path (no .jsonl/.jsonl.gz/.json files)")
+        jl.map(_.toString).sorted
       case other => throw new IllegalArgumentException(s"Unknown source format: $other")
     }
   }
@@ -256,6 +264,26 @@ object SourceLoader {
         // (numRows is a probe-style knob — small n, few files)
         case Some(n) => files.map(f => readCsv(Seq(f)).limit(n)).reduce(_.unionByName(_))
         case None    => readCsv(files)
+      }
+    case "jsonl" =>
+      // JSON lines (beyond-reference): fields bind BY NAME, so none of the
+      // CSV positional machinery applies. A declared schema both prunes the
+      // parse (Jackson skips unrequested fields) and pins types; without
+      // one, Spark samples the files to infer. PERMISSIVE mirrors the CSV
+      // branch: malformed lines null out instead of failing the job.
+      val files = specFiles(spark, spec)
+      val base = spark.read.option("mode", "PERMISSIVE")
+      val read = spec.schema match {
+        case Some(s) => base.schema(s).json(files: _*)
+        case None    => base.json(files: _*)
+      }
+      spec.numRows match {
+        case Some(n) => files.map(f =>
+          (spec.schema match {
+            case Some(s) => base.schema(s).json(f)
+            case None    => base.json(f)
+          }).limit(n)).reduce(_.unionByName(_))
+        case None => read
       }
     case other => throw new IllegalArgumentException(s"Unknown source format: $other")
   }

@@ -223,6 +223,54 @@ class SourceLoaderSpec extends SparkTestBase {
     assert(SourceLoader.load(spark, spec).count() == 1)
   }
 
+  test("jsonl source: declared schema, gz transparency, by-name binding") {
+    val d = Files.createTempDirectory("graft_jsonl").toString
+    Files.writeString(Paths.get(d, "part-1.jsonl"),
+      """{"ts":1000,"text":"alpha","score":1.5}
+        |{"text":"beta","ts":2000,"score":2.5}
+        |""".stripMargin) // field order varies per line: binds by name
+    // second file gzipped
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(Paths.get(d, "part-2.jsonl.gz").toFile))
+    gz.write("""{"ts":3000,"text":"gamma","score":3.5}""".getBytes("UTF-8"))
+    gz.close()
+
+    val schema = StructType(Seq(StructField("ts", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val df = SourceLoader.load(spark, SourceSpec(path = d, format = "jsonl",
+      descriptor = "docs", timestampCol = "ts", schema = Some(schema)))
+    assert(df.schema == schema)
+    assert(df.count() == 3)
+    assert(df.orderBy("ts").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+
+    // inference without a declared schema still reads all rows
+    val inferred = SourceLoader.load(spark, SourceSpec(path = d,
+      format = "jsonl", descriptor = "docs", timestampCol = "ts"))
+    assert(inferred.count() == 3)
+
+    // empty dir is the standard NOVALIDFILES path
+    val empty = Files.createTempDirectory("graft_jsonl_empty").toString
+    intercept[NoValidFilesException](SourceLoader.load(spark,
+      SourceSpec(path = empty, format = "jsonl", descriptor = "d", timestampCol = "ts")))
+  }
+
+  test("jsonl source fuses through FrameSource like any other input") {
+    val d = Files.createTempDirectory("graft_jsonl_fuse").toString
+    Files.writeString(Paths.get(d, "a.jsonl"),
+      """{"ts":5,"v":"x"}
+        |{"ts":1,"v":"y"}
+        |""".stripMargin)
+    val df = SourceLoader.load(spark, SourceSpec(path = d, format = "jsonl",
+      descriptor = "j", timestampCol = "ts",
+      schema = Some(StructType(Seq(StructField("ts", LongType),
+        StructField("v", StringType))))))
+    val fused = graft.core.Fuser.fuseFrames(
+      Seq(FrameSource(df, "jdocs", "ts"))).df
+    assert(fused.select(graft.core.Fuser.TimestampCol).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L))
+  }
+
   test("friendly type mapping (classes.py:95-100)") {
     assert(SourceLoader.friendlyType("int") == LongType)
     assert(SourceLoader.friendlyType("float") == DoubleType)
