@@ -347,12 +347,66 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
-  /** Near-dup cluster assignment: connected components over the verified
-    * jaccard pair set ([[Dedup.clusters]], hash-min label propagation) —
-    * the step that turns pairwise near-dup verdicts into dedup decisions.
-    * The oracle re-derives the components from the ALREADY-ORACLED
-    * q_dedup_jaccard dump with a recursive transitive-closure CTE, so the
-    * chain pairs → components is checked end to end.
+  /** Document-frequency cap for the shingle inverted index: shingles shared
+    * by more docs than this are boilerplate, not near-dup signal, and each
+    * one costs O(df²) join pairs on a single reducer — the skew bomb at
+    * corpus scale. The cap must exceed the largest expected duplicate-group
+    * size (dup groups make their own shingles "hot"); 100 is comfortably
+    * above the planted group sizes here while still bounding any one
+    * shingle's join fan-out to 100² pairs.
+    */
+  private val JaccardMaxShingleDf = 100
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf)
+      .orderBy("id_a", "id_b")
+
+  /** CTE chain (no WITH keyword) ending in `pairs(id_a, id_b, jaccard)` —
+    * the full df-capped jaccard pair derivation, shared by the pair query
+    * and the clustering oracles (which must RE-derive the pairs rather
+    * than read the verified dump, so their measured cost is comparable to
+    * the Spark side's recomputation).
+    */
+  private val jaccardPairsCte: String =
+    raw"""w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), hot AS (
+      |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) > $JaccardMaxShingleDf
+      |), exf AS (
+      |  SELECT * FROM ex ANTI JOIN hot USING (shingle)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b,
+      |         CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
+      |)""".stripMargin
+
+  val dedupJaccardSql: String =
+    s"""WITH $jaccardPairsCte
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup cluster assignment: connected components over the jaccard
+    * pair set ([[Dedup.clusters]], hash-min label propagation) — the step
+    * that turns pairwise near-dup verdicts into dedup decisions. The
+    * oracle re-derives the pairs AND folds them with a recursive
+    * transitive-closure CTE, so the chain pairs → components is checked
+    * end to end and both engines pay the same pair-computation cost.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusters(
@@ -361,21 +415,21 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
 
-  /** Shared recursive-CTE prefix: components of the oracled jaccard pairs. */
+  /** Shared recursive-CTE prefix: components over the re-derived pairs. */
   private val clusterCte: String =
-    """WITH RECURSIVE e AS (
-      |  SELECT id_a AS src, id_b AS dst FROM '__VERIFY_OUT__/q_dedup_jaccard/*.parquet'
-      |  UNION ALL
-      |  SELECT id_b, id_a FROM '__VERIFY_OUT__/q_dedup_jaccard/*.parquet'
-      |), n AS (
-      |  SELECT DISTINCT src AS id FROM e
-      |), cc(id, r) AS (
-      |  SELECT id, id FROM n
-      |  UNION
-      |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
-      |), lab AS (
-      |  SELECT id, min(r) AS root FROM cc GROUP BY id
-      |)""".stripMargin
+    s"""WITH RECURSIVE $jaccardPairsCte, e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), n AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), cc(id, r) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
+       |), lab AS (
+       |  SELECT id, min(r) AS root FROM cc GROUP BY id
+       |)""".stripMargin
 
   val dedupClustersSql: String =
     s"""$clusterCte
@@ -400,50 +454,6 @@ object Queries {
        |SELECT doc_id, source FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)
        |ORDER BY doc_id""".stripMargin
-
-  /** Document-frequency cap for the shingle inverted index: shingles shared
-    * by more docs than this are boilerplate, not near-dup signal, and each
-    * one costs O(df²) join pairs on a single reducer — the skew bomb at
-    * corpus scale. The cap must exceed the largest expected duplicate-group
-    * size (dup groups make their own shingles "hot"); 100 is comfortably
-    * above the planted group sizes here while still bounding any one
-    * shingle's join fan-out to 100² pairs.
-    */
-  private val JaccardMaxShingleDf = 100
-
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
-      n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf)
-      .orderBy("id_a", "id_b")
-
-  val dedupJaccardSql: String =
-    raw"""WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
-      |  FROM w
-      |), ex AS (
-      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-      |), hot AS (
-      |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) > $JaccardMaxShingleDf
-      |), exf AS (
-      |  SELECT * FROM ex ANTI JOIN hot USING (shingle)
-      |), sizes AS (
-      |  SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id
-      |), shared AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |)
-      |SELECT id_a, id_b,
-      |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-      |FROM shared
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
-      |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH candidate pairs verified at jaccard >= 0.8. The oracle is
     * the UNCAPPED exact-jaccard pair set: the banded minhash join must
