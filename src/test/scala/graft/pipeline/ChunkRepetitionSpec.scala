@@ -108,6 +108,36 @@ class ChunkRepetitionSpec extends SparkTestBase {
     assert(Dedup.clusters(pairs).count() == 0L)
   }
 
+  test("clusters matches brute-force union-find on randomized graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 5) {
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = 10 + rnd.nextInt(50)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+
+      val got = Dedup.clusters(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("dedupByClusters keeps one representative per cluster plus singletons") {
     val docs = Seq(1L, 2L, 3L, 7L, 9L, 42L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
