@@ -949,6 +949,32 @@ object Queries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Bloom blocklist probe with certificate: build a Bloom artifact over a
+    * blocklist (every 20th doc's text, offset 7 — exact dupes of those
+    * texts are members too), probe the whole corpus with the codegen'd
+    * native expression, and certify (a) zero false negatives (the Bloom
+    * guarantee) and (b) false positives within 3·fpp + slack. The oracle
+    * recomputes the exact member counts and pins both certificates true,
+    * so the driver hash-checks the probe against ground truth.
+    */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val members = docs.filter(pmod(col("doc_id"), lit(20)) === 7).select(col("text"))
+    val expected = math.max(1L, members.count())
+    Sketches.bloomCertificate(docs, "text", members, "text", expected, fpp = 0.01)
+  }
+
+  val bloomProbeSql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT text FROM documents WHERE doc_id % 20 = 7
+      |), c AS (
+      |  SELECT text FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT (SELECT count(*) FROM c) AS n_corpus,
+      |       (SELECT count(*) FROM c JOIN m USING (text)) AS n_members,
+      |       TRUE AS no_false_negatives,
+      |       TRUE AS fp_within_bound""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

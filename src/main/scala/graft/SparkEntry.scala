@@ -80,6 +80,7 @@ object SparkEntry {
     // sketches (approximate profiling with exact certificates)
     "q_approx_distinct"  -> (Queries.approxDistinct _),
     "q_sketch_union"     -> (Queries.sketchUnion _),
+    "q_bloom_probe"      -> (Queries.bloomProbe _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_join_enrich"     -> Queries.joinEnrichSql,
     "q_approx_distinct" -> Queries.approxDistinctSql,
     "q_sketch_union"    -> Queries.sketchUnionSql,
+    "q_bloom_probe"     -> Queries.bloomProbeSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql
   )

@@ -214,4 +214,101 @@ object Sketches {
         StructField("n_exact", LongType),
         StructField("cms_ok", BooleanType))))
   }
+
+  // --- Bloom membership artifacts -----------------------------------------
+  //
+  // The third mergeable sketch family: set MEMBERSHIP (HLL answers "how
+  // many distinct", count-min "how often", Bloom "is this one of them").
+  // The 100 TB shape is build-once / probe-everywhere: a blocklist or
+  // eval-set fingerprint table becomes a fixed-size bit array that rides
+  // to every executor inside the plan, so decontamination or re-ingest
+  // filtering is a NARROW map over the corpus — no shuffle, no join, and
+  // the artifact persists to parquet for later runs or merging.
+
+  /** Build a serialized Bloom filter over `itemCol` (string or bigint).
+    * Distributed build (`treeAggregate` of per-partition filters inside
+    * `df.stat.bloomFilter`); the returned bytes are the persistable
+    * artifact, sized ~ `-n·ln(fpp)/ln(2)²` bits (1M items @ 1% ≈ 1.2 MB),
+    * independent of corpus size. Deterministic for fixed input values —
+    * insertion is a bitwise OR, so partition order cannot change the bits.
+    */
+  def bloomBuild(
+      df: DataFrame,
+      itemCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val bf = df.filter(col(itemCol).isNotNull)
+      .stat.bloomFilter(itemCol, expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Union independently built Bloom artifacts (e.g. one per day's
+    * blocklist delta) into one. All parts must share build parameters
+    * (`expectedItems`, `fpp`) — incompatible bit layouts are rejected by
+    * the sketch library rather than silently corrupted.
+    */
+  def bloomMerge(blooms: Seq[Array[Byte]]): Array[Byte] = {
+    require(blooms.nonEmpty, "bloomMerge requires at least one filter")
+    val merged = blooms.map(b => org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Probe every row's `itemCol` against a built artifact: adds boolean
+    * `might_contain`. Narrow (no exchange); the probe is a codegen'd
+    * native expression and the filter deserializes once per executor.
+    * Guarantee: no false negatives — a `false` is definitive.
+    */
+  def bloomProbe(df: DataFrame, itemCol: String, bloomBytes: Array[Byte],
+      outCol: String = "might_contain"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.BloomMightContain.mightContain(col(itemCol), bloomBytes))
+
+  /** Blocklist-probe certificate, one row:
+    *
+    *  - `n_corpus` / `n_members`: corpus rows probed and how many are TRUE
+    *    members (value present in `members`) — the oracle-checkable truth,
+    *  - `no_false_negatives`: every true member row probed TRUE (the Bloom
+    *    guarantee — must ALWAYS hold),
+    *  - `fp_within_bound`: false-positive rows <= 3·fpp·(non-members) + 8
+    *    (deterministic for fixed data; 3x + additive slack covers the
+    *    variance of small corpora).
+    *
+    * The member check is an exact broadcast semi-join ONLY for the
+    * certificate; the production path is [[bloomProbe]] alone.
+    */
+  def bloomCertificate(
+      corpus: DataFrame,
+      itemCol: String,
+      members: DataFrame,
+      memberItemCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom  = bloomBuild(members, memberItemCol, expectedItems, fpp)
+    val probed = bloomProbe(corpus.filter(col(itemCol).isNotNull), itemCol, bloom)
+    val flagged = probed.join(
+        broadcast(members.select(col(memberItemCol).as(itemCol)).distinct()
+          .withColumn("__is_member", lit(true))),
+        Seq(itemCol), "left")
+      .select(col("might_contain"),
+        coalesce(col("__is_member"), lit(false)).as("__is_member"))
+    flagged.agg(
+        count(lit(1)).as("n_corpus"),
+        sum(when(col("__is_member"), 1L).otherwise(0L)).as("n_members"),
+        min(when(col("__is_member"), col("might_contain")).otherwise(lit(true)))
+          .as("no_false_negatives"),
+        sum(when(!col("__is_member") && col("might_contain"), 1L).otherwise(0L))
+          .as("__fps"))
+      .select(col("n_corpus"), col("n_members"), col("no_false_negatives"),
+        (col("__fps").cast("double") <=
+          lit(3 * fpp) * (col("n_corpus") - col("n_members")).cast("double")
+            + lit(8.0)).as("fp_within_bound"))
+  }
 }
