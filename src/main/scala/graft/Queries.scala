@@ -975,6 +975,38 @@ object Queries {
       |       TRUE AS no_false_negatives,
       |       TRUE AS fp_within_bound""".stripMargin
 
+  /** Per-document top-5 keywords by linear-idf tf-idf (see
+    * [[TextAnalysis.tfIdfTopK]] for why the score avoids `ln`). The window
+    * tie-break (score desc, term asc) is total, so the ranking — not just
+    * the set — must match the oracle.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopK(tbl(spark, dir, "documents"), "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank")
+
+  val tfidfSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+      |), d AS (
+      |  SELECT term, count(*) AS df FROM t GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+      |), s AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |         t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) AS score,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY t.doc_id
+      |           ORDER BY t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) DESC,
+      |                    t.term ASC) AS BIGINT) AS rank
+      |  FROM t JOIN d USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, df, score, rank
+      |FROM s WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_approx_distinct"  -> (Queries.approxDistinct _),
     "q_sketch_union"     -> (Queries.sketchUnion _),
     "q_bloom_probe"      -> (Queries.bloomProbe _),
+    "q_tfidf"            -> (Queries.tfidf _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_approx_distinct" -> Queries.approxDistinctSql,
     "q_sketch_union"    -> Queries.sketchUnionSql,
     "q_bloom_probe"     -> Queries.bloomProbeSql,
+    "q_tfidf"           -> Queries.tfidfSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql
   )

@@ -199,4 +199,41 @@ object TextAnalysis {
         coalesce((col("n_tri") - col("nd_tri")).cast("double") / col("n_tri"),
           lit(0.0)).as("dup_trigram_frac"))
   }
+
+  /** Top-`k` most characteristic terms per document by tf-idf with a LINEAR
+    * idf (`score = tf · n_docs / df` — no logarithm): cross-engine `ln`
+    * implementations differ in the last ulp, while this score is exact
+    * integer counts through one correctly-rounded IEEE division and one
+    * multiplication, so an independent SQL engine reproduces it
+    * bit-for-bit. Linear idf ranks rarer terms more aggressively than
+    * log-idf but serves the same keyword-extraction purpose.
+    *
+    * Scale shape: tf is an explode → `groupBy(id, term)` with map-side
+    * combine; df aggregates the (much smaller) tf frame by term; the
+    * tf⋈df join keys both sides on `term` (one co-partitioned shuffle);
+    * `n_docs` rides in as a broadcast scalar; the final top-k is a window
+    * partitioned by document — every stage is keyed, nothing is global.
+    * Ranking ties are impossible: (score desc, term asc) is total.
+    *
+    * Output: `(id, term, tf, df, score, rank)`, `rank` in 1..k.
+    */
+  def tfIdfTopK(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("__n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -169,4 +169,26 @@ class ChunkRepetitionSpec extends SparkTestBase {
       (2L, 6L, 4.0 / 6.0, 0.5, 0.5),
       (3L, 2L, 0.0, 0.5, 0.0)))
   }
+
+  test("tfIdfTopK: hand-computed scores and ranks") {
+    // n_docs = 3; df: apple 1, banana 2, cherry 2, date 1
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")
+    ).toDF("doc_id", "text")
+
+    val out = TextAnalysis.tfIdfTopK(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+
+    assert(out.toSeq == Seq(
+      (1L, "apple", 2L, 1L, 6.0, 1L),   // 2 * (3/1)
+      (1L, "banana", 1L, 2L, 1.5, 2L),  // 1 * (3/2)
+      (2L, "banana", 1L, 2L, 1.5, 1L),  // tie with cherry: term asc
+      (2L, "cherry", 1L, 2L, 1.5, 2L),
+      (3L, "cherry", 3L, 2L, 4.5, 1L),  // 3 * (3/2)
+      (3L, "date", 1L, 1L, 3.0, 2L)))   // 1 * (3/1)
+  }
 }
