@@ -177,6 +177,36 @@ object Queries {
       |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) <= 1705708800000
       |ORDER BY __timestamp, event_id""".stripMargin
 
+  /** Write→prune→read round trip of the time-bucketed table layout
+    * ([[graft.ops.Layout]]): events land as a day-partitioned parquet tree
+    * (range-distributed, time-sorted files), then a 1.5-day window is read
+    * back through partition pruning. The oracle filters the raw table
+    * directly, so the layout must be lossless and the pruning exact. The
+    * layout tree is a per-run temp dir (deleted on JVM exit) — the query
+    * under test is the round trip, not the artifact.
+    */
+  def layoutWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select(
+      unix_millis($"ts".cast("timestamp")).as("ts_ms"),
+      $"event_id", $"event_type", $"value")
+    val out = java.nio.file.Files.createTempDirectory("graft_layout_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    graft.ops.Layout.writeTimePartitioned(ev, "ts_ms", "1d", out.toString,
+      sortCols = Seq("event_id"))
+    val startMs = graft.time.EpochTime.toEpochMillis("2024-01-12T12:00:00Z")
+    val endMs   = graft.time.EpochTime.toEpochMillis("2024-01-14T00:00:00Z")
+    graft.ops.Layout.readWindow(spark, out.toString, "ts_ms", "1d", startMs, endMs)
+      .select($"ts_ms", $"event_id", $"event_type", $"value")
+      .orderBy("ts_ms", "event_id")
+  }
+
+  val layoutWindowSql: String =
+    """SELECT epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |FROM events
+      |WHERE epoch_ms(ts) >= 1705060800000 AND epoch_ms(ts) < 1705190400000
+      |ORDER BY ts_ms, event_id""".stripMargin
+
   /** P4: user timestamp-conversion expression; original kept as `__<col>`. */
   def tsConvert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sketch_union"     -> (Queries.sketchUnion _),
     "q_bloom_probe"      -> (Queries.bloomProbe _),
     "q_tfidf"            -> (Queries.tfidf _),
+    "q_layout_window"    -> (Queries.layoutWindow _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_sketch_union"    -> Queries.sketchUnionSql,
     "q_bloom_probe"     -> Queries.bloomProbeSql,
     "q_tfidf"           -> Queries.tfidfSql,
+    "q_layout_window"   -> Queries.layoutWindowSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql
   )

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.time.Intervals
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed table layout — the write-side half of partition pruning.
+  *
+  * At 100 TB the scan you avoid is the one that matters: a query windowed
+  * to one day of a year-long corpus should open ~1/365th of the files.
+  * That only happens if the WRITER laid the data out by time. This module
+  * writes a DataFrame as a Hive-partitioned parquet tree keyed by an
+  * interval bucket of the engine's epoch-ms timestamp
+  * (`bucket=<epoch_ms_of_bucket_start>/part-*.parquet`), range-distributed
+  * so each task owns a contiguous time slice, and sorted within files so
+  * every row group's min/max timestamp stats are tight.
+  *
+  * Three pruning layers result, all visible in `.explain`:
+  *   1. directory-level: `PartitionFilters` on the bucket column — files
+  *      outside the window are never even listed as splits;
+  *   2. row-group-level: `PushedFilters` on the timestamp against tight
+  *      min/max stats — whole row groups skip;
+  *   3. page-level: parquet column indexes over the sorted timestamp.
+  *
+  * The bucket value is the bucket's own start epoch-ms (not a date string):
+  * pruning predicates stay pure int64 comparisons and the mapping from a
+  * query window to bucket ranges is closed-form (`Intervals.floorTo`).
+  */
+object Layout {
+
+  val BucketCol = "bucket"
+
+  /** Write `df` time-partitioned by `interval` buckets of `tsCol`.
+    *
+    * `repartitionByRange(bucket, ts)` (not hash) so output tasks own
+    * contiguous time — each task writes to one (or two, at bucket edges)
+    * partition directories instead of all of them, which at 1000 tasks ×
+    * 365 buckets is the difference between ~1k files and ~365k.
+    * `partitionsPerBucket` > 1 splits hot buckets across that many range
+    * slices (they still write into the same directory).
+    */
+  def writeTimePartitioned(
+      df: DataFrame,
+      tsCol: String,
+      interval: String,
+      path: String,
+      sortCols: Seq[String] = Nil,
+      partitionsPerBucket: Int = 1): Unit = {
+    require(partitionsPerBucket >= 1,
+      s"partitionsPerBucket must be >= 1: $partitionsPerBucket")
+    val stepMs = Intervals.toMillis(interval)
+    val withBucket = df.withColumn(BucketCol,
+      (floor(col(tsCol).cast("long") / stepMs) * stepMs).cast("long"))
+    // size the range partitioning from the 2-scalar span agg (footer-stats
+    // cheap on parquet sources), not countDistinct — no key shuffle; time
+    // gaps only mean a few empty ranges, which AQE coalesces
+    val span = df.agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long")).head()
+    if (span.isNullAt(0)) return // empty input: nothing to lay out
+    val nBuckets =
+      Intervals.floorTo(span.getLong(1), stepMs) / stepMs -
+        Intervals.floorTo(span.getLong(0), stepMs) / stepMs + 1
+    val nParts = math.max(1, math.min(nBuckets * partitionsPerBucket, 100000L).toInt)
+    // the sort MUST lead with the partition column: the dynamic-partition
+    // writer requires an ordering on it and would otherwise insert its own
+    // bucket-only sort, destroying the timestamp order inside files
+    withBucket
+      .repartitionByRange(nParts, col(BucketCol), col(tsCol))
+      .sortWithinPartitions((col(BucketCol) +: col(tsCol) +: sortCols.map(col)): _*)
+      .write.mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(path)
+  }
+
+  /** Read back a time window from a partitioned layout. The bucket
+    * predicate is widened to the enclosing bucket starts so it prunes
+    * directories; the exact `[startMs, endMs)` predicate on `tsCol` prunes
+    * row groups / pages within the boundary buckets.
+    */
+  def readWindow(
+      spark: SparkSession,
+      path: String,
+      tsCol: String,
+      interval: String,
+      startMs: Long,
+      endMs: Long): DataFrame = {
+    require(startMs <= endMs, s"bad window: $startMs > $endMs")
+    val stepMs = Intervals.toMillis(interval)
+    spark.read.parquet(path)
+      .filter(col(BucketCol) >= Intervals.floorTo(startMs, stepMs) &&
+        col(BucketCol) <= Intervals.floorTo(math.max(startMs, endMs - 1), stepMs))
+      .filter(col(tsCol) >= startMs && col(tsCol) < endMs)
+  }
+}
