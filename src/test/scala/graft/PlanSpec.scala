@@ -160,4 +160,26 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("q_repetition")
     assert("FileScan parquet".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("bloom probe is a narrow map: no exchange, no join in the probe path") {
+    assumeTestData(dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bloom = graft.pipeline.Sketches.bloomBuild(
+      docs.limit(50), "text", 50L, 0.01)
+    val plan = graft.pipeline.Sketches.bloomProbe(docs, "text", bloom)
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // probing stays inside whole-stage codegen (the `*(n)` stage marker on
+    // the projection carrying the native expression; no UDF)
+    assert("""\*\(\d+\) Project .*bloommightcontain""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("tf-idf broadcasts only the doc-count scalar; term join is keyed") {
+    val plan = planOf("q_tfidf")
+    // the n_docs scalar rides in via broadcast; tf and df are both keyed
+    // by term so their join must not broadcast a full side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
