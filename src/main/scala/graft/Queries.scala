@@ -1005,6 +1005,28 @@ object Queries {
       |       TRUE AS no_false_negatives,
       |       TRUE AS fp_within_bound""".stripMargin
 
+  /** Incremental ingest dedup: odd-id docs are the "new batch", even-id
+    * docs the "prior corpus"; keep only new docs whose text is absent from
+    * the prior. The Bloom prefilter routes ~99% of the batch around the
+    * exact anti-join; the oracle is the plain NOT EXISTS the composition
+    * must equal regardless of the filter's false positives.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = tbl(spark, dir, "documents")
+    val prior = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val expected = math.max(1L, prior.select("text").distinct().count())
+    Dedup.newAgainstPrior(fresh, "text", prior, "text", expected)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """SELECT doc_id, lang, source FROM documents d
+      |WHERE doc_id % 2 = 1 AND NOT EXISTS (
+      |  SELECT 1 FROM documents p WHERE p.doc_id % 2 = 0 AND p.text = d.text)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-document top-5 keywords by linear-idf tf-idf (see
     * [[TextAnalysis.tfIdfTopK]] for why the score avoids `ln`). The window
     * tie-break (score desc, term asc) is total, so the ranking — not just

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_bloom_probe"      -> (Queries.bloomProbe _),
     "q_tfidf"            -> (Queries.tfidf _),
     "q_layout_window"    -> (Queries.layoutWindow _),
+    "q_dedup_incremental" -> (Queries.dedupIncremental _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_bloom_probe"     -> Queries.bloomProbeSql,
     "q_tfidf"           -> Queries.tfidfSql,
     "q_layout_window"   -> Queries.layoutWindowSql,
+    "q_dedup_incremental" -> Queries.dedupIncrementalSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql
   )

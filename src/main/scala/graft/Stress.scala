@@ -180,6 +180,49 @@ object Stress {
         "doc_id", "bench_id", n = 3, minShared = 40L))
     assert(contamRows == nd / 1000, s"contam pairs $contamRows vs ${nd / 1000}")
 
+    // ---- Bloom blocklist probe at volume: the same eval set as a Bloom
+    // artifact probed map-side against all nd docs. Every bench doc is its
+    // own text's only occurrence (ids %1000==500 are never the planted
+    // dups), so: zero false negatives means all nd/1000 members hit, and
+    // hits beyond that are FPs bounded by fpp against nd non-members.
+    val benchBloom = graft.pipeline.Sketches.bloomBuild(
+      bench, "text", math.max(1L, nd / 1000), fpp = 0.001)
+    val bloomHits = timed("bloom_probe",
+      graft.pipeline.Sketches.bloomProbe(docs, "text", benchBloom)
+        .filter(col("might_contain")))
+    val bloomMisses = graft.pipeline.Sketches.bloomProbe(docs, "text", benchBloom)
+      .filter(pmod(col("doc_id"), lit(1000)) === 500 && !col("might_contain"))
+      .count()
+    assert(bloomMisses == 0L, s"$bloomMisses false negatives — guarantee broken")
+    assert(bloomHits <= nd / 1000 + (3 * 0.001 * nd).toLong + 10,
+      s"bloom FPs above budget: $bloomHits hits for ${nd / 1000} members")
+
+    // ---- tf-idf keywords at volume: 50-word docs over a 5k vocab always
+    // carry >= 3 distinct terms, so top-3 extraction is exactly 3 rows/doc.
+    val tfidfRows = timed("tfidf_top3",
+      graft.pipeline.TextAnalysis.tfIdfTopK(docs, "text", "doc_id", k = 3))
+    assert(tfidfRows == 3L * nd, s"tfidf rows $tfidfRows vs ${3L * nd}")
+
+    // ---- time-partitioned layout at volume: stream a (n events, 30 days)
+    // written as a day-bucketed tree, then a 1.5-day window read back
+    // through partition pruning; counts must match the direct filter.
+    val layoutDir = java.nio.file.Files.createTempDirectory("stress_layout_").toFile
+    try {
+      val tL = System.nanoTime()
+      graft.ops.Layout.writeTimePartitioned(
+        a.select(col("ts"), col("id")), "ts", "1d", layoutDir.toString)
+      val sL = (System.nanoTime() - tL) / 1e9
+      println(f"""{"stage":"layout_write","rows":$n,"sec":$sL%.2f,"rows_per_sec":${(n / sL).toLong}}""")
+      val ws = t0 + 10L * 86400000L + 43200000L
+      val we = ws + 129600000L // 1.5 days
+      val winRows = timed("layout_window_read",
+        graft.ops.Layout.readWindow(spark, layoutDir.toString, "ts", "1d", ws, we))
+      val expectWin = a.filter(col("ts") >= ws && col("ts") < we).count()
+      assert(winRows == expectWin, s"layout window $winRows vs $expectWin")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(layoutDir)
+    }
+
     // ---- weighted sample + proportional mix at volume. The sample is
     // TakeOrdered(k): k rows reach the driver heap regardless of nd. The
     // mix is one keyed window + integer stride arithmetic; its 600-row

@@ -95,6 +95,39 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental ingest dedup: rows of `newDocs` whose `textCol` does NOT
+    * already appear in `prior` — the every-day shape of appending a new
+    * batch to an existing corpus.
+    *
+    * Why not a plain anti-join: when `prior` is far past broadcast size
+    * (the 100 TB corpus), an anti-join shuffles the ENTIRE new batch
+    * against it. Instead a Bloom artifact over the prior texts splits the
+    * batch map-side: probe-negative rows are DEFINITIVELY new (the no-
+    * false-negative guarantee) and skip the join entirely; only probe-
+    * positive suspects — true dupes plus ~`fpp` false positives — reach
+    * the exact anti-join that settles them. The join's left input shrinks
+    * from |batch| to |dupes| + fpp·|batch| regardless of corpus size.
+    *
+    * The two result branches each descend `newDocs` (narrow, pruned);
+    * persist the batch first if its scan is expensive. Exactness does not
+    * depend on the filter: a saturated Bloom only grows the suspect side.
+    */
+  def newAgainstPrior(
+      newDocs: DataFrame,
+      textCol: String,
+      prior: DataFrame,
+      priorTextCol: String,
+      expectedPriorDistinct: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val priorTexts = prior.select(col(priorTextCol).as(textCol)).distinct()
+    val bloom = Sketches.bloomBuild(priorTexts, textCol, expectedPriorDistinct, fpp)
+    val probed = Sketches.bloomProbe(newDocs, textCol, bloom, outCol = "__maybe")
+    val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe")
+    val settledNew = probed.filter(col("__maybe")).drop("__maybe")
+      .join(priorTexts, Seq(textCol), "left_anti")
+    definitelyNew.unionByName(settledNew)
+  }
+
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol),

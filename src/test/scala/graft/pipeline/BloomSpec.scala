@@ -69,6 +69,24 @@ class BloomSpec extends SparkTestBase {
     assert(row.getBoolean(3), "FP bound violated in certificate")
   }
 
+  test("newAgainstPrior equals the plain anti-join, even with a saturated filter") {
+    // prior: texts t0..t49; batch: t25..t74 (25 dupes, 25 new)
+    val prior = spark.range(50).select(concat(lit("t"), $"id").as("text"))
+    val batch = spark.range(25, 75).select(
+      $"id".as("doc_id"), concat(lit("t"), $"id").as("text"))
+    val out = graft.pipeline.Dedup.newAgainstPrior(
+        batch, "text", prior, "text", expectedPriorDistinct = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.sameElements((50L until 75L).toArray[Long]))
+
+    // a deliberately undersized filter (expected=1 → saturated, ~all FPs)
+    // must only grow the suspect side, never change the answer
+    val sat = graft.pipeline.Dedup.newAgainstPrior(
+        batch, "text", prior, "text", expectedPriorDistinct = 1L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(sat.sameElements((50L until 75L).toArray[Long]))
+  }
+
   test("probe rejects unsupported item types with a clear error") {
     val err = intercept[Exception] {
       Seq(1.5, 2.5).toDF("d").select(
