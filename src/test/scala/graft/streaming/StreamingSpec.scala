@@ -325,4 +325,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 2)
     assert(rows.map(_.getAs[Int]("exsym_lookup")).sorted.toSeq == Seq(0, 1))
   }
+
+  test("streaming windowed profile emits closed windows whose sketches re-union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "user")
+
+    val out = StreamingProfile.windowedDistinct(
+      df, "ts", "user", windowDuration = "10 seconds",
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("profiled")
+      .outputMode("append").start()
+
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // window [0,10s): users u1,u2,u1 (n=3, distinct=2)
+    // window [10,20s): users u2,u3,u4,u3 (n=4, distinct=3); u2 overlaps w1
+    input.addData((t(1), "u1"), (t(2), "u2"), (t(3), "u1"))
+    q.processAllAvailable()
+    input.addData((t(11), "u2"), (t(12), "u3"), (t(13), "u4"), (t(15), "u3"))
+    q.processAllAvailable()
+    input.addData((t(25), "uZ")) // advance watermark past both windows
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("profiled").orderBy("window_start").collect()
+    assert(rows.length == 2, s"expected both closed windows: ${rows.toSeq}")
+    assert(rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct_est")))
+      .toSeq == Seq((3L, 2L), (4L, 3L)))
+
+    // the emitted artifacts are the SAME mergeable sketches as the batch
+    // side: re-union across windows = distinct over the union (u1..u4 = 4)
+    val unioned = graft.pipeline.Sketches.hllUnionEstimate(
+      spark.table("profiled").select(col("n_rows"), col("hll_sketch")))
+      .head()
+    assert(unioned.getLong(0) == 2L)                       // n_parts
+    assert(unioned.getLong(1) == 7L)                       // n_rows
+    assert(unioned.getLong(2) == 4L, s"$unioned")          // distinct est
+  }
 }
