@@ -1005,6 +1005,34 @@ object Queries {
       |       TRUE AS no_false_negatives,
       |       TRUE AS fp_within_bound""".stripMargin
 
+  /** Corpus quality gate: minimum-length floor, then drop everything below
+    * the 25th-percentile stopword-ratio score. The oracle recomputes the
+    * score AND the exact interpolated threshold, so both the scoring and
+    * the cut must agree across engines.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGate(tbl(spark, dir, "documents"), "text", "doc_id",
+      minTokens = 5L, p = 0.25)
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String = {
+    val stops = TextAnalysis.StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       |         round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+       |           THEN CAST(len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b')) AS DOUBLE)
+       |                / len(regexp_extract_all(text, '[A-Za-z0-9]+')) ELSE 0.0 END, 6) AS score
+       |  FROM documents
+       |), f AS (
+       |  SELECT * FROM s WHERE n_tokens >= 5
+       |), t AS (
+       |  SELECT quantile_cont(score, 0.25) AS thr FROM f
+       |)
+       |SELECT doc_id, n_tokens, score FROM f, t
+       |WHERE score >= thr ORDER BY doc_id""".stripMargin
+  }
+
   /** Incremental ingest dedup: odd-id docs are the "new batch", even-id
     * docs the "prior corpus"; keep only new docs whose text is absent from
     * the prior. The Bloom prefilter routes ~99% of the batch around the

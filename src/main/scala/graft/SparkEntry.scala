@@ -84,6 +84,7 @@ object SparkEntry {
     "q_tfidf"            -> (Queries.tfidf _),
     "q_layout_window"    -> (Queries.layoutWindow _),
     "q_dedup_incremental" -> (Queries.dedupIncremental _),
+    "q_quality_filter"   -> (Queries.qualityFilter _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
   )
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_tfidf"           -> Queries.tfidfSql,
     "q_layout_window"   -> Queries.layoutWindowSql,
     "q_dedup_incremental" -> Queries.dedupIncrementalSql,
+    "q_quality_filter"  -> Queries.qualityFilterSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql
   )

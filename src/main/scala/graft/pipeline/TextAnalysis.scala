@@ -200,6 +200,34 @@ object TextAnalysis {
           lit(0.0)).as("dup_trigram_frac"))
   }
 
+  /** Percentile quality gate — the canonical "drop the worst X% of the
+    * corpus" curation step: rows below `minTokens` are dropped outright,
+    * then rows whose quality score sits below the corpus `p`-quantile are
+    * dropped too. The score is the English stopword ratio (rounded to the
+    * 1e-6 grid so independent engines agree bit-for-bit); natural text
+    * scores high, boilerplate/code/gibberish scores near zero.
+    *
+    * Scale shape: two narrow descents of the input — one computing scores
+    * into the exact-percentile aggregate (a 1-row broadcast back), one
+    * filtering against it. For a one-scan variant at extreme scale, feed
+    * the threshold from [[graft.pipeline.Sketches.approxPercentilesCertified]]'s
+    * sketch instead of the exact percentile.
+    *
+    * Output: `(id, n_tokens, score)` for the surviving rows.
+    */
+  def qualityGate(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 5L, p: Double = 0.25): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1): $p")
+    val sigs = qualitySignals(col(textCol)).toMap
+    val scored = docs.select(col(idCol), sigs("n_tokens").as("n_tokens"),
+        round(sigs("stopword_ratio"), 6).as("score"))
+      .filter(col("n_tokens") >= minTokens)
+    val thr = scored.agg(expr(s"percentile(score, $p)").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("__thr"))
+      .select(col(idCol), col("n_tokens"), col("score"))
+  }
+
   /** Top-`k` most characteristic terms per document by tf-idf with a LINEAR
     * idf (`score = tf · n_docs / df` — no logarithm): cross-engine `ln`
     * implementations differ in the last ulp, while this score is exact

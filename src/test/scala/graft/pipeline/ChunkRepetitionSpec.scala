@@ -191,4 +191,27 @@ class ChunkRepetitionSpec extends SparkTestBase {
       (3L, "cherry", 3L, 2L, 4.5, 1L),  // 3 * (3/2)
       (3L, "date", 1L, 1L, 3.0, 2L)))   // 1 * (3/1)
   }
+
+  test("qualityGate: hand-computed scores, floor, and p25 threshold") {
+    // en stopword scores: d1 3/8=0.375, d2 0.0, d3 4/7, d5 2/8=0.25;
+    // d4 falls to the 5-token floor. p25 over [0, .25, .375, .571429] =
+    // 0 + 0.75*(0.25-0) = 0.1875 -> keep d1, d3, d5.
+    val docs = Seq(
+      (1L, "the cat and the dog runs fast today"),
+      (2L, "xyz qwe rty uio asd fgh"),
+      (3L, "it is the best of the things"),
+      (4L, "a b"),
+      (5L, "to be or not to be here now")
+    ).toDF("doc_id", "text")
+
+    val out = TextAnalysis.qualityGate(docs, "text", "doc_id",
+      minTokens = 5L, p = 0.25)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(out.toSeq == Seq(
+      (1L, 8L, 0.375),
+      (3L, 7L, 0.571429),
+      (5L, 8L, 0.25)))
+  }
 }
