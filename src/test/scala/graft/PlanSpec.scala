@@ -174,6 +174,23 @@ class PlanSpec extends SparkTestBase {
     assert("""\*\(\d+\) Project .*bloommightcontain""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("incremental dedup: probe-negative branch joins nothing; suspects anti-join") {
+    val plan = planOf("q_dedup_incremental")
+    // the Bloom probe reaches the plan (both branches carry it)...
+    assert(plan.contains("bloommightcontain"), plan)
+    // ...and exactly one anti-join settles the suspects; the clean branch
+    // must contribute a join-free leg to the union
+    assert("LeftAnti".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("quality gate broadcasts the 1-row threshold, never shuffles the corpus against it") {
+    val plan = planOf("q_quality_filter")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("tf-idf broadcasts only the doc-count scalar; term join is keyed") {
     val plan = planOf("q_tfidf")
     // the n_docs scalar rides in via broadcast; tf and df are both keyed
