@@ -1055,6 +1055,104 @@ object Queries {
       |  SELECT 1 FROM documents p WHERE p.doc_id % 2 = 0 AND p.text = d.text)
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup ([[Dedup.nearDupsAgainstPrior]]): same odd/even
+    * batch/corpus split as [[dedupIncremental]], fuzzy matching instead of
+    * exact. The prior side of the LSH join is its minhash signature
+    * artifact; prior text is touched only for candidate ids. The oracle is
+    * the UNCAPPED exact cross-side jaccard pair set — the same recall
+    * argument as [[dedupMinhash]] (16 bands of 2 ⇒ miss ≈ 1e-7 at the
+    * threshold), so engine output EQUALS the relational definition.
+    */
+  def dedupIncrNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = tbl(spark, dir, "documents")
+    val prior = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val priorSigs = Dedup.minhashSignatures(prior, "text", "doc_id", n = 3, numHashes = 32)
+    Dedup.nearDupsAgainstPrior(fresh, priorSigs, prior, "text", "doc_id",
+      n = 3, bands = 16, rowsPerBand = 2, verifyThreshold = 0.8)
+      .orderBy("id_new", "id_prior")
+  }
+
+  val dedupIncrNearSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_new, b.doc_id AS id_prior, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_new, id_prior,
+      |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_new
+      |JOIN sizes sb ON sb.doc_id = id_prior
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.8
+      |ORDER BY id_new, id_prior""".stripMargin
+
+  /** Per-document duplicate-shingle fraction ([[Dedup.dupShingleFraction]]):
+    * the linear-cost duplication profile over the whole corpus — no pair
+    * join, so it runs where pairwise dedup is not yet affordable. The
+    * fraction is one integer-over-integer IEEE division, bit-identical
+    * across engines (no rounding needed).
+    */
+  def dupNgramFrac(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupShingleFraction(tbl(spark, dir, "documents"), "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+
+  val dupNgramFracSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |), d AS (
+      |  SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+      |)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+      |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+      |FROM ex JOIN d USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Semi-structured extraction: parse the JSON `props` column and profile
+    * the extracted field per event type. `get_json_object` is codegen'd
+    * path extraction — no UDF, no driver-side parsing; the projected
+    * columns (`event_type`, `props`) are the only ones read (column
+    * pruning reaches the parquet scan). The everyday ETL shape for logs /
+    * API payloads stored as JSON strings at corpus scale.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum("k").as("sum_k"),
+           round(avg("k"), 6).as("avg_k"),
+           countDistinct("k").as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+      |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Per-document top-5 keywords by linear-idf tf-idf (see
     * [[TextAnalysis.tfIdfTopK]] for why the score avoids `ln`). The window
     * tie-break (score desc, term asc) is total, so the ranking — not just

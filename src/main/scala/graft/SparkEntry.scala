@@ -84,6 +84,9 @@ object SparkEntry {
     "q_tfidf"            -> (Queries.tfidf _),
     "q_layout_window"    -> (Queries.layoutWindow _),
     "q_dedup_incremental" -> (Queries.dedupIncremental _),
+    "q_dedup_incr_near"  -> (Queries.dedupIncrNear _),
+    "q_dup_ngram_frac"   -> (Queries.dupNgramFrac _),
+    "q_json_extract"     -> (Queries.jsonExtract _),
     "q_quality_filter"   -> (Queries.qualityFilter _),
     "q_heavy_hitters"    -> (Queries.heavyHitters _),
     "q_approx_percentiles" -> (Queries.approxPercentiles _)
@@ -155,6 +158,9 @@ object SparkEntry {
     "q_tfidf"           -> Queries.tfidfSql,
     "q_layout_window"   -> Queries.layoutWindowSql,
     "q_dedup_incremental" -> Queries.dedupIncrementalSql,
+    "q_dedup_incr_near" -> Queries.dedupIncrNearSql,
+    "q_dup_ngram_frac"  -> Queries.dupNgramFracSql,
+    "q_json_extract"    -> Queries.jsonExtractSql,
     "q_quality_filter"  -> Queries.qualityFilterSql,
     "q_heavy_hitters"   -> Queries.heavyHittersSql,
     "q_approx_percentiles" -> Queries.approxPercentilesSql

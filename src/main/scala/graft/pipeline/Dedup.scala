@@ -223,13 +223,7 @@ object Dedup {
     // explode + minhash aggregation runs once, not once per join side.
     val sigDf = materializeOnce(minhashSignatures(df, textCol, idCol, n, numHashes))
 
-    val banded = sigDf.select(col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"__mh$i")): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val banded = bandBuckets(sigDf, idCol, bands, rowsPerBand)
 
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
@@ -260,6 +254,104 @@ object Dedup {
         .filter(col("jaccard") >= verifyThreshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
+  }
+
+  /** (id, band, bucket) rows from a signature table: band `b`'s bucket is a
+    * 64-bit hash of its `rowsPerBand` consecutive minhashes — the narrow
+    * equijoin key every LSH consumer shuffles on.
+    */
+  private def bandBuckets(sigDf: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigDf.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"__mh$i")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+
+  /** Incremental NEAR-dup: pairs (id_new, id_prior, jaccard) where a row of
+    * `newDocs` is a near-duplicate (n-gram Jaccard >= `verifyThreshold`) of
+    * a document already in the corpus — the fuzzy sibling of
+    * [[newAgainstPrior]], and the shape that makes minhash signatures worth
+    * PERSISTING ([[minhashSignatures]] written to parquet once per ingest).
+    *
+    * Scale shape: the prior corpus is never re-shingled and never re-read
+    * in bulk. Its side of the LSH band join is `priorSigs` — the fixed-width
+    * signature artifact (a few hundred bytes/doc regardless of document
+    * size). Only the NEW batch is shingled and hashed; candidates come from
+    * the (band, bucket) equijoin of new-batch buckets against artifact
+    * buckets; the exact-Jaccard verify then touches prior TEXT only for the
+    * candidate ids (a left-semi join prunes the prior scan to those rows —
+    * id-indexed retrieval, not a corpus pass). Work scales with
+    * |batch| + |candidates|, independent of corpus size.
+    *
+    * `priorSigs` must come from [[minhashSignatures]] with the same `n` and
+    * `bands * rowsPerBand` hashes (schema: idCol, __mh0..__mh{k-1}); its id
+    * column must be disjoint from the new batch's ids.
+    */
+  def nearDupsAgainstPrior(
+      newDocs: DataFrame,
+      priorSigs: DataFrame,
+      priorDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      verifyThreshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSigs = materializeOnce(
+      minhashSignatures(newDocs, textCol, idCol, n, numHashes))
+    val newBanded   = bandBuckets(newSigs, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_new"), col("band"), col("bucket"))
+    val priorBanded = bandBuckets(priorSigs, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_prior"), col("band"), col("bucket"))
+    val cands = materializeOnce(
+      newBanded.join(priorBanded, Seq("band", "bucket"))
+        .select("id_new", "id_prior").distinct())
+
+    // Exact verify, candidate-bounded on BOTH sides: each corpus is scanned
+    // only for ids that appear in some candidate pair.
+    def candSide(docs: DataFrame, keep: DataFrame, outId: String) =
+      materializeOnce(
+        docs.join(keep.select(col(outId).as(idCol)).distinct(), Seq(idCol), "left_semi")
+          .select(col(idCol).as(outId),
+            array_distinct(TextAnalysis.shingles(col(textCol), n)).as(s"__sh_$outId")))
+    val newSh   = candSide(newDocs, cands, "id_new")
+    val priorSh = candSide(priorDocs, cands, "id_prior")
+    cands.join(newSh, Seq("id_new")).join(priorSh, Seq("id_prior"))
+      .withColumn("__shared", size(array_intersect(col("__sh_id_new"), col("__sh_id_prior"))))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (size(col("__sh_id_new")) + size(col("__sh_id_prior")) - col("__shared")).cast("double"))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select(col("id_new"), col("id_prior"), col("jaccard"))
+  }
+
+  /** Per-document duplicate-shingle fraction — the "how much of this document
+    * already exists elsewhere in the corpus" quality signal (the duplicate
+    * n-gram fraction used by production LLM-corpus pipelines): for each
+    * document, the fraction of its distinct n-gram shingles whose corpus
+    * document frequency exceeds 1.
+    *
+    * Scale shape: one shuffle on the shingle hash (window count — the same
+    * exchange a groupBy would pay, reused in place of a count+join
+    * re-descent) and one map-side-combined groupBy on the doc id. No
+    * self-join: this is the LINEAR-cost duplication profile, the screening
+    * pass that decides which corpus slices are worth a pairwise dedup at
+    * all. Output: (id, n_shingles, n_dup_shingles, dup_fraction).
+    */
+  def dupShingleFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    sh.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum((col("__df") > 1).cast("long")).as("n_dup_shingles"))
+      .withColumn("dup_fraction",
+        col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
   }
 
   /** Embedding-cosine near-duplicate document pairs: join the document table
