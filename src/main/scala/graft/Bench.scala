@@ -30,9 +30,19 @@ object Bench {
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every column (count() would let
-        // Catalyst prune the query down to a row count).
+        // Catalyst prune the query down to a row count). The withMaterialized
+        // bracket releases the localCheckpoint blocks a dedup/LSH/ANN query
+        // creates as soon as its run finishes — without it 60+ queries'
+        // checkpoints pile up in the block manager and the whole tail of the
+        // bench pays their memory pressure (measured: ~3x inflation on the
+        // heavy queries by the end of a full pass).
         val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          try {
+            graft.pipeline.Dedup.withMaterialized {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }
+            None
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name: $e")
             Some(e.getClass.getSimpleName)

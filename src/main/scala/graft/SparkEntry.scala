@@ -36,6 +36,7 @@ object SparkEntry {
     // dedup
     "q_dedup_exact"      -> (Queries.dedupExact _),
     "q_dedup_jaccard"    -> (Queries.dedupJaccard _),
+    "q_dup_matrix"       -> (Queries.dupMatrix _),
     "q_dedup_minhash"    -> (Queries.dedupMinhash _),
     "q_simhash"          -> (Queries.simhash _),
     "q_simhash_neardup"  -> (Queries.simhashNearDup _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_ffill"           -> Queries.ffillSql,
     "q_dedup_exact"     -> Queries.dedupExactSql,
     "q_dedup_jaccard"   -> Queries.dedupJaccardSql,
+    "q_dup_matrix"      -> Queries.dupMatrixSql,
     "q_text_quality"    -> Queries.textQualitySql,
     "q_lang_id"         -> Queries.langIdSql,
     "q_token_stats"     -> Queries.tokenStatsSql,

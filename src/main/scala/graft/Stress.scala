@@ -180,6 +180,33 @@ object Stress {
         "doc_id", "bench_id", n = 3, minShared = 40L))
     assert(contamRows == nd / 1000, s"contam pairs $contamRows vs ${nd / 1000}")
 
+    // ---- incremental near-dup at volume: even-id docs are the "prior
+    // corpus" (present only as their minhash signature artifact in the LSH
+    // join), odd-id docs the new batch. The planted pairs (id%100==99
+    // copying id-1) are always odd-vs-even, so every one of the nd/100
+    // planted pairs must surface; random cross-side trigram overlap cannot
+    // reach jaccard 0.8 (distinct 50-word docs share at most a few of 48
+    // trigrams), so the count is exact, not a lower bound.
+    val priorDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val priorSigs = graft.pipeline.Dedup.minhashSignatures(
+      priorDocs, "text", "doc_id", n = 3, numHashes = 16)
+    val incrPairs = timed("incr_near_dup",
+      graft.pipeline.Dedup.nearDupsAgainstPrior(batchDocs, priorSigs, priorDocs,
+        "text", "doc_id", n = 3, bands = 8, rowsPerBand = 2, verifyThreshold = 0.8))
+    assert(incrPairs == nd / 100, s"incr near-dup pairs $incrPairs vs ${nd / 100}")
+
+    // ---- duplicate-shingle fraction at volume: the two members of every
+    // planted dup pair have ALL shingles at df>=2 (fraction exactly 1.0);
+    // no other doc can reach 1.0 (that would need all 48 of its trigrams
+    // independently collided). Linear profile — no pair join.
+    val fracRows = timed("dup_shingle_fraction",
+      graft.pipeline.Dedup.dupShingleFraction(docs, "text", "doc_id", n = 3))
+    val fullDup = graft.pipeline.Dedup.dupShingleFraction(docs, "text", "doc_id", n = 3)
+      .filter(col("dup_fraction") === 1.0).count()
+    assert(fracRows == nd, s"profile rows $fracRows vs $nd")
+    assert(fullDup == 2 * nd / 100, s"full-dup docs $fullDup vs ${2 * nd / 100}")
+
     // ---- Bloom blocklist probe at volume: the same eval set as a Bloom
     // artifact probed map-side against all nd docs. Every bench doc is its
     // own text's only occurrence (ids %1000==500 are never the planted

@@ -25,8 +25,13 @@ object Verify {
         Files.walk(dest).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // withMaterialized: release each query's localCheckpoint blocks once
+      // its dump is written, so 60+ queries' checkpoints don't accumulate
+      // in the block manager across the pass (same bracket as Bench).
+      try graft.pipeline.Dedup.withMaterialized {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

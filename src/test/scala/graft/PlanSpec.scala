@@ -199,4 +199,30 @@ class PlanSpec extends SparkTestBase {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("duplicate-shingle profile: shingle window partitioned; no self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_dup_ngram_frac")(spark, dir).queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+    // linear profile: the df count must come from the window, never a
+    // pair-producing join of the shingle table against itself
+    assert(qe.optimizedPlan.collect { case j: LJoin => j }.isEmpty,
+      qe.explainString(SimpleMode))
+  }
+
+  test("incremental near-dup: candidate-bounded verify, no corpus cross join") {
+    val plan = planOf("q_dedup_incr_near")
+    // every join is keyed (band/bucket equijoin, id attach). The semi-join
+    // that prunes each corpus to candidate ids runs inside the eager
+    // checkpoint jobs, so the final plan only attaches the materialized
+    // candidate-bounded tables (Scan ExistingRDD) — what must NOT appear
+    // is any pair-exploding join shape.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ExistingRDD"), plan)
+  }
 }
