@@ -28,5 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // JVM default TZ too: java.sql.Timestamp.valueOf and friends parse in it
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB box: the 62-query bench/verify passes run
+  // exact percentiles and banded dedup joins over 20M-row inputs in one
+  // long-lived local[32] JVM — at 8g the tail of the pass GC-thrashes
+  // (measured: q_percentiles 2.3s -> 34s run-over-run escalation).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -68,6 +68,10 @@ object Bench {
       val ok = runs.filter(_._2.isEmpty)
       val best = (if (ok.nonEmpty) ok else runs).map(_._1).min
       val err  = if (ok.nonEmpty) None else runs.flatMap(_._2).headOption
+      // Inter-query GC: collect the previous query's garbage (released
+      // checkpoint blocks, aggregation buffers) OUTSIDE the next query's
+      // timed window, so query N+1 doesn't pay query N's collection.
+      System.gc()
       (name, best, runs.map(_._1), err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
