@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, RollingMinHash, SearchSorted, VectorDot, WordListHits, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, NfcNormalize, RollingMinHash, SearchSorted, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"word_shingles n must be an integer literal, got $other")
         }) }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "nfc_normalize"); NfcNormalize(exprs.head) }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

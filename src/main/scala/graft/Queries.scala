@@ -530,6 +530,54 @@ object Queries {
        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)
        |ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation pipeline in ONE query — the composition a corpus
+    * curator actually ships: near-dup dedup (pair → cluster → keep set)
+    * THEN the percentile quality gate (threshold recomputed on the deduped
+    * corpus — deliberately different from [[qualityFilter]]'s, proving the
+    * stages compose rather than reuse each other's artifacts) THEN the
+    * per-source token accounting that feeds mixture design. The oracle
+    * re-derives the full chain (recursive-CTE components + quantile gate +
+    * aggregation), so the three-stage composition is hash-checked end to
+    * end.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val kept = Dedup.dedupByClusters(docs,
+      Dedup.jaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf), "doc_id")
+    TextAnalysis.qualityGate(kept, "text", "doc_id", minTokens = 5L, p = 0.25)
+      .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("total_tokens"),
+           round(avg("score"), 6).as("mean_score"))
+      .orderBy("source")
+  }
+
+  val curateSql: String = {
+    val stops = TextAnalysis.StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
+    s"""$clusterCte, kept AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)
+       |), s AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       |         round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+       |           THEN CAST(len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b')) AS DOUBLE)
+       |                / len(regexp_extract_all(text, '[A-Za-z0-9]+')) ELSE 0.0 END, 6) AS score
+       |  FROM kept
+       |), f AS (
+       |  SELECT * FROM s WHERE n_tokens >= 5
+       |), t AS (
+       |  SELECT quantile_cont(score, 0.25) AS thr FROM f
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       round(avg(score), 6) AS mean_score
+       |FROM f, t WHERE score >= thr
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** MinHash+LSH candidate pairs verified at jaccard >= 0.8. The oracle is
     * the UNCAPPED exact-jaccard pair set: the banded minhash join must
     * recover every pair at this threshold and the verify step computes the
@@ -781,6 +829,46 @@ object Queries {
       |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Unicode NFC canonicalization ([[graft.functions.NfcNormalize]], the
+    * native codegen'd expression) — the step before any text hashing: the
+    * same visible text arrives precomposed and decomposed from real crawls
+    * and would otherwise dodge every digest/shingle/signature operator.
+    * The ASCII corpus is already NFC, so the query PLANTS decomposed
+    * sequences (é as e+U+0301, ü as u+U+0308) on two of every three docs;
+    * md5 of the normalized text pins the rewrite byte-for-byte against
+    * DuckDB's `nfc_normalize` builtin (same name, same Unicode algorithm).
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    // source holds the DECOMPOSED sequences ('e' U+0301, 'u' U+0308) even
+    // though editors render them composed — the whole point of the fixture
+    val planted = concat(col("text"), lit(" "),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("café"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("über"))
+        .otherwise(lit("plain")))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        (nfcNormalize(planted) === planted).as("already_nfc"),
+        md5(nfcNormalize(planted)).as("digest"),
+        (length(planted) - length(nfcNormalize(planted))).cast("long")
+          .as("n_chars_delta"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text || ' ' ||
+      |         CASE doc_id % 3 WHEN 0 THEN 'cafe' || chr(769)
+      |                         WHEN 1 THEN 'u' || chr(776) || 'ber'
+      |                         ELSE 'plain' END AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       nfc_normalize(t) = t AS already_nfc,
+      |       md5(nfc_normalize(t)) AS digest,
+      |       length(t) - length(nfc_normalize(t)) AS n_chars_delta
+      |FROM p ORDER BY doc_id""".stripMargin
 
   /** PII scrub (training-data hygiene): emails/URLs replaced by placeholder
     * tokens. The synthetic corpus contains none, so the query PLANTS a

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_simhash_neardup"  -> (Queries.simhashNearDup _),
     "q_dedup_clusters"   -> (Queries.dedupClusters _),
     "q_dedup_keep"       -> (Queries.dedupKeep _),
+    "q_curate"           -> (Queries.curate _),
     // text analysis
     "q_text_quality"     -> (Queries.textQuality _),
     "q_lang_id"          -> (Queries.langId _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "q_fingerprint"      -> (Queries.fingerprint _),
     "q_fingerprint_rolling" -> (Queries.fingerprintRolling _),
     "q_scrub"            -> (Queries.scrub _),
+    "q_normalize"        -> (Queries.normalize _),
     "q_ngram_freq"       -> (Queries.ngramFreq _),
     "q_sample_stratified" -> (Queries.sampleStratified _),
     "q_pack_budget"      -> (Queries.packBudget _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "q_fingerprint"     -> Queries.fingerprintSql,
     "q_fingerprint_rolling" -> Queries.fingerprintRollingSql,
     "q_scrub"           -> Queries.scrubSql,
+    "q_normalize"       -> Queries.normalizeSql,
     "q_ngram_freq"      -> Queries.ngramFreqSql,
     "q_sample_stratified" -> Queries.sampleStratifiedSql,
     "q_pack_budget"     -> Queries.packBudgetSql,
@@ -143,6 +146,7 @@ object SparkEntry {
     "q_simhash_neardup" -> Queries.simhashNearDupSql,
     "q_dedup_clusters"  -> Queries.dedupClustersSql,
     "q_dedup_keep"      -> Queries.dedupKeepSql,
+    "q_curate"          -> Queries.curateSql,
     "q_multimodal_meta" -> Queries.multimodalMetaSql,
     "q_multimodal_feats" -> Queries.multimodalFeaturesSql,
     "q_audio_decode"    -> Queries.audioDecodeSql,

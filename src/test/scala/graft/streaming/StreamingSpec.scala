@@ -78,6 +78,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1000L, "alpha"), (2000L, "beta"), (5000L, "gamma")))
   }
 
+  test("streaming near-dup flags arrivals matching the static signature artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.util.hashing.MurmurHash3
+    def words(seed: Int) = (0 until 40)
+      .map(j => s"w${math.floorMod(MurmurHash3.productHash((seed, j)), 1000)}")
+      .mkString(" ")
+    val prior = (0 until 20).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
+    val sigs = graft.pipeline.Dedup.minhashSignatures(
+      prior, "text", "doc_id", n = 3, numHashes = 32)
+
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("ts_ms", "doc_id", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val out = StreamingDedup.nearDupsAgainstArtifact(
+      df, sigs, "text", "doc_id", "ts", n = 3, bands = 16, rowsPerBand = 2,
+      estThreshold = 0.8, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+
+    // batch 1: one exact copy of prior doc 7 + one unrelated doc
+    input.addData((1000L, 100L, words(7)), (2000L, 101L, words(999)))
+    q.processAllAvailable()
+    // batch 2: a copy of prior doc 3 arriving later
+    input.addData((3000L, 102L, words(3)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("neardup_stream")
+      .select("id_new", "id_prior", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical text => identical signature => est exactly 1.0; the pair
+    // matches in all 16 bands but must be emitted ONCE
+    assert(rows == Set((100L, 7L, 1.0), (102L, 3L, 1.0)))
+  }
+
   test("streaming blocklist filter drops exactly the blocklisted texts") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = StreamingDedup.digests(
