@@ -1166,6 +1166,31 @@ object Queries {
        |WHERE score >= thr ORDER BY doc_id""".stripMargin
   }
 
+  /** Mean unigram probability per document ([[TextAnalysis.unigramScore]]):
+    * integer counts through one IEEE division — the divisor is computed as
+    * BIGINT on both sides, so the double is bit-identical.
+    */
+  def unigram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramScore(tbl(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val unigramSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+      |), c AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM t GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cf) AS BIGINT) AS total FROM c
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       CAST(sum(tf * cf) AS DOUBLE) / (CAST(sum(tf) AS BIGINT) * total) AS mean_unigram_p
+      |FROM t JOIN c USING (term) CROSS JOIN tot
+      |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin
+
   /** Incremental ingest dedup: odd-id docs are the "new batch", even-id
     * docs the "prior corpus"; keep only new docs whose text is absent from
     * the prior. The Bloom prefilter routes ~99% of the batch around the

@@ -85,6 +85,7 @@ object SparkEntry {
     "q_sketch_union"     -> (Queries.sketchUnion _),
     "q_bloom_probe"      -> (Queries.bloomProbe _),
     "q_tfidf"            -> (Queries.tfidf _),
+    "q_unigram_score"    -> (Queries.unigram _),
     "q_layout_window"    -> (Queries.layoutWindow _),
     "q_dedup_incremental" -> (Queries.dedupIncremental _),
     "q_dedup_incr_near"  -> (Queries.dedupIncrNear _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q_sketch_union"    -> Queries.sketchUnionSql,
     "q_bloom_probe"     -> Queries.bloomProbeSql,
     "q_tfidf"           -> Queries.tfidfSql,
+    "q_unigram_score"   -> Queries.unigramSql,
     "q_layout_window"   -> Queries.layoutWindowSql,
     "q_dedup_incremental" -> Queries.dedupIncrementalSql,
     "q_dedup_incr_near" -> Queries.dedupIncrNearSql,

@@ -264,4 +264,39 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Per-document mean unigram probability — the linear cousin of the
+    * LM-perplexity quality score (CCNet-style): how "ordinary" a document's
+    * vocabulary is under the corpus's own unigram distribution. Gibberish,
+    * boilerplate-free spam and wrong-language text score low; typical prose
+    * scores near the corpus mean. Linear (mean of p(term)) rather than
+    * log-perplexity so the whole score is integer counts through ONE IEEE
+    * division — bit-reproducible by an independent SQL engine, where `ln`
+    * differs in the last ulp.
+    *
+    * score = (Σ_occurrences cf(term)) / (n_tokens · total_tokens); the
+    * numerator stays integer-exact below 2^53 — at corpus scales beyond
+    * that, the last bits of the mantissa go (the RANKING a gate needs is
+    * unaffected).
+    *
+    * Scale shape: tokenize-explode → (id, term) count with map-side
+    * combine; corpus frequency aggregates the (much smaller) tf frame by
+    * term; the tf⋈cf join is keyed on term; the total rides in as a
+    * broadcast scalar. Output: (id, n_tokens, mean_unigram_p).
+    */
+  def unigramScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("__total"))
+    tf.join(cf, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("cf")).as("__sum_cf"),
+           sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("mean_unigram_p",
+        col("__sum_cf").cast("double") / (col("n_tokens") * col("__total")))
+      .select(col(idCol), col("n_tokens"), col("mean_unigram_p"))
+  }
 }

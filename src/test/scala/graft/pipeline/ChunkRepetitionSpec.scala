@@ -214,4 +214,14 @@ class ChunkRepetitionSpec extends SparkTestBase {
       (3L, 7L, 0.571429),
       (5L, 8L, 0.25)))
   }
+
+  test("unigramScore: hand-computed mean unigram probabilities") {
+    // tf: d1{a:2,b:1} d2{a:1,c:1}; cf: a=3,b=1,c=1; total=5
+    // d1: (2*3 + 1*1) / (3*5) = 7/15; d2: (1*3 + 1*1) / (2*5) = 0.4
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 3L, 7.0 / 15.0), (2L, 2L, 0.4)))
+  }
 }
