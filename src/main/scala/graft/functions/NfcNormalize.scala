@@ -35,10 +35,10 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    NfcNormalize.eval(input.asInstanceOf[UTF8String])
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
@@ -46,8 +46,13 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** Static kernel invoked from generated code. */
-  def eval(s: UTF8String): UTF8String = {
+  /** Static kernel invoked from generated code. NOT named `eval`: the case
+    * class inherits `eval(InternalRow)` from `Expression`, which suppresses
+    * the Scala static forwarder for a same-named companion method — generated
+    * Java then fails to compile and Spark silently drops the whole stage out
+    * of codegen.
+    */
+  def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Every native expression must survive whole-stage codegen COMPILATION,
+  * not just planning: Spark compiles generated Java lazily at first
+  * execution and, with the default `spark.sql.codegen.fallback=true`,
+  * retreats to interpreted eval on a compile error without failing the
+  * query. That silent retreat costs the whole point of a native expression
+  * (seen live: NfcNormalize's kernel was named `eval`, colliding with
+  * `Expression.eval(InternalRow)` so Scala suppressed the static forwarder
+  * the generated Java called — every row of every NFC query ran
+  * interpreted while results stayed correct).
+  *
+  * fallback=false makes the compile error fatal; executing each expression
+  * under it pins "compiles AND runs codegen'd" for the full inventory.
+  */
+class CodegenCompileSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def withNoFallback[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("all native expressions compile and execute under codegen") {
+    withNoFallback {
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog",
+          Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f), 0.37),
+        (2L, "pack my box with five dozen liquor jugs",
+          Array(0.5f, 0.5f, 0.5f), Array(1.0f, 0.0f, 1.0f), 1.9)
+      ).toDF("id", "text", "va", "vb", "x")
+
+      val bloom = {
+        val bf = docs.stat.bloomFilter("text", 100L, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+
+      val out = docs.select(
+        NfcNormalize.nfcNormalize($"text").as("nfc"),
+        MinMd5Hex.minMd5Hex(split($"text", " ")).as("md5"),
+        RollingMinHash.rollingMinHash($"text", 8).as("rmh"),
+        SearchSorted.searchSorted($"x", Array(0.0, 1.0, 2.0)).as("bucket"),
+        CosineSim.cosineSim($"va", $"vb").as("cos"),
+        VectorDot.vectorDot($"va", $"vb").as("dot"),
+        WordListHits.wordListHits($"text", Seq("the", "with")).as("hits"),
+        WordShingles.wordShingles($"text", 3).as("shingles"),
+        BloomMightContain.mightContain($"text", bloom).as("maybe")
+      ).collect()
+
+      assert(out.length == 2)
+      assert(out.forall(_.getBoolean(8)), "bloom built from the same column")
+      assert(out(0).getLong(6) == 2L && out(1).getLong(6) == 1L, "word hits")
+    }
+  }
+}

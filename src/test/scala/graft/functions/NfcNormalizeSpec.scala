@@ -50,11 +50,24 @@ class NfcNormalizeSpec extends SparkTestBase {
   }
 
   test("whole-stage codegen keeps the expression compiled") {
-    val df = spark.range(3)
-      .select(NfcNormalize.nfcNormalize(
-        concat(lit(DecomposedCafe + "-"), $"id".cast("string"))).as("n"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project [nfcnormalize"), plan)
-    assert(df.head.getString(0) == ComposedCafe + "-0")
+    // fallback=false turns a generated-code compile failure into a hard
+    // error instead of a silent interpreted-mode retreat — this is the
+    // guard that catches a broken static-kernel reference (e.g. a companion
+    // method whose forwarder Scala suppresses due to a name collision).
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(3)
+        .select(NfcNormalize.nfcNormalize(
+          concat(lit(DecomposedCafe + "-"), $"id".cast("string"))).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project [nfcnormalize"), plan)
+      assert(df.head.getString(0) == ComposedCafe + "-0")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
   }
 }
