@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Dedup-on-ingest for streaming corpora: the live counterparts of the
   * batch [[graft.pipeline.Dedup]] passes, for pipelines that curate
@@ -133,5 +134,170 @@ object StreamingDedup {
       // per watermark horizon (bounded state, keyed on the pair)
       .dropDuplicatesWithinWatermark("id_new", "id_prior")
       .select(col("id_new"), col("id_prior"), col("est_jaccard"), col(tsCol))
+  }
+
+  /** One banded LSH row per (band, bucket) for a document. `ts` stays a
+    * raw timestamp (not pre-converted millis): the event-time watermark tag
+    * lives in the COLUMN's metadata, and flatMapGroupsWithState refuses
+    * `getCurrentWatermarkMs` unless a tagged column reaches its input — a
+    * `unix_millis` projection would strip it.
+    */
+  private[streaming] case class BandedDoc(
+      band: Int, bucket: Long, id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  /** A bucket's remembered occupant (newest-first in state). */
+  private[streaming] case class BucketEntry(id: Long, tsMs: Long, sig: Seq[Long])
+  private[streaming] case class BucketState(entries: List[BucketEntry])
+  private[streaming] case class NearPair(
+      id_new: Long, id_prior: Long, est_jaccard: Double, ts_ms: Long)
+
+  /** Stream-INTERNAL incremental near-dup: each arriving document is
+    * checked against the documents that arrived before it in the SAME
+    * stream — no prior artifact at all. This is the missing third face of
+    * near-dedup (batch full-corpus / batch-vs-artifact / stream-vs-itself):
+    * a curation pipeline bootstrapping from an empty corpus can flag
+    * near-dups from the first document onward.
+    *
+    * Semantics: emits (id_new, id_prior, est_jaccard, ts_ms) whenever a
+    * document's MinHash signature agrees with an earlier in-horizon
+    * document's on ≥ `estThreshold` of the hashes AND the pair shares at
+    * least one full LSH band (the standard candidate criterion — a pair
+    * above threshold that happens to agree in no complete band is missed,
+    * the usual LSH false-negative trade). "Earlier" is (event time, id)
+    * lexicographic, so ties are deterministic. A prior older than
+    * `watermarkDelay` behind the stream's max event time is forgotten —
+    * the same bounded-state trade [[exactWithinWatermark]] makes.
+    *
+    * Each candidate pair is emitted EXACTLY ONCE even when it matches in
+    * several bands, without a second stateful operator: both docs carry
+    * their full signatures, so every band-group can compute the pair's
+    * MINIMUM matching band locally and only the group owning that band
+    * emits (equal band slices hash to equal buckets, so the minimum
+    * matching band's group is guaranteed to see the pair).
+    *
+    * Scale shape: state lives per (band, bucket) key — `bands` copies of
+    * each in-horizon signature (k longs each), watermark-evicted on access
+    * and event-time-timeout-evicted when a bucket goes quiet; a pathological hot
+    * bucket (boilerplate shingle floods) is clamped to `maxPerBucket`
+    * newest entries, bounding per-arrival compare cost at
+    * O(maxPerBucket · k). The shuffle key is the narrow (band, bucket)
+    * pair; signatures ride the shuffle, texts never do.
+    *
+    * `idCol` must be LongType (cast upstream if needed); `tsCol` must be
+    * the event-time timestamp column.
+    */
+  def nearDupsWithinStream(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      estThreshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes",
+      maxPerBucket: Int = 10000): DataFrame = {
+    val k = bands * rowsPerBand
+    val horizonMs = parseDelayMs(watermarkDelay)
+    // identical hash family to the batch signatures and the artifact
+    // variant above: hash i = min over distinct shingles of xxhash64(i, s)
+    val sig = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("__sh"), s => xxhash64(i, s))))
+    val banded = df
+      .withColumn("__sh",
+        array_distinct(graft.pipeline.TextAnalysis.shingles(col(textCol), n)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", sig)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => col("__sig").getItem(i)): _*).as("bucket"))
+        }: _*)).as("bb"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        col("__sig").as("sig"))
+      .select(col("bb.band"), col("bb.bucket"), col("id"), col("ts"), col("sig"))
+
+    implicit val bandedEnc = Encoders.product[BandedDoc]
+    implicit val stateEnc  = Encoders.product[BucketState]
+    implicit val pairEnc   = Encoders.product[NearPair]
+    implicit val keyEnc    = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+
+    /** First band whose complete slice agrees, or -1. */
+    def minMatchingBand(a: Seq[Long], b: Seq[Long]): Int = {
+      var band = 0
+      while (band < bands) {
+        var i = band * rowsPerBand
+        val end = (band + 1) * rowsPerBand
+        while (i < end && a(i) == b(i)) i += 1
+        if (i == end) return band
+        band += 1
+      }
+      -1
+    }
+
+    banded.as[BandedDoc]
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearPair](
+        // EventTimeTimeout, NOT ProcessingTimeTimeout: processing-time
+        // timeouts make the engine schedule continuous empty batches just
+        // to fire them, and every batch pays the full state-checkpoint
+        // file churn. Event-time timeouts fire only when the watermark
+        // advances — i.e. when data actually arrives — which is also the
+        // correct horizon clock for this operator.
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
+              val tsMs = d.ts.getTime
+              entries.foreach { e =>
+                if (e.id != d.id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < k) { if (d.sig(i) == e.sig(i)) agree += 1; i += 1 }
+                  val est = agree.toDouble / k
+                  if (est >= estThreshold && minMatchingBand(d.sig, e.sig) == key._1)
+                    out += NearPair(d.id, e.id, est, tsMs)
+                }
+              }
+              entries = BucketEntry(d.id, tsMs, d.sig) :: entries
+            }
+            val kept = entries.take(maxPerBucket)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BucketState(kept))
+              // expire when the watermark passes the newest entry's horizon
+              // (timeout timestamps must sit strictly beyond the watermark)
+              val newest = kept.iterator.map(_.tsMs).max
+              state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** "N seconds|minutes|hours|days" → millis (the subset of Spark's
+    * watermark-delay grammar this module passes around).
+    */
+  private[streaming] def parseDelayMs(delay: String): Long = {
+    val m = raw"(?i)\s*(\d+)\s+(second|minute|hour|day)s?\s*".r
+    delay match {
+      case m(n, unit) =>
+        n.toLong * (unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour"   => 3600000L
+          case "day"    => 86400000L
+        })
+      case _ => throw new IllegalArgumentException(
+        s"unsupported delay '$delay' (want e.g. '30 seconds', '10 minutes')")
+    }
   }
 }

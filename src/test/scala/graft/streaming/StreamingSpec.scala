@@ -113,6 +113,54 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((100L, 7L, 1.0), (102L, 3L, 1.0)))
   }
 
+  test("stream-internal near-dup pairs arrivals with earlier in-horizon docs, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.util.hashing.MurmurHash3
+    def words(seed: Int) = (0 until 40)
+      .map(j => s"w${math.floorMod(MurmurHash3.productHash((seed, j)), 1000)}")
+      .mkString(" ")
+
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("ts_ms", "doc_id", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val out = StreamingDedup.nearDupsWithinStream(
+      df, "text", "doc_id", "ts", n = 3, bands = 16, rowsPerBand = 2,
+      estThreshold = 0.8, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("withinstream_neardup")
+      .outputMode("append").start()
+
+    // batch 1: two unrelated docs — nothing to pair
+    input.addData((1000L, 1L, words(7)), (2000L, 2L, words(500)))
+    q.processAllAvailable()
+    // batch 2: a copy of doc 1 (cross-batch pair) and a NEW near-identical
+    // pair wholly inside this batch (ids 4,5) — later id pairs to earlier
+    input.addData((3000L, 3L, words(7)),
+      (4000L, 4L, words(42)), (4500L, 5L, words(42)))
+    q.processAllAvailable()
+    val afterB2 = spark.table("withinstream_neardup")
+      .select("id_new", "id_prior", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical text => est exactly 1.0; each pair matches in all 16 bands
+    // but is emitted ONCE (min-matching-band ownership). Doc 3 also pairs
+    // to nothing else; ids 4/5 never pair to 1/2/3.
+    assert(afterB2 == Set((3L, 1L, 1.0), (5L, 4L, 1.0)))
+
+    // batch 3: push max event time to 60s — watermark (60s-10s=50s) now
+    // evicts every earlier doc's bucket entries
+    input.addData((60000L, 6L, words(900)))
+    q.processAllAvailable()
+    // batch 4: another copy of doc 1 — its original is beyond the horizon,
+    // so NO pair fires; a copy of doc 6 IS in horizon and pairs
+    input.addData((61000L, 7L, words(7)), (62000L, 8L, words(900)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("withinstream_neardup")
+      .select("id_new", "id_prior", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == afterB2 + ((8L, 6L, 1.0)))
+  }
+
   test("streaming blocklist filter drops exactly the blocklisted texts") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = StreamingDedup.digests(
