@@ -1769,6 +1769,66 @@ object Queries {
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Per-key bounded rolling mean (last-10-rows frame) — the streaming
+    * feature primitive (smoothed sensor value, per-user activity level)
+    * the resampler's grid model deliberately doesn't cover: row-count
+    * frames follow the DATA's own spacing, not a wall-clock grid.
+    *
+    * Scale shape: one hash shuffle on the partition key, then a sorted
+    * bounded frame per partition — Spark's WindowExec streams the frame
+    * with O(frame) memory; no global window, no explode.
+    */
+  def rollingMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"event_id").rowsBetween(-9, 0)
+    events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .select($"user_id", $"t", $"event_id",
+        round(avg($"value").over(w), 6).as("roll_avg"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val rollingMeanSql: String =
+    """SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |       round(avg(value) OVER w, 6) AS roll_avg,
+      |       count(*) OVER w AS roll_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, t, event_id""".stripMargin
+
+  /** Sliding (hopping) window aggregation: 1-hour windows every 15
+    * minutes per event type, via Spark's native `window()` (each row
+    * fans out to its ≤4 covering windows map-side — partial aggregation
+    * happens BEFORE the shuffle, so the shuffle carries one row per
+    * (window, type, partition), not per event).
+    */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select(unix_millis($"window.start").as("w_start"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Oracle re-derives the fan-out arithmetically: a 1h/15m hopping
+    * window covers t iff its start is one of the 4 slide-aligned marks in
+    * (t-1h, t]; epoch-aligned slides make that start = align(t) - k·15m,
+    * k = 0..3 (Spark's `window()` uses the same epoch alignment).
+    */
+  val slidingAggSql: String =
+    """WITH ev AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events)
+      |SELECT t - (t % 900000) - 900000 * k AS w_start, event_type,
+      |       count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+      |GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
 
   /** Exact percentile profile per order priority (beyond-reference): both

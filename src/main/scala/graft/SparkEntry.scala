@@ -75,6 +75,8 @@ object SparkEntry {
     "q_asof_join"        -> (Queries.asofJoin _),
     "q_range_join"       -> (Queries.rangeJoin _),
     "q_sessionize"       -> (Queries.sessionize _),
+    "q_rolling_mean"     -> (Queries.rollingMean _),
+    "q_sliding_agg"      -> (Queries.slidingAgg _),
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
@@ -154,6 +156,8 @@ object SparkEntry {
     "q_asof_join"       -> Queries.asofJoinSql,
     "q_range_join"      -> Queries.rangeJoinSql,
     "q_sessionize"      -> Queries.sessionizeSql,
+    "q_rolling_mean"    -> Queries.rollingMeanSql,
+    "q_sliding_agg"     -> Queries.slidingAggSql,
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,
