@@ -1829,6 +1829,37 @@ object Queries {
       |GROUP BY w_start, event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Per-user linear interpolation of `value` onto the 1-hour grid
+    * ([[graft.ops.Interpolate.linearAtGrid]]). Values are exact on both
+    * sides: the lerp is single-rounded IEEE ops in the same order.
+    */
+  def interpGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+    graft.ops.Interpolate.linearAtGrid(ev, "1h", Seq("user_id"), "t", "value",
+        tieCols = Seq("event_id"))
+      .orderBy("user_id", "t")
+  }
+
+  val interpGridSql: String =
+    """WITH pts AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, arg_max(value, event_id) AS v
+      |  FROM events GROUP BY 1, 2
+      |), seg AS (
+      |  SELECT user_id, t, v,
+      |         coalesce(lead(t) OVER w, t + 1) AS tn,
+      |         coalesce(lead(v) OVER w, v) AS vn
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)
+      |), grid AS (
+      |  SELECT user_id, t, v, tn, vn,
+      |         unnest(range((t + 3599999) // 3600000, (tn - 1) // 3600000 + 1)) AS kg
+      |  FROM seg
+      |)
+      |SELECT user_id, kg * 3600000 AS t,
+      |       v + (vn - v) * ((kg * 3600000 - t) / (tn - t)) AS value
+      |FROM grid ORDER BY user_id, t""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
 
   /** Exact percentile profile per order priority (beyond-reference): both

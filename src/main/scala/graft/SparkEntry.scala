@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sessionize"       -> (Queries.sessionize _),
     "q_rolling_mean"     -> (Queries.rollingMean _),
     "q_sliding_agg"      -> (Queries.slidingAgg _),
+    "q_interp_grid"      -> (Queries.interpGrid _),
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "q_sessionize"      -> Queries.sessionizeSql,
     "q_rolling_mean"    -> Queries.rollingMeanSql,
     "q_sliding_agg"     -> Queries.slidingAggSql,
+    "q_interp_grid"     -> Queries.interpGridSql,
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,

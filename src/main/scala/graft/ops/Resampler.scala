@@ -67,9 +67,9 @@ object Resampler {
   private val ChunkSize = 65536L
 
   /** Two-level bounded explode of the inclusive range [fromCol, toCol] into
-    * `outCol`, preserving all other columns.
+    * `outCol`, preserving all other columns. Shared with [[Interpolate]].
     */
-  private def chunkedExplode(fromCol: String, toCol: String, outCol: String)(
+  private[ops] def chunkedExplode(fromCol: String, toCol: String, outCol: String)(
       df: DataFrame): DataFrame =
     df.withColumn("__chunk",
         explode(sequence(expr(s"$fromCol div $ChunkSize"), expr(s"$toCol div $ChunkSize"))))
