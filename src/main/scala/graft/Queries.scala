@@ -1860,6 +1860,107 @@ object Queries {
       |       v + (vn - v) * ((kg * 3600000 - t) / (tn - t)) AS value
       |FROM grid ORDER BY user_id, t""".stripMargin
 
+  /** Top-3 events by value per type: a rank-limit query Spark executes
+    * with WindowGroupLimit — each partition keeps a running top-k BEFORE
+    * the shuffle, so the exchange carries k·partitions rows, not the
+    * corpus (`PlanSpec` pins the operator).
+    */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    events(spark, dir)
+      .select($"event_type", $"event_id", $"value",
+        row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      // cast AFTER the filter: the rank predicate must stay on the raw
+      // row_number for WindowGroupLimit to kick in
+      .select($"event_type", $"event_id", $"value", $"rk".cast("long").as("rk"))
+      .orderBy("event_type", "rk")
+  }
+
+  val topkPerKeySql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS rk
+      |  FROM events
+      |)
+      |SELECT event_type, event_id, value, rk FROM r
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  /** Event-type pivot: one row per user, one count column per type, as
+    * EXPLICIT conditional aggregates — deliberately NOT `Dataset.pivot`,
+    * whose `pivotfirst` path plans a pre-aggregation on (key, pivot col)
+    * and a second shuffle on the key. Conditional counts are one map-side
+    * combined aggregation with a single exchange (`PlanSpec` pins it) —
+    * the shape that wins when the key space is 100 TB-wide.
+    */
+  def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs  = types.map(t => count(when($"event_type" === t, 1)).as(s"n_$t"))
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val pivotTypesSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Fixed-width value histogram — the profiling primitive behind every
+    * "what does this column look like" question; one map-side-combined
+    * groupBy on the computed bucket.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(floor($"value" / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy("bucket")
+  }
+
+  val histogramSql: String =
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      |       count(*) AS n, round(sum(value), 4) AS sum_value,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Distinct-set intersection by HLL inclusion–exclusion
+    * ([[Sketches.approxIntersection]]): which users both clicked and hit
+    * errors, certified against the exact join.
+    */
+  def approxIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    Sketches.approxIntersection(
+      ev.filter($"event_type" === "click").select($"user_id"),
+      ev.filter($"event_type" === "error").select($"user_id"),
+      "user_id")
+  }
+
+  val approxIntersectSql: String =
+    """SELECT
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'click' AND user_id IS NOT NULL) AS n_a,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'error' AND user_id IS NOT NULL) AS n_b,
+      |  (SELECT CAST(count(DISTINCT c.user_id) AS BIGINT)
+      |   FROM (SELECT DISTINCT user_id FROM events
+      |         WHERE event_type = 'click' AND user_id IS NOT NULL) c
+      |   JOIN (SELECT DISTINCT user_id FROM events
+      |         WHERE event_type = 'error' AND user_id IS NOT NULL) e
+      |     USING (user_id)) AS n_exact,
+      |  TRUE AS incl_excl_ok""".stripMargin
+
   // ---------------------------------------------------- relational (beyond)
 
   /** Exact percentile profile per order priority (beyond-reference): both

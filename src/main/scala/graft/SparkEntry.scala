@@ -78,6 +78,10 @@ object SparkEntry {
     "q_rolling_mean"     -> (Queries.rollingMean _),
     "q_sliding_agg"      -> (Queries.slidingAgg _),
     "q_interp_grid"      -> (Queries.interpGrid _),
+    "q_topk_per_key"     -> (Queries.topkPerKey _),
+    "q_pivot_types"      -> (Queries.pivotTypes _),
+    "q_histogram"        -> (Queries.histogram _),
+    "q_approx_intersect" -> (Queries.approxIntersect _),
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
@@ -160,6 +164,10 @@ object SparkEntry {
     "q_rolling_mean"    -> Queries.rollingMeanSql,
     "q_sliding_agg"     -> Queries.slidingAggSql,
     "q_interp_grid"     -> Queries.interpGridSql,
+    "q_topk_per_key"    -> Queries.topkPerKeySql,
+    "q_pivot_types"     -> Queries.pivotTypesSql,
+    "q_histogram"       -> Queries.histogramSql,
+    "q_approx_intersect" -> Queries.approxIntersectSql,
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,

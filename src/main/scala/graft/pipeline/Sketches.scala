@@ -111,6 +111,51 @@ object Sketches {
         lit(tol) * col("n_exact").cast("double")).as("union_ok"))
   }
 
+  /** Approximate distinct-INTERSECTION of two item sets by HLL
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union estimate comes from merging the two sketches (never re-scanning
+    * either side). Output is one row:
+    * (n_a, n_b, n_exact, incl_excl_ok) — exact per-side distinct counts,
+    * the exact intersection (the certifiable truth), and whether the
+    * sketch-derived intersection lands within `tol·n_exact + slack`.
+    *
+    * The absolute `slack` term exists because inclusion–exclusion
+    * subtracts two near-equal large estimates: the error is relative to
+    * the UNION size, not the intersection, so a tiny true intersection
+    * under huge sides needs headroom (the standard caveat of this
+    * estimator; a small default covers certificate flutter at test
+    * scales).
+    *
+    * Scale shape: one aggregation pass per side (map-side combined HLL +
+    * exact count), a scalar crossJoin, and one distinct-semi-join for the
+    * exact certificate — at 100 TB, drop the exact column and the whole
+    * answer is three fixed-size sketches.
+    */
+  def approxIntersection(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      itemCol: String,
+      lgK: Int = 14,
+      tol: Double = 0.05,
+      slack: Long = 16L): DataFrame = {
+    def side(df: DataFrame, sk: String, n: String) =
+      df.filter(col(itemCol).isNotNull).agg(
+        hll_sketch_agg(col(itemCol), lit(lgK)).as(sk),
+        countDistinct(col(itemCol)).as(n))
+    val exact = dfA.select(col(itemCol)).filter(col(itemCol).isNotNull).distinct()
+      .join(dfB.select(col(itemCol)).filter(col(itemCol).isNotNull).distinct(), Seq(itemCol))
+      .agg(count(lit(1)).as("n_exact"))
+    side(dfA, "__ska", "n_a").crossJoin(side(dfB, "__skb", "n_b"))
+      .crossJoin(exact)
+      .withColumn("__est",
+        hll_sketch_estimate(col("__ska")) + hll_sketch_estimate(col("__skb")) -
+          hll_sketch_estimate(hll_union(col("__ska"), col("__skb"), false)))
+      .select(col("n_a"), col("n_b"), col("n_exact"),
+        (abs(col("__est").cast("double") - col("n_exact").cast("double")) <=
+          lit(tol) * col("n_exact").cast("double") + lit(slack.toDouble))
+          .as("incl_excl_ok"))
+  }
+
   /** Quantile sketch with a rank certificate: per-key exact percentiles
     * (the oracle-checkable truth, rounded like every cross-engine double
     * aggregate) plus `approx_ok` — whether EVERY `percentile_approx`

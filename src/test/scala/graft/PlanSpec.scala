@@ -147,6 +147,18 @@ class PlanSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("top-k per key runs through WindowGroupLimit (partial top-k before the shuffle)") {
+    val plan = planOf("q_topk_per_key")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("pivot with explicit values is one aggregation: no distinct-values job, one exchange pair") {
+    val plan = planOf("q_pivot_types")
+    // one partial+final hash aggregate pair for the pivot counts; the only
+    // exchanges are its hash shuffle and the final presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("contamination broadcasts the benchmark postings, never the corpus") {
     val plan = planOf("q_contamination")
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -22,6 +22,23 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("approxIntersection: exact intersection certified by inclusion-exclusion") {
+    // A = 0..1499, B = 1000..2499 -> |A∩B| = 500
+    val a = spark.range(0, 1500).toDF("v")
+    val b = spark.range(1000, 2500).toDF("v")
+    val out = Sketches.approxIntersection(a, b, "v").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1500L, 1500L, 500L)))
+    assert(r.getBoolean(3), "inclusion-exclusion estimate inside budget")
+    // disjoint sides: exact 0; the certificate must hold via the absolute
+    // slack term (relative tolerance alone is degenerate at n_exact = 0)
+    val d = Sketches.approxIntersection(
+      spark.range(0, 800).toDF("v"), spark.range(10000, 10800).toDF("v"), "v")
+      .collect()(0)
+    assert(d.getLong(2) == 0L && d.getBoolean(3))
+  }
+
   test("hllPartUnion: union of part sketches estimates the global distinct") {
     // 4 parts over overlapping value ranges; global distinct = 500
     val df = spark.range(2000).select(
