@@ -230,6 +230,26 @@ object Stress {
       graft.pipeline.TextAnalysis.tfIdfTopK(docs, "text", "doc_id", k = 3))
     assert(tfidfRows == 3L * nd, s"tfidf rows $tfidfRows vs ${3L * nd}")
 
+    // ---- linear interpolation at volume: per-user 1h grid over stream a
+    // (100k keys x ~720 boundaries). The expected row count is derived
+    // arithmetically from each key's (min, max) bounds — grid points k with
+    // ceil(t0/step) <= k <= (t1-1) div step, plus t1 itself when aligned —
+    // so missing keys, duplicated grid points or a broken chunk explode all
+    // break the equality.
+    val evI = a.select(col("ts").as(TimestampCol), col("user_id"), col("id"), col("price"))
+    val interpRows = timed("interp_1h",
+      graft.ops.Interpolate.linearAtGrid(evI, "1h", Seq("user_id"),
+        TimestampCol, "price", tieCols = Seq("id")))
+    val stepH = 3600000L
+    val expInterp = evI.groupBy(col("user_id"))
+      .agg(min(col(TimestampCol)).as("t0"), max(col(TimestampCol)).as("t1"))
+      .select(sum(
+        greatest(lit(0L),
+          expr(s"(t1 - 1) div $stepH") - expr(s"(t0 + ${stepH - 1}) div $stepH") + lit(1L)) +
+        when(pmod(col("t1"), lit(stepH)) === 0L, 1L).otherwise(0L)).as("e"))
+      .head().getLong(0)
+    assert(interpRows == expInterp, s"interp rows $interpRows vs $expInterp")
+
     // ---- time-partitioned layout at volume: stream a (n events, 30 days)
     // written as a day-bucketed tree, then a 1.5-day window read back
     // through partition pruning; counts must match the direct filter.
