@@ -25,6 +25,12 @@ object Stress {
     * the pipeline executes exactly once.
     */
   private def timed(name: String, df: DataFrame): Long = {
+    // Inter-stage GC, same hygiene as Bench: collect the previous stage's
+    // garbage (noop-written row batches, aggregation buffers) OUTSIDE this
+    // stage's timed window. Measured without it: resample_1s ran 97 s
+    // inside the full pass vs 25 s standalone — prior-stage heap state,
+    // not resample cost.
+    System.gc()
     val obs = org.apache.spark.sql.Observation()
     val t0  = System.nanoTime()
     df.observe(obs, count(lit(1)).as("n"))
