@@ -1674,6 +1674,51 @@ object Queries {
       |       sqrt(CAST(a.ss AS DOUBLE) / a.n) / 32768 AS rms
       |FROM p JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** REAL multi-frame video-container decode ([[Multimodal.decodeGifFrames]]):
+    * deterministic animated GIFs (solid-gray frames — palette encoding is
+    * lossless for one color and integer Rec.601 luma of (v,v,v) is exactly
+    * v) are built per doc, decoded by the JDK's GIF reader, and every 2nd
+    * frame sampled. The oracle re-derives frame grid and luma
+    * arithmetically.
+    */
+  def gifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 60)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val nf = 4 + (d % 4).toInt
+      val w  = 8 + (d % 5).toInt
+      val h  = 6 + (d % 3).toInt
+      val frames = (0 until nf).map { f =>
+        val v = ((d * 13 + f * 37) % 200).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        img
+      }
+      (d, Multimodal.encodeGifAnimation(frames))
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeGifFrames(blobs, "doc_id", everyN = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val gifFramesSql: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         4 + doc_id % 4 AS nf,
+      |         CAST(8 + doc_id % 5 AS INTEGER) AS width,
+      |         CAST(6 + doc_id % 3 AS INTEGER) AS height
+      |  FROM documents WHERE doc_id < 60
+      |)
+      |SELECT doc_id, CAST(g.f AS BIGINT) AS frame_idx, width, height,
+      |       CAST((doc_id * 13 + g.f * 37) % 200 AS DOUBLE) AS mean_luma
+      |FROM p JOIN generate_series(0, 7) g(f) ON g.f < p.nf AND g.f % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

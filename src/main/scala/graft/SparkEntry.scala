@@ -82,6 +82,7 @@ object SparkEntry {
     "q_pivot_types"      -> (Queries.pivotTypes _),
     "q_histogram"        -> (Queries.histogram _),
     "q_approx_intersect" -> (Queries.approxIntersect _),
+    "q_gif_frames"       -> (Queries.gifFrames _),
     "q_percentiles"      -> (Queries.percentiles _),
     "q1_agg"             -> (Queries.q1Agg _),
     "q_rollup"           -> (Queries.rollup _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_pivot_types"     -> Queries.pivotTypesSql,
     "q_histogram"       -> Queries.histogramSql,
     "q_approx_intersect" -> Queries.approxIntersectSql,
+    "q_gif_frames"      -> Queries.gifFramesSql,
     "q_percentiles"     -> Queries.percentilesSql,
     "q1_agg"            -> Queries.q1AggSql,
     "q_rollup"          -> Queries.rollupSql,
