@@ -1753,6 +1753,36 @@ object Queries {
       |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= c.t
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward-direction as-of: each purchase attaches the EARLIEST click
+    * at-or-after it (the "next quote" direction). Verified against DuckDB's
+    * native forward ASOF (`l.ts <= r.ts`).
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", unix_millis($"ts".cast("timestamp")).as(TimestampCol))
+      .agg(max($"value").as("value"))
+    graft.ops.AsOfJoin.asof(purchases, clicks,
+      keyCols = Seq("user_id"), tsCol = TimestampCol,
+      rightCols = Seq("value"), rightPrefix = "click_", forward = true)
+      .withColumnRenamed(s"click_$TimestampCol", "click_ts")
+      .orderBy("event_id")
+  }
+
+  val asofForwardSql: String =
+    """SELECT epoch_ms(p.ts) AS __timestamp, p.event_id, p.user_id, p.value,
+      |       c.value AS click_value, c.t AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, epoch_ms(ts) AS t, max(value) AS value
+      |                FROM events WHERE event_type = 'click'
+      |                GROUP BY user_id, epoch_ms(ts)) c
+      |  ON p.user_id = c.user_id AND epoch_ms(p.ts) <= c.t
+      |ORDER BY p.event_id""".stripMargin
+
   /** Time-range join (beyond-reference): every click by the same user within
     * the 6 hours before each purchase — the bucketed interval join, never a
     * nested loop. Verified against DuckDB's native inequality join.
