@@ -1783,6 +1783,27 @@ object Queries {
       |  ON p.user_id = c.user_id AND epoch_ms(p.ts) <= c.t
       |ORDER BY p.event_id""".stripMargin
 
+  /** Skew-salted equi-join ([[graft.ops.Salting.saltedJoin]]): the fact
+    * stream joins its per-user first-seen dim on (user_id, salt) — the
+    * hot-key escape hatch proved semantics-preserving by hash-matching the
+    * plain SQL join.
+    */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("t"))
+    val dim = ev.groupBy($"user_id").agg(min($"t").as("first_ts"))
+    graft.ops.Salting.saltedJoin(ev, dim, Seq("user_id"), buckets = 8)
+      .orderBy("event_id")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS t, d.first_ts
+      |FROM events e
+      |JOIN (SELECT user_id, min(epoch_ms(ts)) AS first_ts
+      |      FROM events GROUP BY user_id) d USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Time-range join (beyond-reference): every click by the same user within
     * the 6 hours before each purchase — the bucketed interval join, never a
     * nested loop. Verified against DuckDB's native inequality join.

@@ -83,6 +83,68 @@ object StreamingResampler {
   // (per-key gap-fill state is the (nextBoundary, prevValue) tuple held in
   // GroupState — see gapFill's state encoder)
 
+  /** Streaming linear interpolation onto the `interval` grid — the live
+    * counterpart of [[graft.ops.Interpolate.linearAtGrid]], same grid and
+    * lerp semantics: when a key's next point arrives, every grid boundary
+    * `B` with `t_prev <= B < t_new` is emitted as
+    * `v_prev + (v_new - v_prev)·(B − t_prev)/(t_new − t_prev)` (a boundary
+    * ON a point takes its value exactly — zero-ratio identity). State per
+    * key is ONE (ts, value) pair, so the store is O(live keys) regardless
+    * of rate.
+    *
+    * Ordering contract: rows are lerped in (ts, value) order within each
+    * micro-batch; a row older than the key's state (late beyond the
+    * batch's own sorting) is DROPPED — interpolation is a forward
+    * recurrence and cannot revise emitted segments. Use a watermark-sized
+    * trigger upstream if cross-batch disorder matters. The batch operator
+    * is the replayable ground truth.
+    *
+    * Emits (key, gridTs, value) tuples, in append mode.
+    */
+  def interpolate[K](
+      ds: Dataset[(K, Long, Double)],
+      interval: String,
+      /** Evict a key's state after this much processing-time inactivity. */
+      idleTimeout: Option[String] = None)(
+      implicit ke: Encoder[K], tupleEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+    val step = Intervals.toMillis(interval)
+    implicit val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (K, Long, Double)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Double)], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Double)]
+            var prev = state.getOption
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, v) =>
+              prev match {
+                case Some((tp, vp)) if t <= tp => // stale arrival: drop
+                case Some((tp, vp)) =>
+                  // grid indices k with tp <= k*step < t
+                  var k = (tp + step - 1) / step
+                  val kEnd = (t - 1) / step
+                  while (k <= kEnd) {
+                    val b = k * step
+                    out += ((key, b, vp + (v - vp) * ((b - tp).toDouble / (t - tp))))
+                    k += 1
+                  }
+                  prev = Some((t, v))
+                case None =>
+                  prev = Some((t, v))
+              }
+            }
+            prev.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Stage 2 — dense-grid gap fill for a keyed stream of stage-1 rows.
     *
     * Typed API: `ds` carries (key, boundaryTs, payload). For each key the

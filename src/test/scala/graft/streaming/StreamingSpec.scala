@@ -161,6 +161,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == afterB2 + ((8L, 6L, 1.0)))
   }
 
+  test("streaming interpolation lerps each closed segment; stale arrivals dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamingResampler.interpolate(input.toDS(), "10l")
+      .toDF("k", "b", "v")
+    val q = out.writeStream.format("memory").queryName("interp_stream")
+      .outputMode("append").start()
+
+    input.addData(("a", 5L, 1.0))          // first point: nothing to emit
+    q.processAllAvailable()
+    assert(spark.table("interp_stream").isEmpty)
+
+    input.addData(("a", 25L, 3.0))          // closes segment 5->25
+    q.processAllAvailable()
+    val afterB2 = spark.table("interp_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterB2 == Set(("a", 10L, 1.5), ("a", 20L, 2.5)))
+
+    // cross-batch state: 25 -> 40 lerps B=30 (40 itself waits for ITS
+    // successor — each segment is [prev, next) ); stale t=20 is dropped
+    input.addData(("a", 40L, 6.0), ("a", 20L, 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("interp_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == afterB2 + (("a", 30L, 4.0)))
+  }
+
   test("streaming blocklist filter drops exactly the blocklisted texts") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = StreamingDedup.digests(
