@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
-import graft.ops.Resampler
+import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
 import graft.pipeline.{Chunking, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
@@ -2198,4 +2198,162 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |            JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------ bars
+
+  /** Hourly OHLC candles per event type ([[graft.ops.Bars.ohlc]]).
+    * Open/high/low/close are copied doubles (exact cross-engine); only the
+    * mean is a rounded aggregate.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", unix_millis($"ts").as("t"), $"event_id", $"value")
+    Bars.ohlc(ev, "1h", Seq("event_type"), "t", "value", tieCols = Seq("event_id"))
+      .orderBy("event_type", "bar_start")
+  }
+
+  val ohlcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, event_id, value,
+      |         (epoch_ms(ts) // 3600000) * 3600000 AS bar_start
+      |  FROM events
+      |), fl AS (
+      |  SELECT event_type, bar_start, value,
+      |         first_value(value) OVER w AS o,
+      |         last_value(value)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                    AND UNBOUNDED FOLLOWING) AS c
+      |  FROM ev WINDOW w AS (PARTITION BY event_type, bar_start ORDER BY t, event_id)
+      |)
+      |SELECT event_type, bar_start, min(o) AS open, max(value) AS high,
+      |       min(value) AS low, min(c) AS close, count(*) AS n,
+      |       round(avg(value), 6) AS mean
+      |FROM fl GROUP BY 1, 2 ORDER BY event_type, bar_start""".stripMargin
+
+  /** Daily time-weighted average per event type ([[graft.ops.Bars.twap]]).
+    * `weight_ms` sums exactly on both sides (integer-valued doubles below
+    * 2^53); the twap ratio is a rounded double aggregate.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", unix_millis($"ts").as("t"), $"event_id", $"value")
+    Bars.twap(ev, "1d", Seq("event_type"), "t", "value", tieCols = Seq("event_id"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val twapSql: String =
+    """WITH seg AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, value,
+      |         CAST(lead(epoch_ms(ts)) OVER (PARTITION BY event_type
+      |                ORDER BY epoch_ms(ts), event_id)
+      |              - epoch_ms(ts) AS DOUBLE) AS w
+      |  FROM events
+      |)
+      |SELECT event_type, (t // 86400000) * 86400000 AS bucket,
+      |       round(sum(value * w) / sum(w), 6) AS twap,
+      |       count(*) AS n_segments, CAST(sum(w) AS BIGINT) AS weight_ms
+      |FROM seg WHERE w IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** Per-user silence report: gaps > 12h between consecutive events
+    * ([[graft.ops.Bars.gaps]]) — exact integer output, hash-pinned.
+    */
+  def gapReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id")
+    Bars.gaps(ev, Seq("user_id"), thresholdMs = 12L * 3600000, tsCol = "t",
+        tieCols = Seq("event_id"))
+      .orderBy("user_id", "gap_start")
+  }
+
+  val gapReportSql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_ms(ts) AS t,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |                                 ORDER BY epoch_ms(ts), event_id) AS p
+      |  FROM events
+      |)
+      |SELECT user_id, p AS gap_start, t AS gap_end, t - p AS gap_ms
+      |FROM g WHERE t - p > 43200000
+      |ORDER BY user_id, gap_start""".stripMargin
+
+  /** Per-type z-score outliers ([[graft.ops.Anomalies.zscoreOutliers]]).
+    * Mean/stddev differ between engines only in final-ulp summation order;
+    * the 2.5σ cut sits nowhere near that, and z itself is rounded.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"event_id", $"value")
+    Anomalies.zscoreOutliers(ev, Seq("event_type"), "value", threshold = 2.5)
+      .orderBy("event_type", "event_id")
+  }
+
+  val outliersSql: String =
+    """WITH s AS (
+      |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, event_id, value, round((value - m) / sd, 6) AS z
+      |FROM events JOIN s USING (event_type)
+      |WHERE sd > 0 AND abs((value - m) / sd) > 2.5
+      |ORDER BY event_type, event_id""".stripMargin
+
+  /** Per-source document quota ([[graft.pipeline.Sampling.capPerKey]]):
+    * keep the 20 lowest-id docs per source — rank-limit runs through
+    * WindowGroupLimit (partial top-k before the shuffle).
+    */
+  def domainQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"source", $"doc_id", $"lang")
+    Sampling.capPerKey(docs, Seq("source"), quota = 20, ordCols = Seq("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  val domainQuotaSql: String =
+    """SELECT source, doc_id, lang FROM (
+      |  SELECT source, doc_id, lang,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      |  FROM documents
+      |) WHERE r <= 20 ORDER BY source, doc_id""".stripMargin
+
+  /** Per-domain URL stats ([[graft.pipeline.TextAnalysis.urlHosts]]). The
+    * corpus has no natural URLs, so the query PLANTS two per selected doc
+    * from `doc_id` (same construction both engines): one behind a `www.`
+    * prefix (must strip), one behind a port (must drop).
+    */
+  def urlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) =!= 3,
+        concat(lit(" visit https://www.site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/p/"), col("doc_id"),
+          lit(" or http://cdn"), pmod(col("doc_id"), lit(3)),
+          lit(".assets.io:8080/x")))
+        .otherwise(lit("")))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.urlHosts(planted)).as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+  }
+
+  val urlExtractSql: String =
+    raw"""WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 <> 3
+      |         THEN ' visit https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+      |              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+      |              || ' or http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+      |              || '.assets.io:8080/x'
+      |         ELSE '' END AS t
+      |  FROM documents
+      |), hosts AS (
+      |  SELECT doc_id,
+      |         regexp_replace(unnest(regexp_extract_all(lower(t),
+      |           'https?://([^/\s:?#]+)', 1)), '^www\.', '') AS host
+      |  FROM p
+      |)
+      |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      |FROM hosts GROUP BY host ORDER BY host""".stripMargin
 }

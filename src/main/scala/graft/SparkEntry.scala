@@ -80,6 +80,12 @@ object SparkEntry {
     "q_rolling_mean"     -> (Queries.rollingMean _),
     "q_sliding_agg"      -> (Queries.slidingAgg _),
     "q_interp_grid"      -> (Queries.interpGrid _),
+    "q_ohlc"             -> (Queries.ohlc _),
+    "q_twap"             -> (Queries.twap _),
+    "q_gaps"             -> (Queries.gapReport _),
+    "q_outliers"         -> (Queries.outliers _),
+    "q_domain_quota"     -> (Queries.domainQuota _),
+    "q_url_extract"      -> (Queries.urlExtract _),
     "q_topk_per_key"     -> (Queries.topkPerKey _),
     "q_pivot_types"      -> (Queries.pivotTypes _),
     "q_histogram"        -> (Queries.histogram _),
@@ -169,6 +175,12 @@ object SparkEntry {
     "q_rolling_mean"    -> Queries.rollingMeanSql,
     "q_sliding_agg"     -> Queries.slidingAggSql,
     "q_interp_grid"     -> Queries.interpGridSql,
+    "q_ohlc"            -> Queries.ohlcSql,
+    "q_twap"            -> Queries.twapSql,
+    "q_gaps"            -> Queries.gapReportSql,
+    "q_outliers"        -> Queries.outliersSql,
+    "q_domain_quota"    -> Queries.domainQuotaSql,
+    "q_url_extract"     -> Queries.urlExtractSql,
     "q_topk_per_key"    -> Queries.topkPerKeySql,
     "q_pivot_types"     -> Queries.pivotTypesSql,
     "q_histogram"       -> Queries.histogramSql,

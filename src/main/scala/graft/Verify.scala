@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: restrict the dump to these queries (local
+    // iteration only — the driver always passes exactly two args)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,6 +19,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.nonEmpty && !only.contains(name)) ()
+      else {
       // Remove any previous dump FIRST: a query that fails mid-run must
       // leave no stale parquet behind, or a rerun into the same outDir
       // would let the parity gate silently pass on last run's results.
@@ -34,6 +39,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

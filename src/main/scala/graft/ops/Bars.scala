@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.time.Intervals
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval bars over an irregular series — OHLC candles, time-weighted
+  * averages, and gap reports: the aggregation family every market-data /
+  * sensor consumer of a time-series fuser asks for next (the reference
+  * engine stops at last-value sampling, classes.py:589-637; kdb `xbar`,
+  * InfluxDB `aggregateWindow` and TimescaleDB `time_bucket` + `candlestick`
+  * are the public analogs of these three).
+  *
+  * All three share one scale shape: a single hash shuffle on
+  * (key, bucket) or (key), then sorted per-partition windows / map-side
+  * combined aggregation — no global window, no explode, no driver scalars,
+  * so the plan is identical at sf0.01 and at 100 TB. Buckets are
+  * epoch-aligned (`floor(t / step) * step`), matching [[Resampler]]'s grid
+  * model, so bar streams from different intervals line up by construction.
+  */
+object Bars {
+
+  /** OHLC bars: per (key, epoch-aligned `interval` bucket) emit
+    * open / high / low / close / n / (rounded) mean of `valueCol`.
+    *
+    * Open and close are the first/last value in `(tsCol, tieCols)` order —
+    * pass `tieCols` whenever (key, ts) can collide, otherwise the pick at
+    * an equal-ts edge is nondeterministic. Implemented as first_value /
+    * last_value over a (key, bucket)-partitioned window followed by a
+    * groupBy on the SAME keys: the aggregation reuses the window's
+    * exchange+sort, so the whole bar stream costs one shuffle.
+    *
+    * `tsCol` must be epoch-ms Long (the engine's canonical time axis).
+    */
+  def ohlc(
+      df: DataFrame,
+      interval: String,
+      keyCols: Seq[String],
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      valueCol: String = "value",
+      tieCols: Seq[String] = Nil,
+      roundMean: Int = 6): DataFrame = {
+    val step = Intervals.toMillis(interval)
+    val keys = keyCols.map(col)
+    val bucket = (floor(col(tsCol) / step) * step).cast("long").as("bar_start")
+    val order  = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy((keys :+ col("bar_start")): _*).orderBy(order: _*)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select((keys :+ bucket :+ col(tsCol) :+ col(valueCol)) ++ tieCols.map(col): _*)
+      .withColumn("__open",  first(col(valueCol)).over(w))
+      .withColumn("__close", last(col(valueCol)).over(wFull))
+      .groupBy((keys :+ col("bar_start")): _*)
+      .agg(
+        // every row in the group carries the same __open/__close; min() is
+        // just a deterministic pick of that constant
+        min(col("__open")).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        min(col("__close")).as("close"),
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), roundMean).as("mean"))
+  }
+
+  /** Time-weighted average (TWAP): per (key, `interval` bucket of segment
+    * start), the average of `valueCol` weighted by how long each value was
+    * live — `sum(v * (t_next - t)) / sum(t_next - t)` over consecutive
+    * events of the key. The plain-mean of irregular data over-weights
+    * bursts; TWAP is the standard correction (and the form exchanges /
+    * TSDBs publish).
+    *
+    * Each segment `[t, t_next)` is attributed wholly to the bucket
+    * containing its START (as-traded convention — one window pass, no
+    * segment splitting at bucket edges; the alternative exact-split
+    * semantics is [[Interpolate.linearAtGrid]] + a plain mean). A key's
+    * last event has no successor and carries no weight.
+    */
+  def twap(
+      df: DataFrame,
+      interval: String,
+      keyCols: Seq[String],
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      valueCol: String = "value",
+      tieCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    val step = Intervals.toMillis(interval)
+    val keys = keyCols.map(col)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.select((keys :+ col(tsCol) :+ col(valueCol)) ++ tieCols.map(col): _*)
+      .withColumn("__w", (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("double"))
+      .filter(col("__w").isNotNull)
+      .groupBy(keys :+ (floor(col(tsCol) / step) * step).cast("long").as("bucket"): _*)
+      .agg(
+        round(sum(col(valueCol) * col("__w")) / sum(col("__w")), roundTo).as("twap"),
+        count(lit(1)).as("n_segments"),
+        sum(col("__w")).cast("long").as("weight_ms"))
+  }
+
+  /** Gap report: every place a key's stream went silent for more than
+    * `thresholdMs` — the data-quality audit run before trusting any
+    * resample/ffill output (a filled gap LOOKS like data; this says where
+    * that happened). Emits (key..., gap_start = last ts before the gap,
+    * gap_end = first ts after, gap_ms).
+    *
+    * One shuffle on the key, one lag window, then a narrow filter — at
+    * 100 TB the output is proportional to the number of OUTAGES, not rows.
+    */
+  def gaps(
+      df: DataFrame,
+      keyCols: Seq[String],
+      thresholdMs: Long,
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(thresholdMs > 0, s"threshold must be positive: $thresholdMs")
+    val keys = keyCols.map(col)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.select((keys :+ col(tsCol)) ++ tieCols.map(col): _*)
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col(tsCol) - col("__prev") > thresholdMs)
+      .select(keys ++ Seq(col("__prev").as("gap_start"), col(tsCol).as("gap_end"),
+        (col(tsCol) - col("__prev")).as("gap_ms")): _*)
+  }
+}

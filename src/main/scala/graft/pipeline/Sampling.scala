@@ -129,6 +129,32 @@ object Sampling {
       .withColumn("mix_key", (col("mix_rank") * 2L - 1L) * stride)
   }
 
+  /** Per-key quota cap: keep at most `quota` rows per key, chosen by
+    * `ordCols` order — the data-mixing primitive that stops one mega-domain
+    * (or one bot user) from dominating a training mix. Deterministic given
+    * a total (key, ordCols) order.
+    *
+    * Scale shape: one hash shuffle on the key, then Spark's
+    * WindowGroupLimit keeps a running top-`quota` per partition BEFORE the
+    * shuffle — a 10⁹-row domain ships only `quota` rows per map partition,
+    * never its whole history.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      quota: Int,
+      ordCols: Seq[String]): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    require(ordCols.nonEmpty, "capPerKey needs a deterministic order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(ordCols.map(col(_).asc): _*)
+    // the rank predicate stays on the raw row_number so Spark plans
+    // WindowGroupLimit; cast AFTER the filter if a BIGINT rank is needed
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+      .drop("__rank")
+  }
+
   /** Per-stratum sampling rates (e.g. downweight a dominant source): rows in
     * a stratum missing from `rates` fall back to `defaultFraction`.
     */

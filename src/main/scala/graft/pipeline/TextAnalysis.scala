@@ -52,6 +52,18 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
+  /** Host part of every URL in `text`, lowercased, `www.`-prefix and port
+    * stripped — the key for per-domain quotas, blocklist anti-joins and
+    * provenance stats over web-crawl corpora. The capture stays inside the
+    * RE2-compatible subset so an independent engine running the same
+    * pattern extracts the identical array.
+    */
+  val UrlHostPattern = "https?://([^/\\s:?#]+)"
+
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(lower(text), lit(UrlHostPattern), lit(1)),
+      h => regexp_replace(h, "^www\\.", ""))
+
   /** Count of whole-word occurrences of `word` (case-insensitive). The word
     * is regex-quoted and lowercased to match the lowered text.
     */

@@ -59,6 +59,23 @@ class SamplingMixSpec extends SparkTestBase {
       Sampling.mixByParts(df, "id", "src", Map("a" -> 0L), defaultPart = 0L))
   }
 
+  test("capPerKey: quota enforced per key in order, small keys untouched") {
+    import spark.implicits._
+    val df = (1 to 9).map(i => ("big", i.toLong)) ++ Seq(("small", 1L), ("small", 2L))
+    val out = Sampling.capPerKey(df.toDF("k", "id"), Seq("k"), quota = 3,
+        ordCols = Seq("id"))
+      .orderBy("k", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("big", 1L), ("big", 2L), ("big", 3L), ("small", 1L), ("small", 2L)))
+  }
+
+  test("capPerKey rejects bad arguments") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("k", "id")
+    intercept[IllegalArgumentException] { Sampling.capPerKey(df, Seq("k"), 0, Seq("id")) }
+    intercept[IllegalArgumentException] { Sampling.capPerKey(df, Seq("k"), 1, Nil) }
+  }
+
   test("approxPercentilesCertified: exact values right, certificate holds") {
     // two keys, values 0..999 (exact p50 = 499.5 by linear interpolation)
     // and 0..99 doubled (p50 = 49.5)
