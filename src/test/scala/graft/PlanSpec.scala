@@ -152,6 +152,37 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("domain quota runs through WindowGroupLimit (quota kept before the shuffle)") {
+    val plan = planOf("q_domain_quota")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("ohlc: the bar aggregation reuses the window's exchange (one data shuffle)") {
+    val plan = planOf("q_ohlc")
+    // exchanges: ONE hash shuffle on (event_type, bar_start) feeding both
+    // the window and the groupBy, plus the final presentation range sort
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$plan")
+  }
+
+  test("outlier stats join is a broadcast, never a shuffle of the stream") {
+    val plan = planOf("q_outliers")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("gap report / twap windows are key-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    for (q <- Seq("q_gaps", "q_twap")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has unpartitioned windows:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("pivot with explicit values is one aggregation: no distinct-values job, one exchange pair") {
     val plan = planOf("q_pivot_types")
     // one partial+final hash aggregate pair for the pivot counts; the only
