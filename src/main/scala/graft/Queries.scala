@@ -2356,4 +2356,48 @@ object Queries {
       |)
       |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
       |FROM hosts GROUP BY host ORDER BY host""".stripMargin
+
+  /** Morton curve key over (user_id, hour-of-stream)
+    * ([[graft.ops.Layout.zorderKey]]) — the clustering key behind
+    * [[graft.ops.Layout.zorderWrite]]'s 2-D pruning, pinned here as exact
+    * integer arithmetic (both engines run the identical spread shifts).
+    */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Layout
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        floor(unix_millis($"ts") / 3600000L).as("hour_idx"))
+      .select($"event_id", $"user_id", $"hour_idx",
+        Layout.zorderKey($"user_id", pmod($"hour_idx", lit(65536))).as("zkey"))
+      .orderBy("event_id")
+  }
+
+  val zorderSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) // 3600000 AS hour_idx
+      |  FROM events
+      |), sp AS (
+      |  SELECT event_id, user_id, hour_idx,
+      |         user_id & 65535 AS xa, hour_idx % 65536 & 65535 AS xb
+      |  FROM ev
+      |), s1 AS (
+      |  SELECT event_id, user_id, hour_idx,
+      |         (xa | (xa << 8)) & 16711935 AS xa, (xb | (xb << 8)) & 16711935 AS xb
+      |  FROM sp
+      |), s2 AS (
+      |  SELECT event_id, user_id, hour_idx,
+      |         (xa | (xa << 4)) & 252645135 AS xa, (xb | (xb << 4)) & 252645135 AS xb
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT event_id, user_id, hour_idx,
+      |         (xa | (xa << 2)) & 858993459 AS xa, (xb | (xb << 2)) & 858993459 AS xb
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT event_id, user_id, hour_idx,
+      |         (xa | (xa << 1)) & 1431655765 AS xa, (xb | (xb << 1)) & 1431655765 AS xb
+      |  FROM s3
+      |)
+      |SELECT event_id, user_id, hour_idx, xa | (xb << 1) AS zkey
+      |FROM s4 ORDER BY event_id""".stripMargin
 }

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_twap"             -> (Queries.twap _),
     "q_gaps"             -> (Queries.gapReport _),
     "q_outliers"         -> (Queries.outliers _),
+    "q_zorder"           -> (Queries.zorder _),
     "q_domain_quota"     -> (Queries.domainQuota _),
     "q_url_extract"      -> (Queries.urlExtract _),
     "q_topk_per_key"     -> (Queries.topkPerKey _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "q_twap"            -> Queries.twapSql,
     "q_gaps"            -> Queries.gapReportSql,
     "q_outliers"        -> Queries.outliersSql,
+    "q_zorder"          -> Queries.zorderSql,
     "q_domain_quota"    -> Queries.domainQuotaSql,
     "q_url_extract"     -> Queries.urlExtractSql,
     "q_topk_per_key"    -> Queries.topkPerKeySql,

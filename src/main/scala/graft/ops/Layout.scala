@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.time.Intervals
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-bucketed table layout — the write-side half of partition pruning.
@@ -69,6 +69,55 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(path)
+  }
+
+  val ZKeyCol = "zkey"
+
+  /** Morton (z-order) key: interleave the low 16 bits of two non-negative
+    * integer columns, `a` owning the even bit positions and `b` the odd.
+    * Pure codegen'd bit arithmetic (the classic magic-number spread), so
+    * an independent engine running the same shifts reproduces it exactly.
+    *
+    * 16 bits per dimension = 65536 range cells each way — far beyond the
+    * file count any single layout job produces, so quantizing dimensions
+    * to 16 bits never limits pruning resolution. Callers quantize first
+    * (e.g. `floor(ts / hour)`, a modulo'd id, a range-bucketed value).
+    */
+  def zorderKey(a: Column, b: Column): Column = {
+    def spread16(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+      x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    spread16(a.cast("long")).bitwiseOR(shiftleft(spread16(b.cast("long")), 1))
+  }
+
+  /** Write `df` clustered along the z-order curve of two quantized
+    * dimensions — multi-dimensional pruning where [[writeTimePartitioned]]
+    * only prunes time: a query boxed in BOTH dimensions (one user over one
+    * week; one symbol in one price band) skips files by the parquet
+    * min/max stats of the ORIGINAL columns, which the curve keeps tight in
+    * every dimension at once instead of only the leading sort key.
+    *
+    * Range-distribute then sort by the key: each task owns a contiguous
+    * curve segment, so file boxes don't overlap across tasks. The curve
+    * key is dropped on write (derivable; stats live on the real columns).
+    */
+  def zorderWrite(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      path: String,
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    df.withColumn(ZKeyCol, zorderKey(col(aCol), col(bCol)))
+      .repartitionByRange(nFiles, col(ZKeyCol))
+      .sortWithinPartitions(col(ZKeyCol))
+      .drop(ZKeyCol)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Read back a time window from a partitioned layout. The bucket
