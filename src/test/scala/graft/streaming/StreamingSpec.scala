@@ -473,4 +473,53 @@ class StreamingSpec extends SparkTestBase {
     assert(unioned.getLong(1) == 7L)                       // n_rows
     assert(unioned.getLong(2) == 4L, s"$unioned")          // distinct est
   }
+
+  test("streaming ohlc matches the batch candles, ties and all") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double, Long)]
+    val df = input.toDF().toDF("k", TimestampCol, "value", "tie")
+
+    val out = StreamingBars.ohlc(df, "1s", Seq("k"), tieCols = Seq("tie"),
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("candles")
+      .outputMode("append").start()
+
+    val base = 1700000000000L
+    // bucket 0 of key a arrives out of order ACROSS batches (watermark 0
+    // still admits them while the bucket is open); equal-ts pair at +300
+    // resolves open by the LOWER tie (5.0)
+    input.addData(
+      ("a", base + 900, 7.0, 1L), ("a", base + 300, 2.0, 2L))
+    q.processAllAvailable()
+    input.addData(
+      ("a", base + 300, 5.0, 1L), ("a", base + 1100, 1.0, 1L),
+      ("b", base + 100, -1.0, 1L))
+    q.processAllAvailable()
+    input.addData(("a", base + 5000, 99.0, 1L)) // close all earlier buckets
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("candles").orderBy("k", "bar_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      // a/bucket0: order (300,tie1,5.0)(300,tie2,2.0)(900,7.0) -> o=5 h=7 l=2 c=7
+      ("a", base, 5.0, 7.0, 2.0, 7.0, 3L),
+      ("a", base + 1000, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("b", base, -1.0, -1.0, -1.0, -1.0, 1L)))
+
+    // same events through the batch operator = the same candles
+    val batch = graft.ops.Bars.ohlc(
+      Seq(("a", base + 900, 7.0, 1L), ("a", base + 300, 2.0, 2L),
+        ("a", base + 300, 5.0, 1L), ("a", base + 1100, 1.0, 1L),
+        ("b", base + 100, -1.0, 1L))
+        .toDF("k", TimestampCol, "value", "tie"),
+      "1s", Seq("k"), TimestampCol, "value", tieCols = Seq("tie"))
+      .orderBy("k", "bar_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // (the 99.0 watermark-advancer's own bucket never closed, so the
+    // streaming output is exactly the three batch candles)
+    assert(batch.toSeq == rows.toSeq)
+  }
 }
