@@ -2202,14 +2202,16 @@ object Queries {
   // ------------------------------------------------------------------ bars
 
   /** Hourly OHLC candles per event type ([[graft.ops.Bars.ohlc]]).
-    * Open/high/low/close are copied doubles (exact cross-engine); only the
-    * mean is a rounded aggregate.
+    * Every column is a copied double or an integer count — exact
+    * cross-engine, no rounding slop anywhere (see the operator's scaladoc
+    * for why the candle carries no mean).
     */
   def ohlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
       .select($"event_type", unix_millis($"ts").as("t"), $"event_id", $"value")
-    Bars.ohlc(ev, "1h", Seq("event_type"), "t", "value", tieCols = Seq("event_id"))
+    Bars.ohlc(ev, "1h", Seq("event_type"), "t", "value",
+        tieCols = Seq("event_id"))
       .orderBy("event_type", "bar_start")
   }
 
@@ -2226,8 +2228,7 @@ object Queries {
       |  FROM ev WINDOW w AS (PARTITION BY event_type, bar_start ORDER BY t, event_id)
       |)
       |SELECT event_type, bar_start, min(o) AS open, max(value) AS high,
-      |       min(value) AS low, min(c) AS close, count(*) AS n,
-      |       round(avg(value), 6) AS mean
+      |       min(value) AS low, min(c) AS close, count(*) AS n
       |FROM fl GROUP BY 1, 2 ORDER BY event_type, bar_start""".stripMargin
 
   /** Daily time-weighted average per event type ([[graft.ops.Bars.twap]]).
@@ -2238,7 +2239,8 @@ object Queries {
     import spark.implicits._
     val ev = events(spark, dir)
       .select($"event_type", unix_millis($"ts").as("t"), $"event_id", $"value")
-    Bars.twap(ev, "1d", Seq("event_type"), "t", "value", tieCols = Seq("event_id"))
+    Bars.twap(ev, "1d", Seq("event_type"), "t", "value",
+        tieCols = Seq("event_id"), roundTo = 4)
       .orderBy("event_type", "bucket")
   }
 
@@ -2251,7 +2253,7 @@ object Queries {
       |  FROM events
       |)
       |SELECT event_type, (t // 86400000) * 86400000 AS bucket,
-      |       round(sum(value * w) / sum(w), 6) AS twap,
+      |       round(sum(value * w) / sum(w), 4) AS twap,
       |       count(*) AS n_segments, CAST(sum(w) AS BIGINT) AS weight_ms
       |FROM seg WHERE w IS NOT NULL
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin

@@ -256,6 +256,62 @@ object Stress {
       .head().getLong(0)
     assert(interpRows == expInterp, s"interp rows $interpRows vs $expInterp")
 
+    // ---- interval bars at volume: 1-minute OHLC per user (100k keys x
+    // up to 43200 minute buckets). Expected bar count = distinct
+    // (user, bucket) pairs, derived by an independent aggregation; any
+    // duplicate or dropped bar breaks the equality.
+    val evB = a.select(col("ts").as(TimestampCol), col("user_id"), col("id"),
+      col("price"))
+    val barRows = timed("ohlc_1m",
+      graft.ops.Bars.ohlc(evB, "1m", Seq("user_id"), TimestampCol, "price",
+        tieCols = Seq("id")))
+    val expBars = evB.select(col("user_id"),
+        (floor(col(TimestampCol) / 60000L) * 60000L).cast("long").as("b"))
+      .distinct().count()
+    assert(barRows == expBars, s"ohlc bars $barRows vs $expBars")
+
+    // TWAP hourly: every user's events contribute (#events - 1) weighted
+    // segments (the last has no successor), and user = id*31 mod 100k hits
+    // all 100k keys at this n — so the output's total segment count has
+    // the closed form n - 100000, independent of bucketing.
+    val twapDf = graft.ops.Bars.twap(evB, "1h", Seq("user_id"), TimestampCol,
+      "price", tieCols = Seq("id"))
+    val tObs = org.apache.spark.sql.Observation()
+    System.gc()
+    val tT0 = System.nanoTime()
+    twapDf.observe(tObs, count(lit(1)).as("rows"), sum(col("n_segments")).as("segs"))
+      .write.format("noop").mode("overwrite").save()
+    val tSec = (System.nanoTime() - tT0) / 1e9
+    val twapRows = tObs.get("rows").asInstanceOf[Long]
+    val twapSegs = tObs.get("segs").asInstanceOf[Long]
+    println(f"""{"stage":"twap_1h","rows":$twapRows,"sec":$tSec%.2f,"rows_per_sec":${(twapRows / tSec).toLong}}""")
+    assert(twapSegs == n - 100000L,
+      s"twap segments $twapSegs vs ${n - 100000L}")
+
+    // ---- z-order layout at volume: n events clustered on the Morton curve
+    // of (user bucket, hour index) into 128 curve-contiguous files, then a
+    // 2-D box read back — file skipping comes from parquet min/max stats
+    // the curve keeps tight in BOTH dimensions; the count must match the
+    // direct filter on the unclustered stream.
+    val zDir = java.nio.file.Files.createTempDirectory("stress_zorder_").toFile
+    try {
+      val zIn = a.select(col("id"), col("ts"),
+        (col("user_id") / lit(100L)).cast("long").as("ub"),
+        floor((col("ts") - t0) / 3600000L).cast("long").as("hb"))
+      val tZ = System.nanoTime()
+      graft.ops.Layout.zorderWrite(zIn, "ub", "hb", zDir.toString, nFiles = 128)
+      val sZ = (System.nanoTime() - tZ) / 1e9
+      println(f"""{"stage":"zorder_write","rows":$n,"sec":$sZ%.2f,"rows_per_sec":${(n / sZ).toLong}}""")
+      val boxRows = timed("zorder_box_read",
+        spark.read.parquet(zDir.toString)
+          .filter(col("ub").between(100L, 299L) && col("hb").between(200L, 299L)))
+      val expBox = zIn.filter(col("ub").between(100L, 299L) &&
+        col("hb").between(200L, 299L)).count()
+      assert(boxRows == expBox, s"zorder box $boxRows vs $expBox")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(zDir)
+    }
+
     // ---- time-partitioned layout at volume: stream a (n events, 30 days)
     // written as a day-bucketed tree, then a 1.5-day window read back
     // through partition pruning; counts must match the direct filter.

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
 object Bars {
 
   /** OHLC bars: per (key, epoch-aligned `interval` bucket) emit
-    * open / high / low / close / n / (rounded) mean of `valueCol`.
+    * open / high / low / close / n of `valueCol` — all exact copies or
+    * integer counts, never an order-dependent float aggregate (a rounded
+    * mean here proved boundary-prone cross-engine: 2-decimal inputs put
+    * bar means EXACTLY on decimal rounding boundaries, where the engines'
+    * ulp-different sums round apart; duration-correct averaging is
+    * [[twap]]'s job anyway).
     *
     * Open and close are the first/last value in `(tsCol, tieCols)` order —
     * pass `tieCols` whenever (key, ts) can collide, otherwise the pick at
@@ -39,8 +44,7 @@ object Bars {
       keyCols: Seq[String],
       tsCol: String = graft.core.Fuser.TimestampCol,
       valueCol: String = "value",
-      tieCols: Seq[String] = Nil,
-      roundMean: Int = 6): DataFrame = {
+      tieCols: Seq[String] = Nil): DataFrame = {
     val step = Intervals.toMillis(interval)
     val keys = keyCols.map(col)
     val bucket = (floor(col(tsCol) / step) * step).cast("long").as("bar_start")
@@ -58,8 +62,7 @@ object Bars {
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
         min(col("__close")).as("close"),
-        count(lit(1)).as("n"),
-        round(avg(col(valueCol)), roundMean).as("mean"))
+        count(lit(1)).as("n"))
   }
 
   /** Time-weighted average (TWAP): per (key, `interval` bucket of segment

@@ -18,7 +18,7 @@ object StreamingBars {
     *
     * Open/close are `min_by`/`max_by` over the `(tsCol, tieCols)` struct —
     * declarative aggregates, so the state per live bucket is one partial
-    * candle (7 scalars), not the events: a million-trade bucket holds
+    * candle (a few scalars), not the events: a million-trade bucket holds
     * O(1) state, and partial aggregation combines map-side before the
     * shuffle exactly as in batch.
     */
@@ -29,8 +29,7 @@ object StreamingBars {
       tsCol: String = graft.core.Fuser.TimestampCol,
       valueCol: String = "value",
       tieCols: Seq[String] = Nil,
-      watermarkDelay: String = "10 seconds",
-      roundMean: Int = 6): DataFrame = {
+      watermarkDelay: String = "10 seconds"): DataFrame = {
     val step = Intervals.toMillis(interval)
     val ord  = struct((col(tsCol) +: tieCols.map(col)): _*)
     df.withColumn("__evt", timestamp_millis(col(tsCol)))
@@ -41,11 +40,9 @@ object StreamingBars {
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
         max_by(col(valueCol), ord).as("close"),
-        count(lit(1)).as("n"),
-        round(avg(col(valueCol)), roundMean).as("mean"))
+        count(lit(1)).as("n"))
       .select(keyCols.map(col) ++ Seq(
         unix_millis(col("window.start")).as("bar_start"),
-        col("open"), col("high"), col("low"), col("close"),
-        col("n"), col("mean")): _*)
+        col("open"), col("high"), col("low"), col("close"), col("n")): _*)
   }
 }
