@@ -2120,6 +2120,32 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over (event_type, day): all four grouping combinations in one
+    * pass — Spark expands the cube map-side and partially aggregates
+    * every combination BEFORE the single shuffle, so the exchange carries
+    * one row per (combination, group, partition), not per event.
+    * `grouping_id` disambiguates a data NULL from a subtotal NULL.
+    */
+  def cubeTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type",
+        expr("unix_millis(ts) div 86400000").as("day"), $"value")
+      .cube($"event_type", $"day")
+      .agg(round(sum($"value"), 2).as("sum_value"), count(lit(1)).as("n"),
+        grouping_id($"event_type", $"day").cast("long").as("gid"))
+      .orderBy($"gid", $"event_type".asc_nulls_first, $"day".asc_nulls_first)
+  }
+
+  val cubeTypesSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events
+      |)
+      |SELECT event_type, day, round(sum(value), 2) AS sum_value,
+      |       count(*) AS n, CAST(grouping(event_type, day) AS BIGINT) AS gid
+      |FROM ev GROUP BY CUBE (event_type, day)
+      |ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   /** Exact distinct-count profile (beyond-reference; the scale path is
     * `approx_count_distinct`, whose HLL sketch differs between engines, so
     * the oracle checks the exact form both engines define identically).
