@@ -1783,6 +1783,44 @@ object Queries {
       |  ON p.user_id = c.user_id AND epoch_ms(p.ts) <= c.t
       |ORDER BY p.event_id""".stripMargin
 
+  /** Nearest-direction as-of ([[graft.ops.AsOfJoin.nearest]]): each
+    * purchase attaches whichever click is closer in time, backward on
+    * ties. DuckDB has no nearest ASOF, so the oracle composes its two
+    * directional ASOFs and re-applies the identical pick rule.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(unix_millis($"ts".cast("timestamp")).as(TimestampCol),
+        $"event_id", $"user_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", unix_millis($"ts".cast("timestamp")).as(TimestampCol))
+      .agg(max($"value").as("value"))
+    graft.ops.AsOfJoin.nearest(purchases, clicks,
+      keyCols = Seq("user_id"), tsCol = TimestampCol,
+      rightCols = Seq("value"), rightPrefix = "click_")
+      .withColumnRenamed(s"click_$TimestampCol", "click_ts")
+      .orderBy("event_id")
+  }
+
+  val asofNearestSql: String =
+    """WITH p AS (SELECT epoch_ms(ts) AS t, event_id, user_id, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_ms(ts) AS t, max(value) AS value
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |b AS (SELECT p.event_id, c.t AS bt, c.value AS bv
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t),
+      |f AS (SELECT p.event_id, c.t AS ft, c.value AS fv
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t <= c.t)
+      |SELECT p.t AS __timestamp, p.event_id, p.user_id, p.value,
+      |       CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+      |            WHEN ft - p.t < p.t - bt THEN fv ELSE bv END AS click_value,
+      |       CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+      |            WHEN ft - p.t < p.t - bt THEN ft ELSE bt END AS click_ts
+      |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   /** Skew-salted equi-join ([[graft.ops.Salting.saltedJoin]]): the fact
     * stream joins its per-user first-seen dim on (user_id, salt) — the
     * hot-key escape hatch proved semantics-preserving by hash-matching the

@@ -74,6 +74,7 @@ object SparkEntry {
     // relational / temporal joins (beyond-reference capabilities)
     "q_asof_join"        -> (Queries.asofJoin _),
     "q_asof_forward"     -> (Queries.asofForward _),
+    "q_asof_nearest"     -> (Queries.asofNearest _),
     "q_salted_join"      -> (Queries.saltedJoinQ _),
     "q_range_join"       -> (Queries.rangeJoin _),
     "q_sessionize"       -> (Queries.sessionize _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_audio_decode"    -> Queries.audioDecodeSql,
     "q_asof_join"       -> Queries.asofJoinSql,
     "q_asof_forward"    -> Queries.asofForwardSql,
+    "q_asof_nearest"    -> Queries.asofNearestSql,
     "q_salted_join"     -> Queries.saltedJoinSql,
     "q_range_join"      -> Queries.rangeJoinSql,
     "q_sessionize"      -> Queries.sessionizeSql,

@@ -110,4 +110,76 @@ object AsOfJoin {
       rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")) :+
       col(s"__rrow.$rTs").as(rTs): _*)
   }
+
+  /** Nearest-neighbor as-of: attach whichever right row is CLOSER in time,
+    * before or after (ties prefer the backward match — "what was known
+    * then" beats "what came next" when equidistant). The missing third
+    * direction after backward/forward; kdb's `aj` family and pandas
+    * `merge_asof(direction='nearest')` are the public analogs.
+    *
+    * Same union trick, same single key shuffle + per-key sort: BOTH
+    * carries (last-right-so-far and first-right-from-here) run over the
+    * one sorted window — two frame traversals, no second exchange. A right
+    * row coincident with a left row sorts before it, so the backward carry
+    * sees it at distance 0, which can never lose the nearest comparison.
+    *
+    * `toleranceMs` bounds the winning match's |distance| (both directions).
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightCols: Seq[String],
+      rightPrefix: String = "right_",
+      toleranceMs: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rTs      = s"${rightPrefix}$tsCol"
+
+    val rightNonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val orderableRight = rightCols.filter { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType)
+    }
+    val taggedRight = right.filter(rightNonNullKeys).select(
+      keyCols.map(col) :+ col(tsCol) :+
+        struct(col(tsCol).as(rTs) +: rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*)
+          .as("__rrow") :+
+        struct(col(tsCol) +: orderableRight.map(col): _*).as("__rtie") :+
+        lit(0).as("__side"): _*)
+    val taggedLeft = left.withColumn("__side", lit(1))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    val base = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"), col("__rtie"))
+    // deterministic tie picks WITHIN a side: backward takes the
+    // struct-largest tied right row (last in order), forward the smallest
+    // (first) — same rule as the directional joins
+    val withBoth = unioned
+      .withColumn("__bwd", last(col("__rrow"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__fwd", first(col("__rrow"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") === 1)
+
+    val bDt = col(tsCol) - col(s"__bwd.$rTs")
+    val fDt = col(s"__fwd.$rTs") - col(tsCol)
+    val chosen = when(col("__bwd").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__bwd"))
+      .when(fDt < bDt, col("__fwd"))
+      .otherwise(col("__bwd"))
+    val picked = withBoth.withColumn("__rrow", chosen)
+
+    val withTol = toleranceMs match {
+      case Some(tol) =>
+        picked.withColumn("__rrow",
+          when(abs(col(s"__rrow.$rTs") - col(tsCol)) > tol, lit(null))
+            .otherwise(col("__rrow")))
+      case None => picked
+    }
+    withTol.select(leftCols.map(col) ++
+      rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")) :+
+      col(s"__rrow.$rTs").as(rTs): _*)
+  }
 }

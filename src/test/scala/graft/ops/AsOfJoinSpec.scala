@@ -74,6 +74,66 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(atB.getDouble(atB.fieldIndex("q_px")) == 20.0) // 1ms ahead, kept
   }
 
+  test("nearest attaches the closer side; equidistant prefers backward") {
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"), "__timestamp",
+      rightCols = Seq("px"), rightPrefix = "q_")
+      .orderBy("sym", "__timestamp").collect()
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(r.fieldIndex("q_px"))).orNull,
+      Option(r.get(r.fieldIndex("q___timestamp"))).orNull))
+    assert(got.toSeq == Seq(
+      ("A", 500L, 10.0, 1000L),   // only forward exists
+      ("A", 1000L, 10.0, 1000L),  // coincident: distance 0 backward
+      ("A", 2500L, 11.0, 3000L),  // 1500 back vs 500 ahead -> forward
+      ("A", 4000L, 11.0, 3000L),  // only backward exists
+      ("B", 1999L, 20.0, 2000L),  // 1 ahead
+      ("B", 2001L, 20.0, 2000L))) // 1 back
+  }
+
+  test("nearest: equidistant tie goes backward; tolerance bounds |distance|") {
+    val q = Seq(("A", 1000L, 1.0), ("A", 3000L, 2.0)).toDF("sym", "__timestamp", "px")
+    val t = Seq(("A", 2000L, 9.0), ("A", 5001L, 9.0)).toDF("sym", "__timestamp", "qty")
+    val got = AsOfJoin.nearest(t, q, Seq("sym"), "__timestamp", Seq("px"), "q_",
+        toleranceMs = Some(2000L))
+      .orderBy("__timestamp").collect()
+      .map(r => (r.getLong(1), Option(r.get(r.fieldIndex("q_px"))).orNull))
+    // 2000 is exactly 1000 from both quotes -> backward (px=1.0);
+    // 5001 is 2001 from its only (backward) match -> beyond tolerance
+    assert(got.toSeq == Seq((2000L, 1.0), (5001L, null)))
+  }
+
+  test("nearest equals pick-closer over the two directional joins (randomized)") {
+    val rnd = new scala.util.Random(7)
+    val q = (1 to 300).map(_ => ("k" + rnd.nextInt(5), rnd.nextInt(10000).toLong,
+      rnd.nextInt(100).toDouble)).distinct
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+      .toDF("sym", "__timestamp", "px")
+    val t = (1 to 300).map(i => ("k" + rnd.nextInt(6), rnd.nextInt(11000).toLong,
+      i.toDouble)).toDF("sym", "__timestamp", "qty")
+
+    val near = AsOfJoin.nearest(t, q, Seq("sym"), "__timestamp", Seq("px"), "q_")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(r.fieldIndex("q___timestamp")))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L))).sortBy(r => (r._1, r._2, r._3))
+
+    val bwd = AsOfJoin.asof(t, q, Seq("sym"), "__timestamp", Seq("px"), "b_")
+    val fwd = AsOfJoin.asof(bwd, q, Seq("sym"), "__timestamp", Seq("px"), "f_",
+      forward = true)
+    val ref = fwd.collect().map { r =>
+      val ts = r.getLong(r.fieldIndex("__timestamp"))
+      val b = Option(r.get(r.fieldIndex("b___timestamp"))).map(_.asInstanceOf[Long])
+      val f = Option(r.get(r.fieldIndex("f___timestamp"))).map(_.asInstanceOf[Long])
+      val pick = (b, f) match {
+        case (Some(bt), Some(ft)) => if (ft - ts < ts - bt) f else b
+        case (Some(_), None) => b
+        case (None, other) => other
+      }
+      (r.getString(r.fieldIndex("sym")), ts, r.getDouble(r.fieldIndex("qty")),
+        pick.getOrElse(-1L))
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(near.toSeq == ref.toSeq)
+  }
+
   test("null field in matched right row is attached as null, not skipped") {
     val q2 = Seq(("A", 1000L, Some(10.0)), ("A", 2000L, None))
       .toDF("sym", "__timestamp", "px")
