@@ -2184,6 +2184,30 @@ object Queries {
       |FROM ev GROUP BY CUBE (event_type, day)
       |ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  /** Debounce ([[graft.ops.Sessionize.debounce]]): first event of every
+    * (user, type) burst under a 1-hour gap — the dedup-adjacent hygiene
+    * filter for retry storms and duplicate ticks. Exact integer output.
+    */
+  def debounceQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("t"), $"event_id")
+    graft.ops.Sessionize.debounce(ev, Seq("user_id", "event_type"), "t",
+        gapMs = 3600000L, tieCols = Seq("event_id"))
+      .orderBy("user_id", "event_type", "t", "event_id")
+  }
+
+  val debounceSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS t, event_id,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY epoch_ms(ts), event_id) AS p
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, t, event_id
+      |FROM g WHERE p IS NULL OR t - p > 3600000
+      |ORDER BY user_id, event_type, t, event_id""".stripMargin
+
   /** Exact distinct-count profile (beyond-reference; the scale path is
     * `approx_count_distinct`, whose HLL sketch differs between engines, so
     * the oracle checks the exact form both engines define identically).

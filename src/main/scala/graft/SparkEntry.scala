@@ -87,6 +87,7 @@ object SparkEntry {
     "q_outliers"         -> (Queries.outliers _),
     "q_zorder"           -> (Queries.zorder _),
     "q_cube"             -> (Queries.cubeTypes _),
+    "q_debounce"         -> (Queries.debounceQ _),
     "q_domain_quota"     -> (Queries.domainQuota _),
     "q_url_extract"      -> (Queries.urlExtract _),
     "q_topk_per_key"     -> (Queries.topkPerKey _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_outliers"        -> Queries.outliersSql,
     "q_zorder"          -> Queries.zorderSql,
     "q_cube"            -> Queries.cubeTypesSql,
+    "q_debounce"        -> Queries.debounceSql,
     "q_domain_quota"    -> Queries.domainQuotaSql,
     "q_url_extract"     -> Queries.urlExtractSql,
     "q_topk_per_key"    -> Queries.topkPerKeySql,

@@ -41,6 +41,22 @@ object Sessionize {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
   }
 
+  /** Debounce: keep only the FIRST event of every burst — the row that
+    * opens each session under `gapMs` — dropping the trailing chatter
+    * (duplicate sensor ticks, double-clicks, retry storms). The stream-
+    * hygiene counterpart of [[assign]]: same single key shuffle + lag
+    * window, then a narrow filter; output is one row per burst.
+    */
+  def debounce(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapMs: Long,
+      tieCols: Seq[String] = Nil): DataFrame =
+    assign(df, keyCols, tsCol, gapMs, tieCols)
+      .filter(col("is_session_start"))
+      .drop("is_session_start", "session_id")
+
   /** Per-session summary: bounds, event count and span. */
   def sessions(
       df: DataFrame,

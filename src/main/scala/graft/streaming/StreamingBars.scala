@@ -45,4 +45,58 @@ object StreamingBars {
         unix_millis(col("window.start")).as("bar_start"),
         col("open"), col("high"), col("low"), col("close"), col("n")): _*)
   }
+
+  /** Streaming gap report — the live counterpart of [[graft.ops.Bars.gaps]]:
+    * emits (key, gap_start, gap_end, gap_ms) the moment a key's stream
+    * resumes after more than `thresholdMs` of silence. State per key is ONE
+    * timestamp, so the store is O(live keys).
+    *
+    * Ordering contract (same as the streaming interpolator): rows are
+    * processed in ts order within each micro-batch; a row at or before the
+    * key's last seen ts is dropped — a gap is a forward observation and
+    * cannot be revised. `idleTimeout` evicts keys that stopped arriving
+    * entirely (a stream that never resumes never reports its last gap —
+    * detecting silence with no successor row needs a clock, which is the
+    * timeout's job: eviction simply forgets the key).
+    */
+  def gaps[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long)],
+      thresholdMs: Long,
+      idleTimeout: Option[String] = None)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      tupleEnc: org.apache.spark.sql.Encoder[(K, Long)],
+      outEnc: org.apache.spark.sql.Encoder[(K, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(thresholdMs > 0, s"threshold must be positive: $thresholdMs")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, Long, Long, Long)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long)]
+            var prev = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { case (_, t) =>
+              prev match {
+                case Some(tp) if t <= tp => // stale arrival: drop
+                case Some(tp) =>
+                  if (t - tp > thresholdMs) out += ((key, tp, t, t - tp))
+                  prev = Some(t)
+                case None =>
+                  prev = Some(t)
+              }
+            }
+            prev.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
 }

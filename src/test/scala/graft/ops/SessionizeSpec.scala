@@ -49,4 +49,20 @@ class SessionizeSpec extends SparkTestBase {
     }
     assert(bad.isEmpty)
   }
+
+  test("debounce keeps exactly each burst's first row") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: burst at 0..40 (gap 50), lone row at 200, burst at 500..510
+      ("a", 0L, 1L), ("a", 30L, 2L), ("a", 40L, 3L),
+      ("a", 200L, 4L),
+      ("a", 500L, 5L), ("a", 510L, 6L),
+      // key b: everything within one burst
+      ("b", 100L, 7L), ("b", 120L, 8L)
+    ).toDF("k", "t", "id")
+    val out = Sessionize.debounce(df, Seq("k"), "t", gapMs = 50L,
+        tieCols = Seq("id"))
+      .orderBy("k", "t").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 0L), ("a", 200L), ("a", 500L), ("b", 100L)))
+  }
 }

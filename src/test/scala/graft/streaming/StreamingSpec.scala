@@ -522,4 +522,35 @@ class StreamingSpec extends SparkTestBase {
     // streaming output is exactly the three batch candles)
     assert(batch.toSeq == rows.toSeq)
   }
+
+  test("streaming gap report emits each above-threshold silence once, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamingBars.gaps(input.toDS(), thresholdMs = 100L)
+    val q = out.writeStream.format("memory").queryName("gapstream")
+      .outputMode("append").start()
+
+    input.addData(("a", 0L), ("a", 50L), ("b", 10L))
+    q.processAllAvailable()
+    // a resumes 250ms later -> gap (50, 300); b's 90ms silence is under
+    // threshold; the stale ("a", 40) must be dropped, not re-open history
+    input.addData(("a", 300L), ("a", 40L), ("b", 100L))
+    q.processAllAvailable()
+    input.addData(("b", 500L)) // b: gap (100, 500)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("gapstream").orderBy("_1", "_2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 50L, 300L, 250L), ("b", 100L, 500L, 400L)))
+
+    // batch parity on the delivered (non-stale) events
+    val batch = graft.ops.Bars.gaps(
+      Seq(("a", 0L), ("a", 50L), ("a", 300L), ("b", 10L), ("b", 100L), ("b", 500L))
+        .toDF("k", "t"),
+      Seq("k"), thresholdMs = 100L, tsCol = "t")
+      .orderBy("k", "gap_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq == rows.toSeq)
+  }
 }
