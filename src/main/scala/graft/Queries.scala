@@ -2184,6 +2184,33 @@ object Queries {
       |FROM ev GROUP BY CUBE (event_type, day)
       |ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  /** Per-user EWMA over the last-10-rows frame ([[graft.ops.Bars.ewma]]).
+    * Bit-exact cross-engine with NO rounding: same fold association on
+    * both sides, power-of-two decay (see the operator's scaladoc).
+    */
+  def ewmaQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+    Bars.ewma(ev, Seq("user_id"), "t", "value", frameRows = 10, decay = 0.5,
+        tieCols = Seq("event_id"))
+      .select($"user_id", $"t", $"event_id", $"ewma")
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val ewmaSql: String =
+    """WITH f AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |         list(value) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ms(ts), event_id
+      |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+      |  FROM events
+      |)
+      |SELECT user_id, t, event_id,
+      |       list_reduce(l, (acc, x) -> acc * 0.5 + x)
+      |         / ((1 - pow(0.5, len(l))) / 0.5) AS ewma
+      |FROM f ORDER BY user_id, t, event_id""".stripMargin
+
   /** Debounce ([[graft.ops.Sessionize.debounce]]): first event of every
     * (user, type) burst under a 1-hour gap — the dedup-adjacent hygiene
     * filter for retry storms and duplicate ticks. Exact integer output.

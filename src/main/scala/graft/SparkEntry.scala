@@ -88,6 +88,7 @@ object SparkEntry {
     "q_zorder"           -> (Queries.zorder _),
     "q_cube"             -> (Queries.cubeTypes _),
     "q_debounce"         -> (Queries.debounceQ _),
+    "q_ewma"             -> (Queries.ewmaQ _),
     "q_domain_quota"     -> (Queries.domainQuota _),
     "q_url_extract"      -> (Queries.urlExtract _),
     "q_topk_per_key"     -> (Queries.topkPerKey _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_zorder"          -> Queries.zorderSql,
     "q_cube"            -> Queries.cubeTypesSql,
     "q_debounce"        -> Queries.debounceSql,
+    "q_ewma"            -> Queries.ewmaSql,
     "q_domain_quota"    -> Queries.domainQuotaSql,
     "q_url_extract"     -> Queries.urlExtractSql,
     "q_topk_per_key"    -> Queries.topkPerKeySql,

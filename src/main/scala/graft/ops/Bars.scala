@@ -100,6 +100,42 @@ object Bars {
         sum(col("__w")).cast("long").as("weight_ms"))
   }
 
+  /** Exponentially-weighted moving average over a bounded row frame: the
+    * last `frameRows` values of the key, the j-th-newest weighted
+    * `decay^j` — the standard smoothing primitive ([[twap]] weights by
+    * TIME; this weights by RECENCY).
+    *
+    * Deterministic to the BIT across engines, no rounding slop: the
+    * weighted sum is one chronological fold `acc*decay + x` (a fixed
+    * association any engine reproduces), and the weight total is the
+    * closed form `(1 - decay^n)/(1 - decay)` — with the default
+    * `decay = 0.5` every power is an exact binary double. That exactness
+    * argument needs a power-of-two decay; other decays are still
+    * deterministic per engine but may differ cross-engine in the last ulp.
+    *
+    * Scale shape: one key shuffle, one sorted window, O(frame) state per
+    * row (the frame list) — same streaming WindowExec as a rolling mean.
+    */
+  def ewma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      valueCol: String = "value",
+      frameRows: Int = 10,
+      decay: Double = 0.5,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(frameRows >= 1, s"frame must be >= 1: $frameRows")
+    require(decay > 0 && decay < 1, s"decay must be in (0,1): $decay")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(frameRows - 1), 0)
+    val frame = collect_list(col(valueCol)).over(w)
+    val ws = aggregate(frame, lit(0.0), (acc, x) => acc * decay + x)
+    val n  = size(frame)
+    val weight = (lit(1.0) - pow(lit(decay), n.cast("double"))) / (1.0 - decay)
+    df.withColumn("ewma", ws / weight)
+  }
+
   /** Gap report: every place a key's stream went silent for more than
     * `thresholdMs` — the data-quality audit run before trusting any
     * resample/ffill output (a filled gap LOOKS like data; this says where

@@ -62,6 +62,24 @@ class BarsSpec extends SparkTestBase {
       (10L, 6.0, 2L)))
   }
 
+  test("ewma: hand-computed recency weighting, frame truncation, per key") {
+    // key "a" values 1,2,4 with frame 2, decay 0.5:
+    //   row1: (1) / 1                       = 1.0
+    //   row2: (1*0.5 + 2) / 1.5             = 2.5/1.5
+    //   row3: (2*0.5 + 4) / 1.5             = 5/1.5  (the 1 fell out of frame)
+    val df = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 4.0),
+      ("b", 5L, 7.0)).toDF("k", "t", "value")
+    val out = Bars.ewma(df, Seq("k"), "t", "value", frameRows = 2)
+      .orderBy("k", "t").collect().map(r => r.getDouble(r.fieldIndex("ewma")))
+    assert(out.toSeq == Seq(1.0, 2.5 / 1.5, 5.0 / 1.5, 7.0))
+  }
+
+  test("ewma rejects bad frame and decay") {
+    val df = Seq(("a", 1L, 1.0)).toDF("k", "t", "value")
+    intercept[IllegalArgumentException] { Bars.ewma(df, Seq("k"), "t", "value", frameRows = 0) }
+    intercept[IllegalArgumentException] { Bars.ewma(df, Seq("k"), "t", "value", decay = 1.0) }
+  }
+
   test("gaps: only above-threshold silences, exact bounds, per key") {
     val df = Seq(
       ("a", 0L), ("a", 5L), ("a", 100L), ("a", 103L), ("a", 250L),
