@@ -171,16 +171,33 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("gap report / twap windows are key-partitioned") {
+  test("gap report / twap / ewma / debounce windows are key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)
-    for (q <- Seq("q_gaps", "q_twap")) {
+    for (q <- Seq("q_gaps", "q_twap", "q_ewma", "q_debounce")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       assert(bad.isEmpty, s"$q has unpartitioned windows:\n${bad.mkString("\n")}")
     }
+  }
+
+  test("nearest as-of: both carries share one key shuffle") {
+    val plan = planOf("q_asof_nearest")
+    // the union trick + two frame carries must not introduce a second data
+    // exchange: one hash shuffle on the key (clicks' groupBy reuses it),
+    // everything else is sorts over it
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, s"expected <=2 hash exchanges (key + click collapse), got $n:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("cube expands combinations map-side: a single aggregation exchange") {
+    val plan = planOf("q_cube")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 hash exchange for the cube agg, got $n:\n$plan")
   }
 
   test("pivot with explicit values is one aggregation: no distinct-values job, one exchange pair") {
