@@ -289,6 +289,25 @@ object Similarity {
       centroids: Array[(Long, Array[Double])]): DataFrame =
     df.withColumn("cell_id", ivfCellExpr(vecCol, centroids))
 
+  /** Query's `nProbe` nearest cell ids (descending centroid similarity,
+    * same rounded-sim + smallest-id tie rule as [[ivfCellExpr]] — probing
+    * 1 cell is exactly the argmax assignment).
+    */
+  def ivfProbeCellsExpr(
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int): Column = {
+    val candidates = centroids.map { case (id, vec) =>
+      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
+        lit(-id).as("negCell"))
+    }
+    // struct sort desc: highest sim first; on sim ties the larger negCell
+    // (= smaller cell id) wins — identical pick order to ivfCellExpr
+    transform(
+      slice(sort_array(array(candidates.toSeq: _*), asc = false), 1, nProbe),
+      c => -c.getField("negCell"))
+  }
+
   /** IVF top-k: search only within the query vector's own cell(s). */
   def ivfTopK(
       df: DataFrame,
@@ -296,18 +315,38 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCells: Int,
-      k: Int): DataFrame =
+      k: Int,
+      nProbe: Int = 1): DataFrame =
     ivfTopK(df, queries, idCol, vecCol, k,
-      ivfCentroids(df, idCol, vecCol, nCells))
+      ivfCentroids(df, idCol, vecCol, nCells), nProbe)
 
-  /** IVF top-k against already-trained centroids. */
+  /** IVF top-k against already-trained centroids (single-probe). */
   def ivfTopK(
       df: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      centroids: Array[(Long, Array[Double])]): DataFrame = {
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    ivfTopK(df, queries, idCol, vecCol, k, centroids, nProbe = 1)
+
+  /** IVF top-k against already-trained centroids.
+    *
+    * `nProbe` is the standard recall lever: the query searches its
+    * `nProbe` nearest cells instead of only its own (corpus vectors stay
+    * single-cell, so candidates stay disjoint across probes and the
+    * shuffle grows linearly in nProbe, not quadratically). Probing every
+    * cell IS brute force — the spec pins that equivalence exactly.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     // Centroids trained/collected once; the corpus-wide assignment
     // expression runs in exactly one pass. Queries are assigned from their
     // OWN vectors (the query frame needn't be a corpus subset — external
@@ -315,7 +354,8 @@ object Similarity {
     // silently swaps in the corpus vector).
     val cellOf    = ivfCellExpr(vecCol, centroids)
     val qAssigned = queries.select(col(idCol), col(vecCol))
-      .withColumn("cell_id", cellOf)
+      .withColumn("cell_id",
+        explode(ivfProbeCellsExpr(vecCol, centroids, nProbe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
     val c = df.withColumn("cell_id", cellOf)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
