@@ -1589,6 +1589,49 @@ object Queries {
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe IVF top-k ([[graft.pipeline.Similarity.ivfTopK]] with
+    * `nProbe = 2`): the oracle re-derives each query's two nearest cells
+    * from the EXPORTED centroid artifact (same rounded-cosine + smallest-
+    * cell tie rule), unions those cells' corpus vectors from the exported
+    * assignment, and re-ranks — the full probe path checked relationally.
+    */
+  def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      k = 10, centroids = trainedCentroids(spark, dir), nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfProbeSql: String =
+    """WITH cents AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS cv
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+      |), probes AS (
+      |  SELECT q.vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell_id) AS pr
+      |  FROM q CROSS JOIN cents
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), e AS (
+      |  SELECT c.vec_id, embedding::DOUBLE[] AS v, cell_id
+      |  FROM embeddings JOIN cells c USING (vec_id)
+      |), scored AS (
+      |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+      |  FROM probes p
+      |  JOIN q ON q.vec_id = p.vec_id
+      |  JOIN e n ON n.cell_id = p.cell_id
+      |  WHERE p.pr <= 2 AND p.vec_id <> n.vec_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_ivf_centroids"    -> (Queries.ivfCentroids _),
     "q_ivf_cells"        -> (Queries.ivfCells _),
     "q_ann_ivf"          -> (Queries.annIvf _),
+    "q_ann_ivf_probe"    -> (Queries.annIvfProbe _),
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_ivf_centroids"   -> Queries.ivfCentroidsSql,
     "q_ivf_cells"       -> Queries.ivfCellsSql,
     "q_ann_ivf"         -> Queries.annIvfSql,
+    "q_ann_ivf_probe"   -> Queries.annIvfProbeSql,
     "q_dedup_minhash"   -> Queries.dedupMinhashSql,
     "q_simhash"         -> Queries.simhashSql,
     "q_simhash_neardup" -> Queries.simhashNearDupSql,
