@@ -46,6 +46,52 @@ object StreamingBars {
         col("open"), col("high"), col("low"), col("close"), col("n")): _*)
   }
 
+  /** Streaming debounce — the live counterpart of
+    * [[graft.ops.Sessionize.debounce]]: passes through exactly the first
+    * event of each burst (first seen for the key, or arriving more than
+    * `gapMs` after the previous event); the trailing chatter is dropped.
+    * Same one-timestamp-per-key state and ordering contract as [[gaps]].
+    */
+  def debounce[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long)],
+      gapMs: Long,
+      idleTimeout: Option[String] = None)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      tupleEnc: org.apache.spark.sql.Encoder[(K, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(gapMs > 0, s"gap must be positive: $gapMs")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, Long)](OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long)]
+            var prev = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { case (_, t) =>
+              prev match {
+                case Some(tp) if t <= tp => // stale arrival: drop
+                case Some(tp) =>
+                  if (t - tp > gapMs) out += ((key, t))
+                  prev = Some(t)
+                case None =>
+                  out += ((key, t))
+                  prev = Some(t)
+              }
+            }
+            prev.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming gap report — the live counterpart of [[graft.ops.Bars.gaps]]:
     * emits (key, gap_start, gap_end, gap_ms) the moment a key's stream
     * resumes after more than `thresholdMs` of silence. State per key is ONE

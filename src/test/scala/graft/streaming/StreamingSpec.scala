@@ -523,6 +523,34 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.toSeq == rows.toSeq)
   }
 
+  test("streaming debounce passes burst leaders only, matching batch across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamingBars.debounce(input.toDS(), gapMs = 50L)
+    val q = out.writeStream.format("memory").queryName("debounced")
+      .outputMode("append").start()
+
+    input.addData(("a", 0L), ("a", 30L), ("b", 10L))
+    q.processAllAvailable()
+    // 40 continues a's burst (dt=10 from 30); 200 opens a new one; the
+    // stale ("a", 20) is dropped, not treated as a new leader
+    input.addData(("a", 40L), ("a", 200L), ("a", 20L), ("b", 45L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("debounced").orderBy("_1", "_2")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 0L), ("a", 200L), ("b", 10L)))
+
+    // batch parity on the delivered (non-stale) events
+    val batch = graft.ops.Sessionize.debounce(
+      Seq(("a", 0L), ("a", 30L), ("a", 40L), ("a", 200L), ("b", 10L), ("b", 45L))
+        .toDF("k", "t"),
+      Seq("k"), "t", gapMs = 50L)
+      .orderBy("k", "t").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(batch.toSeq == rows.toSeq)
+  }
+
   test("streaming gap report emits each above-threshold silence once, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
