@@ -2254,6 +2254,60 @@ object Queries {
       |         / ((1 - pow(0.5, len(l))) / 0.5) AS ewma
       |FROM f ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Lag-1 autocorrelation per type: how much a series remembers its
+    * previous sample — the first diagnostic run before smoothing or
+    * forecasting a stream. One keyed lag window, then `corr` (map-side
+    * co-moments; the normalizations cancel in the ratio, so the rounded
+    * value is engine-agnostic).
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"event_id")
+    events(spark, dir)
+      .select($"event_type", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .withColumn("pv", lag($"value", 1).over(w))
+      .groupBy($"event_type")
+      .agg(round(corr($"value", $"pv"), 6).as("autocorr"),
+        count($"pv").as("n"))
+      .orderBy("event_type")
+  }
+
+  val autocorrSql: String =
+    """WITH s AS (
+      |  SELECT event_type, value,
+      |         lag(value) OVER (PARTITION BY event_type
+      |                          ORDER BY epoch_ms(ts), event_id) AS pv
+      |  FROM events
+      |)
+      |SELECT event_type, round(corr(value, pv), 6) AS autocorr,
+      |       count(pv) AS n
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-type linear trend: least-squares slope/intercept of value over
+    * time-in-days — drift detection over a stream in one aggregation pass
+    * (co-moments, map-side combined; both engines' normalizations cancel
+    * in the slope ratio).
+    */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type", (unix_millis($"ts") / lit(86400000.0)).as("td"),
+        $"value")
+      .groupBy($"event_type")
+      .agg(round(regr_slope($"value", $"td"), 6).as("slope"),
+        round(regr_intercept($"value", $"td"), 4).as("icept"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val trendSql: String =
+    """SELECT event_type,
+      |       round(regr_slope(value, epoch_ms(ts) / 86400000.0), 6) AS slope,
+      |       round(regr_intercept(value, epoch_ms(ts) / 86400000.0), 4) AS icept,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Debounce ([[graft.ops.Sessionize.debounce]]): first event of every
     * (user, type) burst under a 1-hour gap — the dedup-adjacent hygiene
     * filter for retry storms and duplicate ticks. Exact integer output.

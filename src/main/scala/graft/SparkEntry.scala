@@ -90,6 +90,8 @@ object SparkEntry {
     "q_cube"             -> (Queries.cubeTypes _),
     "q_debounce"         -> (Queries.debounceQ _),
     "q_ewma"             -> (Queries.ewmaQ _),
+    "q_autocorr"         -> (Queries.autocorr _),
+    "q_trend"            -> (Queries.trend _),
     "q_domain_quota"     -> (Queries.domainQuota _),
     "q_url_extract"      -> (Queries.urlExtract _),
     "q_topk_per_key"     -> (Queries.topkPerKey _),
@@ -191,6 +193,8 @@ object SparkEntry {
     "q_cube"            -> Queries.cubeTypesSql,
     "q_debounce"        -> Queries.debounceSql,
     "q_ewma"            -> Queries.ewmaSql,
+    "q_autocorr"        -> Queries.autocorrSql,
+    "q_trend"           -> Queries.trendSql,
     "q_domain_quota"    -> Queries.domainQuotaSql,
     "q_url_extract"     -> Queries.urlExtractSql,
     "q_topk_per_key"    -> Queries.topkPerKeySql,
