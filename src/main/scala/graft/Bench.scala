@@ -26,7 +26,14 @@ object Bench {
     // regressions. Sub-500 ms queries get a third run — at that duration the
     // scheduler noise is the same order as the work, so min-of-2 still
     // jitters round-over-round. All raw runs are carried under "runs".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional query-name args restrict the run (same contract as Verify):
+    // `runMain graft.Bench q_heavy_hitters` times just that query. The
+    // driver invokes with no args — full sweep, contract unchanged.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every column (count() would let
@@ -49,7 +56,11 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val first = (1 to 2).map(_ => timed())
+      // SPARK_GRAFT_RUNS raises the base rep count for drift investigation
+      // (single-query idle reruns need >2 reps to shed cold-JVM JIT); the
+      // driver doesn't set it, so the sweep contract stays min-of-2/3.
+      val baseRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+      val first = (1 to baseRuns).map(_ => timed())
       val withShort =
         if (first.exists(r => r._2.isEmpty && r._1 < 0.5)) first :+ timed()
         else first

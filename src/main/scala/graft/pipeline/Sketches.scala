@@ -212,12 +212,18 @@ object Sketches {
     * over-count budget is eps·N in expectation per probe, 3x for slack —
     * deterministic for a fixed dataset + seed).
     *
-    * Scale shape: the sketch is one map-side-combined aggregate into a
-    * fixed `depth x width` table (mergeable across partitions); the exact
-    * top-k is a TakeOrdered job; the probes are `k` bounded driver-side
-    * lookups. At 100 TB the exact side is the optional certificate and the
-    * sketch is the product — estimate any item's count without a second
-    * scan.
+    * Scale shape: ONE descent of the raw frame aggregates it to the
+    * vocabulary `(item, n_exact)` (map-side combine — for heavy-tailed
+    * item columns this collapses the data by orders of magnitude), which
+    * is checkpointed and then feeds BOTH the sketch and the top-k. The
+    * sketch is rebuilt from the weighted vocab via
+    * [[graft.functions.CountMinSketchWeighted]] — CM sketches are linear,
+    * so `add(item, n)` yields the identical sketch to `n` row-wise adds —
+    * a fixed `depth x width` mergeable aggregate; the exact top-k is a
+    * TakeOrdered job on the same vocab frame; the probes are `k` bounded
+    * driver-side lookups. At 100 TB the exact side is the optional
+    * certificate and the sketch is the product — estimate any item's
+    * count without a second scan.
     */
   def heavyHitters(
       df: DataFrame,
@@ -232,16 +238,21 @@ object Sketches {
         s"'$itemCol' is ${df.schema(itemCol).dataType.simpleString}")
     // nulls carry no frequency signal and would NPE the byte-probe below
     val items = df.filter(col(itemCol).isNotNull)
-    val skBytes = items
-      .agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence), lit(seed))
+    // One descent of the raw frame; the checkpointed vocabulary then feeds
+    // both the sketch (weighted inserts — identical cells by CM linearity)
+    // and the exact top-k without re-running the expensive lineage.
+    val vocab = Dedup.materializeOnce(
+      items.groupBy(col(itemCol)).agg(count(lit(1)).as("n_exact")))
+    val skBytes = vocab
+      .agg(graft.functions.CountMinSketchWeighted
+        .cmSketchWeighted(col(itemCol), col("n_exact"), eps, confidence, seed)
         .as("__sk"))
       .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
     val budget = math.max(1L, math.ceil(3 * eps * cms.totalCount()).toLong)
 
-    val top = items.groupBy(col(itemCol))
-      .agg(count(lit(1)).as("n_exact"))
+    val top = vocab
       .orderBy(col("n_exact").desc, col(itemCol).asc)
       .limit(k)
       .collect()

@@ -219,10 +219,13 @@ object TextAnalysis {
     * 1e-6 grid so independent engines agree bit-for-bit); natural text
     * scores high, boilerplate/code/gibberish scores near zero.
     *
-    * Scale shape: two narrow descents of the input — one computing scores
-    * into the exact-percentile aggregate (a 1-row broadcast back), one
-    * filtering against it. For a one-scan variant at extreme scale, feed
-    * the threshold from [[graft.pipeline.Sketches.approxPercentilesCertified]]'s
+    * Scale shape: ONE scoring descent of the input — the narrow scored
+    * frame `(id, n_tokens, score)` is checkpointed and feeds both the
+    * exact-percentile aggregate (a 1-row broadcast back) and the filter
+    * against it; previously the filter leg re-ran the full scoring lineage
+    * (regex token/stopword extraction over the corpus) a second time. For
+    * a checkpoint-free single-scan variant at extreme scale, feed the
+    * threshold from [[graft.pipeline.Sketches.approxPercentilesCertified]]'s
     * sketch instead of the exact percentile.
     *
     * Output: `(id, n_tokens, score)` for the surviving rows.
@@ -231,9 +234,10 @@ object TextAnalysis {
       minTokens: Long = 5L, p: Double = 0.25): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0, 1): $p")
     val sigs = qualitySignals(col(textCol)).toMap
-    val scored = docs.select(col(idCol), sigs("n_tokens").as("n_tokens"),
-        round(sigs("stopword_ratio"), 6).as("score"))
-      .filter(col("n_tokens") >= minTokens)
+    val scored = Dedup.materializeOnce(
+      docs.select(col(idCol), sigs("n_tokens").as("n_tokens"),
+          round(sigs("stopword_ratio"), 6).as("score"))
+        .filter(col("n_tokens") >= minTokens))
     val thr = scored.agg(expr(s"percentile(score, $p)").as("__thr"))
     scored.crossJoin(broadcast(thr))
       .filter(col("score") >= col("__thr"))
@@ -249,11 +253,17 @@ object TextAnalysis {
     * log-idf but serves the same keyword-extraction purpose.
     *
     * Scale shape: tf is an explode → `groupBy(id, term)` with map-side
-    * combine; df aggregates the (much smaller) tf frame by term; the
-    * tf⋈df join keys both sides on `term` (one co-partitioned shuffle);
-    * `n_docs` rides in as a broadcast scalar; the final top-k is a window
-    * partitioned by document — every stage is keyed, nothing is global.
-    * Ranking ties are impossible: (score desc, term asc) is total.
+    * combine — the ONE tokenizing descent of the corpus. `df` is a
+    * term-partitioned window count over that same tf frame (tf rows are
+    * distinct `(id, term)`, so rows-per-term IS document frequency): the
+    * former tf⋈df self-join re-derived its df leg through a second full
+    * tokenize of the corpus, where the window reuses the tf computation
+    * and shuffles only the narrow aggregated frame. `n_docs` rides in as
+    * a broadcast scalar from an id-only (column-pruned) scan — it must
+    * count zero-token documents too, which never reach the tf frame; the
+    * final top-k is a window partitioned by document — every stage is
+    * keyed, nothing is global. Ranking ties are impossible:
+    * (score desc, term asc) is total.
     *
     * Output: `(id, term, tf, df, score, rank)`, `rank` in 1..k.
     */
@@ -263,9 +273,10 @@ object TextAnalysis {
     val tf = docs
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * (col("__n_docs").cast("double") / col("df")))
