@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generates a stress-scale synthetic data dir with the SAME table schemas
+  * as the driver's testdata (`events.parquet`, `documents.parquet`), so the
+  * exact `SparkEntry.queries` entries (via `graft.Bench <names>`) and the
+  * exact `oracleSql` strings (via `tools/crossover.py`) run unmodified
+  * against 100x the gate's sf0.1 volume.
+  *
+  * Why this exists: several sub-1.5 s queries are fixed-cost dominated at
+  * sf0.1 (Spark's ~0.3-0.5 s job launch vs DuckDB's ~0 ms) and read >2x
+  * over the oracle there. The honest comparison for a cluster engine is at
+  * data scale — this dir provides it without touching the driver's gate.
+  * Same deterministic-arithmetic generation style as [[Stress]]; shapes
+  * mirror the testdata distributions (30-day span, 5 event types, ~1 event
+  * per user per 26 min; 50-word docs over a 5k vocab, 5 langs, 20 sources)
+  * scaled 100x.
+  *
+  * Usage: `runMain graft.CrossoverGen <outDir> [nEvents=10M] [nDocs=500k]`.
+  */
+object CrossoverGen {
+
+  def main(args: Array[String]): Unit = {
+    val dir     = args.headOption.getOrElse("/tmp/crossover_sf10")
+    val nEvents = args.lift(1).map(_.toLong).getOrElse(10000000L)
+    val nDocs   = args.lift(2).map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-crossover-gen").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0     = 1704067200000L // 2024-01-01T00:00:00Z, same epoch as testdata
+    val spanMs = 30L * 86400000L
+    val nUsers = math.max(1500L, nEvents / 67L) // testdata density: ~67 events/user
+    val types  = array(Seq("click", "view", "purchase", "signup", "error").map(lit): _*)
+
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(t0) + pmod(col("id") * lit(2654435761L), lit(spanMs))).as("ts"),
+      pmod(col("id") * lit(31L), lit(nUsers)).as("user_id"),
+      element_at(types, (pmod(col("id"), lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(col("id") * lit(7L), lit(10000L)) / lit(100.0)).as("value"),
+      concat(lit("{\"k\": "), pmod(col("id"), lit(97L)), lit("}")).as("props"))
+    events.repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val langs   = array(Seq("en", "de", "es", "fr", "it").map(lit): _*)
+    val docText = concat_ws(" ", transform(sequence(lit(0), lit(49)),
+      i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(5000L)))))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      docText.as("text"),
+      element_at(langs, (pmod(col("id"), lit(5)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    println(s"""{"dir":"$dir","events":$nEvents,"docs":$nDocs,"users":$nUsers}""")
+    spark.stop()
+  }
+}

@@ -1977,6 +1977,54 @@ object Queries {
       |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Per-user rolling lag-1 autocorrelation over a 20-row frame
+    * ([[graft.ops.RollingStats.rollingCorr]] with y = lag(value)): the
+    * windowed drift/momentum signal `q_autocorr` only reports globally.
+    * The oracle re-derives the identical co-moment formula, so the guard
+    * rails (NULL under 2 pairs / zero variance) are checked too.
+    */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .withColumn("__y", lag($"value", 1).over(wl))
+    graft.ops.RollingStats.rollingCorr(ev, Seq("user_id"), "t",
+        "value", "__y", frameRows = 20, tieCols = Seq("event_id"))
+      .select($"user_id", $"t", $"event_id", $"roll_corr", $"n_pairs")
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val rollingCorrSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events
+      |), l AS (
+      |  SELECT user_id, t, event_id, value AS x,
+      |         lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS y
+      |  FROM ev
+      |), p AS (
+      |  SELECT user_id, t, event_id,
+      |         CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END AS px,
+      |         CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS py
+      |  FROM l
+      |), f AS (
+      |  SELECT user_id, t, event_id,
+      |         CAST(count(px) OVER w AS DOUBLE) AS n,
+      |         sum(px) OVER w AS sx, sum(py) OVER w AS sy,
+      |         sum(px * py) OVER w AS sxy,
+      |         sum(px * px) OVER w AS sxx, sum(py * py) OVER w AS syy
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, t, event_id,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN round((n * sxy - sx * sy) /
+      |                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |       END AS roll_corr,
+      |       CAST(n AS BIGINT) AS n_pairs
+      |FROM f ORDER BY user_id, t, event_id""".stripMargin
+
   /** Sliding (hopping) window aggregation: 1-hour windows every 15
     * minutes per event type, via Spark's native `window()` (each row
     * fans out to its ≤4 covering windows map-side — partial aggregation
@@ -2465,7 +2513,7 @@ object Queries {
       |  FROM events
       |)
       |SELECT event_type, (t // 86400000) * 86400000 AS bucket,
-      |       round(sum(value * w) / sum(w), 4) AS twap,
+      |       CASE WHEN sum(w) > 0 THEN round(sum(value * w) / sum(w), 4) END AS twap,
       |       count(*) AS n_segments, CAST(sum(w) AS BIGINT) AS weight_ms
       |FROM seg WHERE w IS NOT NULL
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
@@ -2614,4 +2662,66 @@ object Queries {
       |)
       |SELECT event_id, user_id, hour_idx, xa | (xb << 1) AS zkey
       |FROM s4 ORDER BY event_id""".stripMargin
+
+  /** 3-D Morton key over (user, hour, coarse value band)
+    * ([[graft.ops.Layout.zorderKey3]]) — the clustering key for layouts
+    * pruned by who/when/how-big at once. The oracle re-derives the full
+    * 21-bit x 3 magic-number spread in SQL, so every bit of the key is
+    * independently checked.
+    */
+  def zorder3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Layout
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        floor(unix_millis($"ts") / 3600000L).as("hour_idx"),
+        floor($"value").cast("long").as("v_band"))
+      .select($"event_id", $"user_id", $"hour_idx", $"v_band",
+        Layout.zorderKey3($"user_id", pmod($"hour_idx", lit(2097152)), $"v_band")
+          .as("zkey"))
+      .orderBy("event_id")
+  }
+
+  val zorder3Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) // 3600000 AS hour_idx,
+      |         CAST(floor(value) AS BIGINT) AS v_band
+      |  FROM events
+      |), sp AS (
+      |  SELECT event_id, user_id, hour_idx, v_band,
+      |         user_id & 2097151 AS xa,
+      |         hour_idx % 2097152 & 2097151 AS xb,
+      |         v_band & 2097151 AS xc
+      |  FROM ev
+      |), s1 AS (
+      |  SELECT * REPLACE ((xa | (xa << 32)) & 8725724278095871 AS xa,
+      |                    (xb | (xb << 32)) & 8725724278095871 AS xb,
+      |                    (xc | (xc << 32)) & 8725724278095871 AS xc)
+      |  FROM sp
+      |), s2 AS (
+      |  -- DuckDB BIGINT << ERRORS on overflow (Java wraps); pre-mask the
+      |  -- shifted operand so no discarded bit ever crosses bit 62
+      |  SELECT * REPLACE ((xa | ((xa & 140737488355327) << 16)) & 8725728556220671 AS xa,
+      |                    (xb | ((xb & 140737488355327) << 16)) & 8725728556220671 AS xb,
+      |                    (xc | ((xc & 140737488355327) << 16)) & 8725728556220671 AS xc)
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT * REPLACE ((xa | (xa << 8)) & 1157144660301377551 AS xa,
+      |                    (xb | (xb << 8)) & 1157144660301377551 AS xb,
+      |                    (xc | (xc << 8)) & 1157144660301377551 AS xc)
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT * REPLACE ((xa | ((xa & 576460752303423487) << 4)) & 1207822528635744451 AS xa,
+      |                    (xb | ((xb & 576460752303423487) << 4)) & 1207822528635744451 AS xb,
+      |                    (xc | ((xc & 576460752303423487) << 4)) & 1207822528635744451 AS xc)
+      |  FROM s3
+      |), s5 AS (
+      |  SELECT * REPLACE ((xa | (xa << 2)) & 1317624576693539401 AS xa,
+      |                    (xb | (xb << 2)) & 1317624576693539401 AS xb,
+      |                    (xc | (xc << 2)) & 1317624576693539401 AS xc)
+      |  FROM s4
+      |)
+      |SELECT event_id, user_id, hour_idx, v_band,
+      |       xa | (xb << 1) | (xc << 2) AS zkey
+      |FROM s5 ORDER BY event_id""".stripMargin
 }

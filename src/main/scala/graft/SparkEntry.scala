@@ -80,6 +80,7 @@ object SparkEntry {
     "q_range_join"       -> (Queries.rangeJoin _),
     "q_sessionize"       -> (Queries.sessionize _),
     "q_rolling_mean"     -> (Queries.rollingMean _),
+    "q_rolling_corr"     -> (Queries.rollingCorr _),
     "q_sliding_agg"      -> (Queries.slidingAgg _),
     "q_interp_grid"      -> (Queries.interpGrid _),
     "q_ohlc"             -> (Queries.ohlc _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_gaps"             -> (Queries.gapReport _),
     "q_outliers"         -> (Queries.outliers _),
     "q_zorder"           -> (Queries.zorder _),
+    "q_zorder3"          -> (Queries.zorder3 _),
     "q_cube"             -> (Queries.cubeTypes _),
     "q_debounce"         -> (Queries.debounceQ _),
     "q_ewma"             -> (Queries.ewmaQ _),
@@ -183,6 +185,7 @@ object SparkEntry {
     "q_range_join"      -> Queries.rangeJoinSql,
     "q_sessionize"      -> Queries.sessionizeSql,
     "q_rolling_mean"    -> Queries.rollingMeanSql,
+    "q_rolling_corr"    -> Queries.rollingCorrSql,
     "q_sliding_agg"     -> Queries.slidingAggSql,
     "q_interp_grid"     -> Queries.interpGridSql,
     "q_ohlc"            -> Queries.ohlcSql,
@@ -190,6 +193,7 @@ object SparkEntry {
     "q_gaps"            -> Queries.gapReportSql,
     "q_outliers"        -> Queries.outliersSql,
     "q_zorder"          -> Queries.zorderSql,
+    "q_zorder3"         -> Queries.zorder3Sql,
     "q_cube"            -> Queries.cubeTypesSql,
     "q_debounce"        -> Queries.debounceSql,
     "q_ewma"            -> Queries.ewmaSql,

@@ -376,6 +376,76 @@ object Stress {
         "vec_id", "embedding", nCells = 64, k = 5))
     assert(ivf > 0, "ivf returned nothing")
 
+    // ---- IVF multi-probe recall at volume: nvp >= 1M vectors, 32 dims.
+    // Ground truth = brute-force cosine top-5 for 40 queries; recall@5 of
+    // the IVF path must be MONOTONE in nProbe (probing more cells can only
+    // add candidates) and reach >= 0.9 by nProbe=8 of 64 cells — the
+    // standard recall/cost trade, measured rather than assumed. Centroids
+    // are trained ONCE and shared across probes, so the stage times pure
+    // probe cost.
+    val nvp = math.max(1000000L, nd * 2L)
+    val pVecs = spark.range(nvp).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") - 1000.0)
+          / 1000.0).as("embedding"))
+    val pQueries = pVecs.filter(pmod(col("vec_id"), lit(25000L)) === 3L).limit(40)
+    val truth = graft.pipeline.Similarity.bruteForceTopK(
+      pQueries, pVecs, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = graft.pipeline.Similarity.ivfCentroids(pVecs, "vec_id", "embedding", 64)
+    val recalls = Seq(1, 2, 8).map { nProbe =>
+      val t0p = System.nanoTime()
+      val hits = graft.pipeline.Similarity.ivfTopK(
+        pVecs, pQueries, "vec_id", "embedding", 5, cents, nProbe)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+      val sp = (System.nanoTime() - t0p) / 1e9
+      val recall = hits.toDouble / truth.size
+      println(f"""{"stage":"ivf_probe_recall","nprobe":$nProbe,"recall":$recall%.3f,"sec":$sp%.2f,"vecs":$nvp}""")
+      recall
+    }
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1) + 1e-9),
+      s"recall not monotone in nProbe: $recalls")
+    assert(recalls.last >= 0.9, s"recall@5 with nProbe=8 too low: ${recalls.last}")
+
+    // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
+    // value band); a 3-D box read back must match the direct filter, and
+    // every file's bounding box must stay tight in ALL THREE dimensions.
+    val z3Dir = java.nio.file.Files.createTempDirectory("stress_zorder3_").toFile
+    try {
+      val zIn3 = a.select(col("id"), col("ts"),
+        (col("user_id") / lit(100L)).cast("long").as("ub"),
+        floor((col("ts") - t0) / 3600000L).cast("long").as("hb"),
+        floor(col("price")).cast("long").as("vb"))
+      val tZ3 = System.nanoTime()
+      graft.ops.Layout.zorderWrite3(zIn3, "ub", "hb", "vb", z3Dir.toString, nFiles = 128)
+      val sZ3 = (System.nanoTime() - tZ3) / 1e9
+      println(f"""{"stage":"zorder3_write","rows":$n,"sec":$sZ3%.2f,"rows_per_sec":${(n / sZ3).toLong}}""")
+      val box3 = timed("zorder3_box_read",
+        spark.read.parquet(z3Dir.toString)
+          .filter(col("ub").between(100L, 299L) && col("hb").between(200L, 299L) &&
+            col("vb").between(10L, 39L)))
+      val expBox3 = zIn3.filter(col("ub").between(100L, 299L) &&
+        col("hb").between(200L, 299L) && col("vb").between(10L, 39L)).count()
+      assert(box3 == expBox3, s"zorder3 box $box3 vs $expBox3")
+      // per-file 3-D bounding boxes: no dimension may be left at full
+      // extent (the failure mode of a 1-D sort), checked on every file
+      val exts = spark.read.parquet(z3Dir.toString).inputFiles.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("ub") - min("ub"), max("hb") - min("hb"), max("vb") - min("vb"))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (fullU, fullH, fullV) = (999L, 719L, 99L)
+      assert(exts.forall { case (u, h, v) => u < fullU && h < fullH && v < fullV },
+        s"some file box at full extent: ${exts.filter { case (u, h, v) =>
+          u >= fullU || h >= fullH || v >= fullV }.take(5).mkString(",")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(z3Dir)
+    }
+
     println(s"""{"stage":"done","events":${2 * n},"docs":$nd,"vecs":$nv}""")
     spark.stop()
   }

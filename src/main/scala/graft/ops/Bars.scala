@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * (key, bucket) or (key), then sorted per-partition windows / map-side
   * combined aggregation — no global window, no explode, no driver scalars,
   * so the plan is identical at sf0.01 and at 100 TB. Buckets are
-  * epoch-aligned (`floor(t / step) * step`), matching [[Resampler]]'s grid
-  * model, so bar streams from different intervals line up by construction.
+  * epoch-aligned (`floor(t / step) * step`) for EVERY interval unit,
+  * matching [[Resampler]]'s sub-day grid model; note that for 'd'
+  * intervals this means UTC midnight — Resampler's optional
+  * timezone-aligned day grids (`ResampleOptions.tz`) do not apply
+  * here. For local-midnight day bars, shift `tsCol` by the zone offset
+  * before bucketing.
   */
 object Bars {
 
@@ -77,6 +81,16 @@ object Bars {
     * segment splitting at bucket edges; the alternative exact-split
     * semantics is [[Interpolate.linearAtGrid]] + a plain mean). A key's
     * last event has no successor and carries no weight.
+    *
+    * A bucket whose segments ALL have zero duration (every event of the
+    * key at one timestamp, distinguished only by tie columns) has
+    * `sum(w) = 0`; its `twap` is NULL under an explicit guard — without
+    * it Spark's Divide yields NULL but IEEE float division (DuckDB)
+    * yields NaN, a latent cross-engine divergence. Day ('d') intervals
+    * bucket by plain epoch floor = UTC midnight, like
+    * [[graft.streaming.StreamingResampler]]; [[Resampler]]'s
+    * timezone-aligned day grids do NOT apply here — use a tz-shifted
+    * `tsCol` if local-midnight day bars are required.
     */
   def twap(
       df: DataFrame,
@@ -95,7 +109,9 @@ object Bars {
       .filter(col("__w").isNotNull)
       .groupBy(keys :+ (floor(col(tsCol) / step) * step).cast("long").as("bucket"): _*)
       .agg(
-        round(sum(col(valueCol) * col("__w")) / sum(col("__w")), roundTo).as("twap"),
+        when(sum(col("__w")) > 0,
+          round(sum(col(valueCol) * col("__w")) / sum(col("__w")), roundTo))
+          .as("twap"),
         count(lit(1)).as("n_segments"),
         sum(col("__w")).cast("long").as("weight_ms"))
   }

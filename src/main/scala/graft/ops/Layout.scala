@@ -95,6 +95,59 @@ object Layout {
     spread16(a.cast("long")).bitwiseOR(shiftleft(spread16(b.cast("long")), 1))
   }
 
+  /** 3-D Morton key: interleave the low 21 bits of three non-negative
+    * integer columns (`a` at bit positions 3i, `b` at 3i+1, `c` at 3i+2).
+    * Same pure-codegen magic-number spread as [[zorderKey]], one extra
+    * doubling stage for the wider stride; the maximum key is exactly
+    * 2^63 - 1, so the full 21 x 3 resolution fits a signed long.
+    *
+    * 21 bits = 2,097,152 range cells per dimension. As with the 2-D key,
+    * callers quantize first; [[zorderWrite3]] validates that by default.
+    */
+  def zorderKey3(a: Column, b: Column, c: Column): Column = {
+    def spread21(x0: Column): Column = {
+      var x = x0.bitwiseAND(lit(0x1FFFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 32))).bitwiseAND(lit(0x1F00000000FFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x1F0000FF0000FFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x100F00F00F00F00FL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x1249249249249249L))
+      x
+    }
+    spread21(a.cast("long"))
+      .bitwiseOR(shiftleft(spread21(b.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread21(c.cast("long")), 2))
+  }
+
+  /** [[zorderWrite]] in three dimensions: cluster along the 3-D Morton
+    * curve of three quantized (`[0, 2097151]`) dimensions, so queries
+    * boxed in any subset of the three skip files on parquet min/max
+    * stats. Validation semantics match [[zorderWrite]].
+    */
+  def zorderWrite3(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      cCol: String,
+      path: String,
+      nFiles: Int,
+      validate: Boolean = true): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    def checked(c: Column, name: String): Column =
+      if (!validate) c
+      else when(c.between(0L, 0x1FFFFFL), c).otherwise(raise_error(concat(
+        lit(s"zorder dimension '$name' outside [0, 2097151] (quantize first): "),
+        c.cast("string"))))
+    df.withColumn(ZKeyCol,
+        zorderKey3(checked(col(aCol).cast("long"), aCol),
+                   checked(col(bCol).cast("long"), bCol),
+                   checked(col(cCol).cast("long"), cCol)))
+      .repartitionByRange(nFiles, col(ZKeyCol))
+      .sortWithinPartitions(col(ZKeyCol))
+      .drop(ZKeyCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` clustered along the z-order curve of two quantized
     * dimensions — multi-dimensional pruning where [[writeTimePartitioned]]
     * only prunes time: a query boxed in BOTH dimensions (one user over one
@@ -105,15 +158,33 @@ object Layout {
     * Range-distribute then sort by the key: each task owns a contiguous
     * curve segment, so file boxes don't overlap across tasks. The curve
     * key is dropped on write (derivable; stats live on the real columns).
+    *
+    * Both dimensions must already be quantized to `[0, 65535]`
+    * ([[zorderKey]] masks to the low 16 bits, so an unquantized input —
+    * a raw hour index in the hundreds of thousands, a negative value —
+    * would otherwise WRAP silently and scatter the curve, breaking file
+    * locality and pruning with no error). `validate = true` (default)
+    * makes that loud: each key row re-checks its inputs inline
+    * (codegen'd `CASE` + `raise_error`, no extra pass over the data) and
+    * the write fails with the offending value. Opt out only when the
+    * caller's quantization is already proven.
     */
   def zorderWrite(
       df: DataFrame,
       aCol: String,
       bCol: String,
       path: String,
-      nFiles: Int): Unit = {
+      nFiles: Int,
+      validate: Boolean = true): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
-    df.withColumn(ZKeyCol, zorderKey(col(aCol), col(bCol)))
+    def checked(c: Column, name: String): Column =
+      if (!validate) c
+      else when(c.between(0L, 0xFFFFL), c).otherwise(raise_error(concat(
+        lit(s"zorder dimension '$name' outside [0, 65535] (quantize first): "),
+        c.cast("string"))))
+    df.withColumn(ZKeyCol,
+        zorderKey(checked(col(aCol).cast("long"), aCol),
+                  checked(col(bCol).cast("long"), bCol)))
       .repartitionByRange(nFiles, col(ZKeyCol))
       .sortWithinPartitions(col(ZKeyCol))
       .drop(ZKeyCol)

@@ -174,12 +174,16 @@ object TextAnalysis {
     * repeats (`dup_trigram_frac`). High values flag boilerplate / templated
     * / degenerate documents for removal before training.
     *
-    * Scale shape: both legs are explode → `groupBy` chains with map-side
-    * partial aggregation, keyed by (id, term) then id — the canonical
-    * distributed term-count shape, no per-document O(n²) array scans (a
-    * 10k-token document costs 10k rows, not 10⁸ comparisons). The final join
-    * is id-to-id between two frames both already hash-partitioned on the id
-    * by their last aggregation, so AQE plans it without an extra exchange.
+    * Scale shape: a pure NARROW map — every statistic is an array
+    * expression over the row's own tokens (sort + one run-length fold),
+    * so the operator has NO exchange at all: no explode, no groupBy, no
+    * join, embarrassingly parallel at any corpus size. Per-document cost
+    * is O(L log L) in the document's token count L (the sort dominates;
+    * the fold is linear) — compare the former two explode → groupBy →
+    * groupBy legs + id join, which moved every token through two
+    * shuffles twice. Distinct/top counts come from run lengths of the
+    * SORTED token array: `n_distinct` = number of runs, `top_c` =
+    * longest run.
     *
     * Output: `(id, n_words, dup_word_frac, top_word_frac,
     * dup_trigram_frac)`; documents with no words produce no row; fractions
@@ -187,29 +191,37 @@ object TextAnalysis {
     * oracle); `dup_trigram_frac` is 0.0 for documents shorter than 3 words.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = docs.select(col(idCol), col(textCol).as("__text"))
-    val wordCounts = base
-      .select(col(idCol), explode(words(col("__text"))).as("word"))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
-    val wordStats = wordCounts
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
-        max("c").as("top_c"))
-    val triCounts = base
-      .select(col(idCol), explode(shingles(col("__text"), 3)).as("tg"))
-      .groupBy(col(idCol), col("tg")).agg(count(lit(1)).as("c"))
-    val triStats = triCounts
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_tri"), count(lit(1)).as("nd_tri"))
-    wordStats.join(triStats, Seq(idCol), "left")
+    // run-length fold over a sorted token array: counts runs (distinct
+    // tokens) and the longest run (top token multiplicity) in one pass
+    def runStats(sortedArr: Column): Column = aggregate(
+      sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, w) => {
+        val same = w === acc.getField("prev") // null prev -> null -> false branch
+        val run2 = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run2.as("run"),
+          greatest(acc.getField("best"), run2).as("best"),
+          when(same, acc.getField("nd"))
+            .otherwise(acc.getField("nd") + 1L).as("nd"))
+      })
+    docs
+      .select(col(idCol), words(col(textCol)).as("__ws"),
+        shingles(col(textCol), 3).as("__tg"))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol), col("__tg"),
+        size(col("__ws")).cast("long").as("n_words"),
+        runStats(array_sort(col("__ws"))).as("__f"))
       .select(
         col(idCol),
         col("n_words"),
-        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+        ((col("n_words") - col("__f.nd")).cast("double") / col("n_words"))
           .as("dup_word_frac"),
-        (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
-        coalesce((col("n_tri") - col("nd_tri")).cast("double") / col("n_tri"),
-          lit(0.0)).as("dup_trigram_frac"))
+        (col("__f.best").cast("double") / col("n_words")).as("top_word_frac"),
+        when(size(col("__tg")) > 0,
+          (size(col("__tg")) - size(array_distinct(col("__tg")))).cast("double")
+            / size(col("__tg")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
   }
 
   /** Percentile quality gate — the canonical "drop the worst X% of the

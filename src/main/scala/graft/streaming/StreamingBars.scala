@@ -46,6 +46,102 @@ object StreamingBars {
         col("open"), col("high"), col("low"), col("close"), col("n")): _*)
   }
 
+  /** Per-(key, bucket) accumulator for [[twap]]: the previous event
+    * (`prevTs`, `prevV` — the open segment's start) plus the open bucket's
+    * partial sums. One fixed-size state row per key regardless of event
+    * volume.
+    */
+  private[streaming] case class TwapState(
+      prevTs: Long, prevV: Double,
+      bucket: Long, sumVW: Double, sumW: Double, nSegs: Long)
+
+  /** Streaming TWAP — the live counterpart of [[graft.ops.Bars.twap]] with
+    * the same bar schema `(key, bucket, twap, n_segments, weight_ms)`,
+    * segment semantics (each value weighted by its lifetime
+    * `[t, t_next)`, attributed to the bucket containing its START) and
+    * zero-weight guard, so replay-through-batch + tail-through-stream has
+    * no seam.
+    *
+    * No watermark is needed to close bars: segments are keyed by their
+    * START, and rows are processed in ts order per key (stale arrivals at
+    * or before the key's last seen ts are dropped, the shared ordering
+    * contract of the streaming family) — so the moment a segment starts in
+    * a LATER bucket, every earlier bucket of that key is final and its bar
+    * is emitted. State per key is one open segment + one partial bar:
+    * O(live keys), same as the batch operator's per-group aggregation
+    * state and independent of events per bucket.
+    *
+    * The bucket holding a key's newest segments stays open until a later
+    * bucket's segment (or `idleTimeout`) closes it — the batch operator
+    * reports that bucket from the same events, so exact parity is "batch
+    * bars restricted to stream-closed buckets". On idle timeout the open
+    * bar is FLUSHED (the engine's tail-flush convention — bar data is too
+    * expensive to drop); a key that resumes afterwards starts fresh, so a
+    * resumed stream can re-emit a later bar for the same bucket —
+    * downstream dedup on (key, bucket) is the consumer's call, exactly as
+    * with re-keyed artifact unions elsewhere.
+    */
+  def twap[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long, Double)],
+      interval: String,
+      roundTo: Int = 6,
+      idleTimeout: Option[String] = None)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      outEnc: org.apache.spark.sql.Encoder[(K, Long, Double, Long, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long, Double, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val step = Intervals.toMillis(interval)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[TwapState] =
+      org.apache.spark.sql.Encoders.product[TwapState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def bar(key: K, s: TwapState): (K, Long, Double, Long, Long) = {
+      val twapVal =
+        if (s.sumW > 0) BigDecimal(s.sumVW / s.sumW)
+          .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else Double.NaN // batch guard emits NULL; tuple encoder can't — NaN marks it
+      (key, s.bucket, twapVal, s.nSegs, s.sumW.toLong)
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, (K, Long, Double, Long, Long)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[TwapState]) =>
+          if (state.hasTimedOut) {
+            // flush the open bar (if it has any finished segments), forget the key
+            val out = state.getOption.filter(_.nSegs > 0).map(bar(key, _))
+            state.remove()
+            out.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Double, Long, Long)]
+            var st = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+              st match {
+                case Some(s) if t <= s.prevTs => // stale arrival: drop
+                case Some(s) =>
+                  val w = (t - s.prevTs).toDouble
+                  val b = Math.floorDiv(s.prevTs, step) * step
+                  st = Some(
+                    if (s.nSegs == 0L || b == s.bucket)
+                      s.copy(prevTs = t, prevV = v, bucket = b,
+                        sumVW = s.sumVW + s.prevV * w, sumW = s.sumW + w,
+                        nSegs = s.nSegs + 1)
+                    else {
+                      out += bar(key, s)
+                      TwapState(t, v, b, s.prevV * w, w, 1L)
+                    })
+                case None =>
+                  st = Some(TwapState(t, v, bucket = 0L, 0.0, 0.0, 0L))
+              }
+            }
+            st.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming debounce — the live counterpart of
     * [[graft.ops.Sessionize.debounce]]: passes through exactly the first
     * event of each burst (first seen for the key, or arriving more than

@@ -98,4 +98,20 @@ class BarsSpec extends SparkTestBase {
       Bars.gaps(df, Seq("k"), thresholdMs = 0, tsCol = "t")
     }
   }
+
+  test("twap: all-zero-weight bucket yields NULL, not NaN") {
+    // every event of "z" at one timestamp (tie-distinguished): both segments
+    // have zero duration, so sum(w)=0 — the guard must emit NULL (Spark and
+    // the SQL oracle agree on NULL; unguarded IEEE division gives NaN)
+    val df = Seq(("z", 5L, 1.0, 1L), ("z", 5L, 2.0, 2L), ("z", 5L, 3.0, 3L),
+        ("a", 0L, 4.0, 1L), ("a", 10L, 6.0, 1L))
+      .toDF("k", "t", "value", "tie")
+    val out = Bars.twap(df, "1000l", Seq("k"), "t", "value", tieCols = Seq("tie"))
+      .orderBy("k").collect()
+    // a: one 10ms segment at v=4 -> twap 4.0
+    assert(out(0).getString(0) == "a" && out(0).getDouble(2) == 4.0)
+    assert(out(1).getString(0) == "z", out.mkString(","))
+    assert(out(1).isNullAt(2), s"zero-weight twap must be NULL: ${out(1)}")
+    assert(out(1).getLong(3) == 2L && out(1).getLong(4) == 0L)
+  }
 }

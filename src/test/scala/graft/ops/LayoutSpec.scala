@@ -90,6 +90,58 @@ class LayoutSpec extends SparkTestBase {
     assert(got.toSeq == pts.map { case (a, b) => naive(a, b) })
   }
 
+  test("zorderKey3 interleaves exactly like the naive bit loop") {
+    def naive(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 21)
+        z |= (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))
+      z
+    }
+    val m = 2097151L
+    val pts = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (m, m, m), (123456L, 654321L, 999999L), (m, 0L, 7L), (65536L, 255L, 256L))
+    val got = pts.toDF("a", "b", "c")
+      .select(Layout.zorderKey3($"a", $"b", $"c").as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map { case (a, b, c) => naive(a, b, c) })
+    // the full-resolution corner fills the signed long exactly
+    assert(naive(m, m, m) == Long.MaxValue)
+  }
+
+  test("zorderWrite3 clusters all three dimensions") {
+    // a 16x16x16 grid, ids shuffled; 16 curve-contiguous files must keep
+    // every dimension's per-file extent far below the full range (an
+    // x-sorted layout leaves y and z at full extent in every file)
+    val grid = spark.range(4096).select(
+      pmod($"id" * 2654435761L, lit(4096L)).as("i"))
+      .select(($"i" % 16).as("x"), (($"i" / 16) % 16).cast("long").as("y"),
+        ($"i" / 256).cast("long").as("z"))
+    val dir = java.nio.file.Files.createTempDirectory("layoutz3").toString
+    try {
+      Layout.zorderWrite3(grid, "x", "y", "z", s"$dir/z3", nFiles = 16)
+      val back = spark.read.parquet(s"$dir/z3")
+      assert(back.count() == 4096L)
+      val boxes = back.inputFiles.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y"), min("z"), max("z")).head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2),
+          r.getLong(5) - r.getLong(4))
+      }
+      // ~256-cell curve segments are ~8x8x8 octant pairs; allow straddle
+      // slack but nothing near the full 15-cell extent in any dimension
+      // on average (range boundaries are sampled)
+      boxes.foreach { case (xw, yw, zw) =>
+        assert(xw <= 15 && yw <= 15 && zw <= 15, s"box: $xw $yw $zw")
+      }
+      assert(boxes.map(_._1).sum / boxes.length <= 10, boxes.mkString(","))
+      assert(boxes.map(_._2).sum / boxes.length <= 10, boxes.mkString(","))
+      assert(boxes.map(_._3).sum / boxes.length <= 10, boxes.mkString(","))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("zorderWrite clusters BOTH dimensions: per-file boxes beat a 1-D sort") {
     // a 64x64 grid of points, ids shuffled; z-order layout into 16 files
     // must give every file a tight bounding box in x AND y, where an
@@ -128,6 +180,31 @@ class LayoutSpec extends SparkTestBase {
       Layout.writeTimePartitioned(events().filter(lit(false)), "ts", "1d", dir)
       assert(!new java.io.File(dir).exists() ||
         new java.io.File(dir).listFiles().forall(!_.getName.startsWith("bucket=")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("zorderWrite fails loudly on unquantized dimensions") {
+    // a raw hour-index-sized value (or a negative) would silently wrap to
+    // the low 16 bits and scatter the curve; the default validation must
+    // surface the offending value instead of writing a broken layout
+    val dir = java.nio.file.Files.createTempDirectory("layoutv").toString
+    try {
+      for (bad <- Seq(70000L, -1L)) {
+        val df = Seq((1L, 2L), (bad, 3L)).toDF("a", "b")
+        val e = intercept[Exception] {
+          Layout.zorderWrite(df, "a", "b", s"$dir/bad", nFiles = 2)
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(e).exists(_.contains("outside [0, 65535]")),
+          s"expected loud quantization failure, got: $e")
+      }
+      // validate = false keeps the documented silent-wrap escape hatch
+      Layout.zorderWrite(Seq((70000L, 3L)).toDF("a", "b"), "a", "b",
+        s"$dir/wrap", nFiles = 1, validate = false)
+      assert(spark.read.parquet(s"$dir/wrap").count() == 1L)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

@@ -108,6 +108,18 @@ class ChunkRepetitionSpec extends SparkTestBase {
     assert(Dedup.clusters(pairs).count() == 0L)
   }
 
+  test("clusters: pointer jumping folds a 64-node chain within O(log n) rounds") {
+    // worst-case depth: a length-64 path. Plain 1-hop hash-min needs 63
+    // rounds — far past maxIters = 10 — so this converging proves the
+    // jump step is actually halving distance-to-root each round
+    // (~log2(64) + slack), not just that the answer is right.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 64)
+    assert(out.forall(_._2 == 0L), s"chain not folded: ${out.toSeq.sorted.take(8)}")
+  }
+
   test("clusters matches brute-force union-find on randomized graphs") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 0 until 5) {

@@ -581,4 +581,51 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(batch.toSeq == rows.toSeq)
   }
+
+  test("streaming TWAP closes bars on bucket advance; batch parity; stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamingBars.twap(input.toDS(), "10l", roundTo = 4)
+      .toDF("k", "bucket", "twap", "n_segments", "weight_ms")
+    val q = out.writeStream.format("memory").queryName("twap_stream")
+      .outputMode("append").start()
+
+    // all three segments start in bucket 0, which stays open: no emission
+    input.addData(("a", 2L, 1.0), ("a", 4L, 3.0), ("a", 8L, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("twap_stream").isEmpty)
+
+    // 13 -> segment (8,w5,v5) still starts in bucket 0: STILL open (the
+    // straddling segment belongs to the bucket of its start, as in batch)
+    input.addData(("a", 13L, 7.0))
+    q.processAllAvailable()
+    assert(spark.table("twap_stream").isEmpty)
+
+    // 21 -> segment (13,w8,v7) starts in bucket 10: bucket 0 is final.
+    // sumVW = 1*2 + 3*4 + 5*5 = 39, sumW = 11
+    input.addData(("a", 21L, 9.0))
+    q.processAllAvailable()
+    val after3 = spark.table("twap_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(after3.toSeq == Seq(("a", 0L, math.rint(39.0 / 11.0 * 1e4) / 1e4, 3L, 11L)))
+
+    // 25 closes bucket 10 (single 8ms segment at v=7); a stale t=3 is
+    // dropped by the cross-batch ordering contract, not re-accumulated
+    input.addData(("a", 25L, 11.0), ("a", 3L, 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("twap_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+
+    // exact parity: the batch operator over the same events, restricted to
+    // the buckets the stream has closed (< 20), must emit identical bars
+    val batch = graft.ops.Bars.twap(
+      Seq(("a", 2L, 1.0), ("a", 4L, 3.0), ("a", 8L, 5.0), ("a", 13L, 7.0),
+        ("a", 21L, 9.0), ("a", 25L, 11.0)).toDF("k", "t", "value"),
+      "10l", Seq("k"), "t", "value", roundTo = 4)
+      .filter(col("bucket") < 20).orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
 }
