@@ -174,16 +174,14 @@ object TextAnalysis {
     * repeats (`dup_trigram_frac`). High values flag boilerplate / templated
     * / degenerate documents for removal before training.
     *
-    * Scale shape: a pure NARROW map — every statistic is an array
-    * expression over the row's own tokens (sort + one run-length fold),
-    * so the operator has NO exchange at all: no explode, no groupBy, no
-    * join, embarrassingly parallel at any corpus size. Per-document cost
-    * is O(L log L) in the document's token count L (the sort dominates;
-    * the fold is linear) — compare the former two explode → groupBy →
-    * groupBy legs + id join, which moved every token through two
-    * shuffles twice. Distinct/top counts come from run lengths of the
-    * SORTED token array: `n_distinct` = number of runs, `top_c` =
-    * longest run.
+    * Scale shape: a pure NARROW map — all five counts come from ONE pass
+    * over each row's raw bytes ([[graft.functions.RepetitionCounts]], a
+    * codegen'd native expression with exact intern-table counting), so
+    * the operator has NO exchange at all: no regex splits, no explode, no
+    * groupBy, no join — embarrassingly parallel at any corpus size, with
+    * O(L) work per document of token count L. The former two
+    * explode → groupBy → groupBy legs + id join moved every token through
+    * two shuffles twice.
     *
     * Output: `(id, n_words, dup_word_frac, top_word_frac,
     * dup_trigram_frac)`; documents with no words produce no row; fractions
@@ -191,36 +189,18 @@ object TextAnalysis {
     * oracle); `dup_trigram_frac` is 0.0 for documents shorter than 3 words.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // run-length fold over a sorted token array: counts runs (distinct
-    // tokens) and the longest run (top token multiplicity) in one pass
-    def runStats(sortedArr: Column): Column = aggregate(
-      sortedArr,
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best"), lit(0L).as("nd")),
-      (acc, w) => {
-        val same = w === acc.getField("prev") // null prev -> null -> false branch
-        val run2 = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(w.as("prev"), run2.as("run"),
-          greatest(acc.getField("best"), run2).as("best"),
-          when(same, acc.getField("nd"))
-            .otherwise(acc.getField("nd") + 1L).as("nd"))
-      })
     docs
-      .select(col(idCol), words(col(textCol)).as("__ws"),
-        shingles(col(textCol), 3).as("__tg"))
-      .filter(size(col("__ws")) > 0)
-      .select(col(idCol), col("__tg"),
-        size(col("__ws")).cast("long").as("n_words"),
-        runStats(array_sort(col("__ws"))).as("__f"))
+      .select(col(idCol),
+        graft.functions.RepetitionCounts.repetitionCounts(col(textCol)).as("__r"))
+      .filter(col("__r.n_words") > 0)
       .select(
         col(idCol),
-        col("n_words"),
-        ((col("n_words") - col("__f.nd")).cast("double") / col("n_words"))
-          .as("dup_word_frac"),
-        (col("__f.best").cast("double") / col("n_words")).as("top_word_frac"),
-        when(size(col("__tg")) > 0,
-          (size(col("__tg")) - size(array_distinct(col("__tg")))).cast("double")
-            / size(col("__tg")).cast("double"))
+        col("__r.n_words").as("n_words"),
+        ((col("__r.n_words") - col("__r.n_distinct")).cast("double")
+          / col("__r.n_words")).as("dup_word_frac"),
+        (col("__r.top_c").cast("double") / col("__r.n_words")).as("top_word_frac"),
+        when(col("__r.n_tri") > 0,
+          (col("__r.n_tri") - col("__r.nd_tri")).cast("double") / col("__r.n_tri"))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
   }
 
