@@ -244,14 +244,17 @@ object TextAnalysis {
     * bit-for-bit. Linear idf ranks rarer terms more aggressively than
     * log-idf but serves the same keyword-extraction purpose.
     *
-    * Scale shape: tf is an explode → `groupBy(id, term)` with map-side
-    * combine — the ONE tokenizing descent of the corpus. `df` is a
-    * term-partitioned window count over that same tf frame (tf rows are
-    * distinct `(id, term)`, so rows-per-term IS document frequency): the
-    * former tf⋈df self-join re-derived its df leg through a second full
-    * tokenize of the corpus, where the window reuses the tf computation
-    * and shuffles only the narrow aggregated frame. `n_docs` rides in as
-    * a broadcast scalar from an id-only (column-pruned) scan — it must
+    * Scale shape: tf comes from [[graft.functions.WordCounts]] — the
+    * per-document term grouping happens row-locally inside the native
+    * expression, so the plan goes straight from the ONE tokenizing scan
+    * to already-aggregated `(id, term, tf)` rows with NO aggregation
+    * exchange. `df` aggregates that frame by term (map-side combine
+    * shrinks the shuffle to per-partition vocabularies) into a
+    * vocab-sized table, re-attached by a term equi-join that AQE
+    * broadcasts whenever the vocabulary is small — corpora with huge
+    * vocabularies fall back to a keyed shuffle join, the same cost the
+    * former term-window paid unconditionally. `n_docs` rides in as a
+    * broadcast scalar from an id-only (column-pruned) scan — it must
     * count zero-token documents too, which never reach the tf frame; the
     * final top-k is a window partitioned by document — every stage is
     * keyed, nothing is global. Ranking ties are impossible:
@@ -263,12 +266,13 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val tf = docs
-      .select(col(idCol), explode(words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      .select(col(idCol),
+        explode(graft.functions.WordCounts.wordCounts(col(textCol))).as("__wc"))
+      .select(col(idCol), col("__wc.term").as("term"), col("__wc.tf").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(wTerm))
+      .join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * (col("__n_docs").cast("double") / col("df")))
