@@ -278,10 +278,14 @@ object TextAnalysis {
         col("tf") * (col("__n_docs").cast("double") / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    // the rank predicate stays on the raw row_number so Spark plans
+    // WindowGroupLimit (partial per-doc top-k BEFORE the id exchange —
+    // the shuffle then carries ~k rows per document, not the full tf
+    // frame); cast only after the filter
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
-        col("score"), col("rank"))
+        col("score"), col("rank").cast("long").as("rank"))
   }
 
   /** Per-document mean unigram probability — the linear cousin of the

@@ -258,6 +258,10 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the per-doc top-k must run as a partial group limit BEFORE the id
+    // exchange (rank predicate on the raw row_number), so the shuffle
+    // carries ~k rows per document instead of the full tf frame
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 
   test("duplicate-shingle profile: shingle window partitioned; no self-join") {
