@@ -2025,6 +2025,55 @@ object Queries {
       |       CAST(n AS BIGINT) AS n_pairs
       |FROM f ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Per-user rolling drift: least-squares slope/intercept of value on
+    * time over a 20-row frame ([[graft.ops.RollingStats.rollingSlope]]).
+    * The x axis is re-anchored to DAYS since the corpus epoch — raw
+    * epoch-ms x would lose the `nΣx² − (Σx)²` cancellation to float
+    * noise (see the operator's conditioning caveat); the slope is then
+    * value-units per day, directly comparable to `q_trend`'s global
+    * drift.
+    */
+  def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .withColumn("__x", ($"t" - 1704067200000L) / lit(86400000.0))
+    graft.ops.RollingStats.rollingSlope(ev, Seq("user_id"), "t",
+        "__x", "value", frameRows = 20, tieCols = Seq("event_id"))
+      .select($"user_id", $"t", $"event_id", $"roll_slope", $"roll_icept",
+        $"n_pairs")
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val rollingSlopeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, value,
+      |         (epoch_ms(ts) - 1704067200000) / 86400000.0 AS x
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, t, event_id,
+      |         CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN x END AS px,
+      |         CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN value END AS py
+      |  FROM ev
+      |), f AS (
+      |  SELECT user_id, t, event_id,
+      |         CAST(count(px) OVER w AS DOUBLE) AS n,
+      |         sum(px) OVER w AS sx, sum(py) OVER w AS sy,
+      |         sum(px * py) OVER w AS sxy, sum(px * px) OVER w AS sxx
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, t, event_id,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+      |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |       END AS roll_slope,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+      |            THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+      |                       / n, 6)
+      |       END AS roll_icept,
+      |       CAST(n AS BIGINT) AS n_pairs
+      |FROM f ORDER BY user_id, t, event_id""".stripMargin
+
   /** Sliding (hopping) window aggregation: 1-hour windows every 15
     * minutes per event type, via Spark's native `window()` (each row
     * fans out to its ≤4 covering windows map-side — partial aggregation

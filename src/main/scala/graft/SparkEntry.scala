@@ -81,6 +81,7 @@ object SparkEntry {
     "q_sessionize"       -> (Queries.sessionize _),
     "q_rolling_mean"     -> (Queries.rollingMean _),
     "q_rolling_corr"     -> (Queries.rollingCorr _),
+    "q_rolling_slope"    -> (Queries.rollingSlope _),
     "q_sliding_agg"      -> (Queries.slidingAgg _),
     "q_interp_grid"      -> (Queries.interpGrid _),
     "q_ohlc"             -> (Queries.ohlc _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_sessionize"      -> Queries.sessionizeSql,
     "q_rolling_mean"    -> Queries.rollingMeanSql,
     "q_rolling_corr"    -> Queries.rollingCorrSql,
+    "q_rolling_slope"   -> Queries.rollingSlopeSql,
     "q_sliding_agg"     -> Queries.slidingAggSql,
     "q_interp_grid"     -> Queries.interpGridSql,
     "q_ohlc"            -> Queries.ohlcSql,

@@ -66,4 +66,48 @@ object RollingStats {
     df.withColumn("roll_corr", corr)
       .withColumn("n_pairs", count(px).over(w).cast("long"))
   }
+
+  /** Rolling least-squares line of `yCol` on `xCol` over the last
+    * `frameRows` rows per key: `roll_slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`
+    * and `roll_icept = (Σy − slope·Σx)/n` — the windowed drift/trend
+    * signal (`regr_slope` is the global analog, [[rollingCorr]] the
+    * normalized one). Same single-window co-moment shape and NULL rules
+    * (fewer than two pairs, or zero x-variance → NULL).
+    *
+    * Conditioning caveat for callers: `nΣx² − (Σx)²` subtracts numbers
+    * ~n²·x̄² apart to get one ~n²·var(x) — with raw epoch-millisecond x
+    * (~1.7e12) that cancellation leaves too few significant digits for a
+    * rounded cross-engine hash-compare to survive. Re-anchor the x axis
+    * to a small range first (e.g. days since a fixed epoch), as
+    * `Queries.rollingSlope` does; the slope is invariant under the shift
+    * and only rescaled by the unit change.
+    */
+  def rollingSlope(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      xCol: String,
+      yCol: String,
+      frameRows: Int = 20,
+      tieCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    require(frameRows >= 2, s"frame must be >= 2 rows: $frameRows")
+    val keys  = keyCols.map(col)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(-(frameRows - 1), 0)
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val px = when(both, col(xCol))
+    val py = when(both, col(yCol))
+    def s(c: Column): Column = sum(c).over(w)
+    val n   = count(px).over(w).cast("double")
+    val sx  = s(px); val sy = s(py)
+    val sxy = s(px * py); val sxx = s(px * px)
+    val varX  = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / varX
+    val ok    = n >= 2 && varX > 0
+    df.withColumn("roll_slope", when(ok, round(slope, roundTo)))
+      .withColumn("roll_icept", when(ok, round((sy - slope * sx) / n, roundTo)))
+      .withColumn("n_pairs", count(px).over(w).cast("long"))
+  }
 }

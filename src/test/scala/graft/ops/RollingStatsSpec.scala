@@ -65,4 +65,48 @@ class RollingStatsSpec extends SparkTestBase {
       RollingStats.rollingCorr(df, Seq("k"), "t", "x", "y", frameRows = 1)
     }
   }
+
+  test("rollingSlope: hand-computed line fits, null pairs, degenerate guards") {
+    val df = Seq(
+      // a: y = 2x + 1 exactly -> slope 2, intercept 1 once 2 pairs in frame
+      ("a", 1L, 1.0, Some(3.0)),
+      ("a", 2L, 2.0, Some(5.0)),
+      ("a", 3L, 3.0, Some(7.0)),
+      // c: constant x -> zero x-variance -> NULL
+      ("c", 1L, 7.0, Some(1.0)),
+      ("c", 2L, 7.0, Some(2.0)),
+      // d: null y drops the pair; frame (1,1),(3,2) -> slope 0.5
+      ("d", 1L, 1.0, Some(1.0)),
+      ("d", 2L, 2.0, None),
+      ("d", 3L, 3.0, Some(2.0))
+    ).toDF("k", "t", "x", "y")
+
+    val out = RollingStats.rollingSlope(df, Seq("k"), "t", "x", "y",
+        frameRows = 3)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6)))
+
+    assert(out.toSeq == Seq(
+      ("a", 1L, None, None, 1L),
+      ("a", 2L, Some(2.0), Some(1.0), 2L),
+      ("a", 3L, Some(2.0), Some(1.0), 3L),
+      ("c", 1L, None, None, 1L),
+      ("c", 2L, None, None, 2L),
+      ("d", 1L, None, None, 1L),
+      ("d", 2L, None, None, 1L),
+      ("d", 3L, Some(0.5), Some(0.5), 2L)), out.toSeq.mkString("\n"))
+  }
+
+  test("rollingSlope: frame bound truncates history; shift-invariance of slope") {
+    // 2-row frames: slope from the last two points only
+    val df = Seq(("a", 1L, 10.0, 1.0), ("a", 2L, 11.0, 3.0),
+      ("a", 3L, 12.0, 2.0)).toDF("k", "t", "x", "y")
+    val out = RollingStats.rollingSlope(df, Seq("k"), "t", "x", "y",
+        frameRows = 2)
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    assert(out.toSeq == Seq(None, Some(2.0), Some(-1.0)))
+  }
 }
