@@ -142,6 +142,77 @@ object StreamingBars {
       }
   }
 
+  /** Per-key accumulator for [[ewma]]: the last `frameRows` values in
+    * chronological order plus the newest timestamp (for the stale-drop
+    * ordering contract). Bounded: O(frame) doubles per key.
+    */
+  private[streaming] case class EwmaState(prevTs: Long, frame: List[Double])
+
+  /** Streaming EWMA — the live counterpart of [[graft.ops.Bars.ewma]],
+    * emitting one smoothed row per event: the last `frameRows` values of
+    * the key, the j-th-newest weighted `decay^j`, normalized by the
+    * closed-form weight total.
+    *
+    * BIT-exact batch parity, not just semantic parity: the state is the
+    * frame itself (≤ `frameRows` doubles), and every event recomputes the
+    * same oldest-first fold `acc*decay + x` the batch operator's
+    * `aggregate()` runs, with the same closed-form
+    * `(1 − decay^n)/(1 − decay)` normalizer — identical association,
+    * identical doubles. An incremental-update shortcut
+    * (`ws' = ws*decay + x − x_old*decay^f`) would drift from the batch
+    * result in the last ulp and break replay-vs-tail equality, the
+    * property this family exists for.
+    *
+    * Ordering contract as the rest of the family: rows process in ts
+    * order per key within a micro-batch; arrivals at or before the key's
+    * last seen ts are dropped. `idleTimeout` evicts silent keys (output
+    * is per-event, so eviction loses only smoothing history: a resumed
+    * key restarts its frame cold, exactly like a fresh key).
+    */
+  def ewma[K](
+      ds: org.apache.spark.sql.Dataset[(K, Long, Double)],
+      frameRows: Int = 10,
+      decay: Double = 0.5,
+      idleTimeout: Option[String] = None)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      outEnc: org.apache.spark.sql.Encoder[(K, Long, Double, Double)])
+      : org.apache.spark.sql.Dataset[(K, Long, Double, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(frameRows >= 1, s"frame must be >= 1: $frameRows")
+    require(decay > 0 && decay < 1, s"decay must be in (0,1): $decay")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[EwmaState] =
+      org.apache.spark.sql.Encoders.product[EwmaState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (K, Long, Double, Double)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Double, Double)]
+            var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Nil))
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+              if (t > st.prevTs) {
+                val frame = (st.frame :+ v).takeRight(frameRows)
+                // same oldest-first fold + closed-form weight as batch
+                var ws = 0.0
+                frame.foreach(x => ws = ws * decay + x)
+                val weight = (1.0 - math.pow(decay, frame.length.toDouble)) /
+                  (1.0 - decay)
+                out += ((key, t, v, ws / weight))
+                st = EwmaState(t, frame)
+              } // else: stale arrival, drop
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming debounce — the live counterpart of
     * [[graft.ops.Sessionize.debounce]]: passes through exactly the first
     * event of each burst (first seen for the key, or arriving more than

@@ -628,4 +628,44 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
+
+  test("streaming EWMA: bit-exact batch parity across micro-batches; stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamingBars.ewma(input.toDS(), frameRows = 3, decay = 0.5)
+      .toDF("k", "t", "value", "ewma")
+    val q = out.writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+
+    // frame must carry ACROSS micro-batches, and the frame bound must
+    // evict the oldest value (t=1 leaves at t=4); two keys interleaved
+    input.addData(("a", 1L, 8.0), ("a", 2L, 4.0), ("b", 1L, 2.0))
+    q.processAllAvailable()
+    input.addData(("a", 3L, 2.0), ("a", 4L, 6.0), ("b", 5L, 10.0))
+    q.processAllAvailable()
+    // a stale arrival (t=2 <= last seen 4) must not perturb the frame
+    input.addData(("a", 2L, 99.0), ("a", 6L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+
+    // hand-check one interior value: frame at a/t=4 is [4,2,6] ->
+    // ws = ((0*.5+4)*.5+2)*.5+6 = 8.0, weight = (1-.5^3)/.5 = 1.75
+    assert(rows.find(r => r._1 == "a" && r._2 == 4L).get._4 == 8.0 / 1.75)
+
+    // bit-exact parity with the batch operator on the SAME events (the
+    // stale row never entered the stream state, so it is absent here too)
+    val batch = graft.ops.Bars.ewma(
+      Seq(("a", 1L, 8.0), ("a", 2L, 4.0), ("a", 3L, 2.0), ("a", 4L, 6.0),
+        ("a", 6L, 1.0), ("b", 1L, 2.0), ("b", 5L, 10.0))
+        .toDF("k", "t", "value"),
+      Seq("k"), "t", "value", frameRows = 3, decay = 0.5)
+      .select(col("k"), col("t"), col("value"), col("ewma"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
 }
