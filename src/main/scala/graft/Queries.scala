@@ -1632,6 +1632,130 @@ object Queries {
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** PQ codebooks are deterministic like the IVF centroids — train once
+    * per data dir (8 subspaces × 16 centroids on the 64-dim embeddings).
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.PQ.Codebooks]
+  private def trainedCodebooks(spark: SparkSession, dir: String): graft.pipeline.PQ.Codebooks =
+    pqCache.getOrElseUpdate(dir,
+      graft.pipeline.PQ.pqCodebooks(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        nSubq = 8, nCentroids = 16))
+
+  /** Trained PQ codebooks exploded to (subq, centroid_id, dim_idx, value)
+    * scalars — same export convention as [[ivfCentroids]]; the downstream
+    * oracles reassemble subspace centroids with `list(... ORDER BY
+    * dim_idx)`.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedCodebooks(spark, dir).zipWithIndex.toSeq.flatMap { case (book, s) =>
+      book.zipWithIndex.toSeq.flatMap { case (cent, c) =>
+        cent.zipWithIndex.toSeq.map { case (x, d) => (s, c, d, x) }
+      }
+    }.toDF("subq", "centroid_id", "dim_idx", "value")
+      .orderBy("subq", "centroid_id", "dim_idx")
+  }
+
+  /** Invariant oracle for the codebook export (training is sampled
+    * k-means, not SQL-derivable — same gate design as
+    * [[ivfCentroidsSql]]): rebuild the expected (subq, centroid, dim)
+    * grid from independent ground truth (8×16 pinned here, sub-dims from
+    * the embeddings table), and echo the dumped value only where the
+    * grid point exists exactly once and the value is finite.
+    */
+  val pqCodebooksSql: String =
+    """WITH dump AS (
+      |  SELECT subq, centroid_id, dim_idx, value
+      |  FROM '__VERIFY_OUT__/q_pq_codebooks/*.parquet'
+      |), grid AS (
+      |  SELECT CAST(s.subq AS INTEGER) AS subq,
+      |         CAST(c.centroid_id AS INTEGER) AS centroid_id,
+      |         CAST(d.dim_idx AS INTEGER) AS dim_idx
+      |  FROM (SELECT unnest(range(0, 8)) AS subq) s,
+      |       (SELECT unnest(range(0, 16)) AS centroid_id) c,
+      |       (SELECT unnest(range(0, (SELECT max(len(embedding)) // 8 FROM embeddings))) AS dim_idx) d
+      |)
+      |SELECT g.subq, g.centroid_id, g.dim_idx,
+      |       CASE WHEN isfinite(d.value) THEN d.value END AS value
+      |FROM grid g
+      |LEFT JOIN dump d ON d.subq = g.subq AND d.centroid_id = g.centroid_id
+      |                AND d.dim_idx = g.dim_idx
+      |ORDER BY g.subq, g.centroid_id, g.dim_idx""".stripMargin
+
+  /** PQ code assignment for every vector, exploded to (vec_id, subq,
+    * code) scalars ([[graft.pipeline.PQ.pqEncode]]).
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    graft.pipeline.PQ.pqEncode(e, "embedding", trainedCodebooks(spark, dir))
+      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("subq", "code")))
+      .orderBy("vec_id", "subq")
+  }
+
+  /** Oracle: re-derive each subspace argmin from the exported codebooks —
+    * round-6 squared L2 (the same sequential (x−y)² fold over the 8
+    * sub-dims), smallest centroid id on ties, mirroring
+    * [[graft.pipeline.PQ.pqEncodeExpr]] exactly.
+    */
+  val pqCodesSql: String =
+    """WITH cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pq_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), ranked AS (
+      |  SELECT vec_id, cb.subq, cb.centroid_id,
+      |         row_number() OVER (PARTITION BY vec_id, cb.subq
+      |           ORDER BY round(list_sum(list_transform(range(1, 9),
+      |             i -> (v[cb.subq * 8 + i] - cent[i]) * (v[cb.subq * 8 + i] - cent[i]))), 6) ASC,
+      |             cb.centroid_id ASC) AS rn
+      |  FROM e CROSS JOIN cb
+      |)
+      |SELECT vec_id, CAST(subq AS INTEGER) AS subq,
+      |       CAST(centroid_id AS INTEGER) AS code
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id, subq""".stripMargin
+
+  /** ADC top-k over the PQ-coded corpus ([[graft.pipeline.PQ.pqTopK]]):
+    * exact query vectors against coded corpus rows, approximate inner
+    * product via codebook lookups. The oracle re-derives the score from
+    * the two exported artifacts (codes + codebooks), summing subspace
+    * dot products in subq order — the engine's own association.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    graft.pipeline.PQ.pqTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      k = 10, codebooks = trainedCodebooks(spark, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqSql: String =
+    """WITH cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pq_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), codes AS (
+      |  SELECT vec_id, subq, code FROM '__VERIFY_OUT__/q_pq_codes/*.parquet'
+      |), q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+      |), terms AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.subq,
+      |         list_sum(list_transform(range(1, 9),
+      |           i -> q.v[c.subq * 8 + i] * cent[i])) AS term
+      |  FROM codes c
+      |  JOIN cb ON cb.subq = c.subq AND cb.centroid_id = c.code
+      |  CROSS JOIN q
+      |  WHERE q.vec_id <> c.vec_id
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_sum(list(term ORDER BY subq)), 6) AS score
+      |  FROM terms GROUP BY query_id, neighbor_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

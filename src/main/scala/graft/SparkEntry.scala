@@ -68,6 +68,9 @@ object SparkEntry {
     "q_ivf_cells"        -> (Queries.ivfCells _),
     "q_ann_ivf"          -> (Queries.annIvf _),
     "q_ann_ivf_probe"    -> (Queries.annIvfProbe _),
+    "q_pq_codebooks"     -> (Queries.pqCodebooks _),
+    "q_pq_codes"         -> (Queries.pqCodes _),
+    "q_ann_pq"           -> (Queries.annPq _),
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
@@ -170,6 +173,9 @@ object SparkEntry {
     "q_ivf_cells"       -> Queries.ivfCellsSql,
     "q_ann_ivf"         -> Queries.annIvfSql,
     "q_ann_ivf_probe"   -> Queries.annIvfProbeSql,
+    "q_pq_codebooks"    -> Queries.pqCodebooksSql,
+    "q_pq_codes"        -> Queries.pqCodesSql,
+    "q_ann_pq"          -> Queries.annPqSql,
     "q_dedup_minhash"   -> Queries.dedupMinhashSql,
     "q_simhash"         -> Queries.simhashSql,
     "q_simhash_neardup" -> Queries.simhashNearDupSql,

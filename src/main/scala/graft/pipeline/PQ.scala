@@ -1,0 +1,233 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the compression half
+  * of the standard billion-scale ANN layout (IVF-PQ: Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011; FAISS `IndexIVFPQ` and Spark-ecosystem ports are the public
+  * analogs).
+  *
+  * The vector space is split into `nSubq` contiguous subspaces of
+  * `dim / nSubq` dimensions; each subspace gets its own small Euclidean
+  * k-means codebook (`nCentroids` entries), and a vector is stored as
+  * `nSubq` small codes — 64 float dims become 8 bytes at the default
+  * shape, a 32× compression that is what lets a 100 TB embedding corpus
+  * sit in cluster memory for scanning. Search uses asymmetric distance
+  * computation (ADC): the QUERY keeps its exact vector, and the
+  * approximate inner product against a coded corpus row is
+  * `Σ_s dot(query_sub_s, codebook_s[code_s])` — a table lookup per
+  * subspace, never a decode.
+  *
+  * Scoring objective is the INNER PRODUCT (MIPS). For cosine search,
+  * L2-normalize vectors before training/encoding — inner product on
+  * normalized vectors IS cosine; the operator does not normalize
+  * implicitly, so the caller's notion of "distance" stays explicit.
+  *
+  * Scale shape: training is the same bounded driver-side sample as
+  * [[Similarity.ivfCentroids]] (≤ `sampleSize` vectors, seeded,
+  * reproducible). Encoding is one narrow codegen'd map over the corpus
+  * (no shuffle, no UDF). ADC top-k broadcasts the (small) query side and
+  * linearly scans the coded corpus — compose with IVF cell pruning
+  * ([[Similarity.ivfAssign]]) to scan only probed cells at scale; the two
+  * index structures factor cleanly because corpus rows carry both a
+  * `cell_id` and a code array.
+  *
+  * Determinism contract (what makes the relational oracles possible):
+  * every argmin/ranking compares ROUNDED (6-decimal) distances with the
+  * smallest centroid/neighbor id breaking ties, exactly like the IVF
+  * family — an unrounded argmin would let another engine's float
+  * summation order flip knife-edge assignments.
+  */
+object PQ {
+
+  /** codebooks(s)(c) = centroid `c` of subspace `s` (length `dim/nSubq`). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train per-subspace Euclidean k-means codebooks on a bounded,
+    * deterministic driver-side sample (same sampling scheme as
+    * [[Similarity.ivfCentroids]]: ordered by `xxhash64(id)`, k-means++
+    * seeding, `iters` Lloyd rounds, empty cells reseeded to the
+    * worst-fit sample point, lowest-index tie-breaks everywhere).
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSubq: Int,
+      nCentroids: Int = 16,
+      sampleSize: Int = 4096,
+      iters: Int = 8,
+      seed: Long = 42L): Codebooks = {
+    require(nSubq > 0, s"nSubq must be positive: $nSubq")
+    require(nCentroids > 1, s"nCentroids must be > 1: $nCentroids")
+    val sample = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull &&
+        !exists(col("__v"), e => e.isNull) && size(col("__v")) > 0)
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(math.max(sampleSize, nCentroids))
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % nSubq == 0, s"dim $dim not divisible by nSubq $nSubq")
+    val dsub = dim / nSubq
+    Array.tabulate(nSubq) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(pts, math.min(nCentroids, pts.length), iters, seed + s)
+    }
+  }
+
+  /** Plain Euclidean k-means (the subspace trainer): k-means++ seeding,
+    * Lloyd with mean updates, empty cells reseeded to the point farthest
+    * from its assigned centroid. Seeded + deterministic sample order →
+    * reproducible codebooks.
+    */
+  private def kmeansL2(
+      pts: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = pts(rnd.nextInt(pts.length)).clone()
+    val bestD = pts.map(d2(_, centroids(0)))
+    for (c <- 1 until k) {
+      val total = bestD.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(pts.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pts.length - 1 && r > bestD(i)) { r -= bestD(i); i += 1 }
+          i
+        }
+      centroids(c) = pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), centroids(c))
+        if (d < bestD(i)) bestD(i) = d
+        i += 1
+      }
+    }
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = d2(pts(i), centroids(0)); var c = 1
+        while (c < k) {
+          val d = d2(pts(i), centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums   = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < pts.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < pts(i).length) { sums(c)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k) {
+        if (counts(c) > 0) centroids(c) = sums(c).map(_ / counts(c))
+        else {
+          val worst = pts.indices.maxBy(i => d2(pts(i), centroids(assign(i))))
+          centroids(c) = pts(worst).clone()
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Squared L2 distance between a literal centroid and the subvector
+    * `[s*dsub, (s+1)*dsub)` of `vec` — a sequential codegen'd fold, the
+    * association the oracle mirrors.
+    */
+  private def subDist2(vec: Column, s: Int, centroid: Array[Double]): Column = {
+    val dsub = centroid.length
+    aggregate(
+      zip_with(slice(vec, s * dsub + 1, dsub), array(centroid.map(lit): _*),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Code array (one `0..nCentroids-1` code per subspace) for `vec`:
+    * per subspace, the argmin of ROUNDED squared L2 distance, smallest
+    * centroid id on ties. NULL input propagates NULL.
+    */
+  def pqEncodeExpr(vec: Column, codebooks: Codebooks): Column = {
+    val codes = codebooks.zipWithIndex.map { case (book, s) =>
+      // struct max over (-round(d2,6), -cid): min distance, smallest id on tie
+      val cands = book.zipWithIndex.map { case (cent, cid) =>
+        struct((-round(subDist2(vec, s, cent), 6)).as("negD"),
+          lit(-cid).as("negCid"))
+      }
+      (-array_max(array(cands.toSeq: _*)).getField("negCid")).cast("int")
+    }
+    // struct comparison would NOT propagate a null vector (a struct with a
+    // null field is still a comparable struct), so guard explicitly
+    when(vec.isNotNull, array(codes.toSeq: _*))
+  }
+
+  /** Adds `pq_codes` (array<int>, one code per subspace). */
+  def pqEncode(df: DataFrame, vecCol: String, codebooks: Codebooks): DataFrame =
+    df.withColumn("pq_codes", pqEncodeExpr(col(vecCol), codebooks))
+
+  /** ADC approximate inner product of exact query vector `qv` against a
+    * coded corpus row: `Σ_s dot(qv_sub_s, codebook_s[codes_s])`. Table
+    * lookups into literal codebooks — pure codegen, no decode, no UDF.
+    */
+  def adcScoreExpr(qv: Column, codes: Column, codebooks: Codebooks): Column = {
+    val terms = codebooks.zipWithIndex.map { case (book, s) =>
+      val dsub = book.head.length
+      // literal [centroid][dim] table for subspace s, indexed by the code
+      val bookLit = array(book.map(c => array(c.map(lit): _*)): _*)
+      val cent = element_at(bookLit, element_at(codes, s + 1) + 1)
+      aggregate(
+        zip_with(slice(qv, s * dsub + 1, dsub), cent, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** ADC top-k: for every query row, the `k` coded corpus rows with the
+    * highest approximate inner product (rounded; neighbor id breaks
+    * ties), excluding self-matches by id. Queries broadcast; the coded
+    * corpus streams — restrict `corpus` to probed IVF cells first at
+    * scale.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Codebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val coded = pqEncode(corpus, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    coded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(adcScoreExpr(col("__qv"), col("pq_codes"), codebooks), roundTo))
+      // rank predicate on the raw row_number: WindowGroupLimit keeps the
+      // per-query top-k BEFORE the exchange
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -264,6 +264,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("PQ ADC search: queries broadcast, coded corpus streams, partial top-k") {
+    val plan = planOf("q_ann_pq")
+    // the query side rides in as a broadcast; the coded corpus must never
+    // shuffle against it, and the per-query top-k runs as a partial group
+    // limit before the exchange
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("duplicate-shingle profile: shingle window partitioned; no self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
     assumeTestData(dir)

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PQSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 2 subspaces of 2 dims each; 4 well-separated sample clusters so the
+  // trained codebooks are predictable up to centroid numbering
+  private def fixture = Seq(
+    (0L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+    (1L, Seq(0.1f, 0.0f, 10.0f, 10.1f)),
+    (2L, Seq(5.0f, 5.0f, 0.0f, 0.0f)),
+    (3L, Seq(5.1f, 5.0f, 0.0f, 0.1f)),
+    (4L, Seq(0.0f, 0.1f, 0.1f, 0.0f)),
+    (5L, Seq(5.0f, 5.1f, 10.1f, 10.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("codebook shape, encode range, and argmin agreement with a Scala recompute") {
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 2, iters = 8)
+    assert(books.length == 2 && books.forall(_.length == 2) &&
+      books.forall(_.forall(_.length == 2)))
+
+    val out = PQ.pqEncode(fixture, "embedding", books)
+      .select($"vec_id", $"pq_codes").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val vecs = fixture.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expected = vecs.zipWithIndex.map { case (v, id) =>
+      (id.toLong, (0 until 2).map { s =>
+        val sub = v.slice(s * 2, s * 2 + 2)
+        // same rounded-argmin + smallest-id tie rule as the expression
+        books(s).zipWithIndex
+          .map { case (c, i) => (math.rint(d2(sub, c) * 1e6) / 1e6, i) }
+          .minBy { case (d, i) => (d, i) }._2
+      }.toList)
+    }
+    assert(out.toSeq == expected.toSeq)
+    assert(out.forall(_._2.forall(c => c >= 0 && c < 2)))
+  }
+
+  test("lossless codebooks make ADC top-k identical to exact inner-product ranking") {
+    // nCentroids >= distinct subvectors -> every subvector is its own
+    // centroid, encoding is exact, so ADC == true inner product
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 6, iters = 12)
+    val adc = PQ.pqTopK(fixture, fixture.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 3, books)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    val exact = {
+      val q = fixture.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("__qv"))
+      val c = fixture.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"neighbor_id".asc)
+      c.crossJoin(broadcast(q))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("score", round(graft.functions.VectorDot.vectorDot(
+          $"__qv".cast("array<double>"), $"__cv".cast("array<double>")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"score", $"rank".cast("long").as("rank"))
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    }
+    assert(adc.toSeq == exact.toSeq, s"adc ${adc.toSeq} vs exact ${exact.toSeq}")
+  }
+
+  test("coarse codebooks still rank the planted near-duplicate first") {
+    // vec 1 is a near-copy of vec 0: even at 2 centroids/subspace the ADC
+    // ranking must put it at rank 1 for query 0
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 2)
+    val top = PQ.pqTopK(fixture, fixture.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 1, books).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1L, top.mkString)
+  }
+
+  test("null and dimension guards") {
+    intercept[IllegalArgumentException] {
+      PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 3)
+    }
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
+    val withNull = fixture.union(Seq((9L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding"))
+    val out = PQ.pqEncode(withNull, "embedding", books)
+      .filter($"vec_id" === 9L).select($"pq_codes").collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+}
