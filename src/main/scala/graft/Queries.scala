@@ -2075,30 +2075,52 @@ object Queries {
     * the resampler's grid model deliberately doesn't cover: row-count
     * frames follow the DATA's own spacing, not a wall-clock grid.
     *
-    * Scale shape: one hash shuffle on the partition key, then a sorted
-    * bounded frame per partition — Spark's WindowExec streams the frame
-    * with O(frame) memory; no global window, no explode.
+    * Scale shape: one hash shuffle on the partition key, then ONLY
+    * O(1)-per-row running frames. A naive `avg OVER (ROWS 9 PRECEDING)`
+    * makes Spark's SlidingWindowFunctionFrame re-sum the frame for every
+    * row (O(n·frame) — DuckDB's segment tree doesn't pay this); instead
+    * the mean comes from a cumulative-sum DIFFERENCE, `(c - lag(c, 10))
+    * / n`. The cumsum runs over EXACT integers (events.value is 2-decimal
+    * — scaled ×100 to long, so the sum is associative and bit-identical
+    * in any engine), and the single final division is correctly rounded
+    * IEEE both sides — no float-drift risk from the reformulation (the
+    * r5 decimal-boundary checklist was applied: n ∈ 1..10 means the true
+    * mean is k/(100n), whose 6th-decimal digit is never exactly on a
+    * rounding half).
     */
   def rollingMean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"t", $"event_id").rowsBetween(-9, 0)
+    val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id",
+        round($"value" * 100).cast("long").as("v100"))
       .select($"user_id", $"t", $"event_id",
-        round(avg($"value").over(w), 6).as("roll_avg"),
-        count(lit(1)).over(w).as("roll_n"))
+        sum($"v100").over(wc).as("c"),
+        row_number().over(wl).cast("long").as("rn"))
+      .select($"user_id", $"t", $"event_id",
+        round(($"c" - coalesce(lag($"c", 10).over(wl), lit(0L))) /
+          (least($"rn", lit(10L)) * 100.0), 6).as("roll_avg"),
+        least($"rn", lit(10L)).as("roll_n"))
       .orderBy("user_id", "t", "event_id")
   }
 
   val rollingMeanSql: String =
-    """SELECT user_id, epoch_ms(ts) AS t, event_id,
-      |       round(avg(value) OVER w, 6) AS roll_avg,
-      |       count(*) OVER w AS roll_n
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-      |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """WITH cum AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |         sum(CAST(round(value*100) AS BIGINT)) OVER wc AS c,
+      |         row_number() OVER wl AS rn
+      |  FROM events
+      |  WINDOW wl AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+      |         wc AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, t, event_id,
+      |       round((c - coalesce(lag(c, 10) OVER (PARTITION BY user_id ORDER BY t, event_id), 0))
+      |             / (least(rn, 10) * 100.0), 6) AS roll_avg,
+      |       CAST(least(rn, 10) AS BIGINT) AS roll_n
+      |FROM cum
       |ORDER BY user_id, t, event_id""".stripMargin
 
   /** Per-user rolling lag-1 autocorrelation over a 20-row frame
