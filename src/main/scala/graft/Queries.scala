@@ -1756,6 +1756,59 @@ object Queries {
       |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-PQ composed search ([[graft.pipeline.PQ.ivfPqTopK]], nProbe=2):
+    * cell-pruned candidate set, ADC-scored. The oracle chains ALL FOUR
+    * exported artifacts — probe cells from `q_ivf_centroids`, candidates
+    * from `q_ivf_cells`, scores from `q_pq_codes` × `q_pq_codebooks` —
+    * so every stage of the composition is re-derived relationally.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    graft.pipeline.PQ.ivfPqTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      k = 10, centroids = trainedCentroids(spark, dir), nProbe = 2,
+      codebooks = trainedCodebooks(spark, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String =
+    """WITH cents AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS cv
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+      |), probes AS (
+      |  SELECT q.vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell_id) AS pr
+      |  FROM q CROSS JOIN cents
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pq_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), codes AS (
+      |  SELECT vec_id, subq, code FROM '__VERIFY_OUT__/q_pq_codes/*.parquet'
+      |), terms AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.subq,
+      |         list_sum(list_transform(range(1, 9),
+      |           i -> q.v[c.subq * 8 + i] * cent[i])) AS term
+      |  FROM probes p
+      |  JOIN q ON q.vec_id = p.vec_id
+      |  JOIN cells ce ON ce.cell_id = p.cell_id
+      |  JOIN codes c ON c.vec_id = ce.vec_id
+      |  JOIN cb ON cb.subq = c.subq AND cb.centroid_id = c.code
+      |  WHERE p.pr <= 2 AND p.vec_id <> c.vec_id
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_sum(list(term ORDER BY subq)), 6) AS score
+      |  FROM terms GROUP BY query_id, neighbor_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

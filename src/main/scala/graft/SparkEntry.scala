@@ -71,6 +71,7 @@ object SparkEntry {
     "q_pq_codebooks"     -> (Queries.pqCodebooks _),
     "q_pq_codes"         -> (Queries.pqCodes _),
     "q_ann_pq"           -> (Queries.annPq _),
+    "q_ann_ivfpq"        -> (Queries.annIvfPq _),
     // multimodal
     "q_multimodal_meta"  -> (Queries.multimodalMeta _),
     "q_multimodal_feats" -> (Queries.multimodalFeatures _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_pq_codebooks"    -> Queries.pqCodebooksSql,
     "q_pq_codes"        -> Queries.pqCodesSql,
     "q_ann_pq"          -> Queries.annPqSql,
+    "q_ann_ivfpq"       -> Queries.annIvfPqSql,
     "q_dedup_minhash"   -> Queries.dedupMinhashSql,
     "q_simhash"         -> Queries.simhashSql,
     "q_simhash_neardup" -> Queries.simhashNearDupSql,

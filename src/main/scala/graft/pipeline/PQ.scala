@@ -199,11 +199,59 @@ object PQ {
     terms.reduce(_ + _)
   }
 
+  /** IVF-PQ top-k — the standard billion-scale ANN layout (FAISS
+    * `IndexIVFPQ`): the corpus is assigned to IVF cells AND PQ-coded in
+    * one narrow pass; each query probes its `nProbe` nearest cells
+    * ([[Similarity.ivfProbeCellsExpr]], rounded-cosine + smallest-id tie
+    * rule) and scores ONLY those cells' rows via ADC table lookups. Both
+    * levers factor cleanly: nProbe bounds the fraction of the corpus
+    * touched, PQ bounds the bytes per row touched — at 100 TB the scan
+    * reads `nProbe/nCells` of an 8-bytes-per-vector index instead of the
+    * full float corpus.
+    *
+    * The join is an equijoin on `cell_id` with the (small) exploded query
+    * side broadcast — corpus rows never shuffle, and the per-query top-k
+    * runs as a partial WindowGroupLimit before the single exchange.
+    * Probing every cell with lossless codebooks IS exact brute-force
+    * ranking — the spec pins that composition identity.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int,
+      codebooks: Codebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val coded = corpus
+      .withColumn("cell_id", Similarity.ivfCellExpr(vecCol, centroids))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        pqEncodeExpr(col(vecCol), codebooks).as("pq_codes"))
+    val q = queries.select(col(idCol), col(vecCol))
+      .withColumn("cell_id",
+        explode(Similarity.ivfProbeCellsExpr(vecCol, centroids, nProbe)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    coded.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(adcScoreExpr(col("__qv"), col("pq_codes"), codebooks), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** ADC top-k: for every query row, the `k` coded corpus rows with the
     * highest approximate inner product (rounded; neighbor id breaks
     * ties), excluding self-matches by id. Queries broadcast; the coded
     * corpus streams — restrict `corpus` to probed IVF cells first at
-    * scale.
+    * scale ([[ivfPqTopK]] is exactly that composition).
     */
   def pqTopK(
       corpus: DataFrame,
