@@ -84,6 +84,42 @@ class PQSpec extends SparkTestBase {
     assert(top.length == 1 && top(0).getLong(1) == 1L, top.mkString)
   }
 
+  test("ivfPqTopK probing every cell with lossless codebooks == flat ADC top-k") {
+    // the IVF layer must only PRUNE candidates: with nProbe = nCells no
+    // cell is pruned, so the composed search must equal the flat scan
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 6, iters = 12)
+    val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding", nCells = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val composed = rows(PQ.ivfPqTopK(fixture, fixture.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 3, centroids = cents, nProbe = cents.length,
+      codebooks = books))
+    val flat = rows(PQ.pqTopK(fixture, fixture.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 3, books))
+    assert(composed == flat, s"composed $composed vs flat $flat")
+  }
+
+  test("ivfPqTopK nProbe=1 returns only rows from the query's nearest cell") {
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 2)
+    val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding", nCells = 3)
+    val cellOf = Similarity.ivfAssign(fixture, "embedding", cents)
+      .select($"vec_id", $"cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nProbe=1 probe == argmax assignment (spec'd in SimilaritySpec), so the
+    // query's probed cell IS its own assignment cell
+    val out = PQ.ivfPqTopK(fixture, fixture, "vec_id", "embedding",
+      k = 6, centroids = cents, nProbe = 1, codebooks = books).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(cellOf(n) == cellOf(q),
+        s"neighbor $n (cell ${cellOf(n)}) outside query $q's cell ${cellOf(q)}")
+    }
+  }
+
   test("null and dimension guards") {
     intercept[IllegalArgumentException] {
       PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 3)
