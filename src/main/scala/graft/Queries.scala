@@ -59,10 +59,14 @@ object Queries {
         tbl(spark, dir, "events")
     }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads through
-    * the legacy nanos-as-long conf ([[eventsRaw]]); normalize to a µs
-    * TimestampType column so downstream code is uniform (epoch-ms truncation
-    * then matches DuckDB's `epoch_ms`).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * only reads through the legacy nanos-as-long conf ([[eventsRaw]]) — and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark surfaces
+    * as TIMESTAMP_NTZ. Normalize BOTH to a µs TimestampType column so
+    * downstream code is uniform (`unix_millis` is legal, and epoch-ms
+    * truncation matches DuckDB's `epoch_ms`). The NTZ→LTZ cast is
+    * value-identical because every entry point pins the session timezone
+    * to UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = eventsRaw(spark, dir)
@@ -70,6 +74,8 @@ object Queries {
       case org.apache.spark.sql.types.LongType =>
         // integer div: ns values overflow double precision, so no `/`
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -441,6 +447,49 @@ object Queries {
   val dedupJaccardSql: String =
     s"""WITH $jaccardPairsCte
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Verbatim-span profile of the near-dup pair set
+    * ([[Dedup.sharedSpans]]): for every Jaccard pair, how many positional
+    * 3-gram matches and how long the longest contiguous run is —
+    * separating verbatim copies (long runs) from merely-topical overlap
+    * (high Jaccard, short runs). Pure integer output; the oracle rebuilds
+    * the same islands from string shingles (the engine matches on
+    * xxhash64 of the shingle — a collision would have to land inside one
+    * candidate pair to shift a count, ~2⁻⁶⁴ per shingle pair).
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.sharedSpans(docs, "text", "doc_id",
+        Dedup.jaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf),
+        n = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH $jaccardPairsCte, ps AS (
+       |  SELECT doc_id, u.pos AS pos, u.sh AS sh
+       |  FROM (SELECT doc_id,
+       |          unnest([{'pos': i, 'sh': array_to_string(ws[i:i+2], ' ')}
+       |                  for i in range(1, len(ws) - 1)]) AS u
+       |        FROM w)
+       |), m AS (
+       |  SELECT p.id_a, p.id_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM pairs p
+       |  JOIN ps a ON a.doc_id = p.id_a
+       |  JOIN ps b ON b.doc_id = p.id_b AND b.sh = a.sh
+       |), runs AS (
+       |  SELECT id_a, id_b, pos_a - pos_b AS diag,
+       |         pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+       |                                    ORDER BY pos_a) AS grp
+       |  FROM m
+       |), rl AS (
+       |  SELECT id_a, id_b, diag, grp, count(*) AS run
+       |  FROM runs GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, CAST(sum(run) AS BIGINT) AS n_matched,
+       |       CAST(max(run) AS BIGINT) AS longest_run
+       |FROM rl GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
   /** Cross-source duplication matrix: near-dup pair counts aggregated by
     * canonically-ordered source pair — which ingest feeds duplicate each
@@ -990,6 +1039,41 @@ object Queries {
       |               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split ([[Sampling.assignSplit]]: hash-of-
+    * id bucketing into cumulative-weight intervals, 80/10/10), summarized
+    * per (split, source) — the census a data engineer runs right after
+    * splitting to confirm per-source balance. The oracle recomputes the
+    * identical md5-derived score and interval arithmetic, so the engines
+    * agree on every row's assignment, not just the counts. `sum(n_chars)`
+    * is exact integer arithmetic — no float in the whole query.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(tbl(spark, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "source")
+
+  /** The interval cuts are 0.8 and 0.8+0.1 evaluated in doubles; the oracle
+    * writes the literals 0.8 / 0.9. Scores are 32-bit dyadic rationals
+    * (k/2³²) whose spacing (2⁻³² ≈ 2.3e-10) dwarfs any ulp disagreement
+    * between `0.9` and `0.8 + 0.1` (≈1e-16), so no score can fall between
+    * the two engines' cuts.
+    */
+  val splitAssignSql: String = {
+    val hex8 = hex8Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT source, n_chars,
+       |         CASE WHEN score < 0.8 THEN 'train'
+       |              WHEN score < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT source, n_chars,
+       |               CAST($hex8 AS DOUBLE) / 4294967296.0 AS score
+       |        FROM documents))
+       |SELECT split, source, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
+  }
 
   /** Deterministic weighted sample (Efraimidis–Spirakis exponential race,
     * [[Sampling.weightedSample]]): 100 docs drawn with probability
@@ -1560,6 +1644,58 @@ object Queries {
       |  FROM e, c
       |)
       |SELECT vec_id, cell_id FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Cluster-quality census of the IVF partition: per cell, the majority
+    * ground-truth `label`, its count and the cell's purity — the standard
+    * external clustering metric, and the first eval a corpus curator runs
+    * after unsupervised bucketing ("do my cells mean anything?"). Ties on
+    * the majority label break to the smallest label in both engines.
+    *
+    * Purity is ONE division of two exact bigints rounded once — identical
+    * IEEE doubles on both sides, no summation-order exposure.
+    *
+    * Scale shape: assignment is the codegen argmax scan ([[ivfCells]]),
+    * then a (cell, label) groupBy whose output is #cells × #labels rows —
+    * the windows that pick the majority run over that tiny aggregate, not
+    * the corpus.
+    */
+  def ivfPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = tbl(spark, dir, "embeddings")
+    val cells = Similarity.ivfAssign(e, "embedding", trainedCentroids(spark, dir))
+      .select($"vec_id", $"cell_id")
+    val wCell = Window.partitionBy($"cell_id")
+    cells.join(e.select($"vec_id", $"label"), Seq("vec_id"))
+      .groupBy($"cell_id", $"label").agg(count(lit(1)).as("n"))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy($"cell_id").orderBy($"n".desc, $"label")))
+      .withColumn("n_cell", sum($"n").over(wCell))
+      .filter($"__rk" === 1)
+      .select($"cell_id", $"label".as("top_label"), $"n".as("n_top"), $"n_cell",
+        round($"n".cast("double") / $"n_cell".cast("double"), 6).as("purity"))
+      .orderBy("cell_id")
+  }
+
+  /** Oracle: same census from the EXPORTED cell assignment (so the checked
+    * chain is centroids → cells → purity, all relational).
+    */
+  val ivfPuritySql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), g AS (
+      |  SELECT cell_id, label, count(*) AS n
+      |  FROM cells JOIN embeddings USING (vec_id) GROUP BY 1, 2
+      |), r AS (
+      |  SELECT cell_id, label, n,
+      |         row_number() OVER (PARTITION BY cell_id ORDER BY n DESC, label) AS rk,
+      |         sum(n) OVER (PARTITION BY cell_id) AS n_cell
+      |  FROM g
+      |)
+      |SELECT cell_id, label AS top_label, CAST(n AS BIGINT) AS n_top,
+      |       CAST(n_cell AS BIGINT) AS n_cell,
+      |       round(CAST(n AS DOUBLE) / CAST(n_cell AS DOUBLE), 6) AS purity
+      |FROM r WHERE rk = 1 ORDER BY cell_id""".stripMargin
 
   /** IVF-partitioned ANN top-k; oracle re-derives the per-cell exact top-k
     * in DuckDB from the exported cell assignments.
@@ -2187,7 +2323,8 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
     val ev = events(spark, dir)
-      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .select($"user_id", unix_millis($"ts".cast("timestamp")).as("t"),
+        $"event_id", $"value")
       .withColumn("__y", lag($"value", 1).over(wl))
     graft.ops.RollingStats.rollingCorr(ev, Seq("user_id"), "t",
         "value", "__y", frameRows = 20, tieCols = Seq("event_id"))
@@ -2235,7 +2372,8 @@ object Queries {
   def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
-      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"value")
+      .select($"user_id", unix_millis($"ts".cast("timestamp")).as("t"),
+        $"event_id", $"value")
       .withColumn("__x", ($"t" - 1704067200000L) / lit(86400000.0))
     graft.ops.RollingStats.rollingSlope(ev, Seq("user_id"), "t",
         "__x", "value", frameRows = 20, tieCols = Seq("event_id"))
@@ -2810,6 +2948,47 @@ object Queries {
       |WHERE sd > 0 AND abs((value - m) / sd) > 2.5
       |ORDER BY event_type, event_id""".stripMargin
 
+  /** Per-type winsorized value profile ([[Anomalies.winsorize]] at the
+    * 5th/95th rank percentiles): n, the two clamp bounds, and the sum of
+    * clamped values — the robust-stats companion to [[outliers]] (z-scores
+    * FLAG tails; winsorizing CAPS them before features are computed from
+    * the series). Bounds are order statistics (exact copies of input
+    * values, never interpolated) and events.value is 2-decimal data, so
+    * the rounded sum can't land on a round-half boundary — the OHLC-mean
+    * lesson (NOTES) applied at design time.
+    */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"value")
+    Anomalies.winsorize(ev, Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"lo").as("lo"), min($"hi").as("hi"),
+        round(sum($"value_w"), 2).as("sum_w"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), k AS (
+      |  SELECT *, greatest(1, (n * 50000 + 999999) // 1000000) AS lo_k,
+      |            greatest(1, (n * 950000 + 999999) // 1000000) AS hi_k
+      |  FROM r
+      |), b AS (
+      |  SELECT event_type, value, n,
+      |         max(CASE WHEN rn = lo_k THEN value END)
+      |           OVER (PARTITION BY event_type) AS lo,
+      |         max(CASE WHEN rn = hi_k THEN value END)
+      |           OVER (PARTITION BY event_type) AS hi
+      |  FROM k
+      |)
+      |SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi,
+      |       round(sum(least(greatest(value, lo), hi)), 2) AS sum_w
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Per-source document quota ([[graft.pipeline.Sampling.capPerKey]]):
     * keep the 20 lowest-id docs per source — rank-limit runs through
     * WindowGroupLimit (partial top-k before the shuffle).
@@ -2922,7 +3101,7 @@ object Queries {
     import graft.ops.Layout
     events(spark, dir)
       .select($"event_id", $"user_id",
-        floor(unix_millis($"ts") / 3600000L).as("hour_idx"),
+        floor(unix_millis($"ts".cast("timestamp")) / 3600000L).as("hour_idx"),
         floor($"value").cast("long").as("v_band"))
       .select($"event_id", $"user_id", $"hour_idx", $"v_band",
         Layout.zorderKey3($"user_id", pmod($"hour_idx", lit(2097152)), $"v_band")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Statistical outlier detection over keyed series — the audit companion to
@@ -38,5 +38,57 @@ object Anomalies {
       .filter(col("__sd") > 0 && abs(z) > threshold)
       .withColumn("z", round(z, roundZ))
       .drop("__m", "__sd")
+  }
+
+  /** Winsorize `valueCol` per key at rank-based percentiles and return the
+    * rows with a `<valueCol>_w` column clamped to [lo, hi], plus the bounds.
+    *
+    * The bounds are ORDER STATISTICS — the ceil(p·n)-th smallest value —
+    * not interpolated quantiles: an interpolated bound is float arithmetic
+    * whose lerp differs in ulps across engines, while a rank-selected bound
+    * is an exact copy of an input value, so clamped outputs stay bit-exact
+    * (and an oracle reproduces them with the same rank rule).
+    *
+    * Scale shape: ONE shuffle on the keys — a sorted window computes
+    * row_number and partition count, then two unordered windows over the
+    * SAME partitioning (Catalyst reuses the exchange) broadcast each key's
+    * lo/hi to its rows. No join, no second descent of the source. A
+    * mega-key serializes its own sort into one task — the usual per-key
+    * window caveat (see Sessionize) — acceptable because winsorization is
+    * per-series hygiene where keys are sensor/instrument-sized.
+    */
+  def winsorize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles: $pLo, $pHi")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val sorted   = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val whole    = Window.partitionBy(keys: _*)
+    val v  = col(valueCol)
+    val n  = count(lit(1)).over(whole)
+    val rn = row_number().over(sorted)
+    // ceil(p*n) in EXACT integer arithmetic — (n*num + den - 1) div den with
+    // p = num/den — so the bound index never depends on float ceil edge
+    // cases (`ceil(0.05 * 2000.0)` is 101 in IEEE doubles). `div` is
+    // Spark's integral division; `/` on long columns is double division.
+    def kOf(p: Double): Column = {
+      val den = 1000000L
+      val num = math.round(p * den)
+      greatest(lit(1L), expr(s"(__n * $num + ${den - 1}) div $den"))
+    }
+    val withRank = df
+      .withColumn("__n", n)
+      .withColumn("__rn", rn.cast("long"))
+      .withColumn("__lo_k", kOf(pLo))
+      .withColumn("__hi_k", kOf(pHi))
+    withRank
+      .withColumn("lo", max(when(col("__rn") === col("__lo_k"), v)).over(whole))
+      .withColumn("hi", max(when(col("__rn") === col("__hi_k"), v)).over(whole))
+      .withColumn(s"${valueCol}_w", least(greatest(v, col("lo")), col("hi")))
+      .drop("__n", "__rn", "__lo_k", "__hi_k")
   }
 }

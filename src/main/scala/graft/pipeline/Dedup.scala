@@ -354,6 +354,52 @@ object Dedup {
         col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Longest shared contiguous word-n-gram run for each CANDIDATE pair —
+    * the span diagnostic behind substring-level dedup (Lee et al. 2022's
+    * "Deduplicating Training Data Makes Language Models Better" removes
+    * long verbatim spans, not whole docs): a high-Jaccard pair with a short
+    * longest run is topical overlap; a long run is verbatim copying.
+    *
+    * Positional shingles of both docs of a pair are matched by content,
+    * then consecutive matches are grouped with the classic islands trick —
+    * matches on one alignment diagonal (`pos_a - pos_b`) with consecutive
+    * `pos_a` form one run (`pos_a - row_number()` is constant inside it).
+    * Output: (id_a, id_b, n_matched, longest_run) — run lengths count
+    * shingles; a run of r shingles spans r + n - 1 words. Pairs with no
+    * shared shingle drop out (inner join).
+    *
+    * Scale shape: never all-pairs — the candidate pair set (from LSH /
+    * Jaccard / an artifact) gates everything. The small pair list
+    * broadcast-prunes the positional index down to candidate docs, the
+    * content match shuffles on (doc, shingle-hash), and the islands are
+    * per-(pair, diagonal) windows — key-partitioned, bounded by document
+    * length. Shingle positions are rematerialized only for candidate docs.
+    */
+  def sharedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      pairs: DataFrame,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol),
+      posexplode(TextAnalysis.shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("sh"))
+    val p = materializeOnce(pairs.select(col("id_a"), col("id_b")))
+    val a = pos.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("sh"))
+    val b = pos.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("sh"))
+    val matched = broadcast(p).join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
+      .withColumn("__diag", col("pos_a") - col("pos_b"))
+    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("__grp", col("pos_a") - row_number().over(wd))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__run")).as("n_matched"), max(col("__run")).as("longest_run"))
+  }
+
   /** Embedding-cosine near-duplicate document pairs: join the document table
     * to its embedding table and pair documents whose vectors exceed the
     * cosine threshold. `exact = false` (default) routes through the sign-LSH

@@ -171,4 +171,33 @@ object Sampling {
     }
     df.filter(hashScore(col(idCol)) < rate)
   }
+
+  /** Deterministic train/val/test split assignment: partition [0, 1) into
+    * cumulative-weight intervals and bucket each row by its [[hashScore]].
+    * The same row always lands in the same split — across partitionings,
+    * engines, re-runs and appends — which is the property an ML data split
+    * must have (a repartition-dependent `randomSplit` leaks val rows into
+    * train on every relayout). Weights must sum to 1 (±1e-9).
+    *
+    * Scale shape: a narrow projection — no shuffle, no sort, full codegen;
+    * downstream per-split readers filter on the added column.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0), s"negative split weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) <= 1e-9,
+      s"split weights must sum to 1: $splits")
+    val score = hashScore(col(idCol))
+    // Last split takes the remainder interval (score < 1 always), so float
+    // drift in the cumulative sums can never leave a row unassigned.
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(score < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assigned)
+  }
 }

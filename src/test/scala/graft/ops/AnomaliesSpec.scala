@@ -31,4 +31,33 @@ class AnomaliesSpec extends SparkTestBase {
       Anomalies.zscoreOutliers(df, Seq("k"), "value", threshold = 0.0)
     }
   }
+
+  test("winsorize: rank-selected bounds, clamping, tiny-key degeneracy") {
+    // key "a": 1..10 at p10/p90 -> lo_k = ceil(0.1*10) = 1 -> lo = 1;
+    // hi_k = ceil(0.9*10) = 9 -> hi = 9; only the 10 is clamped (to 9).
+    // key "b": 2 rows -> lo_k = 1, hi_k = 2 -> bounds are min/max, no-op.
+    val a = (1 to 10).map(i => ("a", i.toDouble))
+    val b = Seq(("b", 5.0), ("b", 7.0))
+    val df = (a ++ b).toDF("k", "value")
+    val out = Anomalies.winsorize(df, Seq("k"), "value", pLo = 0.1, pHi = 0.9)
+    val rows = out.select("k", "value", "lo", "hi", "value_w").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(r => (r._1, r._2))
+    val aRows = rows.filter(_._1 == "a")
+    assert(aRows.forall(r => r._3 == 1.0 && r._4 == 9.0))
+    assert(aRows.map(_._5) == ((1 to 9).map(_.toDouble) :+ 9.0))
+    val bRows = rows.filter(_._1 == "b")
+    assert(bRows.map(r => (r._3, r._4)).distinct == Seq((5.0, 7.0)))
+    assert(bRows.map(_._5) == Seq(5.0, 7.0))
+  }
+
+  test("winsorize: every output value is an input value (never interpolated)") {
+    val vals = Seq(3.7, -1.2, 9.9, 0.4, 5.5, 2.2, 8.8, -3.3, 6.1, 4.0)
+    val df = vals.map(("k", _)).toDF("k", "value")
+    val out = Anomalies.winsorize(df, Seq("k"), "value", pLo = 0.25, pHi = 0.75)
+      .select("lo", "hi", "value_w").collect()
+    val inSet = vals.toSet
+    assert(out.forall(r => inSet(r.getDouble(0)) && inSet(r.getDouble(1)) &&
+      inSet(r.getDouble(2))))
+  }
 }

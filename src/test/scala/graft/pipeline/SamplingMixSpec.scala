@@ -34,6 +34,31 @@ class SamplingMixSpec extends SparkTestBase {
     assert(picked.forall(_ >= 50))
   }
 
+  test("assignSplit: total, partition-invariant, roughly proportional") {
+    val df = spark.range(5000).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.assignSplit(df, "id", splits)
+    // total: every row gets exactly one split label from the declared set
+    assert(out.count() == 5000)
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // proportionality within ±3 sd of binomial noise
+    assert(math.abs(bySplit("train") - 4000L) < 3 * math.sqrt(5000 * 0.8 * 0.2))
+    assert(math.abs(bySplit("val") - 500L) < 3 * math.sqrt(5000 * 0.1 * 0.9))
+    // the same row always lands in the same split, any partitioning
+    val again = Sampling.assignSplit(df.repartition(13), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.collect().forall(r => again(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("assignSplit rejects weights that do not sum to 1") {
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("mixByParts: exact stride-scheduling interleave, zero-weight dropped") {
     // a:2 b:1 c:0 -> L=2; a keys 1,3,5..., b keys 2,6,10..., c gone.
     val rows = (0 until 10).flatMap(i =>
