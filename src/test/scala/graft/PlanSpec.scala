@@ -299,4 +299,41 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("ExistingRDD"), plan)
   }
+
+  test("split assignment is a narrow projection: no exchange, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val df = graft.pipeline.Sampling.assignSplit(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val plan = df.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("Exchange"), plan)
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      plan)
+  }
+
+  test("winsorize: one data exchange; rank and bound windows share it") {
+    assumeTestData(dir)
+    val ev = Queries.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val plan = graft.ops.Anomalies.winsorize(ev, Seq("event_type"), "value")
+      .queryExecution.explainString(SimpleMode)
+    // one shuffle introduces the key partitioning; the unordered bound
+    // windows run on the sorted window's output without re-exchanging
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("shared spans: pair-gated equijoins only, windows key-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_dup_spans")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+  }
 }
