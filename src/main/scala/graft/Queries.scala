@@ -2530,6 +2530,43 @@ object Queries {
     * "what does this column look like" question; one map-side-combined
     * groupBy on the computed bucket.
     */
+  /** Equal-frequency decile binning per event type (`ntile(10)` over a
+    * TOTAL order — value with event_id tiebreak, so the bucket boundaries
+    * are deterministic): per (type, decile) the count and the exact value
+    * range. This is quantile bucketing — the feature-normalization /
+    * drift-monitoring companion to [[histogram]]'s fixed-width buckets
+    * (equal-POPULATION bins track distribution shape under scale drift;
+    * fixed-width bins don't). Both engines implement SQL-standard NTILE
+    * (first `n mod k` buckets take the extra row), and every output value
+    * is an exact input copy — no float arithmetic anywhere.
+    *
+    * Scale shape: one shuffle on the key; the per-key sort serializes a
+    * mega-key into one task (the standard per-key window caveat).
+    */
+  def deciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+      .orderBy("event_type", "decile")
+  }
+
+  val decilesSql: String =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |         ntile(10) OVER (PARTITION BY event_type
+      |                         ORDER BY value, event_id) AS decile
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(decile AS INTEGER) AS decile, count(*) AS n,
+      |       min(value) AS lo, max(value) AS hi
+      |FROM t GROUP BY event_type, decile
+      |ORDER BY event_type, decile""".stripMargin
+
   def histogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir)

@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen kernels for the product-quantization hot path
+  * ([[graft.pipeline.PQ]]).
+  *
+  * Why native: the declarative formulation (`transform`/`zip_with`/
+  * `aggregate` over literal codebook arrays) is CORRECT but its lambdas are
+  * interpreted per array element — measured ~0.65 ms/vector for encode at
+  * the default 8×16×8 shape, which is fine for a demo corpus and
+  * disqualifying for a billion-vector one. These expressions evaluate the
+  * identical arithmetic (same fold order, same `round(d2, 6)` half-up
+  * rounding, same smallest-id tie rule — the relational oracles keep
+  * passing unchanged) as a tight primitive loop invoked from generated
+  * code: no lambda dispatch, no boxing, no per-element null machinery.
+  *
+  * Float inputs are widened element-wise exactly like Spark's implicit
+  * float→double arithmetic cast, so scores are bit-identical to the
+  * declarative path on both `array<float>` and `array<double>` columns.
+  */
+object PQKernels {
+
+  private def roundHalfUp6(d: Double): Double =
+    // matches Spark's Round on DoubleType: BigDecimal.valueOf (i.e. the
+    // Double.toString shortest-repr parse), setScale(6, HALF_UP)
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Argmin code per subspace; null iff the vector is null/short/has null
+    * elements in the used prefix.
+    */
+  def encode(vec: ArrayData, books: Array[Array[Array[Double]]],
+      isFloat: Boolean): GenericArrayData = {
+    val nSubq = books.length
+    val dim   = books.map(_.head.length).sum
+    if (vec.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+    val codes = new Array[Any](nSubq)
+    var base  = 0
+    var s     = 0
+    while (s < nSubq) {
+      val book = books(s)
+      val dsub = book(0).length
+      var bestD = Double.MaxValue
+      var bestI = -1
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var j  = 0
+        while (j < dsub) {
+          val x = if (isFloat) vec.getFloat(base + j).toDouble
+                  else vec.getDouble(base + j)
+          val diff = x - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        val rd = roundHalfUp6(d2)
+        if (rd < bestD) { bestD = rd; bestI = c }
+        c += 1
+      }
+      codes(s) = bestI
+      base += dsub
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC inner product: Σ_s dot(query_sub_s, books(s)(codes(s))), summed in
+    * subspace-major index order (the declarative fold's association).
+    */
+  def adcScore(qv: ArrayData, codes: ArrayData,
+      books: Array[Array[Array[Double]]], isFloat: Boolean): Any = {
+    val nSubq = books.length
+    val dim   = books.map(_.head.length).sum
+    if (qv.numElements() < dim || codes.numElements() < nSubq) return null
+    var i = 0
+    while (i < dim) { if (qv.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < nSubq) { if (codes.isNullAt(i)) return null; i += 1 }
+    var total = 0.0
+    var base  = 0
+    var s     = 0
+    while (s < nSubq) {
+      val book = books(s)
+      val dsub = book(0).length
+      val code = codes.getInt(s)
+      if (code < 0 || code >= book.length) return null
+      val cent = book(code)
+      var term = 0.0
+      var j    = 0
+      while (j < dsub) {
+        val x = if (isFloat) qv.getFloat(base + j).toDouble
+                else qv.getDouble(base + j)
+        term += x * cent(j)
+        j += 1
+      }
+      total += term
+      base += dsub
+      s += 1
+    }
+    total
+  }
+
+  /** Column API: PQ code array for a vector column. */
+  def pqEncodeCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PQEncodeCodes(org.apache.spark.sql.graftbridge.Bridge.expression(vec), books))
+
+  /** Column API: ADC score of an exact query vector against a code array. */
+  def pqAdcScore(qv: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PQAdcScore(org.apache.spark.sql.graftbridge.Bridge.expression(qv),
+        org.apache.spark.sql.graftbridge.Bridge.expression(codes), books))
+
+  private[functions] def vecTypeOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** `pq_encode(vec)` → `array<int>` of per-subspace centroid codes. */
+case class PQEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // the kernel returns null for short/null-element vectors even when the
+  // column itself is non-nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PQKernels.vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float|double>, got ${child.dataType}")
+
+  private lazy val isFloat = PQKernels.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PQKernels.encode(input.asInstanceOf[ArrayData], books, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.PQKernels.encode($c, $booksRef, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PQEncodeCodes =
+    copy(child = newChild)
+}
+
+/** `pq_adc_score(query_vec, codes)` → double approximate inner product. */
+case class PQAdcScore(left: Expression, right: Expression,
+    books: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!PQKernels.vecTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score requires array<float|double> query, got ${left.dataType}")
+    else right.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score requires array<int> codes, got $other")
+    }
+
+  private lazy val isFloat = PQKernels.isFloatArray(left.dataType)
+
+  override def nullSafeEval(qv: Any, codes: Any): Any =
+    PQKernels.adcScore(qv.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      books, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |Object $tmp = graft.functions.PQKernels.adcScore($q, $c, $booksRef, $isFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $tmp).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PQAdcScore =
+    copy(left = newLeft, right = newRight)
+}

@@ -388,7 +388,13 @@ object Dedup {
     val p = materializeOnce(pairs.select(col("id_a"), col("id_b")))
     val a = pos.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("sh"))
     val b = pos.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("sh"))
-    val matched = broadcast(p).join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
+    // Prune BOTH positional indexes to candidate docs with broadcast joins
+    // BEFORE the content-match shuffle — without the semi-join the b side
+    // would shuffle every document's positions on (id, shingle) just to
+    // drop the non-candidates at the join.
+    val bPruned = b.join(broadcast(p.select(col("id_b")).distinct()),
+      Seq("id_b"), "leftsemi")
+    val matched = broadcast(p).join(a, Seq("id_a")).join(bPruned, Seq("id_b", "sh"))
       .withColumn("__diag", col("pos_a") - col("pos_b"))
     val wd = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
       .orderBy(col("pos_a"))

@@ -148,30 +148,41 @@ object PQ {
     centroids
   }
 
-  /** Squared L2 distance between a literal centroid and the subvector
-    * `[s*dsub, (s+1)*dsub)` of `vec` — a sequential codegen'd fold, the
-    * association the oracle mirrors.
-    */
-  private def subDist2(vec: Column, s: Int, centroid: Array[Double]): Column = {
-    val dsub = centroid.length
-    aggregate(
-      zip_with(slice(vec, s * dsub + 1, dsub), array(centroid.map(lit): _*),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-  }
-
   /** Code array (one `0..nCentroids-1` code per subspace) for `vec`:
     * per subspace, the argmin of ROUNDED squared L2 distance, smallest
     * centroid id on ties. NULL input propagates NULL.
+    *
+    * Delegates to the native codegen kernel
+    * ([[graft.functions.PQEncodeCodes]]): the declarative higher-order-
+    * function formulation ([[pqEncodeExprDeclarative]], kept as the
+    * oracle-shaped reference) evaluates its lambdas interpreted per array
+    * element — ~0.65 ms/vector at the 8×16×8 shape, a non-starter for a
+    * billion-vector corpus. `PQSpec` pins native ≡ declarative bit-exact.
     */
-  def pqEncodeExpr(vec: Column, codebooks: Codebooks): Column = {
+  def pqEncodeExpr(vec: Column, codebooks: Codebooks): Column =
+    graft.functions.PQKernels.pqEncodeCodes(vec, codebooks)
+
+  /** Reference formulation of [[pqEncodeExpr]] in pure `functions._`
+    * combinators — the association and rounding the DuckDB oracles mirror,
+    * and the spec baseline the native kernel is pinned against.
+    */
+  def pqEncodeExprDeclarative(vec: Column, codebooks: Codebooks): Column = {
     val codes = codebooks.zipWithIndex.map { case (book, s) =>
-      // struct max over (-round(d2,6), -cid): min distance, smallest id on tie
-      val cands = book.zipWithIndex.map { case (cent, cid) =>
-        struct((-round(subDist2(vec, s, cent), 6)).as("negD"),
-          lit(-cid).as("negCid"))
-      }
-      (-array_max(array(cands.toSeq: _*)).getField("negCid")).cast("int")
+      val dsub = book.head.length
+      val bookLit = array(book.map(c => array(c.map(lit): _*)): _*)
+      val sub = slice(vec, s * dsub + 1, dsub)
+      // same sequential (x−y)² fold + round(…, 6) the oracle mirrors
+      val dists = transform(bookLit, c =>
+        round(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      // argmin, smallest centroid id on ties: strict < keeps the first
+      // (lowest-id) minimum while folding in index order
+      val indexed = zip_with(dists, sequence(lit(0), lit(book.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))
+      val best = aggregate(indexed,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
+      best.getField("i").cast("int")
     }
     // struct comparison would NOT propagate a null vector (a struct with a
     // null field is still a comparable struct), so guard explicitly
@@ -186,7 +197,13 @@ object PQ {
     * coded corpus row: `Σ_s dot(qv_sub_s, codebook_s[codes_s])`. Table
     * lookups into literal codebooks — pure codegen, no decode, no UDF.
     */
-  def adcScoreExpr(qv: Column, codes: Column, codebooks: Codebooks): Column = {
+  def adcScoreExpr(qv: Column, codes: Column, codebooks: Codebooks): Column =
+    // native codegen kernel; [[adcScoreExprDeclarative]] is the reference
+    // formulation, spec-pinned bit-exact against this one
+    graft.functions.PQKernels.pqAdcScore(qv, codes, codebooks)
+
+  /** Reference formulation of [[adcScoreExpr]] in pure combinators. */
+  def adcScoreExprDeclarative(qv: Column, codes: Column, codebooks: Codebooks): Column = {
     val terms = codebooks.zipWithIndex.map { case (book, s) =>
       val dsub = book.head.length
       // literal [centroid][dim] table for subspace s, indexed by the code

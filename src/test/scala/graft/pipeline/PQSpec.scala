@@ -120,6 +120,35 @@ class PQSpec extends SparkTestBase {
     }
   }
 
+  test("native kernels are bit-identical to the declarative formulation") {
+    // the native codegen kernel (PQEncodeCodes / PQAdcScore) must agree
+    // bit-for-bit with the pure-combinator reference on real float vectors
+    assumeTestData("/root/testdata/sf0.001")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = PQ.pqCodebooks(e, "vec_id", "embedding", nSubq = 8)
+
+    val both = e.select($"vec_id",
+        PQ.pqEncodeExpr($"embedding", books).as("native"),
+        PQ.pqEncodeExprDeclarative($"embedding", books).as("decl"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"encode mismatch: $r")
+    }
+
+    val coded = PQ.pqEncode(e, "embedding", books)
+      .select($"vec_id", $"embedding", $"pq_codes").limit(200)
+    val scores = coded.select(
+        PQ.adcScoreExpr($"embedding", $"pq_codes", books).as("native"),
+        PQ.adcScoreExprDeclarative($"embedding", $"pq_codes", books).as("decl"))
+      .collect()
+    scores.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"adc mismatch: $r")
+    }
+  }
+
   test("null and dimension guards") {
     intercept[IllegalArgumentException] {
       PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 3)

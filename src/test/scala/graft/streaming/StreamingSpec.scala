@@ -437,6 +437,52 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("exsym_lookup")).sorted.toSeq == Seq(0, 1))
   }
 
+  test("streaming windowed CMS is bit-identical to a batch sketch of the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "word")
+
+    val out = StreamingProfile.windowedHeavyHitters(
+      df, "ts", "word", windowDuration = "10 seconds",
+      watermarkDelay = "0 seconds", eps = 0.01, confidence = 0.9, seed = 7)
+    val q = out.writeStream.format("memory").queryName("cmswin")
+      .outputMode("append").start()
+
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // window [0,10s) items arrive across TWO batches (partial-sketch merge
+    // path exercised), with a null that must contribute nothing
+    val w1 = Seq("a", "b", "a", "c", "a", "b")
+    input.addData(w1.take(3).map(w => (t(2), w)): _*)
+    q.processAllAvailable()
+    input.addData(w1.drop(3).map(w => (t(7), w)): _*)
+    input.addData((t(8), null))
+    q.processAllAvailable()
+    input.addData((t(25), "z")) // advance watermark past the window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cmswin").orderBy("window_start").collect()
+    assert(rows.length == 1, s"expected one closed window: ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_rows") == 6L)
+    val streamBytes = rows(0).getAs[Array[Byte]]("cms_sketch")
+
+    // batch sketch of the same rows, same aggregate, weight 1: CM linearity
+    // says the serialized bytes must be IDENTICAL
+    val batchBytes = w1.map(w => Tuple1(w)).toDF("word")
+      .agg(graft.functions.CountMinSketchWeighted
+        .cmSketchWeighted(col("word"), lit(1L), 0.01, 0.9, 7).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamBytes, batchBytes))
+
+    // and the artifact answers frequency probes with the CM guarantee
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(streamBytes))
+    def est(w: String) =
+      cms.estimateCount(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(est("a") >= 3 && est("b") >= 2 && est("c") >= 1)
+    assert(cms.totalCount() == 6L)
+  }
+
   test("streaming windowed profile emits closed windows whose sketches re-union") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
