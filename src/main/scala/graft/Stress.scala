@@ -417,6 +417,30 @@ object Stress {
       s"recall not monotone in nProbe: $recalls")
     assert(recalls.last >= 0.9, s"recall@5 with nProbe=8 too low: ${recalls.last}")
 
+    // ---- PQ at volume: native-kernel encode of the planted corpus, then
+    // full-scan ADC top-k for the same 40 queries against the SAME
+    // brute-force truth as the IVF stage. Closed-form: every vector gets a
+    // code row; every query gets exactly k neighbors; recall@5 must clear
+    // 0.6 — on planted-cluster data the subspace codebooks capture the
+    // cluster structure, so a lower number means the encode or ADC path
+    // broke, not that the corpus is hard.
+    val pqBooks = graft.pipeline.PQ.pqCodebooks(
+      pVecs, "vec_id", "embedding", nSubq = 8, nCentroids = 64)
+    val encRows = timed("pq_encode",
+      graft.pipeline.PQ.pqEncode(pVecs, "embedding", pqBooks)
+        .select(col("vec_id"), col("pq_codes")))
+    assert(encRows == nvp, s"pq_encode dropped rows: $encRows != $nvp")
+    val t0Adc = System.nanoTime()
+    val adcPairs = graft.pipeline.PQ.pqTopK(
+        pVecs, pQueries, "vec_id", "embedding", 5, pqBooks)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sAdc = (System.nanoTime() - t0Adc) / 1e9
+    val adcRecall = adcPairs.count(truth.contains).toDouble / truth.size
+    println(f"""{"stage":"pq_adc_topk","recall":$adcRecall%.3f,"sec":$sAdc%.2f,"vecs":$nvp}""")
+    assert(adcPairs.length == truth.size, s"ADC row count: ${adcPairs.length}")
+    assert(adcRecall >= 0.6, s"ADC recall@5 too low: $adcRecall")
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

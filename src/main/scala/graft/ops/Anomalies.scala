@@ -91,4 +91,47 @@ object Anomalies {
       .withColumn(s"${valueCol}_w", least(greatest(v, col("lo")), col("hi")))
       .drop("__n", "__rn", "__lo_k", "__hi_k")
   }
+
+  /** Aggregate companion to [[winsorize]]: per key, `(n, lo, hi, sum_w)`
+    * where `sum_w` is the sum of the winsorized values — WITHOUT
+    * materializing the clamped rows. The rank decomposition
+    * `sum_w = (lo_k−1)·lo + (n−hi_k)·hi + Σ value[rn ∈ [lo_k, hi_k]]`
+    * holds exactly (rows below the lo rank clamp to lo, above the hi rank
+    * to hi, the middle keeps its value), so the whole statistic is ONE
+    * sorted window pass (rank + count) plus one aggregation reusing the
+    * same key partitioning — no bound-broadcast windows, no second pass.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles: $pLo, $pHi")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val sorted = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val whole  = Window.partitionBy(keys: _*)
+    val v = col(valueCol)
+    def kOf(p: Double): Column = {
+      val den = 1000000L
+      val num = math.round(p * den)
+      greatest(lit(1L), expr(s"(__n * $num + ${den - 1}) div $den"))
+    }
+    df.withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__rn", row_number().over(sorted).cast("long"))
+      .withColumn("__lo_k", kOf(pLo))
+      .withColumn("__hi_k", kOf(pHi))
+      .groupBy(keys: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(when(col("__rn") === col("__lo_k"), v)).as("lo"),
+        max(when(col("__rn") === col("__hi_k"), v)).as("hi"),
+        sum(when(col("__rn").between(col("__lo_k"), col("__hi_k")), v)).as("__mid"),
+        max(col("__lo_k")).as("__lo_k"), max(col("__hi_k")).as("__hi_k"))
+      .withColumn("sum_w",
+        (col("__lo_k") - 1L) * col("lo") + (col("n") - col("__hi_k")) * col("hi") +
+          col("__mid"))
+      .drop("__mid", "__lo_k", "__hi_k")
+  }
 }
