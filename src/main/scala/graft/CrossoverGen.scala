@@ -29,6 +29,7 @@ object CrossoverGen {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-crossover-gen").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

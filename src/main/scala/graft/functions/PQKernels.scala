@@ -28,12 +28,24 @@ object PQKernels {
 
   private def roundHalfUp6(d: Double): Double =
     // matches Spark's Round on DoubleType: BigDecimal.valueOf (i.e. the
-    // Double.toString shortest-repr parse), setScale(6, HALF_UP)
-    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    // Double.toString shortest-repr parse), setScale(6, HALF_UP); like
+    // RoundBase, NaN/Infinity pass through unchanged (BigDecimal.valueOf
+    // would throw NumberFormatException on them)
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   /** Argmin code per subspace; null iff the vector is null/short/has null
     * elements in the used prefix.
+    *
+    * Malformed-input divergence (intentional, spec-pinned): the declarative
+    * reference formulation yields `-1` codes for short/null-element vectors
+    * (null per-centroid distances never beat the `Double.MaxValue`/`-1`
+    * accumulator), while this kernel returns NULL for the whole code array —
+    * a saner contract for downstream ADC, which would otherwise silently
+    * score garbage against centroid `-1`. The "bit-exact ≡ declarative" pin
+    * therefore holds for well-formed inputs; PQSpec pins both edge behaviors
+    * explicitly.
     */
   def encode(vec: ArrayData, books: Array[Array[Array[Double]]],
       isFloat: Boolean): GenericArrayData = {
@@ -161,6 +173,20 @@ case class PQEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
     })
   }
 
+  // case-class equality on Array fields is reference identity, which breaks
+  // semanticEquals (and thus CSE / exchange reuse) for two expressions built
+  // from equal codebooks — compare contents instead
+  override def equals(other: Any): Boolean = other match {
+    case PQEncodeCodes(c, b) =>
+      c == child && java.util.Arrays.deepEquals(
+        b.asInstanceOf[Array[AnyRef]], books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): PQEncodeCodes =
     copy(child = newChild)
 }
@@ -200,6 +226,19 @@ case class PQAdcScore(left: Expression, right: Expression,
        """.stripMargin
     })
   }
+
+  // see PQEncodeCodes.equals: content equality over the codebook array so
+  // equal-codebook expressions are semanticEquals
+  override def equals(other: Any): Boolean = other match {
+    case PQAdcScore(l, r, b) =>
+      l == left && r == right && java.util.Arrays.deepEquals(
+        b.asInstanceOf[Array[AnyRef]], books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PQAdcScore =

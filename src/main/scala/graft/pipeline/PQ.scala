@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,51 @@ object PQ {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       kmeansL2(pts, math.min(nCentroids, pts.length), iters, seed + s)
     }
+  }
+
+  /** Persist trained codebooks as a small parquet artifact — (subq,
+    * centroid_id, dim_idx, value) scalars, the same export convention the
+    * relational oracles reassemble with `list(... ORDER BY dim_idx)`.
+    *
+    * This is the production artifact boundary (same contract as
+    * [[Sketches.hllPartSketches]] and `Dedup.nearDupsAgainstPrior`): train
+    * ONCE per corpus snapshot, then every encode/search job — including
+    * incremental encodes of new batches — LOADS the ~8 KB artifact instead
+    * of re-sampling and re-running k-means. At 100 TB the trainer's sample
+    * collect is the only driver-side step; everything downstream is a
+    * narrow codegen map, so the artifact is what makes encode restartable
+    * and horizontally composable.
+    */
+  def saveCodebooks(spark: SparkSession, books: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    val rows = books.zipWithIndex.toSeq.flatMap { case (book, s) =>
+      book.zipWithIndex.toSeq.flatMap { case (cent, c) =>
+        cent.zipWithIndex.toSeq.map { case (x, d) => (s, c, d, x) }
+      }
+    }
+    rows.toDF("subq", "centroid_id", "dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[saveCodebooks]]. The artifact is ~1k
+    * scalar rows regardless of corpus size, so the collect is bounded.
+    */
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("subq").cast("int"), col("centroid_id").cast("int"),
+        col("dim_idx").cast("int"), col("value").cast("double"))
+      .collect()
+    require(rows.nonEmpty, s"empty PQ codebook artifact at $path")
+    val nSubq = rows.iterator.map(_.getInt(0)).max + 1
+    val nCent = rows.iterator.map(_.getInt(1)).max + 1
+    val dsub  = rows.iterator.map(_.getInt(2)).max + 1
+    val books = Array.fill(nSubq, nCent, dsub)(Double.NaN)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    require(books.forall(_.forall(_.forall(!_.isNaN))),
+      s"PQ codebook artifact at $path is not a dense (subq, centroid, dim) grid")
+    books
   }
 
   /** Plain Euclidean k-means (the subspace trainer): k-means++ seeding,

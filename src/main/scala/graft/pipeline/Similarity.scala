@@ -256,6 +256,42 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 
+  /** Persist trained IVF centroids as a small parquet artifact — (cell_id,
+    * dim_idx, value) scalars, the export convention the relational oracles
+    * reassemble with `list(... ORDER BY dim_idx)`. Same artifact boundary
+    * as [[PQ.saveCodebooks]]: train once per corpus snapshot; assignment /
+    * probe jobs load the KB-scale artifact instead of re-running k-means.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Long, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    val rows = centroids.toSeq.flatMap { case (id, vec) =>
+      vec.zipWithIndex.toSeq.map { case (x, d) => (id, d, x) }
+    }
+    rows.toDF("cell_id", "dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids persisted by [[saveCentroids]] (bounded collect: one
+    * scalar row per centroid dimension).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Array[Double])] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell_id").cast("long"), col("dim_idx").cast("int"),
+        col("value").cast("double"))
+      .collect()
+    require(rows.nonEmpty, s"empty IVF centroid artifact at $path")
+    rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (id, rs) =>
+      val vec = new Array[Double](rs.iterator.map(_.getInt(1)).max + 1)
+      java.util.Arrays.fill(vec, Double.NaN)
+      rs.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+      require(vec.forall(!_.isNaN),
+        s"IVF centroid artifact at $path has a sparse dim grid for cell $id")
+      (id, vec)
+    }
+  }
+
   /** Nearest-centroid cell id as a single codegen'd column expression.
     * The similarity is rounded to 6 decimals before the argmax (ties then
     * break to the smallest cell id): an unrounded argmax would let a

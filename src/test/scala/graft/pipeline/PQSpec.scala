@@ -149,6 +149,76 @@ class PQSpec extends SparkTestBase {
     }
   }
 
+  test("NaN / Infinity elements don't crash the native kernel (Round-style passthrough)") {
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
+    val weird = Seq(
+      (20L, Seq(Float.NaN, 0.0f, 10.0f, 10.0f)),
+      (21L, Seq(Float.PositiveInfinity, 0.0f, 0.0f, 0.0f)),
+      (22L, Seq(0.0f, 0.0f, 10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    // must not throw (BigDecimal.valueOf would NumberFormatException on
+    // NaN/Inf); the clean row must still encode normally
+    val out = PQ.pqEncode(weird, "embedding", books)
+      .select($"vec_id", $"pq_codes").orderBy("vec_id").collect()
+    assert(out.length == 3)
+    val clean = out(2).getSeq[Int](1)
+    assert(clean.forall(c => c >= 0 && c < 2))
+    // NaN distances never beat the Double.MaxValue accumulator in the NaN
+    // subspace; Infinity rounds through and loses to any finite distance —
+    // either way the result is a well-formed code array, not a crash
+    assert(!out(0).isNullAt(1) && !out(1).isNullAt(1))
+  }
+
+  test("malformed-vector divergence is pinned: native NULL vs declarative -1") {
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
+    val short = Seq((30L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val both = short.select(
+      PQ.pqEncodeExpr($"embedding", books).as("native"),
+      PQ.pqEncodeExprDeclarative($"embedding", books).as("decl")).collect()(0)
+    // documented intentional divergence (PQKernels.encode scaladoc): the
+    // native kernel refuses short vectors with NULL; the declarative fold
+    // encodes the complete subspace normally and degrades the incomplete
+    // one to -1 (its zip_with null-pads, nulling every distance)
+    assert(both.isNullAt(0))
+    val decl = both.getSeq[Int](1)
+    assert(decl.length == 2 && decl.head >= 0 && decl.last == -1, decl)
+  }
+
+  test("codebook artifact round-trips bit-exactly through parquet") {
+    val books = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_artifact").toString
+    try {
+      PQ.saveCodebooks(spark, books, s"$dir/cb")
+      val loaded = PQ.loadCodebooks(spark, s"$dir/cb")
+      assert(loaded.length == books.length)
+      books.zip(loaded).foreach { case (b, l) =>
+        assert(b.length == l.length)
+        b.zip(l).foreach { case (c1, c2) =>
+          assert(c1.toSeq == c2.toSeq) // exact doubles, not approx
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("equal codebooks make encode expressions semanticEquals (CSE-able)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val books  = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
+    val books2 = books.map(_.map(_.clone()))
+    val child  = Literal.create(Seq(1.0, 2.0, 3.0, 4.0), ArrayType(DoubleType))
+    val e1 = graft.functions.PQEncodeCodes(child, books)
+    val e2 = graft.functions.PQEncodeCodes(child, books2)
+    // distinct array instances with equal contents must compare equal, or
+    // common-subexpression elimination / exchange reuse can never fire
+    assert(e1 == e2 && e1.hashCode() == e2.hashCode())
+    val codes = Literal.create(Seq(0, 1), ArrayType(org.apache.spark.sql.types.IntegerType))
+    val a1 = graft.functions.PQAdcScore(child, codes, books)
+    val a2 = graft.functions.PQAdcScore(child, codes, books2)
+    assert(a1 == a2 && a1.hashCode() == a2.hashCode())
+  }
+
   test("null and dimension guards") {
     intercept[IllegalArgumentException] {
       PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 3)
