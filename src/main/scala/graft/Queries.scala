@@ -3107,6 +3107,24 @@ object Queries {
       |       round(sum(least(greatest(value, lo), hi)), 2) AS sum_w
       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Same statistic as [[winsorized]] via the rank-decomposition aggregate
+    * ([[Anomalies.winsorizedStats]]): `sum_w = (lo_k−1)·lo + (n−hi_k)·hi +
+    * Σ middle` — no clamped rows materialized and NO bound-broadcast
+    * windows, just the one sorted window pass + a groupBy reusing the same
+    * key partitioning. This is the plan to use when only the aggregates
+    * are needed; the oracle is the independent clamp-and-sum formulation,
+    * so the decomposition identity itself is what's being checked.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"value")
+    Anomalies.winsorizedStats(ev, Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+      .select($"event_type", $"n", $"lo", $"hi", round($"sum_w", 2).as("sum_w"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedStatsSql: String = winsorizedSql
+
   /** Per-source document quota ([[graft.pipeline.Sampling.capPerKey]]):
     * keep the 20 lowest-id docs per source — rank-limit runs through
     * WindowGroupLimit (partial top-k before the shuffle).

@@ -85,13 +85,20 @@ object TextAnalysis {
     * bit-for-bit.
     */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
-    val nChars  = length(text).cast("long")
-    val nTokens = tokenCount(text)
-    val nPunct  = regexp_count(text, lit("[.,!?;:]")).cast("long")
-    val nAlnum  = (nChars - regexp_count(text, lit("[^A-Za-z0-9]")).cast("long"))
-    val nUpper  = regexp_count(text, lit("[A-Z]")).cast("long")
+    // ONE native byte-scan for every integer signal
+    // ([[graft.functions.QualityCounts]] documents the per-field regex
+    // equivalences); the six getFields share the single kernel evaluation
+    // via codegen subexpression elimination. The previous formulation paid
+    // four regex passes + a word scan per row — the regex engine was the
+    // whole cost of q_text_quality.
     val enStops = StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
-    val nStops  = wordListHits(text, enStops)
+    val qc      = graft.functions.QualityCounts.qualityCounts(text, enStops)
+    val nChars  = qc.getField("n_chars")
+    val nTokens = qc.getField("n_tokens")
+    val nPunct  = qc.getField("n_punct")
+    val nAlnum  = qc.getField("n_alnum")
+    val nUpper  = qc.getField("n_upper")
+    val nStops  = qc.getField("n_stops")
     Seq(
       "n_chars"        -> nChars,
       "n_tokens"       -> nTokens,

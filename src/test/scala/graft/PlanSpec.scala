@@ -324,6 +324,18 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("winsorizedStats: one data exchange; groupBy reuses the window partitioning") {
+    assumeTestData(dir)
+    val ev = Queries.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val plan = graft.ops.Anomalies.winsorizedStats(ev, Seq("event_type"), "value")
+      .queryExecution.explainString(SimpleMode)
+    // the sorted window introduces the key partitioning; the final
+    // aggregation groups on the same keys so no second exchange appears
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("shared spans: pair-gated equijoins only, windows key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)

@@ -55,12 +55,22 @@ class CodegenCompileSpec extends SparkTestBase {
         VectorDot.vectorDot($"va", $"vb").as("dot"),
         WordListHits.wordListHits($"text", Seq("the", "with")).as("hits"),
         WordShingles.wordShingles($"text", 3).as("shingles"),
-        BloomMightContain.mightContain($"text", bloom).as("maybe")
+        BloomMightContain.mightContain($"text", bloom).as("maybe"),
+        WordCounts.wordCounts($"text").as("wc"),
+        RepetitionCounts.repetitionCounts($"text").as("rep"),
+        QualityCounts.qualityCounts($"text", Seq("the", "with"))
+          .getField("n_stops").as("qstops"),
+        PQKernels.pqEncodeCodes($"va",
+          Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("pq"),
+        PQKernels.pqAdcScore($"va", array(lit(1)),
+          Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("adc")
       ).collect()
 
       assert(out.length == 2)
       assert(out.forall(_.getBoolean(8)), "bloom built from the same column")
       assert(out(0).getLong(6) == 2L && out(1).getLong(6) == 1L, "word hits")
+      assert(out(0).getLong(11) == 2L && out(1).getLong(11) == 1L, "quality stops")
+      assert(out.forall(r => !r.isNullAt(12) && !r.isNullAt(13)), "pq kernels")
     }
   }
 }
