@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live counterparts of [[graft.ops.RollingStats]] — per-key rolling
+  * Pearson correlation and least-squares slope over the last `frameRows`
+  * rows, one output row per event, with BIT-exact batch parity.
+  *
+  * Parity mechanics (the [[StreamingBars.ewma]] frame-as-state pattern):
+  * the state is the frame itself — the last `frameRows` `(x, y, ok)` rows,
+  * `ok` marking rows where both inputs are present (a null-pair row holds
+  * a frame SLOT, matching the batch `rowsBetween` frame, but contributes
+  * to no sum — SQL `corr` pair semantics). Every event recomputes the six
+  * co-moment sums by the same oldest-first fold Spark's sliding
+  * WindowFrame runs (first contribution assigns, later ones add — the
+  * `coalesce(sum + x, x)` association), then evaluates the identical
+  * closed-form expression with the identical HALF_UP rounding, so stream
+  * output ≡ batch output double-for-double. An incremental update
+  * (`sx' = sx + x − x_evicted`) would drift in the last ulp — the frame
+  * recompute is O(frame) per event and keeps replay-vs-tail equality
+  * exact.
+  *
+  * Ordering contract shared with the whole streaming family: rows process
+  * in ts order per key within a micro-batch; arrivals at or before the
+  * key's last seen ts are dropped. `idleTimeout` evicts silent keys —
+  * output is per-event, so eviction costs only frame history (a resumed
+  * key restarts cold, like a fresh key).
+  *
+  * Scale shape: state is O(frame) doubles per key in the state store; the
+  * computation is embarrassingly parallel over keys, exactly like the
+  * batch operator's one hash shuffle.
+  */
+object StreamingRollingStats {
+
+  private[streaming] case class CoMomentState(
+      prevTs: Long, xs: List[Double], ys: List[Double], ok: List[Boolean])
+
+  private def roundHalfUp(d: Double, scale: Int): Double =
+    // Spark Round on DoubleType: shortest-repr BigDecimal, HALF_UP,
+    // NaN/Infinity passthrough
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (n, sx, sy, sxy, sxx, syy) over the frame, folded oldest-first with
+    * assign-then-add association (what the batch window's six `sum`s do).
+    */
+  private def coMoments(st: CoMomentState): (Long, Double, Double, Double, Double, Double) = {
+    var n = 0L
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var started = false
+    val xi = st.xs.iterator; val yi = st.ys.iterator; val oi = st.ok.iterator
+    while (xi.hasNext) {
+      val x = xi.next(); val y = yi.next(); val o = oi.next()
+      if (o) {
+        if (!started) {
+          sx = x; sy = y; sxy = x * y; sxx = x * x; syy = y * y
+          started = true
+        } else {
+          sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+        }
+        n += 1
+      }
+    }
+    (n, sx, sy, sxy, sxx, syy)
+  }
+
+  private def advance(st: CoMomentState, t: Long,
+      x: Option[Double], y: Option[Double], frameRows: Int): CoMomentState = {
+    val ok = x.isDefined && y.isDefined
+    CoMomentState(t,
+      (st.xs :+ x.getOrElse(0.0)).takeRight(frameRows),
+      (st.ys :+ y.getOrElse(0.0)).takeRight(frameRows),
+      (st.ok :+ ok).takeRight(frameRows))
+  }
+
+  /** Streaming rolling Pearson correlation: one `(key, ts, roll_corr,
+    * n_pairs)` row per event — `roll_corr` NULL under exactly the batch
+    * rules (fewer than two pairs in frame, or a zero variance term).
+    */
+  def rollingCorr[K](
+      ds: Dataset[(K, Long, Option[Double], Option[Double])],
+      frameRows: Int = 20,
+      roundTo: Int = 6,
+      idleTimeout: Option[String] = None)(
+      implicit ke: Encoder[K],
+      outEnc: Encoder[(K, Long, Option[Double], Long)])
+      : Dataset[(K, Long, Option[Double], Long)] = {
+    require(frameRows >= 2, s"frame must be >= 2 rows: $frameRows")
+    implicit val stateEnc: Encoder[CoMomentState] = Encoders.product[CoMomentState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[CoMomentState, (K, Long, Option[Double], Long)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Option[Double], Option[Double])],
+         state: GroupState[CoMomentState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(K, Long, Option[Double], Long)]
+            var st = state.getOption.getOrElse(CoMomentState(Long.MinValue, Nil, Nil, Nil))
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, x, y) =>
+              if (t > st.prevTs) {
+                st = advance(st, t, x, y, frameRows)
+                val (n, sx, sy, sxy, sxx, syy) = coMoments(st)
+                val nD   = n.toDouble
+                val varX = nD * sxx - sx * sx
+                val varY = nD * syy - sy * sy
+                val corr =
+                  if (n >= 2 && varX > 0 && varY > 0)
+                    Some(roundHalfUp((nD * sxy - sx * sy) /
+                      (math.sqrt(varX) * math.sqrt(varY)), roundTo))
+                  else None
+                out += ((key, t, corr, n))
+              } // else: stale arrival, drop
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming rolling least-squares line of y on x: one `(key, ts,
+    * roll_slope, roll_icept, n_pairs)` row per event. Same conditioning
+    * caveat as the batch operator: re-anchor a timestamp x-axis to a small
+    * range first — the cancellation in `nΣx² − (Σx)²` is identical here.
+    */
+  def rollingSlope[K](
+      ds: Dataset[(K, Long, Option[Double], Option[Double])],
+      frameRows: Int = 20,
+      roundTo: Int = 6,
+      idleTimeout: Option[String] = None)(
+      implicit ke: Encoder[K],
+      outEnc: Encoder[(K, Long, Option[Double], Option[Double], Long)])
+      : Dataset[(K, Long, Option[Double], Option[Double], Long)] = {
+    require(frameRows >= 2, s"frame must be >= 2 rows: $frameRows")
+    implicit val stateEnc: Encoder[CoMomentState] = Encoders.product[CoMomentState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[CoMomentState, (K, Long, Option[Double], Option[Double], Long)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Option[Double], Option[Double])],
+         state: GroupState[CoMomentState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(K, Long, Option[Double], Option[Double], Long)]
+            var st = state.getOption.getOrElse(CoMomentState(Long.MinValue, Nil, Nil, Nil))
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, x, y) =>
+              if (t > st.prevTs) {
+                st = advance(st, t, x, y, frameRows)
+                val (n, sx, sy, sxy, sxx, _) = coMoments(st)
+                val nD   = n.toDouble
+                val varX = nD * sxx - sx * sx
+                if (n >= 2 && varX > 0) {
+                  val slope = (nD * sxy - sx * sy) / varX
+                  out += ((key, t, Some(roundHalfUp(slope, roundTo)),
+                    Some(roundHalfUp((sy - slope * sx) / nD, roundTo)), n))
+                } else out += ((key, t, None, None, n))
+              } // else: stale arrival, drop
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+}

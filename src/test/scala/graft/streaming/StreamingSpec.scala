@@ -714,4 +714,88 @@ class StreamingSpec extends SparkTestBase {
       .sortBy(r => (r._1, r._2))
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
+
+  test("streaming rolling corr: batch parity incl. null pairs; stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double], Option[Double])]
+    val out = StreamingRollingStats.rollingCorr(input.toDS(), frameRows = 3)
+      .toDF("k", "t", "roll_corr", "n_pairs")
+    val q = out.writeStream.format("memory").queryName("rollcorr_stream")
+      .outputMode("append").start()
+
+    // frame carries across micro-batches; the null-pair row at t=3 holds a
+    // frame slot but contributes to no sum; two keys interleave
+    input.addData(("a", 1L, Some(1.0), Some(2.0)), ("a", 2L, Some(2.0), Some(3.5)),
+      ("b", 1L, Some(5.0), Some(5.0)))
+    q.processAllAvailable()
+    input.addData(("a", 3L, None, Some(9.0)), ("a", 4L, Some(4.0), Some(8.0)),
+      ("b", 2L, Some(6.0), Some(4.0)))
+    q.processAllAvailable()
+    // stale arrival (t=2 <= last seen 4) must not perturb the frame
+    input.addData(("a", 2L, Some(99.0), Some(99.0)), ("a", 5L, Some(5.0), Some(1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rollcorr_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+
+    // interior hand-check: frame at a/t=4 is [(2,3.5),slot,(4,8)] -> the 2
+    // pairs are exactly linear -> corr 1.0
+    assert(rows.find(r => r._1 == "a" && r._2 == 4L).get._3.contains(1.0))
+
+    val batch = graft.ops.RollingStats.rollingCorr(
+      Seq(("a", 1L, Some(1.0), Some(2.0)), ("a", 2L, Some(2.0), Some(3.5)),
+        ("a", 3L, None: Option[Double], Some(9.0)), ("a", 4L, Some(4.0), Some(8.0)),
+        ("a", 5L, Some(5.0), Some(1.0)), ("b", 1L, Some(5.0), Some(5.0)),
+        ("b", 2L, Some(6.0), Some(4.0))).toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", frameRows = 3)
+      .select(col("k"), col("t"), col("roll_corr"), col("n_pairs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("streaming rolling slope: batch parity; degenerate frames NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double], Option[Double])]
+    val out = StreamingRollingStats.rollingSlope(input.toDS(), frameRows = 3)
+      .toDF("k", "t", "roll_slope", "roll_icept", "n_pairs")
+    val q = out.writeStream.format("memory").queryName("rollslope_stream")
+      .outputMode("append").start()
+
+    // key c is CONSTANT in x -> zero x-variance -> slope must stay NULL
+    input.addData(("a", 1L, Some(0.0), Some(1.0)), ("a", 2L, Some(1.0), Some(3.0)),
+      ("c", 1L, Some(2.0), Some(1.0)), ("c", 2L, Some(2.0), Some(7.0)))
+    q.processAllAvailable()
+    input.addData(("a", 3L, Some(2.0), Some(5.0)), ("a", 4L, Some(3.0), Some(6.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rollslope_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+
+    // hand-check: a/t=3 frame pairs (0,1),(1,3),(2,5) -> slope 2, icept 1
+    assert(rows.find(r => r._1 == "a" && r._2 == 3L).get._3.contains(2.0))
+    assert(rows.find(r => r._1 == "a" && r._2 == 3L).get._4.contains(1.0))
+    assert(rows.filter(_._1 == "c").forall(r => r._3.isEmpty && r._4.isEmpty))
+
+    val batch = graft.ops.RollingStats.rollingSlope(
+      Seq(("a", 1L, Some(0.0), Some(1.0)), ("a", 2L, Some(1.0), Some(3.0)),
+        ("a", 3L, Some(2.0), Some(5.0)), ("a", 4L, Some(3.0), Some(6.0)),
+        ("c", 1L, Some(2.0), Some(1.0)), ("c", 2L, Some(2.0), Some(7.0)))
+        .toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", frameRows = 3)
+      .select(col("k"), col("t"), col("roll_slope"), col("roll_icept"), col("n_pairs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
 }
