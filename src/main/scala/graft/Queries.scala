@@ -2156,6 +2156,57 @@ object Queries {
       |FROM p JOIN generate_series(0, 7) g(f) ON g.f < p.nf AND g.f % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** REAL compressed-container video decode ([[Multimodal.decodeMjpegFrames]]):
+    * deterministic solid-gray MJPEG/AVI clips are built per doc (JDK JPEG
+    * writer inside the RIFF layout), walked + decoded by the pure-JVM
+    * container reader, every 2nd frame sampled. JPEG is LOSSY, so unlike
+    * the GIF oracle the luma cannot be re-derived exactly in SQL: the
+    * frame GRID (doc, frame_idx, width, height) is pinned exactly, and the
+    * decoded luma is certified against the planted value within the DC-
+    * quantization bound (`luma_ok` must be uniformly true — a wrong frame
+    * order, failed decode, or garbage raster all break it).
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 40)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val nf = 3 + (d % 3).toInt
+      val w  = 16 + (d % 4).toInt * 2
+      val h  = 12 + (d % 3).toInt * 2
+      val frames = (0 until nf).map { f =>
+        val v = ((d * 17 + f * 29) % 200).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        img
+      }
+      (d, Multimodal.encodeMjpegAvi(frames, fps = 5))
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeMjpegFrames(blobs, "doc_id", everyN = 2)
+      .withColumn("luma_ok",
+        abs(col("mean_luma") - (col("doc_id") * 17 + col("frame_idx") * 29) % 200) <= 4.0)
+      .drop("mean_luma")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoFramesSql: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         3 + doc_id % 3 AS nf,
+      |         CAST(16 + (doc_id % 4) * 2 AS INTEGER) AS width,
+      |         CAST(12 + (doc_id % 3) * 2 AS INTEGER) AS height
+      |  FROM documents WHERE doc_id < 40
+      |)
+      |SELECT doc_id, CAST(g.f AS BIGINT) AS frame_idx, width, height,
+      |       TRUE AS luma_ok
+      |FROM p JOIN generate_series(0, 5) g(f) ON g.f < p.nf AND g.f % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP ship with Java SE, no external media libs needed); AUDIO
   * decodes for real for WAV/PCM containers ([[decodeWav]]/[[decodeAudio]] —
   * RIFF parsing is pure `java.nio`, no codec lib required). VIDEO decodes
-  * for real for the one multi-frame container the JDK ships a codec for —
-  * animated GIF ([[gifFrames]]/[[decodeGifFrames]], per-frame sampling +
-  * luminance); compressed codecs (H.264/VP9/…) keep the clearly-marked
-  * deterministic stub ([[stubDecode]]) — swap in a JNI/FFM binding without
-  * touching the plan shape.
+  * for real for BOTH multi-frame formats the JDK can handle — animated GIF
+  * ([[gifFrames]]/[[decodeGifFrames]]) and Motion-JPEG in an AVI container
+  * ([[mjpegFrames]]/[[decodeMjpegFrames]]: pure-JVM RIFF walk + the
+  * bundled JPEG reader, per-frame sampling + luminance); inter-frame
+  * compressed codecs (H.264/VP9/…) keep the clearly-marked deterministic
+  * stub ([[stubDecode]]) — swap in a JNI/FFM binding without touching the
+  * plan shape.
   *
   * Scale notes: payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
   * governs batch memory; feature extraction is `mapPartitions` over an
@@ -383,6 +385,169 @@ object Multimodal {
       ios.close()
     }
     bos.toByteArray
+  }
+
+  // ----------------------------------------------------------- video (MJPEG)
+
+  /** Mean integer-Rec.601 luminance of a decoded frame (shared by the GIF
+    * and MJPEG paths): bulk row reads, integer luma per pixel.
+    */
+  private def meanLumaOf(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (w.toLong * h)
+  }
+
+  /** REAL compressed-container video decode without any external codec:
+    * Motion-JPEG in an AVI (RIFF) container — every frame is a complete
+    * JPEG, and the JDK ships a JPEG reader, so a pure-JVM RIFF chunk walk
+    * (`LIST movi` → `??dc`/`??db` frame chunks, same `java.nio` discipline
+    * as [[decodeWav]]) plus `ImageIO` per frame decodes the whole stream.
+    * Emits one `(frame_idx, width, height, mean_luma)` per sampled frame,
+    * exactly [[gifFrames]]'s shape.
+    *
+    * Robustness: chunk sizes are CLAIMS — every offset is clamped to the
+    * payload length; each frame's dimensions are header-probed and
+    * bomb-guarded by [[MaxImagePixels]] inside [[readImage]]; a broken or
+    * oversized frame is skipped, not fatal. Inter-frame-compressed codecs
+    * (H.264/VP9/…) remain out of JDK reach — [[stubDecode]] stays their
+    * documented placeholder, and this walker is the slot a JNI/FFM codec
+    * binding would fill.
+    */
+  def mjpegFrames(payload: Array[Byte], everyN: Int): Seq[(Int, Int, Int, Double)] = {
+    require(everyN > 0)
+    if (payload == null || payload.length < 12) return Nil
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+    try {
+      var frameIdx = 0
+      var pos = 12
+      while (pos + 8 <= payload.length) {
+        val id   = tag(pos)
+        val size = bb.getInt(pos + 4).toLong & 0xffffffffL
+        val start = pos + 8
+        if (id == "LIST" && start + 4 <= payload.length && tag(start) == "movi") {
+          // walk the frame chunks inside the movi list, clamped to reality
+          val listEnd = math.min(start + size, payload.length.toLong).toInt
+          var p = start + 4
+          while (p + 8 <= listEnd) {
+            val cid   = tag(p)
+            val csize = bb.getInt(p + 4).toLong & 0xffffffffL
+            val cstart = p + 8
+            val cend   = math.min(cstart + csize, listEnd.toLong).toInt
+            if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) &&
+                cend > cstart) {
+              if (frameIdx % everyN == 0) {
+                val img = readImage(
+                  java.util.Arrays.copyOfRange(payload, cstart, cend))
+                if (img != null)
+                  out += ((frameIdx, img.getWidth, img.getHeight, meanLumaOf(img)))
+              }
+              frameIdx += 1
+            }
+            val cpad = csize + (csize & 1L)
+            p = if (cpad > (listEnd - cstart).toLong) listEnd else cstart + cpad.toInt
+          }
+        }
+        val padded = size + (size & 1L)
+        pos = if (padded > (payload.length - start).toLong) payload.length
+              else start + padded.toInt
+      }
+    } catch { case _: Exception => () }
+    out.toSeq
+  }
+
+  /** Distributed MJPEG/AVI decode over the blob table — one row per sampled
+    * frame, the same bounded-memory one-to-many flatMap shape as
+    * [[decodeGifFrames]].
+    */
+  def decodeMjpegFrames(df: DataFrame, idCol: String, everyN: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        mjpegFrames(payload, everyN).iterator.map { case (f, w, h, luma) =>
+          (id, f.toLong, w, h, luma)
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** Minimal AVI-MJPEG encoder (test/query fixture): canonical RIFF layout
+    * — `hdrl` (avih + one `vids/MJPG` stream with its BITMAPINFOHEADER),
+    * `movi` with one word-aligned `00dc` JPEG chunk per frame, and an
+    * `idx1` keyframe index. Frames are JPEG-encoded by the JDK's own
+    * writer; decodable by [[mjpegFrames]] and by stock AVI tooling.
+    */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val jpegs = frames.map { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", bos)
+      bos.toByteArray
+    }
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val n = frames.length
+    def chunkLen(body: Int): Int = 8 + body + (body & 1)
+    val aviHdrLen  = chunkLen(56)                    // avih
+    val strlLen    = 4 + chunkLen(56) + chunkLen(40) // 'strl' + strh + strf
+    val hdrlLen    = 4 + aviHdrLen + chunkLen(strlLen)
+    val moviBody   = 4 + jpegs.map(j => chunkLen(j.length)).sum
+    val idx1Body   = 16 * n
+    val riffBody   = 4 + chunkLen(hdrlLen) + chunkLen(moviBody) + chunkLen(idx1Body)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0x10 /* HASINDEX */)
+      .putInt(n).putInt(0).putInt(1).putInt(0).putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putInt(0).putInt(0)          // flags, prio+lang, initialFrames
+      .putInt(1).putInt(fps)                  // scale, rate
+      .putInt(0).putInt(n).putInt(jpegs.map(_.length).max)
+      .putInt(-1).putInt(0)                   // quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fourcc("MJPG")
+    bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); bb.putInt(j.length); bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte)
+    }
+    fourcc("idx1"); bb.putInt(idx1Body)
+    // idx1 offsets are measured from the 'movi' fourcc position
+    var rel = 4
+    jpegs.foreach { j =>
+      fourcc("00dc"); bb.putInt(0x10); bb.putInt(rel); bb.putInt(j.length)
+      rel += chunkLen(j.length)
+    }
+    bb.array()
   }
 
   // ------------------------------------------------------------------ audio
