@@ -442,6 +442,68 @@ object Stress {
     assert(adcPairs.length == truth.size, s"ADC row count: ${adcPairs.length}")
     assert(adcRecall >= 0.6, s"ADC recall@5 too low: $adcRecall")
 
+    // ---- k-means‖ distributed trainer on a UNIFORM (unclustered) corpus:
+    // the regime where a fixed 4096-row sample under-fits many cells
+    // (256 cells → 16 samples/cell). The coreset trainer sees the WHOLE
+    // corpus cost-weighted while the driver holds only ~ℓ·rounds
+    // candidates, so its quantizer must fit AT LEAST as well — asserted on
+    // the training OBJECTIVE (mean angular misfit over the corpus), the
+    // metric the trainer actually optimizes. Recall@5 at nProbe=8 rides
+    // along as a parity band, not a superiority claim: on structureless
+    // vectors, small-probe recall is NOT monotone in quantizer quality
+    // (measured here: distributed obj 0.3333 < sampled 0.3342 while
+    // recall 0.79 vs 0.87 — boundary neighbors split differently), and
+    // uniform corpora are exactly where plain sampling is adequate. The
+    // distributed path's claim is bounded driver state at unbounded corpus
+    // diversity, with no fit regression.
+    val nvu = 300000L
+    val uVecs = spark.range(nvu).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") - 1000.0)
+          / 1000.0).as("embedding"))
+    val uQueries = uVecs.filter(pmod(col("vec_id"), lit(9999L)) === 5L).limit(30)
+    val uTruth = graft.pipeline.Similarity.bruteForceTopK(
+      uQueries, uVecs, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivfEval(cents: Array[(Long, Array[Double])], label: String): (Double, Double) = {
+      val t1 = System.nanoTime()
+      val hits = graft.pipeline.Similarity.ivfTopK(
+        uVecs, uQueries, "vec_id", "embedding", 5, cents, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(uTruth.contains)
+      val occ = graft.pipeline.Similarity.ivfAssign(uVecs, "embedding", cents)
+        .groupBy("cell_id").count().collect().map(_.getLong(1))
+      assert(occ.length == cents.length, s"$label: dead cells (${occ.length})")
+      assert(occ.max <= 2 * (occ.sum / occ.length), s"$label: skewed cells ${occ.max}")
+      val cands = cents.map { case (_, v) =>
+        val nm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nm)
+      }
+      val sq = aggregate(transform(col("embedding"), x => x * x), lit(0.0), (a, b) => a + b)
+      val obj = uVecs.select(
+          when(sq === 0.0, col("embedding"))
+            .otherwise(transform(col("embedding"), x => x / sqrt(sq))).as("nv"))
+        .select((graft.functions.NearestCentroid.nearestCentroid(col("nv"), cands)
+          .getField("d2") / 2.0).as("ad"))
+        .agg(avg(col("ad"))).head.getDouble(0)
+      val recall = hits.toDouble / uTruth.size
+      val sE = (System.nanoTime() - t1) / 1e9
+      println(f"""{"stage":"kmeanspar_$label","recall":$recall%.3f,"objective":$obj%.5f,"sec":$sE%.2f,"vecs":$nvu}""")
+      (recall, obj)
+    }
+    val sCents = graft.pipeline.Similarity.ivfCentroids(
+      uVecs, "vec_id", "embedding", nCells = 256)
+    val (sRec, sObj) = ivfEval(sCents, "sampled")
+    val dCents = graft.pipeline.Similarity.ivfCentroids(
+      uVecs, "vec_id", "embedding", nCells = 256,
+      sampleSize = None, oversample = 1024, rounds = 4)
+    val (dRec, dObj) = ivfEval(dCents, "distributed")
+    assert(dObj <= sObj + 1e-4,
+      s"distributed trainer fits worse than the 4096-sample one: $dObj vs $sObj")
+    assert(dRec >= 0.6 && dRec >= sRec - 0.12,
+      s"distributed recall out of parity band: $dRec vs sampled $sRec")
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

@@ -50,7 +50,12 @@ object PQ {
     * deterministic driver-side sample (same sampling scheme as
     * [[Similarity.ivfCentroids]]: ordered by `xxhash64(id)`, k-means++
     * seeding, `iters` Lloyd rounds, empty cells reseeded to the
-    * worst-fit sample point, lowest-index tie-breaks everywhere).
+    * worst-fit sample point, lowest-index tie-breaks everywhere) — or,
+    * with `sampleSize = None`, on a k-means‖ distributed coreset per
+    * subspace ([[Similarity.kmeansParCoreset]]): the full corpus votes
+    * cost-weighted candidates, the driver only ever holds ~ℓ·rounds of
+    * them, and the weighted Lloyd runs on that coreset — the trainer
+    * shape for corpora whose diversity a fixed 4096-row sample under-fits.
     */
   def pqCodebooks(
       df: DataFrame,
@@ -58,18 +63,41 @@ object PQ {
       vecCol: String,
       nSubq: Int,
       nCentroids: Int = 16,
-      sampleSize: Int = 4096,
+      sampleSize: Option[Int] = Some(4096),
       iters: Int = 8,
-      seed: Long = 42L): Codebooks = {
+      seed: Long = 42L,
+      oversample: Int = 2048,
+      rounds: Int = 5): Codebooks = {
     require(nSubq > 0, s"nSubq must be positive: $nSubq")
     require(nCentroids > 1, s"nCentroids must be > 1: $nCentroids")
-    val sample = df
+    val prepared = df
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull &&
         !exists(col("__v"), e => e.isNull) && size(col("__v")) > 0)
+    if (sampleSize.isEmpty) {
+      // distributed path: one k-means‖ coreset PER SUBSPACE over the sliced
+      // column (Similarity.kmeansParCoreset — driver sees only ~ℓ·rounds
+      // weighted candidates per subspace, never a corpus sample), then the
+      // weighted Euclidean Lloyd on each coreset. The full-width frame is
+      // materialized once; every subspace pass reads the cached slices.
+      val cached = Dedup.materializeOnce(prepared)
+      val headRow = cached.select(size(col("__v"))).head()
+      val dim     = headRow.getInt(0)
+      require(dim % nSubq == 0, s"dim $dim not divisible by nSubq $nSubq")
+      val dsub = dim / nSubq
+      return Array.tabulate(nSubq) { s =>
+        val sub = cached.select(col("__id"),
+          slice(col("__v"), s * dsub + 1, dsub).as("__v"))
+        val (cands, wts) =
+          Similarity.kmeansParCoreset(sub, oversample, rounds, seed + s)
+        weightedKmeansL2(cands, wts, math.min(nCentroids, cands.length),
+          iters, seed + s)
+      }
+    }
+    val sample = prepared
       .orderBy(xxhash64(col("__id")), col("__id"))
-      .limit(math.max(sampleSize, nCentroids))
+      .limit(math.max(sampleSize.get, nCentroids))
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
@@ -80,6 +108,83 @@ object PQ {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       kmeansL2(pts, math.min(nCentroids, pts.length), iters, seed + s)
     }
+  }
+
+  /** Weighted Euclidean k-means on a coreset — the weighted mirror of
+    * [[kmeansL2]] for the distributed training path: k-means++ seeding
+    * with probability ∝ w·d², weight-scaled mean updates, empty cells
+    * reseeded to the largest weighted misfit, zero-weight candidates
+    * dropped. Seeded + order-stable → reproducible.
+    */
+  private def weightedKmeansL2(
+      cands: Array[Array[Double]],
+      wts: Array[Long],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val keep = cands.indices.filter(i => wts(i) > 0).toArray
+    val pts  = keep.map(cands(_))
+    val w    = keep.map(wts(_).toDouble)
+    require(pts.nonEmpty, "coreset has no weighted candidates")
+    val kk  = math.min(k, pts.length)
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centroids = new Array[Array[Double]](kk)
+    centroids(0) = pts(rnd.nextInt(pts.length)).clone()
+    val bestD = pts.map(d2(_, centroids(0)))
+    for (c <- 1 until kk) {
+      val scores = Array.tabulate(pts.length)(i => w(i) * bestD(i))
+      val total  = scores.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(pts.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pts.length - 1 && r > scores(i)) { r -= scores(i); i += 1 }
+          i
+        }
+      centroids(c) = pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), centroids(c))
+        if (d < bestD(i)) bestD(i) = d
+        i += 1
+      }
+    }
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = d2(pts(i), centroids(0)); var c = 1
+        while (c < kk) {
+          val d = d2(pts(i), centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums   = Array.fill(kk)(new Array[Double](pts.head.length))
+      val counts = new Array[Double](kk)
+      i = 0
+      while (i < pts.length) {
+        val c = assign(i); counts(c) += w(i)
+        var j = 0
+        while (j < pts(i).length) { sums(c)(j) += w(i) * pts(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until kk) {
+        if (counts(c) > 0) centroids(c) = sums(c).map(_ / counts(c))
+        else {
+          val worst = pts.indices.maxBy(i => w(i) * d2(pts(i), centroids(assign(i))))
+          centroids(c) = pts(worst).clone()
+        }
+      }
+    }
+    centroids
   }
 
   /** Persist trained codebooks as a small parquet artifact — (subq,

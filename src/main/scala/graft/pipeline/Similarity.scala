@@ -172,17 +172,31 @@ object Similarity {
     * runs. Returned cell ids are 0..nCells-1.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, sampleSize: Int = 4096, iters: Int = 8,
-      seed: Long = 42L): Array[(Long, Array[Double])] = {
+      nCells: Int, sampleSize: Option[Int] = Some(4096), iters: Int = 8,
+      seed: Long = 42L, oversample: Int = 2048, rounds: Int = 5): Array[(Long, Array[Double])] = {
     require(nCells > 0, "nCells must be positive")
-    val sample = df
+    val prepared = df
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
       // null / null-element vectors are excluded BEFORE sampling (a null
       // cell would NPE at extraction and could not vote a centroid anyway)
       .filter(col("__v").isNotNull &&
         !exists(col("__v"), e => e.isNull) && size(col("__v")) > 0)
+    if (sampleSize.isEmpty) {
+      // distributed path: k-means‖ coreset on L2-NORMALIZED vectors —
+      // Euclidean d² on the unit sphere is 2(1−cos), so the oversampling
+      // is exactly the angular-distance version and the weighted spherical
+      // Lloyd below optimizes the same objective as the sampled trainer
+      val sq   = aggregate(transform(col("__v"), x => x * x), lit(0.0), (a, b) => a + b)
+      val normed = Dedup.materializeOnce(prepared.withColumn("__v",
+        when(sq === 0.0, col("__v"))
+          .otherwise(transform(col("__v"), x => x / sqrt(sq)))))
+      val (cands, wts) = kmeansParCoreset(normed, oversample, rounds, seed)
+      val cents = weightedSphericalKmeans(cands, wts, nCells, iters = iters, seed = seed)
+      return cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    }
+    val sample = prepared
       .orderBy(xxhash64(col("__id")), col("__id"))
-      .limit(math.max(sampleSize, nCells))
+      .limit(math.max(sampleSize.get, nCells))
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
@@ -254,6 +268,154 @@ object Similarity {
       }
     }
     centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  /** k-means‖ distributed oversampling (Bahmani, Moseley, Vattani, Kumar &
+    * Vassilvitskii, "Scalable K-Means++", VLDB 2012): a few rounds, each
+    * sampling every point independently with probability
+    * `min(1, ℓ·d²(x,C)/φ)` against the CURRENT candidate set, give an
+    * O(ℓ·rounds)-point coreset whose weighted k-means solution matches
+    * k-means++ quality — while the driver only ever sees the coreset, not
+    * a fixed-size corpus sample. This is the 100 TB trainer: a 4096-row
+    * sample under-fits 1024 cells on a diverse corpus; the coreset's
+    * candidates are drawn from the FULL corpus, cost-weighted.
+    *
+    * Determinism: the per-point coin is `xxhash64(id, seed+round)` mapped
+    * to [0,1) — no RNG state, so the same corpus + seed always selects the
+    * same candidates; collects are ordered by id. Each round's distance
+    * update is incremental (`d²' = min(d², d² to the NEW candidates)`, one
+    * narrow [[graft.functions.NearestCentroid]] map over a re-materialized
+    * frame), so a round costs O(ℓ·dim) per row, not O(|C|·dim).
+    *
+    * Returns (candidates, weights): weight = number of corpus points whose
+    * nearest candidate it is (the one O(|C|·dim) pass, at the end).
+    */
+  private[pipeline] def kmeansParCoreset(
+      prepared: DataFrame,
+      ell: Int,
+      rounds: Int,
+      seed: Long): (Array[Array[Double]], Array[Long]) = {
+    require(ell > 0 && rounds > 0, s"bad coreset params: ell=$ell rounds=$rounds")
+    import graft.functions.NearestCentroid.nearestCentroid
+    val firstRows = prepared.orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(1).select(col("__v")).collect()
+    require(firstRows.nonEmpty, "cannot build a coreset from an empty corpus")
+    val first = firstRows(0).getSeq[Double](0).toArray
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
+    var state = Dedup.materializeOnce(prepared.withColumn("__d2",
+      nearestCentroid(col("__v"), Array(first)).getField("d2")))
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val phiRow = state.agg(sum(col("__d2"))).head()
+      val phi    = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDouble(0)
+      if (phi <= 0) exhausted = true // every point IS a candidate already
+      else {
+        // u in [0,1) from a per-(id, round) hash; select iff u < ℓ·d²/φ
+        val u = (xxhash64(col("__id"), lit(seed + r)).bitwiseAND(lit(Long.MaxValue)))
+          .cast("double") / 9.223372036854776e18
+        val picked = state.filter(u * lit(phi) < col("__d2") * lit(ell.toDouble))
+          .orderBy(col("__id")).select(col("__v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        if (picked.isEmpty) exhausted = true
+        else {
+          cands ++= picked
+          state = Dedup.materializeOnce(state.withColumn("__d2",
+            least(col("__d2"), nearestCentroid(col("__v"), picked).getField("d2"))))
+        }
+      }
+      r += 1
+    }
+    val all = cands.toArray
+    val wRows = state
+      .select(nearestCentroid(col("__v"), all).getField("idx").as("__idx"))
+      .groupBy(col("__idx")).agg(count(lit(1)).as("__w"))
+      .collect()
+    val weights = new Array[Long](all.length)
+    wRows.foreach(r => weights(r.getInt(0)) = r.getLong(1))
+    (all, weights)
+  }
+
+  /** Weighted spherical k-means on a coreset (driver-side, coreset-sized):
+    * the weighted mirror of the sampled trainer — k-means++ seeding with
+    * probability ∝ w·(1−cos), Lloyd with weight-scaled sums then
+    * normalization, empty cells reseeded to the point with the largest
+    * weighted misfit. Zero-weight candidates are dropped up front (no
+    * corpus point elected them). Seeded and order-stable → reproducible.
+    */
+  private def weightedSphericalKmeans(
+      cands: Array[Array[Double]],
+      wts: Array[Long],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val keep = cands.indices.filter(i => wts(i) > 0).toArray
+    val pts  = keep.map(cands(_))
+    val w    = keep.map(wts(_).toDouble)
+    require(pts.nonEmpty, "coreset has no weighted candidates")
+    val kk  = math.min(k, pts.length)
+    val rnd = new scala.util.Random(seed)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.clone() else v.map(_ / n)
+    }
+    val centroids = new Array[Array[Double]](kk)
+    centroids(0) = pts(rnd.nextInt(pts.length)).clone()
+    val bestD = Array.tabulate(pts.length)(i => 1.0 - dot(pts(i), centroids(0)))
+    for (c <- 1 until kk) {
+      val scores = Array.tabulate(pts.length)(i => w(i) * bestD(i))
+      val total  = scores.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(pts.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pts.length - 1 && r > scores(i)) { r -= scores(i); i += 1 }
+          i
+        }
+      centroids(c) = pts(pick).clone()
+      var i = 0
+      while (i < pts.length) {
+        val d = 1.0 - dot(pts(i), centroids(c))
+        if (d < bestD(i)) bestD(i) = d
+        i += 1
+      }
+    }
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bestSim = dot(pts(i), centroids(0)); var c = 1
+        while (c < kk) {
+          val s = dot(pts(i), centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums   = Array.fill(kk)(new Array[Double](pts.head.length))
+      val counts = new Array[Double](kk)
+      i = 0
+      while (i < pts.length) {
+        val c = assign(i); counts(c) += w(i)
+        var j = 0
+        while (j < pts(i).length) { sums(c)(j) += w(i) * pts(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until kk) {
+        if (counts(c) > 0) centroids(c) = normalize(sums(c))
+        else {
+          val worst = pts.indices.maxBy(i => w(i) * (1.0 - dot(pts(i), centroids(assign(i)))))
+          centroids(c) = pts(worst).clone()
+        }
+      }
+    }
+    centroids
   }
 
   /** Persist trained IVF centroids as a small parquet artifact — (cell_id,
