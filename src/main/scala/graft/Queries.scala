@@ -1896,6 +1896,138 @@ object Queries {
       |       CAST(centroid_id AS INTEGER) AS code
       |FROM ranked WHERE rn = 1 ORDER BY vec_id, subq""".stripMargin
 
+  private val pqrCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.PQ.Codebooks]
+  private def trainedResidualCodebooks(spark: SparkSession, dir: String): graft.pipeline.PQ.Codebooks =
+    pqrCache.getOrElseUpdate(dir,
+      loadOrTrain(spark, dir, "pqr_codebooks",
+        p => graft.pipeline.PQ.loadCodebooks(spark, p),
+        p => {
+          val b = graft.pipeline.PQ.residualCodebooks(tbl(spark, dir, "embeddings"),
+            "vec_id", "embedding", trainedCentroids(spark, dir),
+            nSubq = 8, nCentroids = 16)
+          graft.pipeline.PQ.saveCodebooks(spark, b, p)
+          b
+        }))
+
+  /** Residual PQ codebooks ([[graft.pipeline.PQ.residualCodebooks]] —
+    * trained on `x − centroid(cell)`, the FAISS IndexIVFPQ layout), same
+    * exploded export + invariant-grid oracle as [[pqCodebooks]].
+    */
+  def pqrCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedResidualCodebooks(spark, dir).zipWithIndex.toSeq.flatMap { case (book, s) =>
+      book.zipWithIndex.toSeq.flatMap { case (cent, c) =>
+        cent.zipWithIndex.toSeq.map { case (x, d) => (s, c, d, x) }
+      }
+    }.toDF("subq", "centroid_id", "dim_idx", "value")
+      .orderBy("subq", "centroid_id", "dim_idx")
+  }
+
+  val pqrCodebooksSql: String =
+    pqCodebooksSql.replace("q_pq_codebooks", "q_pqr_codebooks")
+
+  /** Residual PQ code assignment ([[graft.pipeline.PQ.residualEncode]],
+    * native kernel), exploded to (vec_id, subq, code). The oracle
+    * re-derives the residual (`embedding − centroid(cell)`, both from
+    * their own exports) and the argmin from the exported residual
+    * codebooks — every stage of the residual layout is re-derived
+    * relationally. Sort-before-encode as in [[pqCodes]].
+    */
+  def pqrCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cents = trainedCentroids(spark, dir).sortBy(_._1).map(_._2)
+    e.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .withColumn("cell_id",
+        graft.pipeline.Similarity.ivfCellExpr("embedding", trainedCentroids(spark, dir)))
+      .select(col("vec_id"),
+        posexplode(graft.functions.PQKernels.pqResidualCodes(
+          col("embedding"), col("cell_id"), cents,
+          trainedResidualCodebooks(spark, dir))).as(Seq("subq", "code")))
+  }
+
+  val pqrCodesSql: String =
+    """WITH cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pqr_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), cents AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS cv
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), e AS (
+      |  SELECT e.vec_id,
+      |         list_transform(range(1, len(e.embedding) + 1),
+      |           i -> e.embedding[i]::DOUBLE - cv[i]) AS r
+      |  FROM embeddings e
+      |  JOIN '__VERIFY_OUT__/q_ivf_cells/*.parquet' ce ON ce.vec_id = e.vec_id
+      |  JOIN cents ON cents.cell_id = ce.cell_id
+      |), ranked AS (
+      |  SELECT vec_id, cb.subq, cb.centroid_id,
+      |         row_number() OVER (PARTITION BY vec_id, cb.subq
+      |           ORDER BY round(list_sum(list_transform(range(1, 9),
+      |             i -> (r[cb.subq * 8 + i] - cent[i]) * (r[cb.subq * 8 + i] - cent[i]))), 6) ASC,
+      |             cb.centroid_id ASC) AS rn
+      |  FROM e CROSS JOIN cb
+      |)
+      |SELECT vec_id, CAST(subq AS INTEGER) AS subq,
+      |       CAST(centroid_id AS INTEGER) AS code
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id, subq""".stripMargin
+
+  /** Residual IVF-PQ composed search
+    * ([[graft.pipeline.PQ.ivfPqResidualTopK]], nProbe=2):
+    * `score = IP(q, centroid(cell)) + IP(q, residual reconstruction)`.
+    * The oracle chains FIVE exports — probe cells and the centroid term
+    * from `q_ivf_centroids`, candidates from `q_ivf_cells`, the residual
+    * term from `q_pqr_codes` × `q_pqr_codebooks`.
+    */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    graft.pipeline.PQ.ivfPqResidualTopK(e, e.filter($"vec_id" < 20),
+      "vec_id", "embedding", k = 10, centroids = trainedCentroids(spark, dir),
+      nProbe = 2, codebooks = trainedResidualCodebooks(spark, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqResidualSql: String =
+    """WITH cents AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS cv
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+      |), probes AS (
+      |  SELECT q.vec_id, cell_id,
+      |         list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i])) AS cent_ip,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell_id) AS pr
+      |  FROM q CROSS JOIN cents
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pqr_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), codes AS (
+      |  SELECT vec_id, subq, code FROM '__VERIFY_OUT__/q_pqr_codes/*.parquet'
+      |), terms AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.subq,
+      |         p.cent_ip,
+      |         list_sum(list_transform(range(1, 9),
+      |           i -> q.v[c.subq * 8 + i] * cent[i])) AS term
+      |  FROM probes p
+      |  JOIN q ON q.vec_id = p.vec_id
+      |  JOIN cells ce ON ce.cell_id = p.cell_id
+      |  JOIN codes c ON c.vec_id = ce.vec_id
+      |  JOIN cb ON cb.subq = c.subq AND cb.centroid_id = c.code
+      |  WHERE p.pr <= 2 AND p.vec_id <> c.vec_id
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(any_value(cent_ip) + list_sum(list(term ORDER BY subq)), 6) AS score
+      |  FROM terms GROUP BY query_id, neighbor_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Incremental encode: a NEW batch of vectors (every 5th id here —
     * standing in for today's arrivals) coded against the PRIOR persisted
     * codebooks ([[graft.pipeline.PQ.loadCodebooks]] via the artifact

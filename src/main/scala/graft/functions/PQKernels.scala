@@ -121,10 +121,67 @@ object PQKernels {
     total
   }
 
+  /** Residual argmin codes: like [[encode]] but on `vec − centroids(cell)`
+    * — the FAISS `IndexIVFPQ` residual-encoding layout, where each cell's
+    * PQ codes quantize the (much smaller) displacement from the cell
+    * centroid instead of the raw vector, so quantization resolution
+    * concentrates where the data actually is. Same rounding + tie rules.
+    */
+  def residualEncode(vec: ArrayData, cell: Long,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      isFloat: Boolean): GenericArrayData = {
+    val nSubq = books.length
+    val dim   = books.map(_.head.length).sum
+    if (vec.numElements() < dim) return null
+    if (cell < 0 || cell >= centroids.length) return null
+    var i = 0
+    while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+    val cent0 = centroids(cell.toInt)
+    if (cent0.length < dim) return null
+    val codes = new Array[Any](nSubq)
+    var base  = 0
+    var s     = 0
+    while (s < nSubq) {
+      val book = books(s)
+      val dsub = book(0).length
+      var bestD = Double.MaxValue
+      var bestI = -1
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var j  = 0
+        while (j < dsub) {
+          val x = if (isFloat) vec.getFloat(base + j).toDouble
+                  else vec.getDouble(base + j)
+          val diff = (x - cent0(base + j)) - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        val rd = roundHalfUp6(d2)
+        if (rd < bestD) { bestD = rd; bestI = c }
+        c += 1
+      }
+      codes(s) = bestI
+      base += dsub
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   /** Column API: PQ code array for a vector column. */
   def pqEncodeCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       PQEncodeCodes(org.apache.spark.sql.graftbridge.Bridge.expression(vec), books))
+
+  /** Column API: residual PQ codes given the row's IVF cell id. */
+  def pqResidualCodes(vec: Column, cellId: Column,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PQResidualCodes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+        org.apache.spark.sql.graftbridge.Bridge.expression(cellId),
+        centroids, books))
 
   /** Column API: ADC score of an exact query vector against a code array. */
   def pqAdcScore(qv: Column, codes: Column,
@@ -189,6 +246,70 @@ case class PQEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PQEncodeCodes =
     copy(child = newChild)
+}
+
+/** `pq_residual_codes(vec, cell_id)` → `array<int>`: per-subspace codes of
+  * the residual `vec − centroids(cell_id)` ([[PQKernels.residualEncode]]).
+  * NULL for malformed vectors or out-of-range cell ids.
+  */
+case class PQResidualCodes(left: Expression, right: Expression,
+    centroids: Array[Array[Double]], books: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!PQKernels.vecTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_residual_codes requires array<float|double> vector, got ${left.dataType}")
+    else right.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_residual_codes requires an integral cell id, got $other")
+    }
+
+  private lazy val isFloat = PQKernels.isFloatArray(left.dataType)
+  private lazy val cellIsInt = right.dataType == IntegerType
+
+  override def nullSafeEval(vec: Any, cell: Any): Any = {
+    val cellId = if (cellIsInt) cell.asInstanceOf[Int].toLong
+                 else cell.asInstanceOf[Long]
+    PQKernels.residualEncode(vec.asInstanceOf[ArrayData], cellId,
+      centroids, books, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqrCents", centroids, "double[][]")
+    val booksRef = ctx.addReferenceObj("pqrBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"""
+         |${ev.value} = graft.functions.PQKernels.residualEncode($v, (long) $c,
+         |  $centsRef, $booksRef, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  // content equality over both reference arrays (see PQEncodeCodes)
+  override def equals(other: Any): Boolean = other match {
+    case PQResidualCodes(l, r, ce, b) =>
+      l == left && r == right &&
+        java.util.Arrays.deepEquals(
+          ce.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          b.asInstanceOf[Array[AnyRef]], books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PQResidualCodes =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `pq_adc_score(query_vec, codes)` → double approximate inner product. */

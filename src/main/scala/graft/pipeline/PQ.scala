@@ -414,6 +414,100 @@ object PQ {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Literal `[cell][dim]` centroid table ordered by cell id (cell ids from
+    * [[Similarity.ivfCentroids]] are dense 0..n-1).
+    */
+  private def centroidLit(centroids: Array[(Long, Array[Double])]): Column =
+    array(centroids.sortBy(_._1).map { case (_, v) => array(v.map(lit): _*) }: _*)
+
+  /** Train per-subspace codebooks on the RESIDUALS `x − centroid(cell(x))`
+    * — the FAISS `IndexIVFPQ` layout (Jégou et al. TPAMI'11 §IV). Raw-vector
+    * codebooks spend their resolution spanning the whole corpus spread;
+    * residual codebooks quantize only the within-cell displacement, which
+    * is what separates two nearby vectors once the IVF layer has already
+    * localized them (measured in Stress: planted near-twins are
+    * inseparable by raw-vector ADC under code collision). Residuals are
+    * derived declaratively (cell assignment expression + one `zip_with`);
+    * training is [[pqCodebooks]] on the residual frame — sampled by
+    * default, k-means‖ with `sampleSize = None`.
+    */
+  def residualCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      nSubq: Int,
+      nCentroids: Int = 16,
+      sampleSize: Option[Int] = Some(4096),
+      iters: Int = 8,
+      seed: Long = 42L): Codebooks = {
+    val cell  = Similarity.ivfCellExpr(vecCol, centroids)
+    val resid = zip_with(col(vecCol).cast("array<double>"),
+      element_at(centroidLit(centroids), (cell + 1).cast("int")), (a, b) => a - b)
+    pqCodebooks(df.select(col(idCol), resid.as("__resid")), idCol, "__resid",
+      nSubq, nCentroids, sampleSize, iters, seed)
+  }
+
+  /** Adds `cell_id` and `pqr_codes` (residual code array — the native
+    * [[graft.functions.PQResidualCodes]] kernel; one narrow codegen map,
+    * no shuffle).
+    */
+  def residualEncode(df: DataFrame, vecCol: String,
+      centroids: Array[(Long, Array[Double])], codebooks: Codebooks): DataFrame = {
+    val cents = centroids.sortBy(_._1).map(_._2)
+    df.withColumn("cell_id", Similarity.ivfCellExpr(vecCol, centroids))
+      .withColumn("pqr_codes",
+        graft.functions.PQKernels.pqResidualCodes(
+          col(vecCol), col("cell_id"), cents, codebooks))
+  }
+
+  /** Residual IVF-PQ top-k: `IP(q, x) ≈ IP(q, centroid(cell)) +
+    * IP(q, r̂)` where `r̂` is the PQ reconstruction of the residual — the
+    * centroid term is computed ONCE per (query, probed cell) on the tiny
+    * broadcast side, and the residual term is the same ADC table lookup
+    * as [[ivfPqTopK]]. Same join/plan shape as [[ivfPqTopK]] (cell
+    * equijoin, corpus never shuffles, WindowGroupLimit top-k) with
+    * strictly better fine ranking: quantization error scales with the
+    * within-cell spread, not the corpus spread.
+    */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int,
+      codebooks: Codebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val cents = centroids.sortBy(_._1).map(_._2)
+    val coded = corpus
+      .withColumn("cell_id", Similarity.ivfCellExpr(vecCol, centroids))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        graft.functions.PQKernels.pqResidualCodes(
+          col(vecCol), col("cell_id"), cents, codebooks).as("pqr_codes"))
+    val q = queries.select(col(idCol), col(vecCol))
+      .withColumn("cell_id",
+        explode(Similarity.ivfProbeCellsExpr(vecCol, centroids, nProbe)))
+      .withColumn("__cent_ip", graft.functions.VectorDot.vectorDot(
+        col(vecCol).cast("array<double>"),
+        element_at(centroidLit(centroids), (col("cell_id") + 1).cast("int"))))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("cell_id"), col("__cent_ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    coded.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(col("__cent_ip") +
+        adcScoreExpr(col("__qv"), col("pqr_codes"), codebooks), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** ADC top-k: for every query row, the `k` coded corpus rows with the
     * highest approximate inner product (rounded; neighbor id breaks
     * ties), excluding self-matches by id. Queries broadcast; the coded

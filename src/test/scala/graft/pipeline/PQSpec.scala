@@ -149,6 +149,69 @@ class PQSpec extends SparkTestBase {
     }
   }
 
+  test("residual IVF-PQ: probe-all + lossless residual codebooks == exact ranking") {
+    // every residual its own centroid -> reconstruction exact -> the
+    // composed score IP(q, cent) + IP(q, residual) must reproduce the
+    // flat exact inner-product ranking
+    val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding", nCells = 2)
+    val books = PQ.residualCodebooks(fixture, "vec_id", "embedding", cents,
+      nSubq = 2, nCentroids = 6, iters = 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val composed = rows(PQ.ivfPqResidualTopK(fixture, fixture.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 3, centroids = cents, nProbe = cents.length,
+      codebooks = books))
+    val exact = {
+      val q = fixture.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("__qv"))
+      val c = fixture.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"neighbor_id".asc)
+      c.crossJoin(broadcast(q))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("score", round(graft.functions.VectorDot.vectorDot(
+          $"__qv".cast("array<double>"), $"__cv".cast("array<double>")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"score", $"rank".cast("long").as("rank"))
+    }
+    assert(composed == rows(exact), s"composed $composed")
+  }
+
+  test("residual codebooks cut ADC score error vs raw-vector codebooks") {
+    // clustered corpus: residual quantization concentrates resolution on
+    // the within-cell spread, so |IP_exact - IP_adc| must shrink at the
+    // SAME codebook budget
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(4)(rnd.nextGaussian() * 10))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(data, "vec_id", "embedding", nCells = 4)
+    val rawBooks = PQ.pqCodebooks(data, "vec_id", "embedding",
+      nSubq = 2, nCentroids = 4)
+    val resBooks = PQ.residualCodebooks(data, "vec_id", "embedding", cents,
+      nSubq = 2, nCentroids = 4)
+    val queries = data.filter($"vec_id" < 10)
+    def meanErr(scored: org.apache.spark.sql.DataFrame): Double = {
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".as("__ev"))
+      scored.join(q, Seq("query_id"))
+        .join(data.select($"vec_id".as("neighbor_id"), $"embedding".as("__nv")),
+          Seq("neighbor_id"))
+        .select(abs($"score" - graft.functions.VectorDot.vectorDot(
+          $"__ev".cast("array<double>"), $"__nv".cast("array<double>"))).as("err"))
+        .agg(avg($"err")).head.getDouble(0)
+    }
+    val rawErr = meanErr(PQ.pqTopK(data, queries, "vec_id", "embedding",
+      k = 20, rawBooks))
+    val resErr = meanErr(PQ.ivfPqResidualTopK(data, queries, "vec_id", "embedding",
+      k = 20, centroids = cents, nProbe = cents.length, codebooks = resBooks))
+    assert(resErr < rawErr,
+      f"residual ADC error $resErr%.4f not below raw $rawErr%.4f")
+  }
+
   test("NaN / Infinity elements don't crash the native kernel (Round-style passthrough)") {
     val books = PQ.pqCodebooks(fixture, "vec_id", "embedding", nSubq = 2, nCentroids = 2)
     val weird = Seq(
