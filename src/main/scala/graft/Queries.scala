@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1728,6 +1728,84 @@ object Queries {
       |       CAST(n_cell AS BIGINT) AS n_cell,
       |       round(CAST(n AS DOUBLE) / CAST(n_cell AS DOUBLE), 6) AS purity
       |FROM r WHERE rk = 1 ORDER BY cell_id""".stripMargin
+
+  /** Semantic-dedup duplicate pairs ([[graft.pipeline.SemDedup.pairs]] —
+    * Abbas et al. 2023): vectors sharing an IVF cell whose rounded cosine
+    * meets the threshold. Cell pruning is the semantics, not an
+    * approximation shortcut — a cross-cell near pair is NOT a SemDeDup
+    * duplicate, and the oracle re-derives exactly that from the exported
+    * cell assignment.
+    */
+  def semdedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.ivfAssignWithSim(
+      tbl(spark, dir, "embeddings"), "embedding", trainedCentroids(spark, dir))
+    SemDedup.pairs(assigned, "vec_id", "embedding", SemDedupThreshold)
+      .orderBy("cell_id", "id_a", "id_b")
+  }
+
+  private val SemDedupThreshold = 0.4
+
+  val semdedupPairsSql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), e AS (
+      |  SELECT c.cell_id, embeddings.vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings JOIN cells c USING (vec_id)
+      |)
+      |SELECT a.cell_id AS cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      |ORDER BY a.cell_id, id_a, id_b""".stripMargin
+
+  /** Full SemDeDup keep-set ([[graft.pipeline.SemDedup.keep]]): connected
+    * duplicate groups collapse to their least-centroid-typical member
+    * (min `centroid_sim`, then min id — the paper's diversity rule made
+    * deterministic). Oracle chain is fully relational: exported cells +
+    * centroids → within-cell pairs → recursive-CTE components → keep-rule
+    * window — the embedding-space mirror of [[dedupKeepSql]].
+    */
+  def semdedupKeep(spark: SparkSession, dir: String): DataFrame =
+    SemDedup.keep(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      trainedCentroids(spark, dir), SemDedupThreshold)
+      .orderBy("vec_id")
+
+  val semdedupKeepSql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), cent AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS centroid
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), e AS (
+      |  SELECT c.cell_id, embeddings.vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings JOIN cells c USING (vec_id)
+      |), asg AS (
+      |  SELECT e.vec_id, e.cell_id,
+      |         round(list_cosine_similarity(e.v, cent.centroid), 6) AS centroid_sim
+      |  FROM e JOIN cent USING (cell_id)
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      |), ed AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM p
+      |), cc(id, r) AS (
+      |  SELECT DISTINCT src, src FROM ed
+      |  UNION
+      |  SELECT ed.dst, cc.r FROM cc JOIN ed ON ed.src = cc.id
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
+      |), rk AS (
+      |  SELECT lab.id,
+      |         row_number() OVER (PARTITION BY lab.root
+      |           ORDER BY a.centroid_sim ASC, lab.id ASC) AS rn
+      |  FROM lab JOIN asg a ON a.vec_id = lab.id
+      |)
+      |SELECT vec_id, cell_id, centroid_sim FROM asg
+      |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)
+      |ORDER BY vec_id""".stripMargin
 
   /** IVF-partitioned ANN top-k; oracle re-derives the per-cell exact top-k
     * in DuckDB from the exported cell assignments.

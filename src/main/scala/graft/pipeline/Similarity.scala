@@ -487,6 +487,26 @@ object Similarity {
       centroids: Array[(Long, Array[Double])]): DataFrame =
     df.withColumn("cell_id", ivfCellExpr(vecCol, centroids))
 
+  /** Assignment plus the winning (rounded) centroid similarity itself —
+    * one codegen scan emitting both `cell_id` and `centroid_sim`. The sim
+    * is what SemDeDup-style keep policies rank on (drop the cluster
+    * members MOST typical of the centroid, keep the least — Abbas et al.
+    * 2023, arXiv:2303.09540 §3), so exporting it next to the assignment
+    * saves consumers a second argmax pass over the centroid table.
+    */
+  def ivfAssignWithSim(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val candidates = centroids.map { case (id, vec) =>
+      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
+        lit(-id).as("negCell"))
+    }
+    val best = array_max(array(candidates.toSeq: _*))
+    df.withColumn("cell_id", -best.getField("negCell"))
+      .withColumn("centroid_sim", best.getField("sim"))
+  }
+
   /** Query's `nProbe` nearest cell ids (descending centroid similarity,
     * same rounded-sim + smallest-id tie rule as [[ivfCellExpr]] — probing
     * 1 cell is exactly the argmax assignment).
