@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Dsir, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1100,6 +1100,45 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance weights ([[graft.pipeline.Dsir.logWeights]] — Xie et
+    * al. 2023): every document scored by how target-like (here: English)
+    * its hashed-unigram feature profile is, the ranking signal importance
+    * resampling selects on. The oracle recomputes the identical md5 bucket
+    * hash, smoothed distributions and ln-difference, so the engines agree
+    * on every weight, not just the selection.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Dsir.logWeights(tbl(spark, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id")
+
+  val dsirWeightsSql: String = {
+    val hex8 = hex8Sql("tok")
+    raw"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS t,
+       |         unnest(list_filter(string_split_regex(text, '\s+'),
+       |                            x -> len(x) > 0)) AS tok
+       |  FROM documents
+       |), tb AS (
+       |  SELECT doc_id, t, CAST(($hex8) % 64 AS BIGINT) AS b, count(*) AS c
+       |  FROM tok GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT b, CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(sum(c) AS BIGINT) AS cr
+       |  FROM tb GROUP BY b
+       |), g AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+       |  FROM tot
+       |), r AS (
+       |  SELECT b,
+       |         ln((CAST(ct AS DOUBLE) + 1) / (CAST(tt AS DOUBLE) + 64)) -
+       |         ln((CAST(cr AS DOUBLE) + 1) / (CAST(tr AS DOUBLE) + 64)) AS lr
+       |  FROM tot, g
+       |)
+       |SELECT doc_id, round(sum(CAST(c AS DOUBLE) * lr), 6) AS logw
+       |FROM tb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic proportional source mixing ([[Sampling.mixByParts]]):
     * src0 weighted 3x, src1 dropped, everything else 1x. Stride-scheduling
     * keys in pure integer arithmetic — both engines derive the identical
@@ -1806,6 +1845,35 @@ object Queries {
       |SELECT vec_id, cell_id, centroid_sim FROM asg
       |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)
       |ORDER BY vec_id""".stripMargin
+
+  /** Incremental SemDeDup ([[graft.pipeline.SemDedup.incrKeep]]): odd
+    * vec_ids arrive as the new batch, even vec_ids are the prior corpus —
+    * the same batch/corpus convention as [[dedupIncremental]] /
+    * [[dedupIncrNear]], now in embedding space. Oracle: NOT EXISTS a
+    * same-cell prior vector above the threshold, from the exported cells.
+    */
+  def semdedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    SemDedup.incrKeep(
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", trainedCentroids(spark, dir), SemDedupThreshold)
+      .orderBy("vec_id")
+  }
+
+  val semdedupIncrSql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), e AS (
+      |  SELECT c.cell_id, embeddings.vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings JOIN cells c USING (vec_id)
+      |)
+      |SELECT f.vec_id, f.cell_id FROM e f
+      |WHERE f.vec_id % 2 = 1 AND NOT EXISTS (
+      |  SELECT 1 FROM e p
+      |  WHERE p.vec_id % 2 = 0 AND p.cell_id = f.cell_id
+      |    AND round(list_cosine_similarity(f.v, p.v), 6) >= 0.4)
+      |ORDER BY f.vec_id""".stripMargin
 
   /** IVF-partitioned ANN top-k; oracle re-derives the per-cell exact top-k
     * in DuckDB from the exported cell assignments.

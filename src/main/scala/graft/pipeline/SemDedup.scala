@@ -51,6 +51,37 @@ object SemDedup {
       .select(col("cell_id"), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental SemDeDup: which vectors of a NEW batch survive against an
+    * already-deduplicated PRIOR corpus — the streaming-ingest contract
+    * (train once, dedup each arriving batch against what's already kept),
+    * the embedding-space mirror of [[Dedup.nearDupsAgainstPrior]]. A fresh
+    * vector is dropped iff some prior vector in the SAME cell meets the
+    * cosine threshold; no grouping or keep rule is needed because the
+    * prior side is fixed and the new batch defers to it. Returns the kept
+    * fresh rows as (id, cell_id).
+    *
+    * Scale shape: both sides take the codegen assignment scan, then one
+    * cell equijoin (fresh × prior per cell) feeding a left-anti join on
+    * the fresh ids — the prior corpus is never self-joined.
+    */
+  def incrKeep(
+      fresh: DataFrame,
+      prior: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val fa = Similarity.ivfAssignWithSim(fresh, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    val pa = Similarity.ivfAssignWithSim(prior, vecCol, centroids)
+      .select(col(idCol).as("__pid"), col(vecCol).as("__pv"), col("cell_id"))
+    val hit = fa.join(pa, Seq("cell_id"))
+      .filter(round(Similarity.cosine(col(vecCol), col("__pv")), 6) >= lit(threshold))
+      .select(col(idCol)).distinct()
+    fa.join(hit, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell_id"))
+  }
+
   /** Full SemDeDup pass: returns the KEPT set as
     * (id, cell_id, centroid_sim). A vector survives iff it is unpaired or
     * is its duplicate group's keeper (minimum `centroid_sim`, then

@@ -82,6 +82,33 @@ class SemDedupSpec extends SparkTestBase {
     assert(kept == Set(5L), s"tie should keep the smaller id: $kept")
   }
 
+  test("incrKeep: fresh vector drops on same-cell prior twin only") {
+    val prior = emb(
+      2L -> unit(1, 0.05, 0, 0), // cell 0
+      4L -> unit(0, 1, 0, 0))    // cell 1
+    val fresh = emb(
+      1L -> unit(1, 0.06, 0, 0),  // twin of prior 2 in cell 0 → dropped
+      3L -> unit(1, 0.9, 0, 0),   // cell 0, far from prior 2 → kept
+      11L -> unit(0.9, 1, 0, 0))  // cell 1; close to CELL-0 fresh 3 but no
+                                  // same-cell prior is near → kept
+    val kept = SemDedup.incrKeep(fresh, prior, "vec_id", "embedding",
+      centroids, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 11L), s"kept=$kept")
+  }
+
+  test("incrKeep: fresh twins both survive (no within-batch grouping)") {
+    // against-prior semantics only — two near-identical FRESH vectors both
+    // pass when no prior is near; the full keep() pass owns within-batch
+    // grouping.
+    val prior = emb(4L -> unit(0, 1, 0, 0))
+    val fresh = emb(1L -> unit(1, 0.05, 0, 0), 3L -> unit(1, 0.06, 0, 0))
+    val kept = SemDedup.incrKeep(fresh, prior, "vec_id", "embedding",
+      centroids, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept=$kept")
+  }
+
   test("ivfAssignWithSim agrees with ivfCellExpr and exports the max sim") {
     val e = emb(
       1L -> unit(1, 0.3, 0, 0),
