@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Dsir, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Dsir, LanguageModel, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1139,6 +1139,38 @@ object Queries {
        |FROM tb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-scaled language rebalancing
+    * ([[Sampling.temperatureSample]], α = 0.5): per-language keep rates
+    * (n_min/n_i)^0.5 derived from the live counts (the corpus is
+    * en-dominated ~40%, so English thins to ≈ 0.58 while the smallest
+    * language is kept whole), realized by the deterministic hash filter.
+    * The stratum is `lang`, not `source` — the generator balances sources
+    * exactly, which would make every rate 1. The oracle recomputes the
+    * identical counts, closed-form rounded rates and md5 scores, so the
+    * engines agree on every kept row.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(tbl(spark, dir, "documents"), "doc_id",
+      "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val mixTemperatureSql: String = {
+    val hex8 = hex8Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+       |), m AS (
+       |  SELECT min(n) AS nmin FROM c
+       |), r AS (
+       |  SELECT lang,
+       |         round(pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 9) AS rate
+       |  FROM c, m
+       |)
+       |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+       |WHERE CAST($hex8 AS DOUBLE) / 4294967296.0 < rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic proportional source mixing ([[Sampling.mixByParts]]):
     * src0 weighted 3x, src1 dropped, everything else 1x. Stride-scheduling
     * keys in pure integer arithmetic — both engines derive the identical
@@ -1313,6 +1345,46 @@ object Queries {
       |       CAST(sum(tf * cf) AS DOUBLE) / (CAST(sum(tf) AS BIGINT) * total) AS mean_unigram_p
       |FROM t JOIN c USING (term) CROSS JOIN tot
       |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin
+
+  /** Interpolated bigram LM score per document
+    * ([[graft.pipeline.LanguageModel.bigramLmScore]]) — the CCNet-style
+    * perplexity quality filter with the LM self-trained on the corpus.
+    * Every probability is one IEEE division of exact integer counts and
+    * the λ literals are passed verbatim to both engines, so only the
+    * final per-doc average needs the usual round-6.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramLmScore(tbl(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val bigramLmSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |         unnest([{'w1': ws[i], 'w2': ws[i + 1] } for i in range(1, len(ws))]) AS b
+      |  FROM w
+      |), bigr AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+      |), uni AS (
+      |  SELECT w2, count(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w2 FROM w) GROUP BY 1
+      |), g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(ws) FROM w)
+      |), big AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bigr GROUP BY 1, 2
+      |), st AS (
+      |  SELECT w1, count(*) AS cs FROM bigr GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(ln(0.7 * (CAST(c2 AS DOUBLE) / CAST(cs AS DOUBLE)) +
+      |                     0.3 * (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS avg_logp
+      |FROM bigr JOIN big USING (w1, w2) JOIN st USING (w1) JOIN uni USING (w2)
+      |CROSS JOIN g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Incremental ingest dedup: odd-id docs are the "new batch", even-id
     * docs the "prior corpus"; keep only new docs whose text is absent from

@@ -561,6 +561,53 @@ object Stress {
     assert(dRec >= 0.6 && dRec >= sRec - 0.12,
       s"distributed recall out of parity band: $dRec vs sampled $sRec")
 
+    // ---- SemDeDup at volume: 200k vectors (100k base + their planted
+    // normalized twins from ntCorpus) through the full cell-pruned
+    // semantic-dedup pass with 256 cells. Threshold 0.99 cleanly separates
+    // twin pairs (cosine ≈ 0.9999 — ±0.01/dim noise) from same-cluster
+    // non-twins (≈ 0.8 — independent ±0.5/dim noise), so the measured
+    // claims are:
+    //  - twins co-locate: ≥ 90% of twin pairs land in the SAME cell (they
+    //    are near-identical, so the rounded argmax rarely splits them);
+    //  - the keep rule fires on every co-located twin pair: ZERO pairs
+    //    with both members kept (checked distributed — kept ⋈ kept);
+    //  - nothing else is touched: drops stay within 10% of the co-located
+    //    twin-pair count (same-cluster non-twins sit far below threshold).
+    val sdHalf   = 100000L
+    val sdCorpus = ntCorpus.filter(pmod(col("vec_id"), lit(half)) < sdHalf)
+    val sdCents = graft.pipeline.Similarity.ivfCentroids(
+      sdCorpus, "vec_id", "embedding", nCells = 256)
+    val sdAssigned = graft.pipeline.Similarity.ivfAssign(
+      sdCorpus, "embedding", sdCents)
+    val coPairs = sdAssigned.filter(col("vec_id") < sdHalf)
+      .select(col("vec_id").as("b"), col("cell_id").as("cb"))
+      .join(sdAssigned.filter(col("vec_id") >= lit(half))
+        .select((col("vec_id") - half).as("b"), col("cell_id").as("ct")),
+        Seq("b"))
+      .filter(col("cb") === col("ct")).select(col("b"))
+    val coTwin = coPairs.count()
+    assert(coTwin >= (0.9 * sdHalf).toLong,
+      s"twin pairs split across cells: $coTwin of $sdHalf co-located")
+    val t0Sd = System.nanoTime()
+    val sdKept = graft.pipeline.SemDedup.keep(
+      sdCorpus, "vec_id", "embedding", sdCents, threshold = 0.99)
+    val sdKeptN = sdKept.count()
+    val sSd = (System.nanoTime() - t0Sd) / 1e9
+    // restrict to CO-LOCATED pairs: the (few) pairs the rounded argmax
+    // split across cells are correctly invisible to cell-pruned semantics
+    // and survive whole by design (measured: exactly the 68 split pairs
+    // of 100k at n=2M, drops == co-located pairs to the row)
+    val bothKept = sdKept.select(col("vec_id").as("b"))
+      .filter(col("b") < sdHalf)
+      .join(sdKept.select((col("vec_id") - half).as("b")), Seq("b"))
+      .join(coPairs, Seq("b"))
+      .count()
+    val sdDrops = 2 * sdHalf - sdKeptN
+    println(f"""{"stage":"semdedup_keep","vecs":${2 * sdHalf},"kept":$sdKeptN,"drops":$sdDrops,"cotwin":$coTwin,"sec":$sSd%.2f}""")
+    assert(bothKept == 0L, s"$bothKept co-located twin pairs survived whole")
+    assert(sdDrops >= coTwin && sdDrops <= (1.1 * coTwin).toLong,
+      s"drops $sdDrops outside [${coTwin}, ${(1.1 * coTwin).toLong}]")
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

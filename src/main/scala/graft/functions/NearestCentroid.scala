@@ -40,13 +40,13 @@ case class NearestCentroid(child: Expression, cands: Array[Array[Double]])
   private lazy val isFloat = PQKernels.isFloatArray(child.dataType)
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.eval(input.asInstanceOf[ArrayData], cands, isFloat)
+    NearestCentroid.nearest(input.asInstanceOf[ArrayData], cands, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val candsRef = ctx.addReferenceObj("ncCands", cands, "double[][]")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.NearestCentroid.eval($c, $candsRef, $isFloat);
+         |${ev.value} = graft.functions.NearestCentroid.nearest($c, $candsRef, $isFloat);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -74,8 +74,15 @@ object NearestCentroid {
     StructField("idx", IntegerType, nullable = false),
     StructField("d2", DoubleType, nullable = false)))
 
-  /** Static kernel invoked from generated code. */
-  def eval(vec: ArrayData, cands: Array[Array[Double]],
+  /** Static kernel invoked from generated code. Named `nearest`, NOT
+    * `eval`: the case class inherits `eval(InternalRow)` from Expression,
+    * which suppresses the companion's static forwarder for any method
+    * also called `eval` — Janino then only sees the instance overloads
+    * and the generated call fails to compile, silently demoting every
+    * user of this kernel to the interpreted path (caught in a Stress run
+    * via the logged CompileException).
+    */
+  def nearest(vec: ArrayData, cands: Array[Array[Double]],
       isFloat: Boolean): GenericInternalRow = {
     val dim = cands(0).length
     if (vec.numElements() < dim) return null

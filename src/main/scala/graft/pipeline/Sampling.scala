@@ -172,6 +172,42 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < rate)
   }
 
+  /** Temperature-scaled source rebalancing — the multilingual α-sampling
+    * scheme (mBERT/XLM-R exponential smoothing, Conneau & Lample 2019):
+    * resample so stratum i's share moves from p_i ∝ n_i to q_i ∝ n_i^α,
+    * flattening dominant strata while keeping small ones intact. Realized
+    * purely by deterministic hash-thinning (rate ≤ 1, no upsampling), the
+    * per-stratum keep rate has the closed form
+    *
+    *   rate_i = (n_min / n_i)^(1−α)
+    *
+    * (the normalizer Σ n_j^α cancels exactly; the smallest stratum is kept
+    * whole — the largest feasible thinning-only realization of q). α = 1
+    * keeps everything; α = 0 equalizes all strata to n_min in expectation.
+    * Rates are rounded to 9 decimals before the compare so an independent
+    * engine's pow ulp differences cannot flip a row.
+    *
+    * Scale shape: one tiny per-stratum count aggregate, rates broadcast
+    * back, then the narrow hash-score filter — no corpus shuffle, append-
+    * stable per row given stable counts.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(strataCol),
+        round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1d - alpha)), 9).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashScore(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic train/val/test split assignment: partition [0, 1) into
     * cumulative-weight intervals and bucket each row by its [[hashScore]].
     * The same row always lands in the same split — across partitionings,

@@ -336,6 +336,51 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("semdedup: cell equijoin only — no cartesian, no corpus broadcast; keep windows partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val pairs = planOf("q_semdedup_pairs")
+    assert(!pairs.contains("CartesianProduct") &&
+      !pairs.contains("BroadcastNestedLoopJoin"), pairs)
+    val qe = SparkEntry.queries("q_semdedup_keep")(spark, dir).queryExecution
+    val keep = qe.explainString(SimpleMode)
+    assert(!keep.contains("CartesianProduct") &&
+      !keep.contains("BroadcastNestedLoopJoin"), keep)
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+  }
+
+  test("dsir: count table materialized once (zero parquet in final plan), log-ratios broadcast") {
+    val plan = planOf("q_dsir_weights")
+    assert(plan.contains("ExistingRDD"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bigram LM: token frame materialized once; per-doc windows partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_bigram_lm")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+  }
+
+  test("temperature mix: per-stratum rates broadcast back, corpus never sort-merge joined") {
+    val plan = planOf("q_mix_temperature")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("shared spans: pair-gated equijoins only, windows key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)

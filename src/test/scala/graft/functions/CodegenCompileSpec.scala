@@ -63,7 +63,13 @@ class CodegenCompileSpec extends SparkTestBase {
         PQKernels.pqEncodeCodes($"va",
           Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("pq"),
         PQKernels.pqAdcScore($"va", array(lit(1)),
-          Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("adc")
+          Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("adc"),
+        PQKernels.pqResidualCodes($"va", lit(0L),
+          Array(Array(0.5, 0.5, 0.5)),
+          Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("pqr"),
+        NearestCentroid.nearestCentroid($"va",
+          Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)))
+          .getField("idx").as("ncIdx")
       ).collect()
 
       assert(out.length == 2)
@@ -71,6 +77,9 @@ class CodegenCompileSpec extends SparkTestBase {
       assert(out(0).getLong(6) == 2L && out(1).getLong(6) == 1L, "word hits")
       assert(out(0).getLong(11) == 2L && out(1).getLong(11) == 1L, "quality stops")
       assert(out.forall(r => !r.isNullAt(12) && !r.isNullAt(13)), "pq kernels")
+      assert(out.forall(r => !r.isNullAt(14)), "residual pq kernel")
+      assert(out(0).getInt(15) == 1 && out(1).getInt(15) == 0,
+        "nearest centroid (caught live: kernel named eval ran interpreted)")
     }
   }
 }

@@ -78,6 +78,39 @@ class SamplingMixSpec extends SparkTestBase {
     assert(out.filter(_._1 == "b").map(_._3).toSeq == (2L to 38L by 4L))
   }
 
+  test("temperatureSample: smallest stratum whole, rates follow closed form") {
+    // strata: a=4000, b=1000, c=250 → rates at α=0.5: (250/4000)^0.5=0.25,
+    // (250/1000)^0.5=0.5, c=1.0
+    val df = spark.range(5250).select($"id",
+      when($"id" < 4000, "a").when($"id" < 5000, "b").otherwise("c").as("src"))
+    val kept = Sampling.temperatureSample(df, "id", "src", alpha = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("c") == 250L, s"smallest stratum must be kept whole: $kept")
+    // hash thinning is binomial around rate·n: allow ±4σ
+    def band(n: Long, rate: Double): (Double, Double) = {
+      val sd = math.sqrt(n * rate * (1 - rate))
+      (n * rate - 4 * sd, n * rate + 4 * sd)
+    }
+    val (loA, hiA) = band(4000, 0.25)
+    val (loB, hiB) = band(1000, 0.5)
+    assert(kept("a") >= loA && kept("a") <= hiA, s"a out of band: $kept")
+    assert(kept("b") >= loB && kept("b") <= hiB, s"b out of band: $kept")
+  }
+
+  test("temperatureSample: alpha=1 keeps everything, alpha=0 equalizes") {
+    val df = spark.range(3000).select($"id",
+      when($"id" < 2500, "big").otherwise("small").as("src"))
+    assert(Sampling.temperatureSample(df, "id", "src", alpha = 1.0).count() == 3000L)
+    val eq = Sampling.temperatureSample(df, "id", "src", alpha = 0.0)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq("small") == 500L)
+    // big thinned to ~nmin = 500 in expectation (rate 0.2): ±4σ band
+    val sd = math.sqrt(2500 * 0.2 * 0.8)
+    assert(math.abs(eq("big") - 500.0) <= 4 * sd, s"big not equalized: $eq")
+  }
+
   test("mixByParts rejects all-zero weights") {
     val df = Seq(("x", "a")).toDF("id", "src")
     intercept[IllegalArgumentException](
