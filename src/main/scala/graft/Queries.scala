@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Dsir, LanguageModel, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3774,4 +3774,214 @@ object Queries {
       |SELECT event_id, user_id, hour_idx, v_band,
       |       xa | (xb << 1) | (xc << 2) AS zkey
       |FROM s5 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------- series analytics (round 7b)
+
+  /** Per-type daily VWAP weighting value by the JSON `$.k` field
+    * ([[graft.ops.Bars.vwap]]) — the quantity-weighted bar next to
+    * [[twap]]'s time-weighted one, and the one bar whose weight comes out
+    * of the payload (the 100 TB shape: `get_json_object` is codegen'd and
+    * the whole query is one map-side-combined aggregation, no window).
+    */
+  def vwapBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type",
+      unix_millis($"ts").as("t"), $"value",
+      get_json_object($"props", "$.k").cast("long").as("qty"))
+    Bars.vwap(ev, "1d", Seq("event_type"), "t", "value", "qty", roundTo = 6)
+      .orderBy("event_type", "bucket")
+  }
+
+  val vwapBarsSql: String =
+    """SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS bucket,
+      |       CASE WHEN sum(k) > 0 THEN round(sum(value * k) / sum(k), 6) END AS vwap,
+      |       coalesce(CAST(sum(k) AS BIGINT), 0) AS qty_total,
+      |       count(k) AS n_trades
+      |FROM (
+      |  SELECT event_type, ts, value,
+      |         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+      |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events
+      |)
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** Per-type running peak / drawdown ([[graft.ops.RollingStats
+    * .runningDrawdown]]): expanding max + decline-from-high per row. No
+    * rounding anywhere — the peak is a copied input value and the
+    * subtraction is the same two doubles in both engines.
+    */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type",
+      unix_millis($"ts").as("t"), $"event_id", $"value")
+    graft.ops.RollingStats.runningDrawdown(
+        ev, Seq("event_type"), "t", "value", tieCols = Seq("event_id"))
+      .orderBy("event_type", "t", "event_id")
+  }
+
+  val drawdownSql: String =
+    """SELECT event_type, epoch_ms(ts) AS t, event_id, value,
+      |       max(value) OVER (PARTITION BY event_type
+      |         ORDER BY epoch_ms(ts), event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+      |       max(value) OVER (PARTITION BY event_type
+      |         ORDER BY epoch_ms(ts), event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value AS drawdown
+      |FROM events ORDER BY event_type, t, event_id""".stripMargin
+
+  /** Per-type mean-shift changepoint ([[graft.ops.Anomalies
+    * .cusumChangepoint]] on integer cents): where the cumulative deviation
+    * from the constant-mean line peaks. Every comparison the argmax makes
+    * is between exact integers — the one formulation where a
+    * rank-sensitive statistic is hash-safe cross-engine.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type",
+      unix_millis($"ts").as("t"), $"event_id",
+      round($"value" * 100).cast("long").as("cents"))
+    Anomalies.cusumChangepoint(ev, Seq("event_type"), "t", "cents",
+        tieCols = Seq("event_id"))
+      .select($"event_type", $"n", $"cp_rank", $"cp_ts", $"cp_event_id",
+        $"max_abs_dev", round($"mean_before" / 100.0, 6).as("mean_before"),
+        round($"mean_after" / 100.0, 6).as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  val cusumSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), c AS (
+      |  SELECT event_type, t, event_id,
+      |         count(*) OVER wk AS n, sum(cents) OVER wk AS s,
+      |         row_number() OVER wl AS rn, sum(cents) OVER wc AS cum
+      |  FROM ev
+      |  WINDOW wk AS (PARTITION BY event_type),
+      |         wl AS (PARTITION BY event_type ORDER BY t, event_id),
+      |         wc AS (PARTITION BY event_type ORDER BY t, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT *, n * cum - rn * s AS dev,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY abs(n * cum - rn * s) DESC, t, event_id) AS pick
+      |  FROM c
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS cp_rank,
+      |       t AS cp_ts, event_id AS cp_event_id,
+      |       CAST(abs(dev) AS BIGINT) AS max_abs_dev,
+      |       round((CAST(cum AS DOUBLE) / rn) / 100.0, 6) AS mean_before,
+      |       CASE WHEN rn < n THEN
+      |         round((CAST(s - cum AS DOUBLE) / (n - rn)) / 100.0, 6) END AS mean_after
+      |FROM d WHERE pick = 1 ORDER BY event_type""".stripMargin
+
+  /** Lead-lag correlation scan ([[graft.ops.RollingStats.crossCorrAtLags]]):
+    * every type pair's hourly-cents series correlated at lags −3h..+3h.
+    * The bucket values are exact integer cent sums, so all co-moments are
+    * integers and both engines divide identical numbers.
+    */
+  def xcorrLags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = events(spark, dir)
+      .select($"event_type",
+        (floor(unix_millis($"ts") / 3600000L) * 3600000L).cast("long").as("bucket"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"cents").as("sc"))
+    graft.ops.RollingStats.crossCorrAtLags(hourly, "event_type", "bucket",
+        "sc", bucketStep = 3600000L, lags = -3 to 3, roundTo = 6)
+      .orderBy("key_a", "key_b", "lag")
+  }
+
+  val xcorrLagsSql: String =
+    """WITH h AS (
+      |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS sc
+      |  FROM events GROUP BY 1, 2
+      |), lg AS (SELECT unnest(range(-3, 4)) AS lag),
+      |j AS (
+      |  SELECT a.event_type AS key_a, b.event_type AS key_b, lg.lag AS lag,
+      |         a.sc AS xa, b.sc AS xb
+      |  FROM h a CROSS JOIN lg JOIN h b
+      |    ON a.event_type < b.event_type
+      |   AND b.bucket = a.bucket + lg.lag * 3600000
+      |), m AS (
+      |  SELECT key_a, key_b, lag, count(*) AS n,
+      |         sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+      |         sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+      |  FROM j GROUP BY 1, 2, 3
+      |)
+      |SELECT key_a, key_b, CAST(lag AS INT) AS lag, n AS n_buckets,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |       END AS xcorr
+      |FROM m ORDER BY key_a, key_b, lag""".stripMargin
+
+  // --------------------------------------------- embedding stats (round 7b)
+
+  /** Per-dimension embedding profile ([[graft.pipeline.EmbedStats
+    * .dimStats]]): narrow posexplode, 64-key map-side-combined groupBy.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    EmbedStats.dimStats(tbl(spark, dir, "embeddings"), "embedding")
+      .orderBy("dim")
+
+  val embedDimStatsSql: String =
+    """SELECT CAST(t.i - 1 AS INT) AS dim, count(*) AS n,
+      |       round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mean,
+      |       round(var_pop(CAST(embedding[t.i] AS DOUBLE)), 6) AS var_pop,
+      |       min(CAST(embedding[t.i] AS DOUBLE)) AS min_x,
+      |       max(CAST(embedding[t.i] AS DOUBLE)) AS max_x
+      |FROM embeddings,
+      |     LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY 1 ORDER BY dim""".stripMargin
+
+  /** Upper-triangle covariance matrix of the embedding corpus
+    * ([[EmbedStats.covarianceMatrix]] over the
+    * [[graft.functions.VectorCovSums]] one-pass native aggregate): 2080
+    * entries from ONE scan with a ~34 KB buffer per partition — the
+    * oracle recomputes every entry with its own `covar_pop` over an
+    * unnest-pair join, which is exactly the n·d² plan the native
+    * aggregate exists to avoid.
+    */
+  def embedCov(spark: SparkSession, dir: String): DataFrame =
+    EmbedStats.covarianceMatrix(tbl(spark, dir, "embeddings"), "embedding",
+        dim = 64)
+      .orderBy("dim_i", "dim_j")
+
+  val embedCovSql: String =
+    """SELECT CAST(a.i - 1 AS INT) AS dim_i, CAST(b.i - 1 AS INT) AS dim_j,
+      |       count(*) AS n,
+      |       round(covar_pop(CAST(embedding[a.i] AS DOUBLE),
+      |                       CAST(embedding[b.i] AS DOUBLE)), 6) AS cov
+      |FROM embeddings,
+      |     LATERAL unnest(generate_series(1, len(embedding))) AS a(i),
+      |     LATERAL unnest(generate_series(1, len(embedding))) AS b(i)
+      |WHERE a.i <= b.i
+      |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin
+
+  /** Top BPE merge candidates ([[TextAnalysis.bpePairStats]]): the
+    * highest-count adjacent char pairs, corpus-weighted — step one of BPE
+    * vocabulary training. Total order: count desc, pair asc.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(tbl(spark, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val bpePairsSql: String =
+    raw"""WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS word
+      |  FROM documents
+      |), wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+      |px AS (
+      |  SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair, c
+      |  FROM wc
+      |)
+      |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM px GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 }

@@ -134,4 +134,68 @@ object Anomalies {
           col("__mid"))
       .drop("__mid", "__lo_k", "__hi_k")
   }
+
+  /** Single mean-shift changepoint per key via the cumulative-deviation
+    * (CUSUM-family, at-most-one-change) estimator: the changepoint is the
+    * position maximizing |Σ_{i≤t}(x_i − x̄)| in (`tsCol`, `tieCols`) order
+    * — where the running total strays farthest from the constant-mean
+    * line before reverting.
+    *
+    * `valueCol` must be INTEGRAL (callers pass cents, not dollars): the
+    * deviation is tracked as the exactly-equivalent integer
+    * `dev_t = n·Σ_{i≤t}x_i − t·S` (`S` = key total, both sides scaled by
+    * n) so the cumulative sum never touches floats and both engines rank
+    * identical values — a float cumsum's association varies per engine
+    * and an argmax amplifies any last-ulp difference into a different
+    * ROW. Ties on |dev| resolve to the earliest position.
+    *
+    * Output per key: `n`, the changepoint row's position (`cp_rank`,
+    * 1-based, the last row of the "before" segment), its `tsCol`/tie
+    * values, `max_abs_dev` (the raw integer statistic, magnitude
+    * n·t·|shift| — callers compare against their own threshold to decide
+    * significance), and the exact segment means `mean_before`/
+    * `mean_after` (single divisions of exact integers, cross-engine
+    * bit-identical; `mean_after` NULL when the changepoint is the last
+    * row).
+    *
+    * Scale shape: one key shuffle, one sorted window pass (cumsum +
+    * row_number share the frame), then a groupBy reusing the same
+    * partitioning. Overflow bound: |dev| ≤ n·S, so n·Σ|x| must fit a
+    * long — 2^63 leaves room for ~3·10^9 rows of 10^9-cent values per key.
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys  = keyCols.map(col)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val whole = Window.partitionBy(keys: _*)
+    val w     = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val x     = col(valueCol).cast("long")
+    val dev   = col("__n") * col("__cum") - col("__rn") * col("__s")
+    val cpPick = row_number().over(
+      Window.partitionBy(keys: _*).orderBy(abs(col("__dev")).desc +: order: _*))
+    df.withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__s", sum(x).over(whole))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(x).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__dev", dev)
+      .withColumn("__pick", cpPick)
+      .filter(col("__pick") === 1)
+      .select(keys ++ Seq(
+        col("__n").as("n"),
+        col("__rn").as("cp_rank"),
+        col(tsCol).as("cp_ts")) ++
+        tieCols.map(t => col(t).as(s"cp_$t")) ++ Seq(
+        abs(col("__dev")).as("max_abs_dev"),
+        (col("__cum").cast("double") / col("__rn").cast("double"))
+          .as("mean_before"),
+        when(col("__rn") < col("__n"),
+          (col("__s") - col("__cum")).cast("double") /
+            (col("__n") - col("__rn")).cast("double"))
+          .as("mean_after")): _*)
+  }
 }

@@ -152,6 +152,44 @@ object Bars {
     df.withColumn("ewma", ws / weight)
   }
 
+  /** Volume-weighted average price per `interval` bucket per key — the
+    * quantity-weighted companion to [[twap]] (which weights by elapsed
+    * TIME): `vwap = Σ value·qty / Σ qty` over the bucket's events, plus
+    * the exact totals (`qty_total`, `n_trades`) the weighted mean was
+    * built from. Rows with a NULL or non-positive quantity contribute
+    * nothing (an unknown size must not silently count as zero weight in
+    * the numerator but full weight in nothing — both sums skip it).
+    *
+    * A bucket whose quantities sum to zero (all excluded) yields NULL
+    * under an explicit guard, for the same Spark-NULL/DuckDB-NaN division
+    * divergence documented on [[twap]]. The weighted sum is rounded
+    * (float products, engine-order summation); `qty_total` is an exact
+    * integer.
+    *
+    * Scale shape: a straight one-level aggregation — map-side partial
+    * sums per (key, bucket), one exchange on the group key. No window, no
+    * sort; this is the cheapest bar in the file.
+    */
+  def vwap(
+      df: DataFrame,
+      interval: String,
+      keyCols: Seq[String],
+      tsCol: String = graft.core.Fuser.TimestampCol,
+      valueCol: String = "value",
+      qtyCol: String = "qty",
+      roundTo: Int = 6): DataFrame = {
+    val step = Intervals.toMillis(interval)
+    val keys = keyCols.map(col)
+    val q = when(col(qtyCol).isNotNull && col(qtyCol) > 0, col(qtyCol))
+    df.groupBy(keys :+ (floor(col(tsCol) / step) * step).cast("long").as("bucket"): _*)
+      .agg(
+        when(sum(q) > 0,
+          round(sum(col(valueCol) * q.cast("double")) / sum(q).cast("double"), roundTo))
+          .as("vwap"),
+        coalesce(sum(q), lit(0L)).cast("long").as("qty_total"),
+        count(q).as("n_trades"))
+  }
+
   /** Gap report: every place a key's stream went silent for more than
     * `thresholdMs` — the data-quality audit run before trusting any
     * resample/ffill output (a filled gap LOOKS like data; this says where

@@ -110,4 +110,86 @@ object RollingStats {
       .withColumn("roll_icept", when(ok, round((sy - slope * sx) / n, roundTo)))
       .withColumn("n_pairs", count(px).over(w).cast("long"))
   }
+
+  /** Running peak and drawdown per key: `peak = max(value so far)` in
+    * (`tsCol`, `tieCols`) order and `drawdown = peak − value` — the
+    * standard decline-from-high risk measure (and, inverted, the
+    * run-up-from-low). NULL values keep the prior peak and get a NULL
+    * drawdown.
+    *
+    * Exact to the bit across engines with no rounding: the expanding max
+    * copies an input value, and the subtraction is then the same two
+    * doubles on both sides — there is no float-summation order anywhere.
+    *
+    * Scale shape: one key shuffle, one sorted window pass with O(1) state
+    * (an expanding max needs only the current extremum, unlike a sliding
+    * one); same WindowExec streaming as a cumulative sum.
+    */
+  def runningDrawdown(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("peak", max(col(valueCol)).over(w))
+      .withColumn("drawdown", col("peak") - col(valueCol))
+  }
+
+  /** Lead-lag Pearson correlation between every (unordered) pair of keys'
+    * bucketed series at each requested lag — the cross-sensor /
+    * pairs-trading lead-lag scan: a high correlation at lag ℓ ≠ 0 means
+    * key B's series follows key A's by ℓ buckets.
+    *
+    * `df` must already be the BUCKETED series: one row per (key, bucket)
+    * with an integral value column (e.g. the per-bucket sum in cents —
+    * integer so every co-moment below is exact; see the cross-engine
+    * float-association analysis on [[rollingCorr]]). For each pair
+    * (a < b by key order) and each lag ℓ, rows are matched on
+    * `b.bucket = a.bucket + ℓ·bucketStep` (inner: buckets missing on
+    * either side at that offset contribute nothing) and the correlation
+    * is the fixed-association co-moment formula over exact integers, so
+    * both engines divide identical numbers. NULL when fewer than two
+    * matched buckets or either side is constant.
+    *
+    * Scale shape: the input is already aggregated (buckets, not events —
+    * at 100 TB that reduction happened upstream in one groupBy), the lag
+    * list is a broadcast literal explode, and the self-join shuffles on
+    * the bucket join key only. Output is |pairs|·|lags| rows.
+    */
+  def crossCorrAtLags(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      bucketStep: Long,
+      lags: Seq[Int],
+      roundTo: Int = 6): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    require(bucketStep > 0, s"bucketStep must be positive: $bucketStep")
+    val a = df.select(col(keyCol).as("key_a"), col(bucketCol).as("bucket_a"),
+      col(valueCol).cast("long").as("xa"))
+    val b = df.select(col(keyCol).as("key_b"), col(bucketCol).as("bucket_b"),
+      col(valueCol).cast("long").as("xb"))
+    val joined = a
+      .withColumn("lag", explode(lit(lags.toArray)))
+      .join(b,
+        col("key_a") < col("key_b") &&
+          col("bucket_b") === col("bucket_a") + col("lag") * bucketStep)
+    val n   = count(lit(1))
+    val sx  = sum(col("xa")); val sy = sum(col("xb"))
+    val sxy = sum(col("xa") * col("xb"))
+    val sxx = sum(col("xa") * col("xa")); val syy = sum(col("xb") * col("xb"))
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    joined.groupBy(col("key_a"), col("key_b"), col("lag"))
+      .agg(
+        n.as("n_buckets"),
+        when(n >= 2 && varX > 0 && varY > 0,
+          round((n * sxy - sx * sy).cast("double") /
+            (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), roundTo))
+          .as("xcorr"))
+  }
 }

@@ -329,4 +329,34 @@ object TextAnalysis {
         col("__sum_cf").cast("double") / (col("n_tokens") * col("__total")))
       .select(col(idCol), col("n_tokens"), col("mean_unigram_p"))
   }
+
+  /** Adjacent-symbol pair frequencies over the corpus — the counting step
+    * of BPE vocabulary training (Sennrich et al., ACL'16): every adjacent
+    * character pair inside a word, weighted by how often the word occurs.
+    * Full training is the loop "take the top pair, merge it everywhere,
+    * recount" — each iteration is exactly this operator over the rewritten
+    * vocabulary, so the one-step statistics are what get oracle-checked.
+    *
+    * The heavy corpus scan collapses to the VOCABULARY first (distinct
+    * word + count — the Zipf-shrunk frame), and pairs explode from that:
+    * at 100 TB the corpus→vocab groupBy is the only full-width pass;
+    * the pair explode touches ~|vocab|·avg_len rows, orders of magnitude
+    * smaller. Pure integer counts — hash-exact cross-engine.
+    *
+    * Output: (`pair`, `cnt`) — one row per distinct 2-char sequence with
+    * its corpus-weighted occurrence count.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // sequence(1, 0) DESCENDS in Spark, so 1-char words need the explicit
+    // empty guard rather than relying on an empty range
+    val pairIdx = when(length(col("word")) >= 2,
+      sequence(lit(1), length(col("word")) - 1)).otherwise(array())
+    vocab
+      .select(explode(transform(pairIdx, i => col("word").substr(i, lit(2))))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+  }
 }

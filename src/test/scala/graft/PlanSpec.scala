@@ -393,4 +393,57 @@ class PlanSpec extends SparkTestBase {
     }
     assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
   }
+
+  test("embed cov: one scan, one typed aggregate, explode only above it") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_embed_cov")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("ObjectHashAggregate"), plan) // TypedImperativeAggregate path
+    // the d(d+1)/2-row Generate must sit ABOVE the aggregate: nothing
+    // row-count-shaped may be exploded before the reduction
+    val genBelowAgg = qe.optimizedPlan.collect {
+      case g: Generate if g.child.collectFirst { case a: Aggregate => a }.isEmpty => g
+    }
+    assert(genBelowAgg.isEmpty,
+      s"explode below the aggregate:\n${genBelowAgg.mkString("\n")}")
+  }
+
+  test("bpe pairs: pair explode sits above the vocab aggregate (Zipf shrink first)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_bpe_pairs")(spark, dir).queryExecution
+    // two Generates: the words explode feeds the vocab aggregate; the pair
+    // explode must consume the AGGREGATED vocab, not the corpus
+    val gens = qe.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty)
+    val aboveAgg = gens.count(_.child.collectFirst { case a: Aggregate => a }.isDefined)
+    assert(aboveAgg >= 1, s"no explode above an aggregate:\n${qe.optimizedPlan}")
+  }
+
+  test("xcorr lags: bucket self-join is an equi join, lags broadcast-exploded") {
+    val plan = planOf("q_xcorr_lags")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("vwap is one windowless aggregation over one scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_vwap")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, plan)
+  }
+
+  test("drawdown and cusum windows are all key-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    for (q <- Seq("q_drawdown", "q_cusum")) {
+      val bad = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q has unpartitioned windows:\n${bad.mkString("\n")}")
+    }
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.pipeline.TextAnalysis
+
+/** Hand-computed cases for the round-7b series analytics: running
+  * drawdown, CUSUM changepoint, VWAP bars, lead-lag correlation, and the
+  * BPE pair-count step.
+  */
+class SeriesAnalyticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("runningDrawdown: expanding peak and decline-from-high") {
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 3.0), ("k", 3L, 7.0), ("k", 4L, 6.0))
+      .toDF("key", "t", "value")
+    val out = RollingStats.runningDrawdown(df, Seq("key"), "t", "value")
+      .orderBy("t").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(5.0, 5.0, 7.0, 7.0))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(0.0, 2.0, 0.0, 1.0))
+  }
+
+  test("cusumChangepoint finds a planted mean shift with exact integers") {
+    // 0,0,0,10,10,10: dev_t = 6*cum - t*30 peaks in magnitude (|-90|) at
+    // rank 3 -- the last row of the "before" segment
+    val df = (1L to 6L).map(t => ("a", t, if (t <= 3) 0L else 10L))
+      .toDF("key", "t", "cents")
+    val out = Anomalies.cusumChangepoint(df, Seq("key"), "t", "cents").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("cp_rank") === 3L)
+    assert(r.getAs[Long]("cp_ts") === 3L)
+    assert(r.getAs[Long]("max_abs_dev") === 90L)
+    assert(r.getAs[Double]("mean_before") === 0.0)
+    assert(r.getAs[Double]("mean_after") === 10.0)
+  }
+
+  test("cusum tie on |dev| resolves to the earliest row") {
+    // symmetric up-down: |dev| ties at both ends of the plateau
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 6L), ("a", 3L, 0L))
+      .toDF("key", "t", "cents")
+    // cum: 0,6,6; S=6, n=3; dev: 3*0-1*6=-6, 18-12=6, 18-18=0 -> tie |6|
+    val r = Anomalies.cusumChangepoint(df, Seq("key"), "t", "cents").head()
+    assert(r.getAs[Long]("cp_rank") === 1L)
+    assert(r.getAs[Long]("max_abs_dev") === 6L)
+  }
+
+  test("vwap: qty-weighted mean, null/non-positive qty excluded") {
+    val df = Seq(
+      ("k", 100L, 10.0, Some(2L)),
+      ("k", 200L, 20.0, Some(1L)),
+      ("k", 300L, 30.0, None),
+      ("k", 400L, 40.0, Some(0L)),
+      ("k", 3600500L, 99.0, None) // second bucket: no usable qty at all
+    ).toDF("key", "t", "value", "qty")
+    val out = Bars.vwap(df, "1h", Seq("key"), "t", "value", "qty")
+      .orderBy("bucket").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("vwap") === 13.333333)
+    assert(out(0).getAs[Long]("qty_total") === 3L)
+    assert(out(0).getAs[Long]("n_trades") === 2L)
+    assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
+    assert(out(1).getAs[Long]("qty_total") === 0L)
+    assert(out(1).getAs[Long]("n_trades") === 0L)
+  }
+
+  test("crossCorrAtLags recovers a planted lag-1 dependence") {
+    val a = Seq(1L, 5L, 2L, 7L, 3L).zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong * 10, v) }
+    val b = a.map { case (_, t, v) => ("b", t + 10, v * 2) } // b follows a by 1
+    val df = (a ++ b).toDF("key", "bucket", "sc")
+    val out = RollingStats.crossCorrAtLags(df, "key", "bucket", "sc",
+        bucketStep = 10, lags = Seq(0, 1))
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_buckets"), Option(r.getAs[Any]("xcorr")))).toMap
+    assert(out(1)._1 === 5L)
+    assert(out(1)._2 === Some(1.0))
+    assert(out(0)._1 === 4L) // overlap of a's t1..t4 with b's t1..t4
+    assert(out(0)._2.exists(_.asInstanceOf[Double] < 1.0))
+  }
+
+  test("bpePairStats: corpus-weighted within-word char pairs") {
+    val docs = Seq("ab ab abc", "ab a").toDF("text")
+    val out = TextAnalysis.bpePairStats(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'ab' x3 + inside 'abc' -> 4; 'bc' only in abc; 1-char 'a' contributes 0
+    assert(out === Map("ab" -> 4L, "bc" -> 1L))
+  }
+}
