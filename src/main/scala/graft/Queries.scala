@@ -3963,6 +3963,106 @@ object Queries {
       |WHERE a.i <= b.i
       |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin
 
+  /** Leading principal component of the embedding corpus
+    * ([[EmbedStats.leadingPC]]): one [[graft.functions.VectorCovSums]]
+    * pass reduces the corpus to a single co-moment row, the driver runs
+    * deterministic power iteration on the 64×64 covariance. Exported as
+    * (dim_idx, weight, eigval) — the whitening/drift artifact.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (e, lam, _) = EmbedStats.leadingPC(tbl(spark, dir, "embeddings"),
+      "embedding", dim = 64)
+    e.toSeq.zipWithIndex.map { case (w, i) => (i, w, lam) }
+      .toDF("dim_idx", "weight", "eigval")
+      .orderBy("dim_idx")
+  }
+
+  /** Invariant oracle (training itself is iterative, not SQL-derivable —
+    * the [[ivfCentroidsSql]] pattern): rebuild the covariance matrix
+    * independently with `covar_pop` and echo the dumped weights only when
+    * every eigenpair invariant holds —
+    *
+    *  - exactly 64 rows, one per grid dim (grid LEFT JOIN exposes
+    *    missing/duplicated rows as count/NULL mismatches);
+    *  - one distinct finite eigenvalue;
+    *  - unit norm: |Σw² − 1| ≤ 1e-9;
+    *  - eigen-residual: |C·w − λ·w|∞ ≤ 1e-6 against the INDEPENDENT
+    *    covariance (driver converges to 1e-13 component change; the two
+    *    cov computations agree to ~1e-13, so 1e-6 is slack-but-real —
+    *    the second eigenvector fails it by ~λ₁−λ₂ ≈ 3e-4);
+    *  - leading-ness floor: λ ≥ max_i C_ii − 1e-9 (λmax dominates every
+    *    diagonal Rayleigh quotient, so a converged NON-leading pair with
+    *    λ < max variance is rejected).
+    */
+  val embedPcaSql: String =
+    """WITH d AS (
+      |  SELECT dim_idx, weight, eigval FROM '__VERIFY_OUT__/q_embed_pca/*.parquet'
+      |), cov AS (
+      |  SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+      |         covar_pop(CAST(embedding[a.i] AS DOUBLE),
+      |                   CAST(embedding[b.i] AS DOUBLE)) AS c
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, len(embedding))) AS a(i),
+      |       LATERAL unnest(generate_series(1, len(embedding))) AS b(i)
+      |  GROUP BY 1, 2
+      |), ce AS (
+      |  SELECT cov.i AS dim_idx, sum(cov.c * d.weight) AS cei
+      |  FROM cov JOIN d ON d.dim_idx = cov.j GROUP BY 1
+      |), chk AS (
+      |  SELECT (SELECT count(*) = 64 FROM d)
+      |     AND (SELECT count(DISTINCT eigval) = 1 FROM d)
+      |     AND (SELECT bool_and(isfinite(weight) AND isfinite(eigval)) FROM d)
+      |     AND (SELECT abs(sum(weight * weight) - 1) <= 1e-9 FROM d)
+      |     AND (SELECT bool_and(abs(ce.cei - d.eigval * d.weight) <= 1e-6)
+      |          FROM ce JOIN d USING (dim_idx))
+      |     AND (SELECT max(c) FROM cov WHERE i = j)
+      |           <= (SELECT any_value(eigval) FROM d) + 1e-9 AS ok
+      |), grid AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS dim_idx)
+      |SELECT g.dim_idx,
+      |       CASE WHEN chk.ok THEN d.weight END AS weight,
+      |       CASE WHEN chk.ok THEN d.eigval END AS eigval
+      |FROM grid g LEFT JOIN d ON d.dim_idx = g.dim_idx CROSS JOIN chk
+      |ORDER BY g.dim_idx""".stripMargin
+
+  /** Top-20 vectors by |centered projection| onto the leading PC
+    * ([[EmbedStats.projectOnto]]) — the extreme documents along the
+    * corpus's main axis of variation (drift triage / curriculum ends).
+    * Per-row work is ONE codegen'd dot against the broadcast direction;
+    * ranking uses the ROUNDED projection so near-ties can't flip order
+    * cross-engine. The oracle re-derives every projection from the
+    * EXPORTED eigenvector, so the two queries' consistency is checked,
+    * not assumed.
+    */
+  def embedPcaProj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = tbl(spark, dir, "embeddings")
+    val (e, _, mu) = EmbedStats.leadingPC(emb, "embedding", dim = 64)
+    EmbedStats.projectOnto(emb, "embedding", e, mu)
+      .select($"vec_id", $"proj")
+      .orderBy(abs($"proj").desc, $"vec_id")
+      .limit(20)
+  }
+
+  val embedPcaProjSql: String =
+    """WITH e AS (
+      |  SELECT dim_idx, weight FROM '__VERIFY_OUT__/q_embed_pca/*.parquet'
+      |), m AS (
+      |  SELECT t.i - 1 AS dim_idx, avg(CAST(embedding[t.i] AS DOUBLE)) AS mu
+      |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY 1
+      |), ctr AS (SELECT sum(e.weight * m.mu) AS c FROM e JOIN m USING (dim_idx)),
+      |p AS (
+      |  SELECT vec_id,
+      |         round(sum(CAST(embedding[t.i] AS DOUBLE) * e.weight)
+      |               - (SELECT c FROM ctr), 6) AS proj
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      |  JOIN e ON e.dim_idx = t.i - 1
+      |  GROUP BY vec_id
+      |)
+      |SELECT vec_id, proj FROM p ORDER BY abs(proj) DESC, vec_id LIMIT 20""".stripMargin
+
   /** Top BPE merge candidates ([[TextAnalysis.bpePairStats]]): the
     * highest-count adjacent char pairs, corpus-weighted — step one of BPE
     * vocabulary training. Total order: count desc, pair asc.

@@ -45,6 +45,84 @@ object EmbedStats {
         max(x).as("max_x"))
   }
 
+  /** Leading principal component of the corpus covariance — the direction
+    * feeding whitening, drift dashboards, and 1-D curriculum ordering.
+    *
+    * Shape: ONE distributed pass ([[graft.functions.VectorCovSums]])
+    * reduces the corpus to a single co-moment row; the driver assembles
+    * the d×d covariance (population: `C_ij = S_ij/n − μ_i·μ_j`) and runs
+    * power iteration — 64×64 matvecs are microseconds, so the "driver
+    * eigensolve" is the bounded-small-answer step, not a scale hazard
+    * (same contract as the ≤4096-sample k-means trainers). Deterministic:
+    * fixed all-ones start, fixed tolerance/iteration cap, and the sign
+    * convention "first component with |w| > 1e-9 is positive" — so
+    * re-runs export identical bits.
+    *
+    * Returns (eigenvector, eigenvalue, mean). With a near-flat spectrum
+    * (λ₂/λ₁ → 1) the ITERATION slows but never diverges; the cap bounds
+    * it and the eigen-residual invariant in the oracle catches a
+    * non-converged export.
+    */
+  def leadingPC(embeds: DataFrame, vecCol: String, dim: Int,
+      maxIter: Int = 20000, tol: Double = 1e-13): (Array[Double], Double, Array[Double]) = {
+    val sums = embeds.agg(VectorCovSums.vectorCovSums(col(vecCol), dim).as("s"))
+      .head().getSeq[Row](0)
+    require(sums.nonEmpty && sums.head.getLong(2) >= 2, "need >= 2 vectors")
+    val n  = sums.head.getLong(2).toDouble
+    val c  = Array.ofDim[Double](dim, dim)
+    val mu = new Array[Double](dim)
+    sums.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      if (i == j) mu(i) = r.getDouble(3) / n
+    }
+    sums.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val cij = r.getDouble(5) / n - mu(i) * mu(j)
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta > tol) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += c(i)(j) * v(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "zero covariance matrix")
+      var d = 0.0
+      i = 0
+      while (i < dim) { w(i) /= norm; d = math.max(d, math.abs(w(i) - v(i))); i += 1 }
+      v = w; delta = d; it += 1
+    }
+    val sign = v.find(x => math.abs(x) > 1e-9).map(x => math.signum(x)).getOrElse(1.0)
+    if (sign < 0) { var i = 0; while (i < dim) { v(i) = -v(i); i += 1 } }
+    // Rayleigh quotient on the final vector (||v|| = 1)
+    var lam = 0.0
+    var i = 0
+    while (i < dim) {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += c(i)(j) * v(j); j += 1 }
+      lam += v(i) * s; i += 1
+    }
+    (v, lam, mu)
+  }
+
+  /** Centered projection of every vector onto a fixed direction:
+    * `proj = v·e − μ·e` — `μ·e` collapses to ONE scalar, so the per-row
+    * work is a single codegen'd [[graft.functions.VectorDot]] against the
+    * broadcast literal direction: a narrow map, no shuffle, no explode.
+    */
+  def projectOnto(embeds: DataFrame, vecCol: String, direction: Array[Double],
+      mean: Array[Double], roundTo: Int = 6): DataFrame = {
+    val center = direction.zip(mean).map { case (e, m) => e * m }.sum
+    embeds.withColumn("proj",
+      round(VectorDot.vectorDot(col(vecCol), lit(direction)) - center, roundTo))
+  }
+
   /** Upper-triangle population covariance matrix of a `dim`-dimensional
     * vector column: one row per (i ≤ j) with `n` and `cov` — the diagonal
     * is the per-dimension variance. Rows with null/short/null-element

@@ -76,6 +76,35 @@ class VectorCovSpec extends SparkTestBase {
     }
   }
 
+  test("leadingPC converges to the dominant eigenpair on a planted spectrum") {
+    // points along (3,4)/5 with tiny off-axis noise: leading PC must be
+    // ±(0.6, 0.8) with eigenvalue = variance along the axis
+    val ts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val pts = ts.map(t => Seq(0.6 * t, 0.8 * t, 0.001 * t * t))
+    val (e, lam, mu) = EmbedStats.leadingPC(pts.toDF("v"), "v", dim = 3)
+    assert(math.abs(math.abs(e(0)) - 0.6) < 1e-6)
+    assert(math.abs(math.abs(e(1)) - 0.8) < 1e-6)
+    assert(e(0) > 0, "sign convention: first significant component positive")
+    assert(math.abs(lam - 2.0) < 1e-3) // var of t over ts = 2
+    assert(mu.take(2).forall(m => math.abs(m) < 1e-12))
+    // eigen-residual: C e = lam e within tight tolerance
+    val n = pts.length.toDouble
+    val mus = (0 until 3).map(d => pts.map(_(d)).sum / n)
+    def cov(i: Int, j: Int) =
+      pts.map(p => (p(i) - mus(i)) * (p(j) - mus(j))).sum / n
+    for (i <- 0 until 3) {
+      val cei = (0 until 3).map(j => cov(i, j) * e(j)).sum
+      assert(math.abs(cei - lam * e(i)) < 1e-9, s"residual at $i")
+    }
+  }
+
+  test("projectOnto: centered dot against a literal direction") {
+    val df = Seq(Seq(1.0, 0.0), Seq(3.0, 0.0), Seq(5.0, 2.0)).toDF("v")
+    val out = EmbedStats.projectOnto(df, "v", Array(1.0, 0.0), Array(3.0, 2.0 / 3))
+      .select("proj").collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq === Seq(-2.0, 0.0, 2.0))
+  }
+
   test("EmbedStats.dimStats per-dimension profile") {
     val out = EmbedStats.dimStats(vecs.toDF("v"), "v", roundTo = 9)
       .collect().map(r => r.getInt(0) -> r).toMap
