@@ -172,30 +172,44 @@ object Anomalies {
     import org.apache.spark.sql.expressions.Window
     val keys  = keyCols.map(col)
     val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
-    val whole = Window.partitionBy(keys: _*)
     val w     = Window.partitionBy(keys: _*).orderBy(order: _*)
     val x     = col(valueCol).cast("long")
-    val dev   = col("__n") * col("__cum") - col("__rn") * col("__s")
-    val cpPick = row_number().over(
-      Window.partitionBy(keys: _*).orderBy(abs(col("__dev")).desc +: order: _*))
-    df.withColumn("__n", count(lit(1)).over(whole))
-      .withColumn("__s", sum(x).over(whole))
+    // Per-key totals as a PRE-aggregate joined back (map-side combined;
+    // AQE broadcasts the tiny side), not unbounded windows: two
+    // whole-partition window passes cost two extra buffer sweeps per key
+    // and collapse badly when |keys| << cores. The join's hash exchange
+    // partitions by the same keys the window needs, so it is reused.
+    val stats = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"))
+    // The argmax is a groupBy max over a lexicographic struct — partial
+    // aggregation picks per-task candidates map-side, so no second sort
+    // and no WindowGroupLimit pass ever sees the full frame. Requires
+    // NUMERIC ts/tie columns (negation encodes "earliest wins" inside
+    // the max); epoch millis + id columns satisfy that by construction.
+    val pickStruct = struct(
+      (abs(col("__dev")).as("d") +:
+        (negate(col(tsCol)).as("nt") +:
+          tieCols.zipWithIndex.map { case (t, i) => negate(col(t)).as(s"n$i") })) ++
+        (col("__rn").as("rn") +: col("__cum").as("cum") +:
+          col(tsCol).as("ts") +: tieCols.map(col)): _*)
+    df.join(stats, keyCols)
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__cum", sum(x).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__dev", dev)
-      .withColumn("__pick", cpPick)
-      .filter(col("__pick") === 1)
+      .withColumn("__dev", col("__n") * col("__cum") - col("__rn") * col("__s"))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("__s"),
+        max(pickStruct).as("__best"))
       .select(keys ++ Seq(
-        col("__n").as("n"),
-        col("__rn").as("cp_rank"),
-        col(tsCol).as("cp_ts")) ++
-        tieCols.map(t => col(t).as(s"cp_$t")) ++ Seq(
-        abs(col("__dev")).as("max_abs_dev"),
-        (col("__cum").cast("double") / col("__rn").cast("double"))
+        col("n"),
+        col("__best.rn").as("cp_rank"),
+        col("__best.ts").as("cp_ts")) ++
+        tieCols.map(t => col(s"__best.$t").as(s"cp_$t")) ++ Seq(
+        col("__best.d").as("max_abs_dev"),
+        (col("__best.cum").cast("double") / col("__best.rn").cast("double"))
           .as("mean_before"),
-        when(col("__rn") < col("__n"),
-          (col("__s") - col("__cum")).cast("double") /
-            (col("__n") - col("__rn")).cast("double"))
+        when(col("__best.rn") < col("n"),
+          (col("__s") - col("__best.cum")).cast("double") /
+            (col("n") - col("__best.rn")).cast("double"))
           .as("mean_after")): _*)
   }
 }
