@@ -3920,6 +3920,130 @@ object Queries {
       |       END AS xcorr
       |FROM m ORDER BY key_a, key_b, lag""".stripMargin
 
+  /** Per-type Spearman rank correlation between price and the JSON `$.k`
+    * payload ([[graft.ops.RollingStats.spearmanCorr]]): monotone
+    * dependence on tie-broken integer ranks — every co-moment exact, no
+    * per-sum rounding anywhere.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"event_id", $"value",
+      get_json_object($"props", "$.k").cast("long").as("k"))
+    graft.ops.RollingStats.spearmanCorr(ev, Seq("event_type"), "value", "k",
+        tieCols = Seq("event_id"))
+      .orderBy("event_type")
+  }
+
+  val spearmanSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE value IS NOT NULL
+      |    AND json_extract_string(props, '$.k') IS NOT NULL
+      |), r AS (
+      |  SELECT event_type,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value, event_id) AS rx,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY k, event_id) AS ry
+      |  FROM ev
+      |), m AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+      |         sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |                    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |       END AS spearman
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** View→click→purchase funnel per user ([[graft.ops.Funnel
+    * .funnelStages]]): first completion of each stage strictly after the
+    * previous one. Exact epoch integers end to end.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_type")
+    graft.ops.Funnel.funnelStages(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS view_ms
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS click_ms
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.view_ms
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.click_ms
+      |  GROUP BY 1
+      |)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      |       CAST(1 + CASE WHEN c.click_ms IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN p.purchase_ms IS NOT NULL THEN 1 ELSE 0 END
+      |            AS INT) AS stages_reached
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Day-cohort retention triangle ([[graft.ops.Funnel.retentionCohorts]]):
+    * users bucketed by first-seen epoch day, counted per day offset.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id", unix_millis($"ts").as("t"))
+    graft.ops.Funnel.retentionCohorts(ev, "user_id", "t")
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), f AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1
+      |)
+      |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+      |       count(DISTINCT a.user_id) AS n_entities
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Median/MAD robust outliers per type ([[Anomalies.madOutliers]]) —
+    * the double-median companion to [[outliers]]; both medians are the
+    * same interpolation arithmetic in both engines, so the unrounded
+    * filter decisions agree exactly.
+    */
+  def outliersMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"event_id", $"value")
+    Anomalies.madOutliers(ev, Seq("event_type"), "value", threshold = 3.5)
+      .orderBy("event_type", "event_id")
+  }
+
+  val outliersMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY 1
+      |), mad AS (
+      |  SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+      |  FROM events JOIN med USING (event_type) GROUP BY event_type, m
+      |)
+      |SELECT event_type, event_id, value,
+      |       round((value - m) / (d * 1.4826), 6) AS robust_z
+      |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+      |WHERE d > 0 AND abs((value - m) / (d * 1.4826)) > 3.5
+      |ORDER BY event_type, event_id""".stripMargin
+
   // --------------------------------------------- embedding stats (round 7b)
 
   /** Per-dimension embedding profile ([[graft.pipeline.EmbedStats

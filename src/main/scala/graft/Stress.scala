@@ -608,6 +608,53 @@ object Stress {
     assert(sdDrops >= coTwin && sdDrops <= (1.1 * coTwin).toLong,
       s"drops $sdDrops outside [${coTwin}, ${(1.1 * coTwin).toLong}]")
 
+    // ---- one-pass covariance + leading PC at volume: the nvp (>= 1M)
+    // 32-dim corpus reduced to one co-moment row per jobs. Invariants:
+    //  - MERGE LINEARITY: full-corpus sums == elementwise sum of the two
+    //    half-corpus runs (different partial-merge orders, so equality is
+    //    to float tolerance, not bits) — the property that makes the
+    //    buffer a valid distributed aggregate;
+    //  - diagonal >= 0 and |corr(i,j)| <= 1 + eps for every pair;
+    //  - the driver eigensolve stays consistent: unit norm and the
+    //    leading-ness floor lambda >= max diagonal variance.
+    val covDim = 32
+    val covT0 = System.nanoTime()
+    val covFull = graft.pipeline.EmbedStats
+      .covarianceMatrix(pVecs, "embedding", covDim, roundTo = 9)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    val sCov = (System.nanoTime() - covT0) / 1e9
+    println(f"""{"stage":"embed_cov","vecs":$nvp,"pairs":${covFull.size},"sec":$sCov%.2f,"vecs_per_sec":${(nvp / sCov).toLong}}""")
+    assert(covFull.size == covDim * (covDim + 1) / 2, s"pair count ${covFull.size}")
+    for (i <- 0 until covDim) assert(covFull((i, i)) >= 0, s"negative var at $i")
+    for (((i, j), c) <- covFull if i != j) {
+      val denom = math.sqrt(covFull((i, i)) * covFull((j, j)))
+      assert(denom == 0 || math.abs(c / denom) <= 1 + 1e-9, s"|corr($i,$j)| > 1")
+    }
+    // merge linearity via the raw sums (pre-normalization, so tolerance is
+    // relative to the sum magnitudes, not the tiny covariances)
+    def covSumsOf(df: DataFrame): Map[(Int, Int), (Long, Double, Double)] =
+      df.agg(graft.functions.VectorCovSums.vectorCovSums(col("embedding"), covDim).as("s"))
+        .select(explode(col("s")).as("e")).select("e.*")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    val wholeS = covSumsOf(pVecs)
+    val loS    = covSumsOf(pVecs.filter(col("vec_id") < nvp / 2))
+    val hiS    = covSumsOf(pVecs.filter(col("vec_id") >= nvp / 2))
+    for (k <- wholeS.keys) {
+      val (nW, siW, sijW) = wholeS(k)
+      val (nL, siL, sijL) = loS(k); val (nH, siH, sijH) = hiS(k)
+      assert(nW == nL + nH, s"n mismatch at $k")
+      assert(math.abs(siW - (siL + siH)) <= 1e-6 * (1 + math.abs(siW)), s"si at $k")
+      assert(math.abs(sijW - (sijL + sijH)) <= 1e-6 * (1 + math.abs(sijW)), s"sij at $k")
+    }
+    val pcT0 = System.nanoTime()
+    val (pcVec, pcLam, _) = graft.pipeline.EmbedStats.leadingPC(pVecs, "embedding", covDim)
+    val sPc = (System.nanoTime() - pcT0) / 1e9
+    println(f"""{"stage":"embed_pca","vecs":$nvp,"eigval":$pcLam%.6f,"sec":$sPc%.2f}""")
+    assert(math.abs(pcVec.map(x => x * x).sum - 1) <= 1e-9, "PC not unit norm")
+    val maxDiag = (0 until covDim).map(i => covFull((i, i))).max
+    assert(pcLam >= maxDiag - 1e-6, s"eigval $pcLam below max diagonal $maxDiag")
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

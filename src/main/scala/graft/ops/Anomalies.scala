@@ -40,6 +40,51 @@ object Anomalies {
       .drop("__m", "__sd")
   }
 
+  /** Rows whose `valueCol` sits more than `threshold` ROBUST deviations
+    * from their key's median — the double-MAD companion to
+    * [[zscoreOutliers]]: mean/stddev are themselves dragged by the
+    * outliers they hunt, while median/MAD have a 50% breakdown point, so
+    * a key whose tail is one huge burst still flags the burst instead of
+    * absorbing it into the stddev.
+    *
+    * `robust_z = (x − median) / (1.4826 · MAD)` (the normal-consistency
+    * constant). Both medians are `percentile(0.5)` — Spark's interpolation
+    * rule matches DuckDB's `quantile_cont`, and every derived value is the
+    * same arithmetic on the same copied doubles, so only the final z is
+    * rounded. Keys with MAD = 0 (over half the values identical) emit
+    * nothing, mirroring the sd = 0 guard.
+    *
+    * Scale shape: two small aggregations (median, then MAD of the
+    * residuals) each broadcast back — the stream is read twice but only
+    * the second read carries the residual column; no window, no sort of
+    * the full frame. percentile() is an exact-median aggregate: its
+    * per-key state is the value multiset, so per-key cardinality bounds
+    * memory — at corpus scale switch the inputs to approx_percentile and
+    * accept banded output (documented tradeoff, not done here because the
+    * oracle needs the exact rule).
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      threshold: Double = 3.5,
+      roundZ: Int = 6,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val keys = keyCols.map(col)
+    def bcast(s: DataFrame): DataFrame = if (broadcastStats) broadcast(s) else s
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withMed = df.join(bcast(med), keyCols)
+    val mad = withMed.groupBy(keys: _*)
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+    val z = (col(valueCol) - col("__med")) / (col("__mad") * 1.4826)
+    withMed.join(bcast(mad), keyCols)
+      .filter(col("__mad") > 0 && abs(z) > threshold)
+      .withColumn("robust_z", round(z, roundZ))
+      .drop("__med", "__mad")
+  }
+
   /** Winsorize `valueCol` per key at rank-based percentiles and return the
     * rows with a `<valueCol>_w` column clamped to [lo, hi], plus the bounds.
     *

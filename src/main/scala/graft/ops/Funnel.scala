@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence product analytics: ordered-stage funnels and cohort
+  * retention — the two reports every event stream grows eventually, and
+  * both pure integer arithmetic (timestamps, counts), so the oracles are
+  * hash-exact with no rounding anywhere.
+  */
+object Funnel {
+
+  /** Ordered funnel: for each entity, the first time it completed each
+    * stage STRICTLY AFTER completing the previous one (first `stages(0)`,
+    * then the first `stages(1)` with `ts > that`, …). Output: one row per
+    * entity that entered the funnel (did stage 0), with
+    * `<stage>_ms` epoch columns (NULL once the chain breaks) and
+    * `stages_reached`.
+    *
+    * "Strictly after" is on the timestamp alone: two stages inside the
+    * same millisecond do NOT chain — the deterministic, cross-engine-safe
+    * reading of "then" at ms granularity (an id-tiebreak variant would
+    * chain them by ingestion accident, not by time).
+    *
+    * Scale shape: per stage, the events are FILTERED to that stage's type
+    * first (narrow, pushed to the scan where the source allows), then
+    * joined to the previous stage's per-entity frame — entity-keyed
+    * shuffles of #entities-sized aggregates, never event×event. Stage
+    * count is the loop bound, so the plan is `|stages|` filtered
+    * aggregate-joins, each reusing the entity hash partitioning.
+    */
+  def funnelStages(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    val first = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as(s"${stages.head}_ms"))
+    val chained = stages.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (stage, i)) =>
+        val prevTs = col(s"${stages(i - 1)}_ms")
+        val hits = df.filter(col(typeCol) === stage)
+          .select(col(entityCol), col(tsCol).as("__t"))
+          .join(prev.select(col(entityCol), prevTs), Seq(entityCol))
+          .filter(col("__t") > prevTs)
+          .groupBy(col(entityCol))
+          .agg(min(col("__t")).as(s"${stage}_ms"))
+        prev.join(hits, Seq(entityCol), "left")
+    }
+    chained.withColumn("stages_reached",
+      stages.map(s => when(col(s"${s}_ms").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
+  /** Cohort retention triangle: entities grouped by the day they first
+    * appeared (`cohort_day`, epoch days), counted once per later active
+    * day at `day_offset` days after the cohort day. Row (c, k, n) reads
+    * "n of cohort c's entities were active k days later"; `day_offset`
+    * 0 is the cohort's own size. Pure integer epoch-day arithmetic.
+    *
+    * Scale shape: first-seen is one entity-keyed aggregate; activity is
+    * the distinct (entity, day) frame (map-side combined); the join is
+    * entity-keyed; the final groupBy emits #cohorts × #offsets rows.
+    * Nothing wider than the distinct-activity frame ever shuffles.
+    */
+  def retentionCohorts(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String): DataFrame = {
+    val day = (col(tsCol) / 86400000L).cast("long")
+    val activity = df.select(col(entityCol), day.as("__day")).distinct()
+    val firstSeen = activity.groupBy(col(entityCol))
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(firstSeen, Seq(entityCol))
+      .groupBy(col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_entities"))
+  }
+}

@@ -192,4 +192,54 @@ object RollingStats {
             (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), roundTo))
           .as("xcorr"))
   }
+
+  /** Per-key Spearman rank correlation of (`xCol`, `yCol`) — the monotone
+    * (not just linear) dependence measure: Pearson on the two rank
+    * sequences. Ranks here are `row_number` with the caller's `tieCols`
+    * breaking value ties DETERMINISTICALLY (the "tie-broken ranks"
+    * variant, not fractional average ranks): every rank is an exact
+    * integer, so all six co-moments are exact and the cross-engine hash
+    * holds without any per-sum rounding — average ranks would be .5
+    * floats re-opening the summation-order hazard this family avoids.
+    *
+    * Rows with a NULL in either column are excluded first (pairwise
+    * complete), keeping both rank sequences over the same row set.
+    *
+    * Scale shape: one hash shuffle on the key; BOTH rank windows and the
+    * final groupBy reuse that single exchange (they only re-sort within
+    * partitions). Overflow: Σr² ~ n³/3 per key caps the per-key row
+    * count at ~2×10⁶ for exact longs in `n·Σxy`; beyond that switch the
+    * co-moments to decimal(38,0) (same tradeoff as rollingSlope).
+    *
+    * Output per key: `n`, `spearman` (NULL below 2 rows or zero rank
+    * variance — only possible at n ≤ 1 with unique ranks).
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      tieCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    val keys = keyCols.map(col)
+    def rankW(c: String) = Window.partitionBy(keys: _*)
+      .orderBy((col(c) +: tieCols.map(col)).map(_.asc): _*)
+    val ranked = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rx", row_number().over(rankW(xCol)).cast("long"))
+      .withColumn("__ry", row_number().over(rankW(yCol)).cast("long"))
+    val n   = count(lit(1))
+    val sx  = sum(col("__rx")); val sy = sum(col("__ry"))
+    val sxy = sum(col("__rx") * col("__ry"))
+    val sxx = sum(col("__rx") * col("__rx")); val syy = sum(col("__ry") * col("__ry"))
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    ranked.groupBy(keys: _*)
+      .agg(
+        n.as("n"),
+        when(n >= 2 && varX > 0 && varY > 0,
+          round((n * sxy - sx * sy).cast("double") /
+            (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), roundTo))
+          .as("spearman"))
+  }
 }

@@ -124,6 +124,55 @@ object StreamingRollingStats {
       }
   }
 
+  private[streaming] case class PeakState(prevTs: Long, peak: Option[Double])
+
+  /** Streaming running peak / drawdown ([[graft.ops.RollingStats
+    * .runningDrawdown]] live): one `(key, ts, value, peak, drawdown)` row
+    * per event. State is O(1) — just the expanding max — and parity with
+    * the batch operator is exact to the BIT with no rounding anywhere:
+    * the peak is a copied input value and the drawdown subtracts the same
+    * two doubles both sides (nothing is ever summed). NULL values keep
+    * the prior peak and emit NULL drawdown, matching the batch `max`
+    * null-skip; a leading NULL (no peak yet) emits all-NULL stats.
+    */
+  def runningDrawdown[K](
+      ds: Dataset[(K, Long, Option[Double])],
+      idleTimeout: Option[String] = None)(
+      implicit ke: Encoder[K],
+      outEnc: Encoder[(K, Long, Option[Double], Option[Double], Option[Double])])
+      : Dataset[(K, Long, Option[Double], Option[Double], Option[Double])] = {
+    implicit val stateEnc: Encoder[PeakState] = Encoders.product[PeakState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[PeakState, (K, Long, Option[Double], Option[Double], Option[Double])](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Option[Double])],
+         state: GroupState[PeakState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(K, Long, Option[Double], Option[Double], Option[Double])]
+            var st = state.getOption.getOrElse(PeakState(Long.MinValue, None))
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+              if (t > st.prevTs) {
+                val peak = (st.peak, v) match {
+                  case (Some(p), Some(x)) => Some(math.max(p, x))
+                  case (p, x)             => p.orElse(x)
+                }
+                st = PeakState(t, peak)
+                out += ((key, t, v,
+                  peak, for (p <- peak; x <- v) yield p - x))
+              } // else: stale arrival, drop
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming rolling least-squares line of y on x: one `(key, ts,
     * roll_slope, roll_icept, n_pairs)` row per event. Same conditioning
     * caveat as the batch operator: re-anchor a timestamp x-axis to a small

@@ -80,6 +80,65 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(out(0)._2.exists(_.asInstanceOf[Double] < 1.0))
   }
 
+  test("spearmanCorr: monotone-but-nonlinear is 1, reversed is -1, nulls excluded") {
+    val up = Seq(1.0 -> 1L, 2.0 -> 10L, 3.0 -> 100L, 4.0 -> 1000L) // exponential in y
+      .zipWithIndex.map { case ((x, y), i) => ("up", i.toLong, x, Some(y)) }
+    val dn = Seq(1.0 -> 9L, 2.0 -> 7L, 3.0 -> 5L, 4.0 -> 1L)
+      .zipWithIndex.map { case ((x, y), i) => ("dn", i.toLong, x, Some(y)) }
+    val withNull = ("up", 99L, 9.9, None: Option[Long]) // excluded, n stays 4
+    val df = (up ++ dn :+ withNull).toDF("key", "id", "x", "y")
+    val out = RollingStats.spearmanCorr(df, Seq("key"), "x", "y",
+        tieCols = Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("up") === (4L, 1.0))
+    assert(out("dn") === (4L, -1.0))
+  }
+
+  test("funnelStages: strict ordering, chain breaks, same-ms does not chain") {
+    val ev = Seq(
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      ("u2", 10L, "view"), ("u2", 5L, "click"),   // click BEFORE view: breaks
+      ("u3", 10L, "view"), ("u3", 10L, "click"),  // same ms: no chain
+      ("u4", 40L, "click")                        // never entered (no view)
+    ).toDF("user", "t", "typ")
+    val out = Funnel.funnelStages(ev, "user", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getAs[Any]("click_ms")), r.getAs[Int]("stages_reached"))).toMap
+    assert(out.keySet === Set("u1", "u2", "u3"))
+    assert(out("u1") === (Some(20L), 3))
+    assert(out("u2") === (None, 1))
+    assert(out("u3") === (None, 1))
+  }
+
+  test("retentionCohorts: day-offset triangle with dedup within day") {
+    val d = 86400000L
+    val ev = Seq(
+      ("a", 0L), ("a", 100L),        // day 0 twice -> counted once
+      ("a", d + 5L),                 // day 1
+      ("b", 0L), ("b", 2 * d),       // day 0, day 2
+      ("c", d)                       // cohort day 1
+    ).toDF("user", "t")
+    val out = Funnel.retentionCohorts(ev, "user", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("madOutliers survives contamination that drags the z-score") {
+    // 20 values at ~10 plus two 1000s: stddev absorbs the bursts (z < 3.5
+    // for them under zscore with threshold high), MAD does not
+    val base = (1 to 20).map(i => ("k", i.toLong, 10.0 + (i % 3) * 0.01))
+    val burst = Seq(("k", 98L, 1000.0), ("k", 99L, 1001.0))
+    val df = (base ++ burst).toDF("key", "id", "value")
+    val mad = Anomalies.madOutliers(df, Seq("key"), "value", threshold = 3.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(mad === Set(98L, 99L), s"MAD flagged $mad")
+    val z = Anomalies.zscoreOutliers(df, Seq("key"), "value", threshold = 3.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(z.isEmpty, s"two mutually-masking bursts should defeat the z-score, got $z")
+  }
+
   test("bpePairStats: corpus-weighted within-word char pairs") {
     val docs = Seq("ab ab abc", "ab a").toDF("text")
     val out = TextAnalysis.bpePairStats(docs, "text")

@@ -798,4 +798,44 @@ class StreamingSpec extends SparkTestBase {
       .sortBy(r => (r._1, r._2))
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
+
+  test("streaming drawdown: bit-exact batch parity; nulls keep the peak; stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val out = StreamingRollingStats.runningDrawdown(input.toDS())
+      .toDF("k", "t", "value", "peak", "drawdown")
+    val q = out.writeStream.format("memory").queryName("drawdown_stream")
+      .outputMode("append").start()
+
+    input.addData(("a", 1L, Some(5.0)), ("a", 2L, Some(3.0)), ("b", 1L, None))
+    q.processAllAvailable()
+    // peak carries across micro-batches; null at a/t=3 keeps peak 5, null dd;
+    // b's leading null means no peak until its first value
+    input.addData(("a", 3L, None), ("a", 4L, Some(7.0)), ("b", 2L, Some(2.0)))
+    q.processAllAvailable()
+    input.addData(("a", 2L, Some(99.0)), ("a", 5L, Some(6.5))) // first is stale
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val rows = spark.table("drawdown_stream").collect().map(tup)
+      .sortBy(r => (r._1, r._2))
+    assert(rows.find(r => r._1 == "a" && r._2 == 2L).get._5.contains(2.0))
+    assert(rows.find(r => r._1 == "a" && r._2 == 3L).get._4.contains(5.0))
+    assert(rows.find(r => r._1 == "a" && r._2 == 3L).get._5.isEmpty)
+    assert(rows.find(r => r._1 == "a" && r._2 == 5L).get._5.contains(0.5))
+    assert(rows.find(r => r._1 == "b" && r._2 == 1L).get._4.isEmpty)
+
+    val batch = graft.ops.RollingStats.runningDrawdown(
+      Seq(("a", 1L, Some(5.0)), ("a", 2L, Some(3.0)), ("a", 3L, None: Option[Double]),
+        ("a", 4L, Some(7.0)), ("a", 5L, Some(6.5)),
+        ("b", 1L, None: Option[Double]), ("b", 2L, Some(2.0)))
+        .toDF("k", "t", "value"),
+      Seq("k"), "t", "value")
+      .select(col("k"), col("t"), col("value"), col("peak"), col("drawdown"))
+      .collect().map(tup).sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
 }
