@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -4043,6 +4043,104 @@ object Queries {
       |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
       |WHERE d > 0 AND abs((value - m) / (d * 1.4826)) > 3.5
       |ORDER BY event_type, event_id""".stripMargin
+
+  /** Column-profile snapshot of the events table ([[graft.pipeline
+    * .Profiler.columnProfile]]): per column, exact row/null/distinct
+    * counts from ONE aggregation pass (Expand-based multi-distinct).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_id", $"user_id", $"event_type",
+      $"value", $"props", unix_millis($"ts").as("t"))
+    Profiler.columnProfile(ev,
+        Seq("event_id", "user_id", "event_type", "value", "props", "t"))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props", "t")
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct FROM ev""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value, props, epoch_ms(ts) AS t
+       |  FROM events
+       |)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** Within-session event-type co-occurrence ([[graft.ops.Funnel
+    * .coOccurrence]], 1h session gap): the association/support counts
+    * behind basket analysis. Exact integers end to end.
+    */
+  def cooccur(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"event_type")
+    graft.ops.Funnel.coOccurrence(ev, "user_id", "t", "event_type",
+        gapMs = 3600000L, tieCols = Seq("event_id"))
+      .orderBy("item_a", "item_b")
+  }
+
+  val cooccurSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events
+      |), flagged AS (
+      |  SELECT user_id, t, event_id, event_type,
+      |         coalesce(t - lag(t) OVER w > 3600000, TRUE) AS is_start
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), numbered AS (
+      |  SELECT user_id, event_type,
+      |         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+      |           AS session_id
+      |  FROM flagged
+      |), baskets AS (
+      |  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+      |)
+      |SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |       count(*) AS n_baskets
+      |FROM baskets a JOIN baskets b
+      |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+      | AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin
+
+  /** Per-source vocabulary drift vs the whole corpus ([[Profiler
+    * .jsDrift]]): Jensen–Shannon divergence in nats, absent-term mass in
+    * closed form — the monitor that flags a source whose language mix
+    * shifted before any single quality gate trips.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    Profiler.jsDrift(tbl(spark, dir, "documents"), "text", "source")
+      .orderBy("source")
+
+  val sourceDriftSql: String =
+    raw"""WITH w AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), bg AS (
+      |  SELECT source, term, count(*) AS c FROM w GROUP BY 1, 2
+      |), gt AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS gtot FROM bg GROUP BY 1
+      |), cp AS (
+      |  SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM bg GROUP BY 1
+      |), ct AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM cp),
+      |j AS (
+      |  SELECT bg.source, gt.gtot,
+      |         CAST(bg.c AS DOUBLE) / gt.gtot AS p,
+      |         CAST(cp.cc AS DOUBLE) / ct.ctot AS q
+      |  FROM bg JOIN gt USING (source) JOIN cp USING (term) CROSS JOIN ct
+      |)
+      |SELECT source, max(gtot) AS n_tokens,
+      |       round((sum(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+      |              + ln(2) * (1.0 - sum(q))) / 2.0, 6) AS js_nats
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------- embedding stats (round 7b)
 

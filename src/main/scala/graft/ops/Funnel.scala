@@ -56,6 +56,36 @@ object Funnel {
         .reduce(_ + _))
   }
 
+  /** Within-session co-occurrence counts: for every unordered pair of
+    * event types, how many (entity, session) baskets contained BOTH — the
+    * market-basket / association primitive (support counts; lift divides
+    * two of these). Sessions come from [[Sessionize.assign]] under
+    * `gapMs`; each type counts once per basket regardless of repeats.
+    *
+    * Scale shape: the sessionize window is the only full-frame pass; the
+    * distinct (entity, session, type) frame is Zipf-shrunk (≤ #types per
+    * basket), and the pair self-join is keyed on (entity, session) — a
+    * basket-local equijoin bounded by basket cardinality, never
+    * event × event. Exact integer counts.
+    */
+  def coOccurrence(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      gapMs: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val baskets = Sessionize.assign(df, Seq(entityCol), tsCol, gapMs, tieCols)
+      .select(col(entityCol), col("session_id"), col(typeCol))
+      .distinct()
+    val a = baskets.withColumnRenamed(typeCol, "item_a")
+    val b = baskets.withColumnRenamed(typeCol, "item_b")
+    a.join(b, Seq(entityCol, "session_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+  }
+
   /** Cohort retention triangle: entities grouped by the day they first
     * appeared (`cohort_day`, epoch days), counted once per later active
     * day at `day_offset` days after the cohort day. Row (c, k, n) reads

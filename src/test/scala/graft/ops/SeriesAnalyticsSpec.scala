@@ -139,6 +139,55 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(z.isEmpty, s"two mutually-masking bursts should defeat the z-score, got $z")
   }
 
+  test("columnProfile: exact row/null/distinct per column from one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b"))
+    ).toDF("id", "s")
+    val out = graft.pipeline.Profiler.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") === (4L, 1L, 2L))
+    assert(out("s") === (4L, 1L, 2L))
+  }
+
+  test("coOccurrence: per-basket distinct pairs under the session gap") {
+    val ev = Seq(
+      // u1 session 0: {x, y, x} -> pair (x,y) once despite repeat
+      ("u1", 0L, 1L, "x"), ("u1", 10L, 2L, "y"), ("u1", 20L, 3L, "x"),
+      // u1 session 1 (after gap): {x, z}
+      ("u1", 10000L, 4L, "x"), ("u1", 10010L, 5L, "z"),
+      // u2 one session: {x, y, z} -> three pairs
+      ("u2", 0L, 6L, "x"), ("u2", 1L, 7L, "y"), ("u2", 2L, 8L, "z")
+    ).toDF("user", "t", "id", "typ")
+    val out = Funnel.coOccurrence(ev, "user", "t", "typ", gapMs = 1000L,
+        tieCols = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("x", "y") -> 2L, ("x", "z") -> 2L, ("y", "z") -> 1L))
+  }
+
+  test("jsDrift: zero for corpus-identical groups, hand value for disjoint vocab") {
+    // g1 emits only 'a', g2 only 'b', equal mass: each group is a point
+    // mass vs the (1/2, 1/2) corpus -> JS = (ln(4/3) + KL((.5,.5)||(.75,.25)))/2
+    val docs = Seq(("g1", "a a a"), ("g2", "b b b")).toDF("src", "text")
+    val out = graft.pipeline.Profiler.jsDrift(docs, "text", "src", roundTo = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val expected = {
+      val klPm = math.log(4.0 / 3.0)
+      val klQm = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+      BigDecimal((klPm + klQm) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("g1") === expected)
+    assert(out("g2") === expected)
+
+    // identical distributions -> exactly zero (every p == q, ln(1) == 0)
+    val same = Seq(("g1", "x y"), ("g2", "x y")).toDF("src", "text")
+    val z = graft.pipeline.Profiler.jsDrift(same, "text", "src")
+      .collect().map(_.getDouble(2))
+    assert(z.forall(_ == 0.0))
+  }
+
   test("bpePairStats: corpus-weighted within-word char pairs") {
     val docs = Seq("ab ab abc", "ab a").toDF("text")
     val out = TextAnalysis.bpePairStats(docs, "text")

@@ -799,6 +799,49 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
 
+  test("streaming funnel emits each first completion once; batch parity on ms-unique feeds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamingFunnel.funnelStages(input.toDS(),
+        Seq("view", "click", "purchase"))
+      .toDF("user", "stage", "stage_idx", "t")
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+
+    input.addData(("u1", 10L, "view"), ("u1", 15L, "click"),
+      ("u2", 10L, "click")) // u2 has no view: click ignored
+    q.processAllAvailable()
+    // chain carries across batches; a second view must NOT re-emit;
+    // purchase before click's ts is stale and dropped
+    input.addData(("u1", 20L, "view"), ("u1", 30L, "purchase"),
+      ("u2", 20L, "view"))
+    q.processAllAvailable()
+    input.addData(("u2", 25L, "click"), ("u2", 25L, "purchase")) // same-ms: no chain
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._3))
+    assert(rows.toSeq === Seq(
+      ("u1", "view", 0, 10L), ("u1", "click", 1, 15L), ("u1", "purchase", 2, 30L),
+      ("u2", "view", 0, 20L), ("u2", "click", 1, 25L)))
+
+    // batch parity: the emitted (stage -> ts) cells match funnelStages
+    val batch = graft.ops.Funnel.funnelStages(
+      Seq(("u1", 10L, "view"), ("u1", 15L, "click"), ("u1", 20L, "view"),
+        ("u1", 30L, "purchase"), ("u2", 10L, "click"), ("u2", 20L, "view"),
+        ("u2", 25L, "click"), ("u2", 25L, "purchase"))
+        .toDF("user", "t", "typ"),
+      "user", "t", "typ", Seq("view", "click", "purchase"))
+      .collect().flatMap { r =>
+        Seq("view", "click", "purchase").zipWithIndex.flatMap { case (s, i) =>
+          if (r.isNullAt(r.fieldIndex(s"${s}_ms"))) None
+          else Some((r.getString(0), s, i, r.getLong(r.fieldIndex(s"${s}_ms"))))
+        }
+      }.sortBy(r => (r._1, r._3))
+    assert(rows.toSeq === batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
   test("streaming drawdown: bit-exact batch parity; nulls keep the peak; stale dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Option[Double])]
