@@ -17,26 +17,35 @@ import org.apache.spark.sql.functions._
   * deterministic and engine-reproducible, the same convention as the
   * dedup digests and sampling scores elsewhere in the library.
   *
-  * Scale shape: ONE descent of the corpus builds the (doc, bucket) count
-  * table (explode + map-side-combined groupBy, ≤ `buckets` rows per doc);
-  * it is materialized once ([[Dedup.materializeOnce]] — narrow ids +
-  * counts, never text) and reused for (a) the bucket-level distribution
-  * estimate — a `buckets`-row aggregate — and (b) the per-doc weight sum
-  * against the broadcast log-ratio table. No corpus-sized shuffle carries
-  * text; the only wide exchange is the (doc, bucket) combine.
+  * Scale shape (rewritten r7c): the whole per-document feature pipeline is
+  * ONE native byte-scan kernel ([[graft.functions.DsirBucketCounts]])
+  * emitting a `buckets`-slot count vector — no token explode, and NO wide
+  * exchange anywhere: the narrow (id, target, counts) frame is
+  * materialized once; the bucket totals reduce a posexploded view of it
+  * map-side to `buckets` rows; the log-ratio table is a BOUNDED driver
+  * artifact (`buckets` doubles — the k-means-centroid contract) folded
+  * back in as a literal, so every per-document weight is one codegen'd
+  * [[graft.functions.VectorDot]] in a plain map. The previous explode
+  * formulation shuffled one row per TOKEN (~75M rows at 500k docs) and
+  * measured 2.7× DuckDB; this shape is pure scan + 64-key combine.
   */
 object Dsir {
 
-  /** Feature-hash bucket of a token: first 32 bits of md5 mod `buckets`. */
+  /** Feature-hash bucket of a token: first 32 bits of md5 mod `buckets`.
+    * The declarative reference form of the kernel's bucketing —
+    * spec-pinned equivalent ([[graft.functions.DsirBucketCounts]]).
+    */
   def bucketOf(tok: Column, buckets: Int): Column =
     pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(buckets))
 
   /** Per-document DSIR importance log-weight. `isTarget` marks the rows
     * whose feature distribution defines the target (they are still scored
     * — DSIR weights are defined for every document). Returns the input's
-    * id column plus `logw` (rounded to 6 decimals: the bucket sum is the
+    * id column plus `logw` (rounded to 6 decimals: the bucket fold is the
     * only float aggregate, and rounding after the sum keeps the engines'
-    * summation orders from showing).
+    * summation orders from showing). Documents with null or zero-token
+    * text emit nothing (the kernel returns NULL for both, mirroring the
+    * explode formulation's no-rows behavior).
     */
   def logWeights(
       docs: DataFrame,
@@ -44,23 +53,30 @@ object Dsir {
       textCol: String,
       isTarget: Column,
       buckets: Int = 64): DataFrame = {
-    val counts = Dedup.materializeOnce(
+    import graft.functions.{DsirBucketCounts, VectorDot}
+    val withCounts = Dedup.materializeOnce(
       docs.select(col(idCol), isTarget.as("__t"),
-          explode(TextAnalysis.words(col(textCol))).as("__tok"))
-        .select(col(idCol), col("__t"), bucketOf(col("__tok"), buckets).as("__b"))
-        .groupBy(col(idCol), col("__t"), col("__b"))
-        .agg(count(lit(1)).as("__c")))
-    val totals = counts.groupBy(col("__b")).agg(
-      sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
-      sum(col("__c")).as("__cr"))
-    val grand = totals.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
-    val ratios = totals.crossJoin(broadcast(grand))
-      .select(col("__b"),
-        log((col("__ct").cast("double") + 1d) / (col("__tt").cast("double") + buckets.toDouble))
-          .minus(log((col("__cr").cast("double") + 1d) / (col("__tr").cast("double") + buckets.toDouble)))
-          .as("__lr"))
-    counts.join(broadcast(ratios), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("__c").cast("double") * col("__lr")), 6).as("logw"))
+          DsirBucketCounts.dsirBucketCounts(col(textCol), buckets).as("__bc"))
+        .filter(col("__bc").isNotNull))
+    // counts are exact small integers carried as doubles; the totals stay
+    // exact (< 2^53) and cast back to long for the smoothing arithmetic
+    val totals = withCounts
+      .select(col("__t"), posexplode(col("__bc")).as(Seq("__b", "__c")))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__c")).otherwise(0d)).cast("long").as("__ct"),
+        sum(col("__c")).cast("long").as("__cr"))
+      .collect()
+    val tt = totals.map(_.getLong(1)).sum
+    val tr = totals.map(_.getLong(2)).sum
+    val lr = new Array[Double](buckets)
+    totals.foreach { r =>
+      // java.lang.Math.log — the same function Spark's Log expression
+      // evaluates, so moving the ratio computation driver-side changes
+      // nothing numerically
+      lr(r.getInt(0)) = math.log((r.getLong(1) + 1d) / (tt.toDouble + buckets)) -
+        math.log((r.getLong(2) + 1d) / (tr.toDouble + buckets))
+    }
+    withCounts.select(col(idCol),
+      round(VectorDot.vectorDot(col("__bc"), lit(lr)), 6).as("logw"))
   }
 }

@@ -46,4 +46,45 @@ class DsirSpec extends SparkTestBase {
     assert(w.values.forall(v => !v.isNaN && !v.isInfinite), s"non-finite: $w")
     assert(w(2) < 0, s"unseen-in-target tokens must score negative: $w")
   }
+
+  test("native bucket-count kernel == declarative explode formulation") {
+    import graft.functions.DsirBucketCounts
+    val texts = Seq(
+      "hello world hello",
+      "  leading  and\ttab\nnewline\rvt  ",
+      "unicode café élève tokens",
+      "x",
+      "one-token",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.select(col("id"),
+      DsirBucketCounts.dsirBucketCounts(col("text"), 64).as("bc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val declarative = df
+      .select(col("id"), explode(TextAnalysis.words(col("text"))).as("tok"))
+      .select(col("id"), Dsir.bucketOf(col("tok"), 64).as("b"))
+      .groupBy("id", "b").count()
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val v = new Array[Double](64)
+        rows.foreach(r => v(r.getLong(1).toInt) = r.getLong(2).toDouble)
+        id -> v.toSeq
+      }
+    assert(native.keySet === declarative.keySet)
+    native.foreach { case (id, v) => assert(v === declarative(id), s"doc $id") }
+  }
+
+  test("kernel yields NULL for null and zero-token text (explode parity)") {
+    import graft.functions.DsirBucketCounts
+    val df = Seq((1L, Some("a b")), (2L, Some("   \t\n ")), (3L, None),
+      (4L, Some(""))).toDF("id", "text")
+    val got = df.select(col("id"),
+      DsirBucketCounts.dsirBucketCounts(col("text"), 8).as("bc"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    // logWeights drops all three degenerate docs, like the explode form
+    val w = Dsir.logWeights(df, "id", "text", lit(true), buckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(w === Set(1L))
+  }
 }
