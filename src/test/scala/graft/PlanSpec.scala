@@ -352,15 +352,20 @@ class PlanSpec extends SparkTestBase {
     assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
   }
 
-  test("dsir: count table materialized once (zero parquet in final plan), log-ratios broadcast") {
+  test("dsir: scoring plan is a pure map over the materialized counts — no exchange at all") {
+    // r7c kernel rewrite: the count vectors are materialized once, the
+    // log-ratio table is a driver literal, and the weight is a codegen'd
+    // dot product — the final plan must contain NO join, NO exchange and
+    // NO re-read of the corpus
     val plan = planOf("q_dsir_weights")
     assert(plan.contains("ExistingRDD"), plan)
     assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
-    assert(plan.contains("BroadcastExchange"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("BroadcastExchange"), plan) // only the output-sort range exchange
+    assert(!plan.contains("Join"), plan)
   }
 
-  test("bigram LM: token frame materialized once; per-doc windows partitioned") {
+  test("bigram LM: word-array frame materialized once; NO window, no sort for bigrams") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)
     val qe = SparkEntry.queries("q_bigram_lm")(spark, dir).queryExecution
@@ -368,10 +373,10 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("ExistingRDD"), plan)
     assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    val unpart = qe.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
-    }
-    assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+    // r7c: bigrams slice out of the words array — the corpus-wide
+    // (doc, pos) sort + lead window must never come back
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, s"windows reappeared:\n${windows.mkString("\n")}")
   }
 
   test("temperature mix: per-stratum rates broadcast back, corpus never sort-merge joined") {
