@@ -37,9 +37,15 @@ object Funnel {
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
-    val first = df.filter(col(typeCol) === stages.head)
-      .groupBy(col(entityCol))
-      .agg(min(col(tsCol)).as(s"${stages.head}_ms"))
+    // each stage frame is REUSED (as the next stage's gate and as the left
+    // side of its own join): materialize the per-entity aggregates once, or
+    // the fold's lineage re-derives stage k from the raw events 2^(n-k)
+    // times — the frames are #entities-sized, so the checkpoint is cheap
+    // and the corpus is scanned exactly once per stage
+    val first = graft.pipeline.Dedup.materializeOnce(
+      df.filter(col(typeCol) === stages.head)
+        .groupBy(col(entityCol))
+        .agg(min(col(tsCol)).as(s"${stages.head}_ms")))
     val chained = stages.zipWithIndex.drop(1).foldLeft(first) {
       case (prev, (stage, i)) =>
         val prevTs = col(s"${stages(i - 1)}_ms")
@@ -49,7 +55,7 @@ object Funnel {
           .filter(col("__t") > prevTs)
           .groupBy(col(entityCol))
           .agg(min(col("__t")).as(s"${stage}_ms"))
-        prev.join(hits, Seq(entityCol), "left")
+        graft.pipeline.Dedup.materializeOnce(prev.join(hits, Seq(entityCol), "left"))
     }
     chained.withColumn("stages_reached",
       stages.map(s => when(col(s"${s}_ms").isNotNull, 1).otherwise(0))
@@ -75,9 +81,12 @@ object Funnel {
       typeCol: String,
       gapMs: Long,
       tieCols: Seq[String] = Nil): DataFrame = {
-    val baskets = Sessionize.assign(df, Seq(entityCol), tsCol, gapMs, tieCols)
-      .select(col(entityCol), col("session_id"), col(typeCol))
-      .distinct()
+    // materialized once: the pair join reads baskets TWICE, and without
+    // the checkpoint each side would re-run the sessionize window pass
+    val baskets = graft.pipeline.Dedup.materializeOnce(
+      Sessionize.assign(df, Seq(entityCol), tsCol, gapMs, tieCols)
+        .select(col(entityCol), col("session_id"), col(typeCol))
+        .distinct())
     val a = baskets.withColumnRenamed(typeCol, "item_a")
     val b = baskets.withColumnRenamed(typeCol, "item_b")
     a.join(b, Seq(entityCol, "session_id"))

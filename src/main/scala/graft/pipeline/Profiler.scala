@@ -66,8 +66,12 @@ object Profiler {
       roundTo: Int = 6): DataFrame = {
     val terms = docs
       .select(col(groupCol), explode(TextAnalysis.words(col(textCol))).as("__term"))
-    val byGroup = terms.groupBy(col(groupCol), col("__term"))
-      .agg(count(lit(1)).as("__c"))
+    // materialized once: byGroup feeds the group totals, the corpus
+    // counts AND the final join — without the checkpoint each consumer
+    // would re-tokenize the whole corpus
+    val byGroup = Dedup.materializeOnce(
+      terms.groupBy(col(groupCol), col("__term"))
+        .agg(count(lit(1)).as("__c")))
     val groupTotals = byGroup.groupBy(col(groupCol))
       .agg(sum(col("__c")).as("__gt"))
     val corpus = byGroup.groupBy(col("__term")).agg(sum(col("__c")).as("__cc"))
