@@ -356,6 +356,54 @@ object Stress {
     assert(math.abs(head("s0") - 300L) <= 3,
       s"mix prefix off target: $head")
 
+    // ---- ordered funnel at volume: n events over 100k users, stage =
+    // id mod 3 — every user sees ~n/300k of each stage spread across the
+    // span, so (a) every user that entered completes all three stages
+    // except (b) the PLANTED cohort (user_id % 997 == 0) whose s2 events
+    // are rewritten to s1 and can therefore never complete.
+    val planted = pmod(col("user_id"), lit(997L)) === 0L
+    val fEv = a.select(col("user_id"), col("ts"),
+      when(planted && pmod(col("id"), lit(3L)) === 2L, lit("s1"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(3L)))).as("typ"))
+    val fOut = graft.ops.Funnel.funnelStages(fEv, "user_id", "ts", "typ",
+      Seq("s0", "s1", "s2"))
+    val t0f = System.nanoTime()
+    val fRows = fOut.count()
+    val sF = (System.nanoTime() - t0f) / 1e9
+    println(f"""{"stage":"funnel","rows":$fRows,"sec":$sF%.2f,"events":$n}""")
+    val entered = fEv.filter(col("typ") === "s0")
+      .select(col("user_id")).distinct().count()
+    assert(fRows == entered, s"funnel rows $fRows vs entered $entered")
+    val plantedIncomplete = fOut
+      .filter(pmod(col("user_id"), lit(997L)) === 0L && col("s2_ms").isNotNull)
+      .count()
+    assert(plantedIncomplete == 0L,
+      s"$plantedIncomplete planted users completed an impossible funnel")
+    val reached = fOut.groupBy(col("stages_reached")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // completions are monotone by construction; the planted cohort caps at 2
+    assert(reached.getOrElse(3, 0L) > 0L && reached.getOrElse(2, 0L) > 0L, reached.toString)
+
+    // ---- vocabulary drift at volume: the nd docs in 4 statistically
+    // identical source groups plus a small planted group on a DISJOINT
+    // vocabulary — its JS must dominate every natural group's by an order
+    // of magnitude, and everything stays inside [0, ln 2].
+    val driftDocs = docs
+      .select(concat(lit("s"), pmod(col("doc_id"), lit(4L))).as("src"), col("text"))
+      .unionByName(spark.range(1000).select(lit("drift").as("src"),
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("zz"), pmod(xxhash64(col("id"), i), lit(500L))))).as("text")))
+    val t0d = System.nanoTime()
+    val drift = graft.pipeline.Profiler.jsDrift(driftDocs, "text", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val sD = (System.nanoTime() - t0d) / 1e9
+    println(f"""{"stage":"js_drift","docs":${nd + 1000},"sec":$sD%.2f,"drift":${drift("drift")}%.4f}""")
+    val ln2 = math.log(2.0)
+    assert(drift.values.forall(v => v >= 0 && v <= ln2 + 1e-9), drift.toString)
+    val natural = (drift - "drift").values
+    assert(drift("drift") > 10 * natural.max,
+      s"planted drift ${drift("drift")} not dominant over $natural")
+
     // ---- vector similarity at volume: nv pseudo-random 64-dim embeddings,
     // every 100th a copy of its predecessor. Identical vectors share every
     // LSH bucket, so the sign-LSH path must surface all planted pairs.
