@@ -4142,6 +4142,30 @@ object Queries {
       |              + ln(2) * (1.0 - sum(q))) / 2.0, 6) AS js_nats
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** DAU / trailing-7-day WAU per active day ([[graft.ops.Funnel
+    * .activeUsers]]) — windowed distinct via the bounded explode, exact
+    * integers end to end.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id", unix_millis($"ts").as("t"))
+    graft.ops.Funnel.activeUsers(ev, "user_id", "t", windowDays = 7)
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), days AS (SELECT DISTINCT day FROM a),
+      |dau AS (
+      |  SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1
+      |), wau AS (
+      |  SELECT d.day, count(DISTINCT a.user_id) AS wau
+      |  FROM days d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1
+      |)
+      |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   // --------------------------------------------- embedding stats (round 7b)
 
   /** Per-dimension embedding profile ([[graft.pipeline.EmbedStats

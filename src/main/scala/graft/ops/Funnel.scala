@@ -95,6 +95,45 @@ object Funnel {
       .agg(count(lit(1)).as("n_baskets"))
   }
 
+  /** Daily + trailing-window active entities (DAU/WAU): per epoch day with
+    * any activity, the distinct entities active THAT day and in the
+    * trailing `windowDays` window ending that day.
+    *
+    * The window count uses the bounded-explode trick: each distinct
+    * (entity, day) activity row supports exactly `windowDays` target days
+    * (`day .. day+windowDays−1`), so a 7× narrow fan-out + groupBy
+    * replaces any windowed-distinct machinery — count(DISTINCT) inside a
+    * sliding frame isn't decomposable, but this explode is, and the
+    * fan-out is a constant, not data-sized. Target days are inner-joined
+    * to the observed-day set (broadcast — calendar-sized), so leading
+    * days with no activity of their own never appear.
+    *
+    * Scale shape: ONE distinct pass over (entity, day) — materialized
+    * once for both counts — then two map-side-combined aggregates; the
+    * only non-aggregate join is the broadcast day-set filter. All exact
+    * integers.
+    */
+  def activeUsers(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val day = (col(tsCol) / 86400000L).cast("long")
+    val activity = graft.pipeline.Dedup.materializeOnce(
+      df.select(col(entityCol), day.as("__day")).distinct())
+    val days = activity.select(col("__day").as("day")).distinct()
+    val dau = activity.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col(entityCol)).as("dau"))
+    val wau = activity
+      .withColumn("day",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .join(broadcast(days), Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(entityCol)).as("wau"))
+    dau.join(wau, Seq("day"))
+  }
+
   /** Cohort retention triangle: entities grouped by the day they first
     * appeared (`cohort_day`, epoch days), counted once per later active
     * day at `day_offset` days after the cohort day. Row (c, k, n) reads

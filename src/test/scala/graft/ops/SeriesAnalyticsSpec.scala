@@ -111,6 +111,24 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(out("u3") === (None, 1))
   }
 
+  test("activeUsers: DAU exact, WAU = trailing-window distinct via bounded explode") {
+    val d = 86400000L
+    val ev = Seq(
+      ("a", 0L), ("a", 50L),    // a: day 0 (twice)
+      ("b", 0L), ("b", d),      // b: days 0, 1
+      ("c", 2 * d),             // c: day 2
+      ("a", 9 * d)              // a again on day 9: outside day 2's window
+    ).toDF("user", "t")
+    val out = Funnel.activeUsers(ev, "user", "t", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day 0: dau {a,b}; wau(window -2..0) = {a,b}
+    // day 1: dau {b};   wau(days -1..1)  = {a,b}
+    // day 2: dau {c};   wau(days 0..2)   = {a,b,c}
+    // day 9: dau {a};   wau(days 7..9)   = {a}
+    assert(out === Map(
+      0L -> (2L, 2L), 1L -> (1L, 2L), 2L -> (1L, 3L), 9L -> (1L, 1L)))
+  }
+
   test("retentionCohorts: day-offset triangle with dedup within day") {
     val d = 86400000L
     val ev = Seq(
