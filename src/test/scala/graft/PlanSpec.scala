@@ -442,6 +442,28 @@ class PlanSpec extends SparkTestBase {
     assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, plan)
   }
 
+  test("active users: day-set broadcast, no window, nothing event-sized joined") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_active_users")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    assert(plan.contains("BroadcastExchange"), plan) // observed-day set
+    assert(plan.contains("ExistingRDD"), plan)       // one materialized distinct pass
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, plan)
+  }
+
+  test("funnel and retention: entity-keyed joins only, no cartesian, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assumeTestData(dir)
+    for (q <- Seq("q_funnel", "q_retention")) {
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      val plan = qe.explainString(SimpleMode)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, s"$q:\n$plan")
+    }
+  }
+
   test("drawdown and cusum windows are all key-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)
