@@ -98,7 +98,18 @@ object Bench {
     // output exactly on the documented shape.
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full JSON to the repo: the driver's BENCH_r*.json
+    // stdout capture has truncated the tail in past rounds, losing the
+    // per-query record — a committed file survives regardless.
+    try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("BENCH_local.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"[bench] persist: $e") }
     spark.stop()
   }
 }

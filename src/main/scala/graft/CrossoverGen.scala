@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * per user per 26 min; 50-word docs over a 5k vocab, 5 langs, 20 sources)
   * scaled 100x.
   *
-  * Usage: `runMain graft.CrossoverGen <outDir> [nEvents=10M] [nDocs=500k]`.
+  * Usage: `runMain graft.CrossoverGen <outDir> [nEvents=10M] [nDocs=500k]
+  * [nVecs=200k]`.
   */
 object CrossoverGen {
 
@@ -26,6 +27,7 @@ object CrossoverGen {
     val dir     = args.headOption.getOrElse("/tmp/crossover_sf10")
     val nEvents = args.lift(1).map(_.toLong).getOrElse(10000000L)
     val nDocs   = args.lift(2).map(_.toLong).getOrElse(500000L)
+    val nVecs   = args.lift(3).map(_.toLong).getOrElse(200000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -61,7 +63,32 @@ object CrossoverGen {
     docs.repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    println(s"""{"dir":"$dir","events":$nEvents,"docs":$nDocs,"users":$nUsers}""")
+    // embeddings: 64-dim, same schema as testdata (vec_id, embedding
+    // FLOAT[], label). Base vectors are deterministic hash-uniform in
+    // [-1, 1] per dimension — pairwise cosine concentrates at 0 ± 1/8, so
+    // the SemDeDup threshold (0.4) fires only on the PLANTED structure:
+    // the last 5% of ids are near-twins of a base vector (base + ±0.01/dim
+    // perturbation, cosine ≈ 0.9998), exercising pair search, components
+    // and the keep rule with a known answer shape at crossover volume.
+    val nTwins  = nVecs / 20L
+    val nBase   = nVecs - nTwins
+    val srcId   = when(col("id") >= nBase,
+      pmod((col("id") - nBase) * lit(19L), lit(nBase))).otherwise(col("id"))
+    val dims = sequence(lit(0), lit(63))
+    val base = transform(dims, i =>
+      (pmod(xxhash64(srcId, i), lit(2001L)) - lit(1000L)).cast("double") / 1000.0)
+    val eps = transform(dims, i =>
+      when(col("id") >= nBase,
+        (pmod(xxhash64(col("id"), i, lit(7L)), lit(21L)) - lit(10L))
+          .cast("double") / 1000.0).otherwise(lit(0.0)))
+    spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      zip_with(base, eps, (b, e) => (b + e).cast("float")).as("embedding"),
+      pmod(col("id"), lit(100L)).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    println(s"""{"dir":"$dir","events":$nEvents,"docs":$nDocs,"vecs":$nVecs,"users":$nUsers}""")
     spark.stop()
   }
 }

@@ -156,9 +156,11 @@ object Bars {
     * quantity-weighted companion to [[twap]] (which weights by elapsed
     * TIME): `vwap = Σ value·qty / Σ qty` over the bucket's events, plus
     * the exact totals (`qty_total`, `n_trades`) the weighted mean was
-    * built from. Rows with a NULL or non-positive quantity contribute
-    * nothing (an unknown size must not silently count as zero weight in
-    * the numerator but full weight in nothing — both sums skip it).
+    * built from. Rows with a NULL or non-positive quantity — or a NULL
+    * value — contribute nothing to EITHER sum: a null-value row with
+    * positive qty would otherwise inflate the denominator and totals
+    * while adding nothing to the numerator, silently deflating the
+    * weighted mean (a dropped observation must drop whole).
     *
     * A bucket whose quantities sum to zero (all excluded) yields NULL
     * under an explicit guard, for the same Spark-NULL/DuckDB-NaN division
@@ -180,7 +182,8 @@ object Bars {
       roundTo: Int = 6): DataFrame = {
     val step = Intervals.toMillis(interval)
     val keys = keyCols.map(col)
-    val q = when(col(qtyCol).isNotNull && col(qtyCol) > 0, col(qtyCol))
+    val q = when(col(qtyCol).isNotNull && col(qtyCol) > 0 &&
+      col(valueCol).isNotNull, col(qtyCol))
     df.groupBy(keys :+ (floor(col(tsCol) / step) * step).cast("long").as("bucket"): _*)
       .agg(
         when(sum(q) > 0,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,7 +63,7 @@ object RollingStats {
     val varX = n * sxx - sx * sx
     val varY = n * syy - sy * sy
     val corr = when(n >= 2 && varX > 0 && varY > 0,
-      round((n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)), roundTo))
+      Num.round0((n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)), roundTo))
     df.withColumn("roll_corr", corr)
       .withColumn("n_pairs", count(px).over(w).cast("long"))
   }
@@ -106,8 +107,8 @@ object RollingStats {
     val varX  = n * sxx - sx * sx
     val slope = (n * sxy - sx * sy) / varX
     val ok    = n >= 2 && varX > 0
-    df.withColumn("roll_slope", when(ok, round(slope, roundTo)))
-      .withColumn("roll_icept", when(ok, round((sy - slope * sx) / n, roundTo)))
+    df.withColumn("roll_slope", when(ok, Num.round0(slope, roundTo)))
+      .withColumn("roll_icept", when(ok, Num.round0((sy - slope * sx) / n, roundTo)))
       .withColumn("n_pairs", count(px).over(w).cast("long"))
   }
 
@@ -158,6 +159,15 @@ object RollingStats {
     * at 100 TB that reduction happened upstream in one groupBy), the lag
     * list is a broadcast literal explode, and the self-join shuffles on
     * the bucket join key only. Output is |pairs|·|lags| rows.
+    *
+    * Overflow bound (same class as [[spearmanCorr]]): the co-moments are
+    * LONG sums of products, so `Σx²` must fit a long — with per-bucket
+    * values |x| ≤ B over n matched buckets, that needs `n·B² < 2⁶³`
+    * (e.g. hourly cent sums of ~1e10 per bucket overflow past ~90
+    * buckets). Callers with larger magnitudes should rescale the bucket
+    * value upstream (correlation is scale-invariant) or cast the inputs
+    * to decimal(38,0) before calling, at the decimal-aggregate cost
+    * documented on `Queries.rollingSlope`.
     */
   def crossCorrAtLags(
       df: DataFrame,
@@ -188,7 +198,7 @@ object RollingStats {
       .agg(
         n.as("n_buckets"),
         when(n >= 2 && varX > 0 && varY > 0,
-          round((n * sxy - sx * sy).cast("double") /
+          Num.round0((n * sxy - sx * sy).cast("double") /
             (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), roundTo))
           .as("xcorr"))
   }
@@ -238,7 +248,7 @@ object RollingStats {
       .agg(
         n.as("n"),
         when(n >= 2 && varX > 0 && varY > 0,
-          round((n * sxy - sx * sy).cast("double") /
+          Num.round0((n * sxy - sx * sy).cast("double") /
             (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), roundTo))
           .as("spearman"))
   }

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +78,6 @@ object Dsir {
         math.log((r.getLong(2) + 1d) / (tr.toDouble + buckets))
     }
     withCounts.select(col(idCol),
-      round(VectorDot.vectorDot(col("__bc"), lit(lr)), 6).as("logw"))
+      Num.round0(VectorDot.vectorDot(col("__bc"), lit(lr)), 6).as("logw"))
   }
 }

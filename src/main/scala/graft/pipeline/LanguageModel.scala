@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -27,9 +28,16 @@ import org.apache.spark.sql.functions._
   * explode — the previous formulation's corpus-wide (doc, pos) sort and
   * `lead` window are gone entirely, which alone was the difference
   * between 1.46 s and ~0.8 s at sf0.1. The count tables are
-  * token/bigram-type bounded (vocabulary-scale), the unigram table
-  * broadcasts, and the bigram-count join is the only content-keyed
-  * shuffle.
+  * token/bigram-type bounded (vocabulary-scale), and the bigram-count
+  * join is the only content-keyed shuffle.
+  *
+  * The unigram join carries NO broadcast hint on purpose: vocabulary is
+  * corpus-dependent (a few 100k types at test scale, ~1e8 on a 100 TB
+  * web corpus — far past any broadcast limit), so the plan lets AQE's
+  * runtime size check pick broadcast-hash when the table is actually
+  * small and fall back to a shuffled join when it isn't, instead of
+  * hard-coding a hint that would OOM the driver at scale. Only the
+  * one-row grand-total frame keeps an explicit broadcast.
   */
 object LanguageModel {
 
@@ -64,13 +72,13 @@ object LanguageModel {
     val probs = big.join(starts, Seq("__w"))
     bigrams.select(col(idCol), col("__w"), col("__w2"))
       .join(probs, Seq("__w", "__w2"))
-      .join(broadcast(uni), Seq("__w2"))
+      .join(uni, Seq("__w2"))
       .crossJoin(broadcast(grand))
       .withColumn("__lp",
         log(lit(lambda) * (col("__c2").cast("double") / col("__cs").cast("double")) +
           lit(oneMinusLambda) * (col("__c1").cast("double") / col("__n").cast("double"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("__lp")), 6).as("avg_logp"))
+        Num.round0(avg(col("__lp")), 6).as("avg_logp"))
   }
 }

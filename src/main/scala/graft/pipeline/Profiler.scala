@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -90,7 +91,7 @@ object Profiler {
         sum(q).as("__coverage"),
         max(col("__gt")).as("n_tokens"))
       .select(col(groupCol), col("n_tokens"),
-        round((col("__present") + lit(ln2) * (lit(1.0) - col("__coverage"))) / 2.0,
+        Num.round0((col("__present") + lit(ln2) * (lit(1.0) - col("__coverage"))) / 2.0,
           roundTo).as("js_nats"))
   }
 }

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one codegen assignment scan (no shuffle), one shuffle of
   * (cell_id, id, vector) for the self-join, per-cell pair generation, then
-  * label propagation over the id-only pair graph ([[Dedup.clusters]] —
-  * O(E+V) per round, pointer-jumped). The keep-rule window runs over the
-  * pair-bounded component table, never the corpus.
+  * per-cell connected components inside ONE aggregate
+  * ([[graft.functions.PairComponents]] — the pair graph is a disjoint
+  * union of per-cell graphs, so union-find over each cell's cell-bounded
+  * edge list replaces corpus-wide label propagation and its driver-synced
+  * rounds entirely). The keep-rule window runs over the pair-bounded
+  * component table, never the corpus. [[Dedup.clusters]] remains the tool
+  * for graphs that genuinely span the corpus (the text near-dup chain).
   */
 object SemDedup {
 
@@ -88,7 +92,11 @@ object SemDedup {
     * minimum id). Connected components — not just pairwise drops — so a
     * chain a~b~c keeps exactly one member even when a~c itself is below
     * the threshold, matching the transitive grouping of the text-side
-    * dedup chain.
+    * dedup chain. Components are computed per cell in one
+    * [[graft.functions.PairComponents]] aggregation: duplicate pairs only
+    * exist within a cell, so cell-local union-find yields exactly the
+    * global components with no iteration. Ids must be long-castable (the
+    * [[Dedup.clusters]] contract this operator inherited).
     */
   def keep(
       embeddings: DataFrame,
@@ -99,7 +107,11 @@ object SemDedup {
     val assigned = Similarity.ivfAssignWithSim(embeddings, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("cell_id"), col("centroid_sim"))
     val p = pairs(assigned, idCol, vecCol, threshold)
-    val comp = Dedup.clusters(p) // (id, cluster_id), pair-bounded
+    val comp = p.groupBy(col("cell_id"))
+      .agg(graft.functions.PairComponents.pairComponents(
+        col("id_a").cast("long"), col("id_b").cast("long")).as("__cs"))
+      .select(explode(col("__cs")).as("__c"))
+      .select(col("__c.id").as("id"), col("__c.comp").as("cluster_id"))
     val ranked = comp
       .join(assigned.select(col(idCol).as("id"), col("centroid_sim")), Seq("id"))
       .withColumn("__rn", row_number().over(

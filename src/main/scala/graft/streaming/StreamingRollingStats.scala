@@ -38,10 +38,11 @@ object StreamingRollingStats {
 
   private def roundHalfUp(d: Double, scale: Int): Double =
     // Spark Round on DoubleType: shortest-repr BigDecimal, HALF_UP,
-    // NaN/Infinity passthrough
+    // NaN/Infinity passthrough. The trailing + 0.0 mirrors the batch
+    // operator's Num.round0 signed-zero normalization (-0.0 -> 0.0).
     if (d.isNaN || d.isInfinite) d
     else java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   /** (n, sx, sy, sxy, sxx, syy) over the frame, folded oldest-first with
     * assign-then-add association (what the batch window's six `sum`s do).

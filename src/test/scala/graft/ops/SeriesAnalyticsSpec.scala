@@ -46,13 +46,16 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_abs_dev") === 6L)
   }
 
-  test("vwap: qty-weighted mean, null/non-positive qty excluded") {
+  test("vwap: qty-weighted mean, null/non-positive qty and null value excluded") {
     val df = Seq(
-      ("k", 100L, 10.0, Some(2L)),
-      ("k", 200L, 20.0, Some(1L)),
-      ("k", 300L, 30.0, None),
-      ("k", 400L, 40.0, Some(0L)),
-      ("k", 3600500L, 99.0, None) // second bucket: no usable qty at all
+      ("k", 100L, Some(10.0), Some(2L)),
+      ("k", 200L, Some(20.0), Some(1L)),
+      ("k", 300L, Some(30.0), None),
+      ("k", 400L, Some(40.0), Some(0L)),
+      // null VALUE with positive qty: must drop whole — not deflate the
+      // mean by padding the denominator/totals (ADVICE r7)
+      ("k", 500L, None, Some(100L)),
+      ("k", 3600500L, Some(99.0), None) // second bucket: no usable qty at all
     ).toDF("key", "t", "value", "qty")
     val out = Bars.vwap(df, "1h", Seq("key"), "t", "value", "qty")
       .orderBy("bucket").collect()

@@ -818,19 +818,27 @@ class StreamingSpec extends SparkTestBase {
     q.processAllAvailable()
     input.addData(("u2", 25L, "click"), ("u2", 25L, "purchase")) // same-ms: no chain
     q.processAllAvailable()
+    // a noise event must not shadow a same-ms stage event arriving in a
+    // LATER batch: equal-ts arrivals are not stale (only strictly earlier)
+    input.addData(("u3", 40L, "noise"))
+    q.processAllAvailable()
+    input.addData(("u3", 40L, "view"))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("funnel_stream").collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
       .sortBy(r => (r._1, r._3))
     assert(rows.toSeq === Seq(
       ("u1", "view", 0, 10L), ("u1", "click", 1, 15L), ("u1", "purchase", 2, 30L),
-      ("u2", "view", 0, 20L), ("u2", "click", 1, 25L)))
+      ("u2", "view", 0, 20L), ("u2", "click", 1, 25L),
+      ("u3", "view", 0, 40L)))
 
     // batch parity: the emitted (stage -> ts) cells match funnelStages
     val batch = graft.ops.Funnel.funnelStages(
       Seq(("u1", 10L, "view"), ("u1", 15L, "click"), ("u1", 20L, "view"),
         ("u1", 30L, "purchase"), ("u2", 10L, "click"), ("u2", 20L, "view"),
-        ("u2", 25L, "click"), ("u2", 25L, "purchase"))
+        ("u2", 25L, "click"), ("u2", 25L, "purchase"),
+        ("u3", 40L, "noise"), ("u3", 40L, "view"))
         .toDF("user", "t", "typ"),
       "user", "t", "typ", Seq("view", "click", "purchase"))
       .collect().flatMap { r =>

@@ -19,7 +19,13 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        r = round(v, 9)
+        # The driver hashes typed bytes, where -0.0 != 0.0; Python == treats
+        # them equal. Tag the sign of zero so this gate is a strict superset
+        # of the driver's compare.
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     return v
 
 
