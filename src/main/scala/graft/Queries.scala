@@ -1858,8 +1858,10 @@ object Queries {
     * cell assignment.
     */
   def semdedupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = Similarity.ivfAssignWithSim(
-      tbl(spark, dir, "embeddings"), "embedding", trainedCentroids(spark, dir))
+    // materialized once: the pair self-join reads the assignment twice,
+    // and each raw descent is a full n×|cells| distance pass
+    val assigned = Dedup.materializeOnce(Similarity.ivfAssignWithSim(
+      tbl(spark, dir, "embeddings"), "embedding", trainedCentroids(spark, dir)))
     SemDedup.pairs(assigned, "vec_id", "embedding", SemDedupThreshold)
       .orderBy("cell_id", "id_a", "id_b")
   }
@@ -4176,6 +4178,137 @@ object Queries {
       |  GROUP BY 1
       |)
       |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** DAU/MAU stickiness per active day ([[graft.ops.Funnel.activeUsers]]
+    * with a 30-day window): the fraction of the month's active entities
+    * that showed up today — the engagement ratio next to the raw counts.
+    * Same bounded-explode windowed distinct; only the ratio is rounded.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id", unix_millis($"ts").as("t"))
+    graft.ops.Funnel.activeUsers(ev, "user_id", "t", windowDays = 30)
+      .select($"day", $"dau", $"wau".as("mau"),
+        round($"dau".cast("double") / $"wau".cast("double"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val stickinessSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), days AS (SELECT DISTINCT day FROM a),
+      |dau AS (
+      |  SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1
+      |), mau AS (
+      |  SELECT d.day, count(DISTINCT a.user_id) AS mau
+      |  FROM days d JOIN a ON a.day BETWEEN d.day - 29 AND d.day
+      |  GROUP BY 1
+      |)
+      |SELECT day, dau, mau,
+      |       round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+      |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
+
+  /** Event-type Markov transition matrix ([[graft.ops.Funnel
+    * .transitionMatrix]]): consecutive-pair counts per user with the
+    * conditional P(to | from) — the "what happens next" baseline. Counts
+    * exact; probabilities are ratios of positive integers.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id",
+      unix_millis($"ts").as("t"), $"event_id", $"event_type")
+    graft.ops.Funnel.transitionMatrix(ev, "user_id", "t", "event_type",
+        tieCols = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events
+      |), p AS (
+      |  SELECT event_type AS to_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY t, event_id) AS from_type
+      |  FROM ev
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM p WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       round(CAST(n AS DOUBLE) /
+      |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+      |         AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Rolling volatility band per user ([[graft.ops.RollingStats
+    * .rollingBand]] semantics in the O(1)-per-row exact-integer form):
+    * 20-row mean ± 2σ in cents via cumsum DIFFERENCES — the same
+    * sliding-frame rewrite as [[rollingCorr]] (a frame re-sum measured
+    * 7.5× the oracle at 10M rows), and exact integer co-moments mean both
+    * engines divide identical doubles, so even the band FLAG (a float
+    * comparison) is cross-engine deterministic.
+    */
+  def rollingBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts".cast("timestamp")).as("t"),
+        $"event_id", round($"value" * 100).cast("long").as("__xc"))
+    val cum = ev.select($"user_id", $"t", $"event_id", $"__xc",
+      count($"__xc").over(wc).as("cn"),
+      sum($"__xc").over(wc).as("cx"),
+      sum($"__xc" * $"__xc").over(wc).as("cxx"))
+    def fr(c: Column): Column =
+      (c - coalesce(lag(c, 20).over(wl), lit(0L))).cast("double")
+    val n    = fr($"cn")
+    val sx   = fr($"cx"); val sxx = fr($"cxx")
+    val varN = n * sxx - sx * sx // n²·var_pop, exact
+    val mean = sx / n
+    val std  = sqrt(varN) / n
+    val ok   = n >= 2 && varN >= 0
+    cum.select($"user_id", $"t", $"event_id",
+        when(ok, Num.round0(mean / 100.0, 6)).as("roll_mean"),
+        when(ok, Num.round0(std / 100.0, 6)).as("roll_std"),
+        when(ok && $"__xc".isNotNull,
+          abs($"__xc" - mean) > lit(2.0) * std).as("outside_band"),
+        fr($"cn").cast("long").as("n_in"))
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val rollingBandSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, t, event_id, xc,
+      |         count(xc) OVER wc AS cn,
+      |         sum(xc) OVER wc AS cx,
+      |         sum(xc * xc) OVER wc AS cxx
+      |  FROM ev WINDOW wc AS (PARTITION BY user_id ORDER BY t, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), f AS (
+      |  SELECT user_id, t, event_id, xc,
+      |         CAST(cn - coalesce(lag(cn, 20) OVER wl, 0) AS DOUBLE) AS n,
+      |         CAST(cx - coalesce(lag(cx, 20) OVER wl, 0) AS DOUBLE) AS sx,
+      |         CAST(cxx - coalesce(lag(cxx, 20) OVER wl, 0) AS DOUBLE) AS sxx,
+      |         cn - coalesce(lag(cn, 20) OVER wl, 0) AS ni
+      |  FROM c WINDOW wl AS (PARTITION BY user_id ORDER BY t, event_id)
+      |)
+      |SELECT user_id, t, event_id,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0
+      |            THEN round((sx / n) / 100.0, 6) + 0 END AS roll_mean,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0
+      |            THEN round(sqrt(n * sxx - sx * sx) / n / 100.0, 6) + 0
+      |       END AS roll_std,
+      |       CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0 AND xc IS NOT NULL
+      |            THEN abs(xc - sx / n) > 2.0 * sqrt(n * sxx - sx * sx) / n
+      |       END AS outside_band,
+      |       CAST(ni AS BIGINT) AS n_in
+      |FROM f ORDER BY user_id, t, event_id""".stripMargin
 
   // --------------------------------------------- embedding stats (round 7b)
 

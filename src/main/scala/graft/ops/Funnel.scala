@@ -134,6 +134,41 @@ object Funnel {
     dau.join(wau, Seq("day"))
   }
 
+  /** First-order Markov transition matrix of the event-type sequence per
+    * entity: for every consecutive event pair in (`tsCol`, `tieCols`)
+    * order, count the (from_type → to_type) transition and report its
+    * conditional probability P(to | from) = n / Σ_to n — the "what do
+    * users do next" report (and the baseline model behind next-event
+    * anomaly scoring). Counts are exact integers; only the probability is
+    * rounded (signed-zero-safe via the division of positive counts).
+    *
+    * Scale shape: one entity-keyed shuffle for the `lag` window (reusing
+    * the same exchange pattern as sessionize), then a groupBy on the
+    * (from, to) pair — |types|²-bounded, so the second aggregation and
+    * the per-from normalization window are over a TINY frame regardless
+    * of corpus size. Nothing event-sized shuffles twice.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    val pairs = df
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull && col(typeCol).isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs.withColumn("prob",
+      round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"),
+        roundTo))
+  }
+
   /** Cohort retention triangle: entities grouped by the day they first
     * appeared (`cohort_day`, epoch days), counted once per later active
     * day at `day_offset` days after the cohort day. Row (c, k, n) reads

@@ -112,6 +112,46 @@ object RollingStats {
       .withColumn("n_pairs", count(px).over(w).cast("long"))
   }
 
+  /** Rolling mean/std band per key over the last `frameRows` rows —
+    * Bollinger-style volatility envelope: `roll_mean ± nSigma·roll_std`
+    * plus an `outside_band` flag for the current value against the band
+    * of the PRECEDING frame-aligned stats (computed including the row
+    * itself, the standard population formulation). Population std from
+    * the same co-moment sums as [[rollingCorr]]:
+    * `σ = √(nΣx² − (Σx)²) / n`, NULL below 2 rows.
+    *
+    * Same scale shape and conditioning caveats as the rest of the family
+    * (one key shuffle, one window pass; integer-rescale the input for
+    * cross-engine hash stability — see `Queries.rollingBand` for the
+    * exact-cents cumsum-difference form that is also O(1)/row).
+    */
+  def rollingBand(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      frameRows: Int = 20,
+      nSigma: Double = 2.0,
+      tieCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    require(frameRows >= 2, s"frame must be >= 2 rows: $frameRows")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(frameRows - 1), 0)
+    val x   = col(valueCol)
+    val n   = count(x).over(w).cast("double")
+    val sx  = sum(x).over(w)
+    val sxx = sum(x * x).over(w)
+    val varN = n * sxx - sx * sx // n²·var_pop
+    val mean = sx / n
+    val std  = sqrt(varN) / n
+    val ok   = n >= 2 && varN >= 0
+    df.withColumn("roll_mean", when(ok, Num.round0(mean, roundTo)))
+      .withColumn("roll_std", when(ok, Num.round0(std, roundTo)))
+      .withColumn("outside_band",
+        when(ok, abs(x - mean) > lit(nSigma) * std))
+  }
+
   /** Running peak and drawdown per key: `peak = max(value so far)` in
     * (`tsCol`, `tieCols`) order and `drawdown = peak − value` — the
     * standard decline-from-high risk measure (and, inverted, the

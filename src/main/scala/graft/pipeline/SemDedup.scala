@@ -75,8 +75,11 @@ object SemDedup {
       vecCol: String,
       centroids: Array[(Long, Array[Double])],
       threshold: Double): DataFrame = {
-    val fa = Similarity.ivfAssignWithSim(fresh, vecCol, centroids)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    // the fresh side feeds both the cell equijoin and the anti-join:
+    // assign it once (the prior side is scanned once, no materialization)
+    val fa = Dedup.materializeOnce(
+      Similarity.ivfAssignWithSim(fresh, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("cell_id")))
     val pa = Similarity.ivfAssignWithSim(prior, vecCol, centroids)
       .select(col(idCol).as("__pid"), col(vecCol).as("__pv"), col("cell_id"))
     val hit = fa.join(pa, Seq("cell_id"))
@@ -104,8 +107,14 @@ object SemDedup {
       vecCol: String,
       centroids: Array[(Long, Array[Double])],
       threshold: Double): DataFrame = {
-    val assigned = Similarity.ivfAssignWithSim(embeddings, vecCol, centroids)
-      .select(col(idCol), col(vecCol), col("cell_id"), col("centroid_sim"))
+    // materialize the assignment ONCE: it feeds the pair self-join (both
+    // sides), the centroid_sim lookup and the final anti-join — without
+    // this the narrow assignment scan re-runs per consumer, and at
+    // production cell counts (n/128 centroids) each re-run is a full
+    // n×|cells| distance pass, the dominant cost of the whole operator
+    val assigned = Dedup.materializeOnce(
+      Similarity.ivfAssignWithSim(embeddings, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("cell_id"), col("centroid_sim")))
     val p = pairs(assigned, idCol, vecCol, threshold)
     val comp = p.groupBy(col("cell_id"))
       .agg(graft.functions.PairComponents.pairComponents(

@@ -461,14 +461,15 @@ object Similarity {
     * which is exactly what the cross-engine cell-assignment oracle
     * re-derives.
     */
-  def ivfCellExpr(vecCol: String, centroids: Array[(Long, Array[Double])]): Column = {
-    // struct ordering = (sim, -cell): max picks highest sim, smallest cell on tie
-    val candidates = centroids.map { case (id, vec) =>
-      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
-        lit(-id).as("negCell"))
-    }
-    -array_max(array(candidates.toSeq: _*)).getField("negCell")
-  }
+  def ivfCellExpr(vecCol: String, centroids: Array[(Long, Array[Double])]): Column =
+    // r8: one native argmax kernel with the centroid table as a codegen
+    // reference object — the former array_max(array(struct(cosine(v, lit
+    // cᵢ))…)) tree is linear in |cells| and passes the JVM 64 KB method
+    // limit around ~1k cells (observed at the 200k-vector crossover),
+    // dropping the scan to interpreted eval. Bit-identical pick order
+    // (rounded sim desc, smallest id) — pinned by SimilaritySpec.
+    graft.functions.NearestCell.nearestCell(col(vecCol), centroids)
+      .getField("cell_id")
 
   def ivfAssign(
       df: DataFrame,
@@ -498,13 +499,11 @@ object Similarity {
       df: DataFrame,
       vecCol: String,
       centroids: Array[(Long, Array[Double])]): DataFrame = {
-    val candidates = centroids.map { case (id, vec) =>
-      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
-        lit(-id).as("negCell"))
-    }
-    val best = array_max(array(candidates.toSeq: _*))
-    df.withColumn("cell_id", -best.getField("negCell"))
-      .withColumn("centroid_sim", best.getField("sim"))
+    val best = graft.functions.NearestCell.nearestCell(col(vecCol), centroids)
+    df.withColumn("__best", best)
+      .withColumn("cell_id", col("__best").getField("cell_id"))
+      .withColumn("centroid_sim", col("__best").getField("sim"))
+      .drop("__best")
   }
 
   /** Query's `nProbe` nearest cell ids (descending centroid similarity,

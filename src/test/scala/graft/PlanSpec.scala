@@ -350,6 +350,31 @@ class PlanSpec extends SparkTestBase {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
     assert(unpart.isEmpty, s"unpartitioned windows:\n${unpart.mkString("\n")}")
+    // r8: components run INSIDE one union-find aggregate per cell (the
+    // ObjectHashAggregate below) instead of driver-synced label
+    // propagation, and every consumer of the assignment reads the ONE
+    // materialized table — the raw embeddings parquet must not be
+    // re-descended per branch (each descent is a full n×|cells| distance
+    // pass at production cell counts)
+    assert(keep.contains("ObjectHashAggregate"), keep)
+    assert(!keep.contains("FileScan parquet"),
+      s"assignment re-descends the parquet instead of the materialized table:\n$keep")
+  }
+
+  test("whiten: narrow map over one scan — no join, no window, no explode") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Window => LWindow}
+    assumeTestData(dir)
+    val qe = SparkEntry.queries("q_embed_whiten")(spark, dir).queryExecution
+    val plan = qe.explainString(SimpleMode)
+    // the subspace artifact is a driver literal: scoring must be k dot
+    // products per row with only the dump's range sort behind it
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    val bad = qe.optimizedPlan.collect {
+      case j: Join => j
+      case g: Generate => g
+      case w: LWindow => w
+    }
+    assert(bad.isEmpty, s"non-narrow nodes in whiten plan:\n${bad.mkString("\n")}")
   }
 
   test("dsir: scoring plan is a pure map over the materialized counts — no exchange at all") {

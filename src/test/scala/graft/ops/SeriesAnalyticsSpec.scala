@@ -20,6 +20,55 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(out.map(_.getDouble(4)).toSeq === Seq(0.0, 2.0, 0.0, 1.0))
   }
 
+  test("transitionMatrix: pair counts, conditional probs, nulls excluded") {
+    val df = Seq(
+      ("u1", 1L, 1L, Some("a")), ("u1", 2L, 2L, Some("b")),
+      ("u1", 3L, 3L, Some("a")), ("u1", 4L, 4L, None), // null type: no pair
+      ("u1", 5L, 5L, Some("b")),
+      ("u2", 1L, 6L, Some("a")), ("u2", 2L, 7L, Some("b"))
+    ).toDF("user", "t", "eid", "typ")
+    val out = Funnel.transitionMatrix(df, "user", "t", "typ", Seq("eid"))
+      .orderBy("from_type", "to_type").collect()
+    // pairs: u1 a->b, b->a (a->null and null->b dropped); u2 a->b
+    val rows = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq
+    assert(rows === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: probabilities normalize per from-type") {
+    // from 'a': b,c,b -> P(b|a)=2/3, P(c|a)=1/3; from 'b': a -> 1; 'c': a -> 1
+    val df = Seq(
+      ("u", 1L, "a"), ("u", 2L, "b"), ("u", 3L, "a"), ("u", 4L, "c"),
+      ("u", 5L, "a"), ("u", 6L, "b")
+    ).toDF("user", "t", "typ")
+    val probs = Funnel.transitionMatrix(df, "user", "t", "typ")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(probs(("a", "b")) - 0.666667) < 1e-9)
+    assert(math.abs(probs(("a", "c")) - 0.333333) < 1e-9)
+    assert(probs(("b", "a")) === 1.0)
+    assert(probs(("c", "a")) === 1.0)
+  }
+
+  test("rollingBand: hand frame — mean, population std, band flag") {
+    // key k, frame 3: values 10, 20, 60 (cents-free doubles)
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 60.0))
+      .toDF("key", "t", "value")
+    val out = RollingStats.rollingBand(df, Seq("key"), "t", "value",
+      frameRows = 3, nSigma = 1.0).orderBy("t").collect()
+    // row1: n=1 -> NULL; row2: mean 15, var (2*500-900)/4=... n²var=2*500-30²=100+...
+    val r2 = out(1)
+    assert(math.abs(r2.getAs[Double]("roll_mean") - 15.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("roll_std") - 5.0) < 1e-9)
+    assert(!r2.getAs[Boolean]("outside_band")) // |20-15| = 5 = 1σ, not >
+    val r3 = out(2)
+    assert(math.abs(r3.getAs[Double]("roll_mean") - 30.0) < 1e-9)
+    // var_pop = ((10-30)²+(20-30)²+(60-30)²)/3 = 1400/3; std ≈ 21.602469
+    assert(math.abs(r3.getAs[Double]("roll_std") - 21.602469) < 1e-6)
+    assert(r3.getAs[Boolean]("outside_band")) // |60-30| = 30 > 21.6
+    assert(out(0).isNullAt(out(0).fieldIndex("roll_mean")))
+  }
+
   test("cusumChangepoint finds a planted mean shift with exact integers") {
     // 0,0,0,10,10,10: dev_t = 6*cum - t*30 peaks in magnitude (|-90|) at
     // rank 3 -- the last row of the "before" segment
