@@ -3681,6 +3681,156 @@ object Queries {
       |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
       |FROM hosts GROUP BY host ORDER BY host""".stripMargin
 
+  /** Canonical-URL dedup ([[TextAnalysis.canonicalUrl]]): URLs planted in
+    * three variants per doc — a campaign link (tracking params + fragment
+    * + uppercased host), the same page as a clean share link, and a
+    * slash-terminated blog URL — then extracted, canonicalized and
+    * grouped. The campaign and share variants of one page MUST fold to
+    * one key (that is the operator's point), which the group counts
+    * expose; the oracle replays the identical regex/sort algebra.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" see https://WWW.Shop"), pmod(col("doc_id"), lit(5)),
+          lit(".Example.com/item/"), pmod(col("doc_id"), lit(50)),
+          lit("?utm_source=mail&ref=x&page=2#frag")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit(" see https://www.shop"), pmod(col("doc_id"), lit(5)),
+          lit(".example.com/item/"), pmod(col("doc_id"), lit(50)),
+          lit("?page=2")))
+      .otherwise(
+        concat(lit(" see http://blog"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org/post/"), pmod(col("doc_id"), lit(30)), lit("/"))))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(planted,
+          lit(TextAnalysis.UrlPattern), lit(0))).as("url"))
+      .select(col("doc_id"), TextAnalysis.canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("canonical_url")
+  }
+
+  val urlCanonicalSql: String =
+    raw"""WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' see https://WWW.Shop' || CAST(doc_id % 5 AS VARCHAR)
+      |              || '.Example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+      |              || '?utm_source=mail&ref=x&page=2#frag'
+      |         WHEN doc_id % 3 = 1
+      |         THEN ' see https://www.shop' || CAST(doc_id % 5 AS VARCHAR)
+      |              || '.example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+      |              || '?page=2'
+      |         ELSE ' see http://blog' || CAST(doc_id % 7 AS VARCHAR)
+      |              || '.example.org/post/' || CAST(doc_id % 30 AS VARCHAR) || '/'
+      |    END AS t
+      |  FROM documents
+      |), u AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+      |  FROM p
+      |), c AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(url, '#.*$$', ''), '\?.*$$', '') AS base,
+      |         regexp_extract(regexp_replace(url, '#.*$$', ''), '\?(.*)$$', 1) AS q
+      |  FROM u
+      |), k AS (
+      |  SELECT doc_id, base,
+      |         list_sort(list_filter(string_split(q, '&'),
+      |           x -> len(x) > 0 AND NOT regexp_matches(x,
+      |                  '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))) AS kept
+      |  FROM c
+      |), canon AS (
+      |  SELECT doc_id,
+      |         regexp_replace(
+      |           lower(regexp_extract(base, '^(https?://[^/]+)', 1)) ||
+      |           regexp_extract(base, '^https?://[^/]+(.*)$$', 1), '/$$', '')
+      |         || CASE WHEN len(kept) > 0
+      |                 THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |           AS canonical_url
+      |  FROM k
+      |)
+      |SELECT canonical_url, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
+  /** Directed containment pairs ([[Dedup.containmentPairs]]): quoted /
+    * embedded duplication that Jaccard's union term dilutes away. Docs
+    * with `doc_id % 10 == 0` get their successor's text APPENDED (same
+    * join-construction both engines), planting known full-containment
+    * directions (successor → extended doc) next to the corpus's natural
+    * dup groups.
+    */
+  def dupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val next = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__next_text"))
+    val planted = docs.join(next, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0 && col("__next_text").isNotNull,
+          concat(col("text"), lit(" "), col("__next_text")))
+        .otherwise(col("text")))
+      .select("doc_id", "text")
+    Dedup.containmentPairs(planted, "text", "doc_id", n = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dupContainmentSql: String =
+    raw"""WITH p AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN a.doc_id % 10 = 0 AND b.text IS NOT NULL
+      |              THEN a.text || ' ' || b.text ELSE a.text END AS text
+      |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1
+      |), w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             x -> len(x) > 0) AS ws
+      |  FROM p
+      |), ex AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])) AS shingle
+      |  FROM w
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       round(CAST(shared AS DOUBLE) / sa.n_sh, 6) AS containment
+      |FROM shared JOIN sizes sa ON sa.doc_id = id_a
+      |WHERE round(CAST(shared AS DOUBLE) / sa.n_sh, 6) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-document trigram novelty ([[TextAnalysis.ngramNovelty]]): the
+    * tf-idf-shaped first-occurrence scan — shingle min(doc_id), join
+    * back, exact counts, one rounded ratio. Docs under 3 words drop out
+    * in BOTH engines (no shingles).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(tbl(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val ngramNoveltySql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])) AS shingle
+      |  FROM w
+      |), f AS (
+      |  SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1
+      |)
+      |SELECT ex.doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       round(CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |                  AS DOUBLE) / count(*), 6) AS novelty
+      |FROM ex JOIN f USING (shingle)
+      |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+
   /** Morton curve key over (user_id, hour-of-stream)
     * ([[graft.ops.Layout.zorderKey]]) — the clustering key behind
     * [[graft.ops.Layout.zorderWrite]]'s 2-D pruning, pinned here as exact

@@ -188,6 +188,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric near-dup by n-gram CONTAINMENT (Broder's resemblance
+    * companion): `C(A→B) = |A∩B| / |A|` — "how much of A lives inside B".
+    * Jaccard misses the short-doc-inside-long-doc case (the union term
+    * dilutes it); containment is the standard detector for quoted/embedded
+    * duplication in crawl corpora. Output: one DIRECTED row
+    * (id_a, id_b, containment) per ordered pair with `containment` =
+    * shared/|A| ≥ threshold, id_a ≠ id_b, rounded for the cross-engine
+    * compare (a ratio of exact integer counts).
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one materialized hashed
+    * inverted index feeds sizes and both join sides; the unordered shared
+    * counts fan into the two directions AFTER aggregation, so the join
+    * work is not doubled. Same `maxShingleDf` skew guard.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.9,
+      maxShingleDf: Int = Int.MaxValue,
+      roundTo: Int = 6): DataFrame = {
+    val sh = explodedShingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val filteredLineage =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        sh.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxShingleDf).drop("__df")
+      }
+    val filtered = materializeOnce(filteredLineage)
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    // both directions from the one aggregated pair row
+    val dirs = shared.select(col("id_a"), col("id_b"), col("shared"), col("n_a"))
+      .union(shared.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("shared"), col("n_b").as("n_a")))
+    dirs
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_a").cast("double"), roundTo))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash signatures as a table: explode shingles once, then ONE hash
     * aggregation computing all `numHashes` minima (hash function i =
     * `xxhash64(i, shingle)`). The explode materializes the shingle expression

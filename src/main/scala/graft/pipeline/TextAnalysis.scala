@@ -64,6 +64,57 @@ object TextAnalysis {
     transform(regexp_extract_all(lower(text), lit(UrlHostPattern), lit(1)),
       h => regexp_replace(h, "^www\\.", ""))
 
+  /** Canonical form of a URL for exact-URL dedup over crawl corpora:
+    * fragment stripped, tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    * `ref`) dropped, remaining query parameters SORTED, scheme+host
+    * lowercased (paths stay case-sensitive per RFC 3986), and a bare
+    * trailing slash removed — so the same landing page reached via a
+    * campaign link, a share link and a typed URL folds to one key.
+    * Pure regex/array algebra in the RE2-compatible subset: an oracle
+    * running the identical steps produces the identical string, and on
+    * Spark the whole thing is one codegen'd projection (no UDF).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base   = regexp_replace(noFrag, "\\?.*$", "")
+    val query  = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept   = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=")))
+    val lowered = concat(
+      lower(regexp_extract(base, "^(https?://[^/]+)", 1)),
+      regexp_extract(base, "^https?://[^/]+(.*)$", 1))
+    val noSlash = regexp_replace(lowered, "/$", "")
+    when(size(kept) > 0, concat_ws("?", noSlash, array_join(kept, "&")))
+      .otherwise(noSlash)
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word `n`-grams whose FIRST corpus occurrence (minimum id) is this
+    * document — the "how much of this text is new" curriculum/dedup
+    * triage signal (a near-copy of an earlier doc scores ~0, fresh prose
+    * ~1). Documents shorter than `n` words have no shingles and drop out,
+    * like the fingerprint operators.
+    *
+    * Scale shape: the tf-idf pattern — one distinct-per-doc shingle
+    * explode, a shingle-keyed `min(id)` aggregate (map-side combined),
+    * one shingle-keyed join back, one doc-keyed count aggregate. Nothing
+    * wider than the shingle frame shuffles, and the ratio is exact
+    * integer counts divided once at the end.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, roundTo: Int = 6): DataFrame = {
+    val ex = Dedup.explodedShingles(docs, textCol, idCol, n)
+    val first = ex.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    ex.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"),
+          roundTo))
+  }
+
   /** Count of whole-word occurrences of `word` (case-insensitive). The word
     * is regex-quoted and lowercased to match the lowered text.
     */

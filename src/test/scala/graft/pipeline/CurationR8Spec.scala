@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the round-8 curation additions: directed
+  * containment, n-gram novelty, and URL canonicalization.
+  */
+class CurationR8Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("containmentPairs: short doc inside long doc is directed, not mutual") {
+    val docs = Seq(
+      (1L, "a b c d"),                // trigrams: {a b c, b c d}
+      (2L, "a b c d e f g h"),        // contains all of doc 1's trigrams
+      (3L, "x y z q r s")             // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((1L, 2L, 1.0)), s"got $out")
+    // jaccard would miss it: 2 shared / (2 + 6 - 2) = 0.33
+  }
+
+  test("containmentPairs: identical docs contain each other both ways") {
+    val docs = Seq((1L, "a b c d"), (5L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 5L, 1.0), (5L, 1L, 1.0)))
+  }
+
+  test("ngramNovelty: fresh 1.0, verbatim copy 0.0, half-new in between") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // 3 trigrams, all first here -> 1.0
+      (2L, "a b c d e"),      // all seen in doc 1 -> 0.0
+      (3L, "a b c p q r")     // {a b c} old; {b c p, c p q, p q r} new -> 3/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((4L, 3L, 0.75)))
+  }
+
+  test("ngramNovelty: docs under n words drop out") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val ids = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+
+  test("canonicalUrl: tracking params out, rest sorted, host lowered, slash trimmed") {
+    val cases = Seq(
+      ("https://WWW.Shop.Example.com/Item/7?utm_source=m&ref=x&page=2#frag",
+       "https://www.shop.example.com/Item/7?page=2"),   // path case KEPT
+      ("https://www.shop.example.com/Item/7?page=2",
+       "https://www.shop.example.com/Item/7?page=2"),   // same canonical as above
+      ("http://a.example.org/post/3/", "http://a.example.org/post/3"),
+      ("https://X.com/?utm_campaign=z", "https://x.com"),
+      ("https://x.com/p?b=2&a=1", "https://x.com/p?a=1&b=2") // params sorted
+    ).toDF("url", "want")
+    val out = cases.withColumn("got", TextAnalysis.canonicalUrl($"url"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"canonicalUrl(${r.getAs[String]("url")})")
+    }
+  }
+}

@@ -799,6 +799,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
 
+  test("streaming transitions: pair stream matches batch lag; stale dropped; TTL-free chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamingTransitions.transitions(input.toDS())
+      .toDF("user", "from_type", "to_type", "t")
+    val q = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    input.addData(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 5L, "x"))
+    q.processAllAvailable()
+    // chain carries across batches; a strictly-earlier arrival is stale
+    input.addData(("u1", 30L, "a"), ("u1", 15L, "zzz"), ("u2", 7L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trans_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4))
+    assert(rows.toSeq === Seq(
+      ("u1", "a", "b", 20L), ("u1", "b", "a", 30L), ("u2", "x", "y", 7L)))
+
+    // batch parity on the delivered (non-stale) events: lag pairs per user
+    import org.apache.spark.sql.expressions.Window
+    val delivered = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "a"),
+      ("u2", 5L, "x"), ("u2", 7L, "y")).toDF("user", "t", "typ")
+    val w = Window.partitionBy($"user").orderBy($"t")
+    val batch = delivered
+      .withColumn("from_type", lag($"typ", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .select($"user", $"from_type", $"typ".as("to_type"), $"t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4))
+    assert(rows.toSeq === batch.toSeq)
+  }
+
   test("streaming funnel emits each first completion once; batch parity on ms-unique feeds") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, String)]
