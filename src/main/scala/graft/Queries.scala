@@ -4723,6 +4723,32 @@ object Queries {
       |       max(CASE WHEN pc_idx = 3 THEN z END) AS z3
       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Per-label embedding drift ([[EmbedStats.groupDrift]]): each label's
+    * centroid compared to the corpus centroid by cosine — the segment
+    * monitor in embedding space next to [[sourceDrift]]'s vocabulary one.
+    */
+  def embedGroupDrift(spark: SparkSession, dir: String): DataFrame =
+    EmbedStats.groupDrift(tbl(spark, dir, "embeddings"), "label", "embedding")
+      .orderBy("label")
+
+  val embedGroupDriftSql: String =
+    """WITH ex AS (
+      |  SELECT label, CAST(t.i - 1 AS INT) AS dim,
+      |         CAST(embedding[t.i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      |), lg AS (SELECT label, dim, avg(x) AS lm FROM ex GROUP BY 1, 2),
+      |g AS (SELECT dim, avg(x) AS gm FROM ex GROUP BY 1),
+      |np AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |d AS (
+      |  SELECT label, sum(lm * gm) AS dot, sum(lm * lm) AS nl,
+      |         sum(gm * gm) AS ng
+      |  FROM lg JOIN g USING (dim) GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |       round(dot / (sqrt(nl) * sqrt(ng)), 6) + 0 AS centroid_cos
+      |FROM d JOIN np USING (label) ORDER BY label""".stripMargin
+
   /** Top BPE merge candidates ([[TextAnalysis.bpePairStats]]): the
     * highest-count adjacent char pairs, corpus-weighted — step one of BPE
     * vocabulary training. Total order: count desc, pair asc.

@@ -703,6 +703,43 @@ object Stress {
     val maxDiag = (0 until covDim).map(i => covFull((i, i))).max
     assert(pcLam >= maxDiag - 1e-6, s"eigval $pcLam below max diagonal $maxDiag")
 
+    // ---- r8 top-k subspace + whitening at volume: same one co-moment
+    // pass, full Jacobi eigensolve on the driver. Invariants:
+    //  - PC1 agrees with the power-iteration pair (direction up to sign,
+    //    eigenvalue to tolerance);
+    //  - spectrum descending, pairwise orthogonality to 1e-9;
+    //  - eigenvalue sum <= trace (+eps), each eigenpair's residual
+    //    against the independently collected covariance <= 1e-6;
+    //  - whitening DELIVERS its contract at volume: population variance
+    //    of each whitened coordinate == 1 to float tolerance.
+    val topT0 = System.nanoTime()
+    val (tv, tl, tmu) = graft.pipeline.EmbedStats.topPCs(pVecs, "embedding", covDim, k = 4)
+    val sTop = (System.nanoTime() - topT0) / 1e9
+    println(f"""{"stage":"embed_pca_topk","vecs":$nvp,"l1":${tl(0)}%.6f,"l4":${tl(3)}%.6f,"sec":$sTop%.2f}""")
+    assert(math.abs(tl(0) - pcLam) <= 1e-6 * (1 + pcLam), s"lambda1 ${tl(0)} vs $pcLam")
+    val aligned = math.abs(tv(0).zip(pcVec).map { case (x, y) => x * y }.sum)
+    assert(math.abs(aligned - 1) <= 1e-6, s"PC1 misaligned: $aligned")
+    for (i <- 0 until 3) assert(tl(i) >= tl(i + 1) - 1e-12, s"spectrum not sorted at $i")
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val d = tv(i).zip(tv(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d) <= 1e-9, s"PC$i/PC$j not orthogonal: $d")
+    }
+    val trace = (0 until covDim).map(i => covFull((i, i))).sum
+    assert(tl.sum <= trace + 1e-6 * (1 + trace), s"eig sum ${tl.sum} above trace $trace")
+    for (p <- 0 until 4; i <- 0 until covDim) {
+      val cei = (0 until covDim).map(j => covFull((math.min(i, j), math.max(i, j))) * tv(p)(j)).sum
+      assert(math.abs(cei - tl(p) * tv(p)(i)) <= 1e-5 * (1 + math.abs(tl(p))),
+        s"residual at PC$p dim $i")
+    }
+    val wz = graft.pipeline.EmbedStats.whiten(pVecs, "embedding", tv, tl, tmu, roundTo = 9)
+      .agg(avg(col("z0")).as("m0"), avg(col("z0") * col("z0")).as("s0"),
+           avg(col("z3")).as("m3"), avg(col("z3") * col("z3")).as("s3")).head()
+    val vz0 = wz.getDouble(1) - wz.getDouble(0) * wz.getDouble(0)
+    val vz3 = wz.getDouble(3) - wz.getDouble(2) * wz.getDouble(2)
+    assert(math.abs(vz0 - 1) <= 1e-4 && math.abs(vz3 - 1) <= 1e-4,
+      s"whitened variance off unit: $vz0 / $vz3")
+    println(f"""{"stage":"embed_whiten","vecs":$nvp,"var_z0":$vz0%.6f,"var_z3":$vz3%.6f}""")
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

@@ -247,6 +247,42 @@ object EmbedStats {
     }
   }
 
+  /** Per-group embedding drift: each group's mean vector compared to the
+    * corpus mean by cosine — the segment-level monitor that flags a
+    * source/label whose embedding distribution moved (a feature-extractor
+    * change or a content shift shows up as the group centroid swinging
+    * away from the corpus centroid) before any scalar quality gate trips.
+    *
+    * Scale shape: ONE narrow posexplode feeds two tiny aggregations —
+    * per-(group, dim) means (|groups|·d keys, map-side combined) and
+    * per-dim corpus means (d keys) — joined on `dim` (d rows broadcast),
+    * then a |groups|-keyed fold of the d products. Nothing row-shaped
+    * shuffles twice, and the output is |groups| rows.
+    */
+  def groupDrift(embeds: DataFrame, groupCol: String, vecCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val x = col("x").cast("double")
+    val ex = embeds
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val byGroup = ex.groupBy(col(groupCol), col("dim"))
+      .agg((sum(x) / count(x)).as("__lm"))
+    val corpus = ex.groupBy(col("dim"))
+      .agg((sum(x) / count(x)).as("__gm"))
+    val nPer = embeds.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"))
+    byGroup
+      .join(broadcast(corpus), Seq("dim"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__lm") * col("__gm")).as("__dot"),
+        sum(col("__lm") * col("__lm")).as("__nl"),
+        sum(col("__gm") * col("__gm")).as("__ng"))
+      .join(nPer, Seq(groupCol))
+      .select(col(groupCol), col("n_vecs"),
+        Num.round0(col("__dot") / (sqrt(col("__nl")) * sqrt(col("__ng"))),
+          roundTo).as("centroid_cos"))
+  }
+
   /** Centered projection of every vector onto a fixed direction:
     * `proj = v·e − μ·e` — `μ·e` collapses to ONE scalar, so the per-row
     * work is a single codegen'd [[graft.functions.VectorDot]] against the

@@ -513,17 +513,12 @@ object Similarity {
   def ivfProbeCellsExpr(
       vecCol: String,
       centroids: Array[(Long, Array[Double])],
-      nProbe: Int): Column = {
-    val candidates = centroids.map { case (id, vec) =>
-      struct(round(cosine(col(vecCol), array(vec.map(lit): _*)), 6).as("sim"),
-        lit(-id).as("negCell"))
-    }
-    // struct sort desc: highest sim first; on sim ties the larger negCell
-    // (= smaller cell id) wins — identical pick order to ivfCellExpr
-    transform(
-      slice(sort_array(array(candidates.toSeq: _*), asc = false), 1, nProbe),
-      c => -c.getField("negCell"))
-  }
+      nProbe: Int): Column =
+    // r8: native top-nProbe kernel ([[graft.functions.ProbeCells]]) — the
+    // former slice(sort_array(array(struct…))) tree had the same linear-
+    // in-|cells| 64 KB codegen hazard as the assignment argmax; pick order
+    // (rounded sim desc, smallest id) is unchanged and spec-pinned
+    graft.functions.ProbeCells.probeCells(col(vecCol), centroids, nProbe)
 
   /** IVF top-k: search only within the query vector's own cell(s). */
   def ivfTopK(
