@@ -395,6 +395,47 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
+  /** Normalized-text exact dedup ([[TextAnalysis.normalizedForDedup]] →
+    * md5 grouping — the C4/RefinedWeb "fuzzy exact" staple): docs with
+    * `doc_id % 9 == 0` are REPLACED by their successor's text uppercased
+    * with punctuation appended (same join-construction both engines), so
+    * byte-exact dedup sees nothing while normalized dedup must fold each
+    * planted variant with its source. Same digest/keep/count contract as
+    * [[dedupExact]].
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val next = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__nt"))
+    val planted = docs.join(next, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(9)) === 0 && col("__nt").isNotNull,
+          concat(upper(col("__nt")), lit(" !!")))
+        .otherwise(col("text")))
+      .select("doc_id", "text")
+    planted
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizedForDedup(col("text"))).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("digest")
+  }
+
+  val dedupNormalizedSql: String =
+    raw"""WITH p AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN a.doc_id % 9 = 0 AND b.text IS NOT NULL
+      |              THEN upper(b.text) || ' !!' ELSE a.text END AS text
+      |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1
+      |), n AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS digest
+      |  FROM p
+      |)
+      |SELECT digest, min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM n GROUP BY 1 ORDER BY digest""".stripMargin
+
   /** Document-frequency cap for the shingle inverted index: shingles shared
     * by more docs than this are boilerplate, not near-dup signal, and each
     * one costs O(df²) join pairs on a single reducer — the skew bomb at
@@ -3968,6 +4009,47 @@ object Queries {
       |)
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  /** Live two-sided CUSUM monitor ([[graft.ops.Anomalies.cusumOnline]]):
+    * the Page/SPC reflecting-barrier recursion in its closed prefix-sum
+    * form — one sorted window pass, exact integer cents end to end, so
+    * even the alarm flag is cross-engine deterministic. μ₀ = 5000 cents
+    * (the generator's value midpoint), k = 500, h = 20000.
+    */
+  def cusumOnline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type",
+      unix_millis($"ts").as("t"), $"event_id",
+      round($"value" * 100).cast("long").as("cents"))
+    graft.ops.Anomalies.cusumOnline(ev, Seq("event_type"), "t", "cents",
+        mu0 = 5000L, slack = 500L, threshold = 20000L, tieCols = Seq("event_id"))
+      .select($"event_type", $"t", $"event_id", $"s_pos", $"s_neg", $"alarm")
+      .orderBy("event_type", "t", "event_id")
+  }
+
+  val cusumOnlineSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), p0 AS (
+      |  SELECT event_type, t, event_id,
+      |         sum(cents - 5000 - 500) OVER wc AS pp,
+      |         sum(5000 - cents - 500) OVER wc AS pn
+      |  FROM ev WINDOW wc AS (PARTITION BY event_type ORDER BY t, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), p AS (
+      |  SELECT event_type, t, event_id, pp, pn,
+      |         min(pp) OVER wc AS mp, min(pn) OVER wc AS mn
+      |  FROM p0 WINDOW wc AS (PARTITION BY event_type ORDER BY t, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_type, t, event_id,
+      |       CAST(coalesce(pp - least(0, mp), 0) AS BIGINT) AS s_pos,
+      |       CAST(coalesce(pn - least(0, mn), 0) AS BIGINT) AS s_neg,
+      |       coalesce(pp - least(0, mp), 0) > 20000 OR
+      |       coalesce(pn - least(0, mn), 0) > 20000 AS alarm
+      |FROM p ORDER BY event_type, t, event_id""".stripMargin
+
   /** Per-type running peak / drawdown ([[graft.ops.RollingStats
     * .runningDrawdown]]): expanding max + decline-from-high per row. No
     * rounding anywhere — the peak is a copied input value and the
@@ -4303,6 +4385,53 @@ object Queries {
       |SELECT source, max(gtot) AS n_tokens,
       |       round((sum(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
       |              + ln(2) * (1.0 - sum(q))) / 2.0, 6) + 0 AS js_nats
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** Incremental vocabulary drift ([[Profiler.jsDriftAgainstPrior]]):
+    * odd-id docs arrive as the new batch (grouped by source), even-id
+    * docs are the prior corpus reduced to its [[Profiler.termCounts]]
+    * artifact — the dedupIncrNear convention in distribution space. Both
+    * absent-term directions exercise: batch-only terms fold `p·ln 2`
+    * through the left join's null arm, untouched prior mass is closed
+    * form.
+    */
+  def driftIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = tbl(spark, dir, "documents")
+    val prior = Profiler.termCounts(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+    Profiler.jsDriftAgainstPrior(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "source", prior)
+      .orderBy("source")
+  }
+
+  val driftIncrSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), bg AS (
+      |  SELECT source, term, count(*) AS c FROM w WHERE doc_id % 2 = 1
+      |  GROUP BY 1, 2
+      |), gt AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS gt FROM bg GROUP BY 1
+      |), pc AS (
+      |  SELECT term, count(*) AS cnt FROM w WHERE doc_id % 2 = 0 GROUP BY 1
+      |), pt AS (SELECT CAST(sum(cnt) AS BIGINT) AS pt FROM pc),
+      |j AS (
+      |  SELECT bg.source, gt.gt,
+      |         CAST(bg.c AS DOUBLE) / gt.gt AS p,
+      |         CAST(pc.cnt AS DOUBLE) / pt.pt AS q
+      |  FROM bg JOIN gt USING (source)
+      |  LEFT JOIN pc USING (term) CROSS JOIN pt
+      |)
+      |SELECT source, max(gt) AS n_tokens,
+      |       round((sum(CASE WHEN q IS NOT NULL
+      |                       THEN p * ln(p / ((p + q) / 2.0)) +
+      |                            q * ln(q / ((p + q) / 2.0))
+      |                       ELSE p * ln(2) END)
+      |              + ln(2) * (1.0 - sum(coalesce(q, 0)))) / 2.0, 6) + 0
+      |         AS js_nats
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** DAU / trailing-7-day WAU per active day ([[graft.ops.Funnel

@@ -208,6 +208,57 @@ object Anomalies {
     * partitioning. Overflow bound: |dev| ≤ n·S, so n·Σ|x| must fit a
     * long — 2^63 leaves room for ~3·10^9 rows of 10^9-cent values per key.
     */
+  /** Online (tabular) two-sided CUSUM with a fixed reference mean — the
+    * Page/SPC form a LIVE monitor runs, complementing the retrospective
+    * [[cusumChangepoint]]: per row,
+    * `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − k))` and
+    * `S⁻_t = max(0, S⁻_{t−1} + (μ₀ − x_t − k))`, alarm when either side
+    * exceeds `h`. All inputs/state are exact integers (cents), so the
+    * streaming twin ([[graft.streaming.StreamingCusum]]) is bit-exact.
+    *
+    * The recursion is NOT a window aggregate — but it has a closed
+    * prefix-sum form: with `P_t = Σ_{j≤t} d_j`,
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` (subtracting the lowest point
+    * the walk ever reached, floored at zero, is exactly the reflecting
+    * barrier). So the plan is one key shuffle and ONE sorted window pass
+    * computing two cumsums and two running mins over the same frame —
+    * the same WindowExec streaming shape as a rolling mean, no recursion,
+    * no UDF.
+    *
+    * Null values carry state: their `d` drops out of the prefix sums, so
+    * `S` holds its previous value through the row (mirrored by the
+    * streaming twin).
+    */
+  def cusumOnline(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      centsCol: String,
+      mu0: Long,
+      slack: Long,
+      threshold: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slack >= 0 && threshold > 0, s"bad slack/threshold: $slack/$threshold")
+    val keys  = keyCols.map(col)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val wc = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val x    = col(centsCol).cast("long")
+    val dPos = x - mu0 - slack
+    val dNeg = lit(mu0) - x - slack
+    // two projection steps (a window cannot nest inside a window), both
+    // served by the SAME sorted WindowExec pass over one key exchange
+    df.withColumn("__pp", sum(dPos).over(wc))
+      .withColumn("__pn", sum(dNeg).over(wc))
+      .withColumn("s_pos",
+        coalesce(col("__pp") - least(lit(0L), min(col("__pp")).over(wc)), lit(0L)))
+      .withColumn("s_neg",
+        coalesce(col("__pn") - least(lit(0L), min(col("__pn")).over(wc)), lit(0L)))
+      .withColumn("alarm", col("s_pos") > threshold || col("s_neg") > threshold)
+      .drop("__pp", "__pn")
+  }
+
   def cusumChangepoint(
       df: DataFrame,
       keyCols: Seq[String],

@@ -94,4 +94,58 @@ object Profiler {
         Num.round0((col("__present") + lit(ln2) * (lit(1.0) - col("__coverage"))) / 2.0,
           roundTo).as("js_nats"))
   }
+
+  /** Word-count artifact of a corpus snapshot: (`term`, `cnt`) — the
+    * persistable prior for [[jsDriftAgainstPrior]] (write it with a plain
+    * `.write.parquet`; a monitoring job reads KB–MB of counts instead of
+    * re-tokenizing the historical corpus).
+    */
+  def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Incremental vocabulary-drift monitor: JS divergence of each NEW
+    * batch group's word distribution against a PRIOR corpus's persisted
+    * [[termCounts]] artifact — the every-ingest shape of [[jsDrift]]
+    * (which compares groups to their own corpus): the historical corpus
+    * is never re-read, only its counts.
+    *
+    * Unlike the intra-corpus case, the batch support is NOT a subset of
+    * the prior's, so BOTH absent-term directions appear: a batch term the
+    * prior lacks contributes `½·p·ln 2` (folded into the same sum via the
+    * left join's null arm), and the prior mass the batch never touches is
+    * the closed form `½·ln 2·(1 − Σ_{t∈batch} q_t)`. A batch group with
+    * fully disjoint vocabulary scores exactly `ln 2`.
+    *
+    * Scale shape: tokenize-explode the BATCH only (the small side), one
+    * term-keyed left join against the artifact, scalars broadcast; one
+    * row per group out.
+    */
+  def jsDriftAgainstPrior(fresh: DataFrame, textCol: String, groupCol: String,
+      priorCounts: DataFrame, roundTo: Int = 6): DataFrame = {
+    val byGroup = Dedup.materializeOnce(
+      fresh.select(col(groupCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+        .groupBy(col(groupCol), col("term"))
+        .agg(count(lit(1)).as("__c")))
+    val groupTotals = byGroup.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__gt"))
+    val priorTotal = priorCounts.agg(sum(col("cnt")).as("__pt"))
+    val p = col("__c").cast("double") / col("__gt").cast("double")
+    val q = col("cnt").cast("double") / col("__pt").cast("double")
+    val m = (p + q) / 2.0
+    val ln2 = math.log(2.0)
+    byGroup
+      .join(groupTotals, Seq(groupCol))
+      .join(priorCounts, Seq("term"), "left")
+      .crossJoin(broadcast(priorTotal))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("cnt").isNotNull, p * log(p / m) + q * log(q / m))
+          .otherwise(p * ln2)).as("__present"),
+        sum(when(col("cnt").isNotNull, q).otherwise(lit(0.0))).as("__coverage"),
+        max(col("__gt")).as("n_tokens"))
+      .select(col(groupCol), col("n_tokens"),
+        Num.round0((col("__present") + lit(ln2) * (lit(1.0) - col("__coverage"))) / 2.0,
+          roundTo).as("js_nats"))
+  }
 }

@@ -64,6 +64,17 @@ object TextAnalysis {
     transform(regexp_extract_all(lower(text), lit(UrlHostPattern), lit(1)),
       h => regexp_replace(h, "^www\\.", ""))
 
+  /** Normalized text for fuzzy-exact dedup — the C4/RefinedWeb staple in
+    * front of hash-grouping: lowercase, punctuation stripped to spaces,
+    * whitespace runs collapsed, edges trimmed. Two documents differing
+    * only in case, punctuation or spacing then share one digest. Kept in
+    * the RE2∩Java regex subset so an oracle running the same three steps
+    * produces the identical string; one codegen projection per row.
+    */
+  def normalizedForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
   /** Canonical form of a URL for exact-URL dedup over crawl corpora:
     * fragment stripped, tracking parameters (`utm_*`, `fbclid`, `gclid`,
     * `ref`) dropped, remaining query parameters SORTED, scheme+host

@@ -6,6 +6,40 @@ class AnomaliesSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("cusumOnline: prefix-sum identity equals the reflecting-barrier recursion") {
+    val rnd = new scala.util.Random(13L)
+    val rows = (1L to 300L).map(t => ("k", t, rnd.nextInt(200).toLong)) ++
+      (1L to 50L).map(t => ("j", t, rnd.nextInt(200).toLong))
+    val df = rows.toDF("key", "t", "cents")
+    val out = Anomalies.cusumOnline(df, Seq("key"), "t", "cents",
+        mu0 = 100L, slack = 10L, threshold = 500L)
+      .select("key", "t", "s_pos", "s_neg").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // direct recursion per key
+    rows.groupBy(_._1).foreach { case (k, evs) =>
+      var sp = 0L; var sn = 0L
+      evs.sortBy(_._2).foreach { case (_, t, x) =>
+        sp = math.max(0L, sp + (x - 100L - 10L))
+        sn = math.max(0L, sn + (100L - x - 10L))
+        assert(out((k, t)) === ((sp, sn)), s"at ($k, $t)")
+      }
+    }
+  }
+
+  test("cusumOnline: planted upward shift alarms; null rows carry state") {
+    val df = Seq(
+      ("k", 1L, Some(100L)), ("k", 2L, Some(250L)), // S+ = 140
+      ("k", 3L, None),                              // carries 140
+      ("k", 4L, Some(260L))                         // S+ = 290 > 200
+    ).toDF("key", "t", "cents")
+    val out = Anomalies.cusumOnline(df, Seq("key"), "t", "cents",
+        mu0 = 100L, slack = 10L, threshold = 200L)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("s_pos")).toSeq === Seq(0L, 140L, 140L, 290L))
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ===
+      Seq(false, false, false, true))
+  }
+
   test("zscore outliers: hand-computed cut, per key, constant keys silent") {
     // key "a": values 0,0,0,0,10 -> mean 2, sd_samp = sqrt(80/4) ≈ 4.472;
     // z(10) ≈ 1.789, z(0) ≈ -0.447 -> only the 10 passes threshold 1.5

@@ -52,6 +52,48 @@ class CurationR8Spec extends SparkTestBase {
     assert(ids === Set(2L))
   }
 
+  test("normalizedForDedup: case/punct/whitespace variants share one form") {
+    val out = Seq(
+      ("Hello,  World!", "hello world"),
+      ("hello world", "hello world"),
+      ("  HELLO---WORLD  ", "hello world"),
+      ("a1 b2", "a1 b2")
+    ).toDF("t", "want")
+      .withColumn("got", TextAnalysis.normalizedForDedup($"t")).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"normalize(${r.getAs[String]("t")})")
+    }
+  }
+
+  test("jsDriftAgainstPrior: identical dist ~0, disjoint vocab = ln 2") {
+    val prior = Profiler.termCounts(
+      Seq((1L, "a b c a")).toDF("id", "text"), "text")
+    val fresh = Seq(
+      ("same", "a b c a"),       // identical distribution -> 0
+      ("new", "x y z x")         // fully disjoint -> ln 2
+    ).toDF("grp", "text")
+    val out = Profiler.jsDriftAgainstPrior(fresh, "text", "grp", prior)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("same") === 0.0)
+    assert(math.abs(out("new") - math.log(2.0)) < 1e-6, s"disjoint: ${out("new")}")
+  }
+
+  test("jsDriftAgainstPrior: hand-computed mixed-support value") {
+    // prior: a:3, b:1 (T=4 -> q_a=.75, q_b=.25); batch grp: a:1, x:1
+    // (G=2 -> p_a=.5, p_x=.5). m_a=.625;
+    // js = [ .5 ln(.5/.625) + .75 ln(.75/.625)   (a, both)
+    //      + .5 ln2                              (x, batch-only)
+    //      + ln2 (1 - .75) ] / 2
+    val prior = Profiler.termCounts(Seq((1L, "a a a b")).toDF("id", "text"), "text")
+    val fresh = Seq(("g", "a x")).toDF("grp", "text")
+    val got = Profiler.jsDriftAgainstPrior(fresh, "text", "grp", prior)
+      .head().getDouble(2)
+    val want = (0.5 * math.log(0.5 / 0.625) + 0.75 * math.log(0.75 / 0.625) +
+      0.5 * math.log(2.0) + math.log(2.0) * 0.25) / 2.0
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+  }
+
   test("canonicalUrl: tracking params out, rest sorted, host lowered, slash trimmed") {
     val cases = Seq(
       ("https://WWW.Shop.Example.com/Item/7?utm_source=m&ref=x&page=2#frag",

@@ -799,6 +799,44 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
 
+  test("streaming CUSUM: bit-exact batch parity incl. null carry; stale dropped; alarm fires") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Long])]
+    // mu0 = 100, k = 10, h = 50: values 200,210 push S+ by 90+100 -> alarm
+    val out = StreamingCusum.cusum(input.toDS(), mu0 = 100L, slack = 10L,
+        threshold = 50L)
+      .toDF("key", "t", "s_pos", "s_neg", "alarm")
+    val q = out.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    input.addData(("a", 1L, Some(100L)), ("a", 2L, Some(200L)), ("b", 1L, Some(20L)))
+    q.processAllAvailable()
+    // cross-batch state; a null carries S; a strictly-earlier arrival drops
+    input.addData(("a", 3L, None), ("a", 4L, Some(210L)), ("a", 1L, Some(999L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cusum_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._2))
+    // a: S+ walks 0 -> 90 -> 90(null) -> 190; b: S- = 100-20-10 = 70 -> alarm
+    assert(rows.toSeq === Seq(
+      ("a", 1L, 0L, 0L, false), ("a", 2L, 90L, 0L, true),
+      ("a", 3L, 90L, 0L, true), ("a", 4L, 190L, 0L, true),
+      ("b", 1L, 0L, 70L, true)))
+
+    // batch parity on the delivered (non-stale) events, bit-exact
+    val delivered = Seq(("a", 1L, Some(100L)), ("a", 2L, Some(200L)),
+      ("a", 3L, None), ("a", 4L, Some(210L)), ("b", 1L, Some(20L)))
+      .toDF("key", "t", "cents")
+    val batch = graft.ops.Anomalies.cusumOnline(delivered, Seq("key"), "t",
+        "cents", mu0 = 100L, slack = 10L, threshold = 50L)
+      .select("key", "t", "s_pos", "s_neg", "alarm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.toSeq === batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
   test("streaming transitions: pair stream matches batch lag; stale dropped; TTL-free chain") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, String)]
