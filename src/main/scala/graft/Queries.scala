@@ -1097,6 +1097,38 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "source")
 
+  /** Exact-quota stratified split ([[Sampling.exactQuotaSplit]]): every
+    * source contributes EXACTLY floor-quota rows per split (rank cut, not
+    * probabilistic) — the evaluation-protocol variant of [[splitAssign]].
+    * The per-(split, source) counts ARE the exactness check: both engines
+    * must agree on every quota integer.
+    */
+  def splitExact(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactQuotaSplit(tbl(spark, dir, "documents"), "doc_id", "source",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "source")
+
+  val splitExactSql: String = {
+    val hex8 = hex8Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY CAST($hex8 AS DOUBLE) / 4294967296.0, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents
+       |), a AS (
+       |  SELECT source,
+       |         CASE WHEN rn <= floor(CAST(n AS DOUBLE) * 0.8) THEN 'train'
+       |              WHEN rn <= floor(CAST(n AS DOUBLE) * 0.9) THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM s
+       |)
+       |SELECT split, source, count(*) AS n_docs
+       |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
   /** The interval cuts are 0.8 and 0.8+0.1 evaluated in doubles; the oracle
     * writes the literals 0.8 / 0.9. Scores are 32-bit dyadic rationals
     * (k/2³²) whose spacing (2⁻³² ≈ 2.3e-10) dwarfs any ulp disagreement
@@ -4850,6 +4882,49 @@ object Queries {
       |       max(CASE WHEN pc_idx = 1 THEN z END) AS z1,
       |       max(CASE WHEN pc_idx = 2 THEN z END) AS z2,
       |       max(CASE WHEN pc_idx = 3 THEN z END) AS z3
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Robust-scaled embedding coordinates ([[EmbedStats.robustScaleStats]]
+    * / `applyRobustScale`): `(x − median)/IQR` per dimension, first four
+    * dims exported per vector. Quartile interpolation is the
+    * `percentile` ≡ `quantile_cont` identity the MAD operator relies on,
+    * so the oracle recomputes everything from the raw table.
+    */
+  def embedRobust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = tbl(spark, dir, "embeddings")
+    val (med, iqr) = EmbedStats.robustScaleStats(emb, "embedding", dim = 64)
+    EmbedStats.applyRobustScale(emb, "embedding", med, iqr)
+      .select($"vec_id",
+        element_at($"robust", 1).as("r0"), element_at($"robust", 2).as("r1"),
+        element_at($"robust", 3).as("r2"), element_at($"robust", 4).as("r3"))
+      .orderBy("vec_id")
+  }
+
+  val embedRobustSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, 4)) AS t(i)
+      |), st AS (
+      |  SELECT t.i AS i,
+      |         quantile_cont(CAST(embedding[t.i] AS DOUBLE), 0.25) AS q1,
+      |         quantile_cont(CAST(embedding[t.i] AS DOUBLE), 0.5) AS med,
+      |         quantile_cont(CAST(embedding[t.i] AS DOUBLE), 0.75) AS q3
+      |  FROM embeddings,
+      |       LATERAL unnest(generate_series(1, 4)) AS t(i)
+      |  GROUP BY 1
+      |), z AS (
+      |  SELECT vec_id, ex.i,
+      |         CASE WHEN q3 - q1 > 0
+      |              THEN round((x - med) / (q3 - q1), 6) + 0 END AS r
+      |  FROM ex JOIN st USING (i)
+      |)
+      |SELECT vec_id,
+      |       max(CASE WHEN i = 1 THEN r END) AS r0,
+      |       max(CASE WHEN i = 2 THEN r END) AS r1,
+      |       max(CASE WHEN i = 3 THEN r END) AS r2,
+      |       max(CASE WHEN i = 4 THEN r END) AS r3
       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** Per-label embedding drift ([[EmbedStats.groupDrift]]): each label's

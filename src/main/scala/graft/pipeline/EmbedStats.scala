@@ -247,6 +247,50 @@ object EmbedStats {
     }
   }
 
+  /** Robust per-dimension scaling: `z_d = (x_d − median_d) / IQR_d` — the
+    * outlier-insensitive preconditioner next to [[whiten]] (a handful of
+    * corrupt vectors move a mean/variance scaler arbitrarily; they barely
+    * move quartiles). Returns (medians, iqrs) as driver arrays plus the
+    * scaled frame via [[applyRobustScale]].
+    *
+    * Shape: the per-dim quartiles are ONE narrow posexplode → d-key
+    * aggregation (`percentile` — interpolation identical to the oracle's
+    * `quantile_cont`, the MAD precedent), collected as the bounded small
+    * answer (d×3 doubles); the transform folds them back as literal
+    * arrays — one codegen'd per-row map, no shuffle, no explode.
+    * Zero-IQR dimensions (constant columns) scale to NULL rather than
+    * ±Inf, and both engines agree on the NULL.
+    */
+  def robustScaleStats(embeds: DataFrame, vecCol: String, dim: Int):
+      (Array[Double], Array[Double]) = {
+    val rows = embeds
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(expr("percentile(x, 0.25)").as("q1"),
+           expr("percentile(x, 0.5)").as("med"),
+           expr("percentile(x, 0.75)").as("q3"))
+      .collect()
+    val med = new Array[Double](dim)
+    val iqr = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      if (d < dim) { med(d) = r.getDouble(2); iqr(d) = r.getDouble(3) - r.getDouble(1) }
+    }
+    (med, iqr)
+  }
+
+  def applyRobustScale(embeds: DataFrame, vecCol: String,
+      medians: Array[Double], iqrs: Array[Double], roundTo: Int = 6): DataFrame = {
+    val medLit = array(medians.map(lit).toSeq: _*)
+    val iqrLit = array(iqrs.map(lit).toSeq: _*)
+    embeds.withColumn("robust",
+      zip_with(col(vecCol).cast("array<double>"),
+        zip_with(medLit, iqrLit, (m, s) => struct(m.as("m"), s.as("s"))),
+        (x, ms) => when(ms.getField("s") > 0,
+          Num.round0((x - ms.getField("m")) / ms.getField("s"), roundTo))))
+  }
+
   /** Per-group embedding drift: each group's mean vector compared to the
     * corpus mean by cosine — the segment-level monitor that flags a
     * source/label whose embedding distribution moved (a feature-extractor

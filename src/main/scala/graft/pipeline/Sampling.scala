@@ -236,4 +236,48 @@ object Sampling {
     }
     df.withColumn(outCol, assigned)
   }
+
+  /** EXACT-quota stratified split: within each stratum, rows rank by
+    * (hash score, id) and the first `floor(n·f₁)` go to split 1, the next
+    * up to `floor(n·(f₁+f₂))` to split 2, …, remainder to the last — so
+    * every stratum's split sizes are exact integers, not binomial draws.
+    * [[assignSplit]]'s probabilistic cut is the right tool when quota
+    * jitter is acceptable and a window is not; this is the right tool
+    * when an evaluation protocol demands "exactly 10% of every source".
+    * Deterministic and append-stable WITHIN a snapshot (same rows → same
+    * assignment); adding rows reshuffles assignments near quota
+    * boundaries, which is inherent to exact quotas.
+    *
+    * Cut arithmetic: `floor(n · cum)` evaluated in doubles — both engines
+    * multiply the same integer by the same literal and floor the same
+    * product, so the boundary is cross-engine identical.
+    *
+    * Scale shape: ONE stratum shuffle; the rank window and the stratum
+    * count window share the exchange. Strata are corpus-partition-sized
+    * (a hot stratum serializes its own rank pass — same bound as any
+    * per-stratum window op).
+    */
+  def exactQuotaSplit(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0), s"negative split weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) <= 1e-9,
+      s"split weights must sum to 1: $splits")
+    val w  = Window.partitionBy(col(stratumCol))
+      .orderBy(hashScore(col(idCol)).asc, col(idCol).asc)
+    val wn = Window.partitionBy(col(stratumCol))
+    val rn = row_number().over(w).cast("long")
+    val n  = count(lit(1)).over(wn).cast("double")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) =>
+        when(rn <= floor(n * cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assigned)
+  }
 }

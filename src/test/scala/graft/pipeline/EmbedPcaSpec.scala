@@ -78,6 +78,20 @@ class EmbedPcaSpec extends SparkTestBase {
     assert(math.abs(v1 - 1.0) < 1e-6, s"var(z1)=$v1")
   }
 
+  test("robustScale: hand quartiles, zero-IQR dim scales to NULL") {
+    // dim0: 1..5 -> q1=2, med=3, q3=4, iqr=2; dim1 constant -> NULL
+    val rows = (1 to 5).map(v => Array(v.toFloat, 7f))
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val (med, iqr) = EmbedStats.robustScaleStats(df, "v", dim = 2)
+    assert(med.toSeq === Seq(3.0, 7.0))
+    assert(iqr.toSeq === Seq(2.0, 0.0))
+    val z = EmbedStats.applyRobustScale(df, "v", med, iqr)
+      .select(element_at($"robust", 1).as("z0"), element_at($"robust", 2).as("z1"))
+      .orderBy("z0").collect()
+    assert(z.map(_.getDouble(0)).toSeq === Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    assert(z.forall(_.isNullAt(1)), "constant dim must scale to NULL")
+  }
+
   test("topPCs: determinism — two runs export identical bits") {
     val rnd = new scala.util.Random(5L)
     val rows = Seq.fill(100)(Array.fill(5)(rnd.nextGaussian().toFloat))

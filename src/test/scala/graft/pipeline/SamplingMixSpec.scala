@@ -8,6 +8,28 @@ class SamplingMixSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("exactQuotaSplit: quotas exact per stratum, partition-invariant, disjoint") {
+    val df = (1L to 250L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("id", "src")
+    val out = Sampling.exactQuotaSplit(df, "id", "src",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("src", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a: n=100 -> 80/10/10; b: n=150 -> 120/15/15 — EXACT, not binomial
+    assert(out(("a", "train")) === 80L && out(("a", "val")) === 10L &&
+      out(("a", "test")) === 10L)
+    assert(out(("b", "train")) === 120L && out(("b", "val")) === 15L &&
+      out(("b", "test")) === 15L)
+    // partition invariance: same assignment regardless of physical layout
+    val a1 = Sampling.exactQuotaSplit(df.repartition(13), "id", "src",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sampling.exactQuotaSplit(df.repartition(1), "id", "src",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 === a2)
+  }
+
   test("weightedSample: weight-proportional, partition-invariant, k-bounded") {
     // 1000 light rows (w=1) + 1000 heavy rows (w=20): heavy rows hold ~95%
     // of the total weight, so a 200-row sample must be heavy-dominated.
