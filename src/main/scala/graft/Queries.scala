@@ -4274,6 +4274,97 @@ object Queries {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Time-bound funnel ([[graft.ops.Funnel.funnelStages]] with a 1-day
+    * conversion window anchored at funnel entry): every stage must land
+    * within 24 h of the first view — the standard product-analytics
+    * conversion-window semantics, greedy per stage. Exact epoch integers.
+    */
+  def funnelWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_type")
+    graft.ops.Funnel.funnelStages(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"), windowMs = Some(86400000L))
+      .orderBy("user_id")
+  }
+
+  val funnelWindowSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS view_ms
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS click_ms
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.view_ms
+      |    AND epoch_ms(e.ts) <= v.view_ms + 86400000
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |                JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.click_ms
+      |    AND epoch_ms(e.ts) <= v.view_ms + 86400000
+      |  GROUP BY 1
+      |)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      |       CAST(1 + CASE WHEN c.click_ms IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN p.purchase_ms IS NOT NULL THEN 1 ELSE 0 END
+      |            AS INT) AS stages_reached
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Vocabulary coverage curve ([[TextAnalysis]] token counts): the share
+    * of all corpus tokens covered by the top-K most frequent words, for
+    * the K ladder a tokenizer-vocabulary sizing decision reads off.
+    * Ties rank deterministically (count desc, token asc); exact integer
+    * token counts with one final division.
+    *
+    * Scale shape: one tokenize-explode → vocabulary-sized count, then
+    * TakeOrdered of the top max(K) rows (parallel partial top-k — a
+    * rank window here would serialize the whole web-scale vocabulary
+    * through one task) + the count total: the top-5000 ladder is the
+    * bounded small answer, accumulated on the driver like the trained-
+    * artifact family.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the fixture corpus draws from a ~31-word vocabulary, so the
+    // ladder reads meaningful points of ITS Zipf curve; a real tokenizer
+    // sizing run passes (8k, 32k, 128k)
+    val ks = Seq(5, 10, 25)
+    val counts = Dedup.materializeOnce(
+      tbl(spark, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("__w"))
+        .groupBy(col("__w")).agg(count(lit(1)).as("__c")))
+    val top = counts.orderBy(col("__c").desc, col("__w").asc)
+      .limit(ks.max).select("__c").as[Long].collect()
+    val total = counts.agg(sum(col("__c"))).head().getLong(0)
+    val cums = top.scanLeft(0L)(_ + _).tail
+    ks.filter(_ <= top.length).map { k =>
+      (k, cums(k - 1),
+        BigDecimal(cums(k - 1).toDouble / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("k", "tokens_covered", "coverage").orderBy("k")
+  }
+
+  val vocabCoverageSql: String =
+    raw"""WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), c AS (
+      |  SELECT term, count(*) AS n FROM w GROUP BY 1
+      |), r AS (
+      |  SELECT row_number() OVER (ORDER BY n DESC, term) AS rn,
+      |         sum(n) OVER (ORDER BY n DESC, term
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum
+      |  FROM c
+      |), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT CAST(rn AS INT) AS k, CAST(cum AS BIGINT) AS tokens_covered,
+      |       round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+      |FROM r CROSS JOIN t WHERE rn IN (5, 10, 25) ORDER BY k""".stripMargin
+
   /** Day-cohort retention triangle ([[graft.ops.Funnel.retentionCohorts]]):
     * users bucketed by first-seen epoch day, counted per day offset.
     */

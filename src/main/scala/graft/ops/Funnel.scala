@@ -34,9 +34,11 @@ object Funnel {
       entityCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      windowMs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    require(windowMs.forall(_ > 0), s"non-positive conversion window: $windowMs")
     // each stage frame is REUSED (as the next stage's gate and as the left
     // side of its own join): materialize the per-entity aggregates once, or
     // the fold's lineage re-derives stage k from the raw events 2^(n-k)
@@ -48,11 +50,23 @@ object Funnel {
         .agg(min(col(tsCol)).as(s"${stages.head}_ms")))
     val chained = stages.zipWithIndex.drop(1).foldLeft(first) {
       case (prev, (stage, i)) =>
-        val prevTs = col(s"${stages(i - 1)}_ms")
-        val hits = df.filter(col(typeCol) === stage)
+        val prevName  = s"${stages(i - 1)}_ms"
+        val entryName = s"${stages.head}_ms"
+        val prevTs    = col(prevName)
+        // conversion window (when set): every stage must complete within
+        // windowMs of the entity's FUNNEL ENTRY (stage 0's ts) — the
+        // standard anchored-window product-analytics semantics, greedy
+        // first-completion per stage like the unbounded form (a later,
+        // slower stage-k that would leave more window room is not
+        // reconsidered; the oracle encodes the same greedy rule)
+        val carry = (Seq(entityCol, prevName) ++
+          (if (windowMs.isDefined) Seq(entryName) else Nil)).distinct.map(col)
+        val gated = df.filter(col(typeCol) === stage)
           .select(col(entityCol), col(tsCol).as("__t"))
-          .join(prev.select(col(entityCol), prevTs), Seq(entityCol))
+          .join(prev.select(carry: _*), Seq(entityCol))
           .filter(col("__t") > prevTs)
+        val hits = windowMs.fold(gated)(w =>
+            gated.filter(col("__t") <= col(entryName) + w))
           .groupBy(col(entityCol))
           .agg(min(col("__t")).as(s"${stage}_ms"))
         graft.pipeline.Dedup.materializeOnce(prev.join(hits, Seq(entityCol), "left"))

@@ -20,6 +20,29 @@ class SeriesAnalyticsSpec extends SparkTestBase {
     assert(out.map(_.getDouble(4)).toSeq === Seq(0.0, 2.0, 0.0, 1.0))
   }
 
+  test("funnelStages conversion window: anchored at entry, greedy per stage") {
+    val ev = Seq(
+      // u1 completes inside the window
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 90L, "purchase"),
+      // u2's purchase lands past entry+100: stage 3 must stay NULL even
+      // though it is within 100 of the CLICK (anchor is entry, not prev)
+      ("u2", 10L, "view"), ("u2", 50L, "click"), ("u2", 130L, "purchase"),
+      // u3's click itself is out of window: chain stops at stage 1
+      ("u3", 10L, "view"), ("u3", 200L, "click")
+    ).toDF("user", "t", "typ")
+    val out = Funnel.funnelStages(ev, "user", "t", "typ",
+        Seq("view", "click", "purchase"), windowMs = Some(100L))
+      .orderBy("user").collect()
+    assert(out.map(_.getAs[Int]("stages_reached")).toSeq === Seq(3, 2, 1))
+    assert(out(1).isNullAt(out(1).fieldIndex("purchase_ms")))
+    assert(out(2).isNullAt(out(2).fieldIndex("click_ms")))
+    // no window: u2 and u3 complete further
+    val free = Funnel.funnelStages(ev, "user", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .orderBy("user").collect()
+    assert(free.map(_.getAs[Int]("stages_reached")).toSeq === Seq(3, 3, 2))
+  }
+
   test("transitionMatrix: pair counts, conditional probs, nulls excluded") {
     val df = Seq(
       ("u1", 1L, 1L, Some("a")), ("u1", 2L, 2L, Some("b")),
