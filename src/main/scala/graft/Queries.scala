@@ -4049,38 +4049,42 @@ object Queries {
     */
   def cusumOnline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = events(spark, dir).select($"event_type",
+    // keyed per USER (the per-sensor/per-entity monitor shape): ~n/67
+    // independent keys keep every window task bounded; keying on the
+    // 5-value event_type serialized 1/5 of the corpus per window task
+    // (measured 24.5 s vs 3.2 s at 10M rows - CROSSOVER.json)
+    val ev = events(spark, dir).select($"user_id",
       unix_millis($"ts").as("t"), $"event_id",
       round($"value" * 100).cast("long").as("cents"))
-    graft.ops.Anomalies.cusumOnline(ev, Seq("event_type"), "t", "cents",
+    graft.ops.Anomalies.cusumOnline(ev, Seq("user_id"), "t", "cents",
         mu0 = 5000L, slack = 500L, threshold = 20000L, tieCols = Seq("event_id"))
-      .select($"event_type", $"t", $"event_id", $"s_pos", $"s_neg", $"alarm")
-      .orderBy("event_type", "t", "event_id")
+      .select($"user_id", $"t", $"event_id", $"s_pos", $"s_neg", $"alarm")
+      .orderBy("user_id", "t", "event_id")
   }
 
   val cusumOnlineSql: String =
     """WITH ev AS (
-      |  SELECT event_type, epoch_ms(ts) AS t, event_id,
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id,
       |         CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events
       |), p0 AS (
-      |  SELECT event_type, t, event_id,
+      |  SELECT user_id, t, event_id,
       |         sum(cents - 5000 - 500) OVER wc AS pp,
       |         sum(5000 - cents - 500) OVER wc AS pn
-      |  FROM ev WINDOW wc AS (PARTITION BY event_type ORDER BY t, event_id
+      |  FROM ev WINDOW wc AS (PARTITION BY user_id ORDER BY t, event_id
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |), p AS (
-      |  SELECT event_type, t, event_id, pp, pn,
+      |  SELECT user_id, t, event_id, pp, pn,
       |         min(pp) OVER wc AS mp, min(pn) OVER wc AS mn
-      |  FROM p0 WINDOW wc AS (PARTITION BY event_type ORDER BY t, event_id
+      |  FROM p0 WINDOW wc AS (PARTITION BY user_id ORDER BY t, event_id
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)
-      |SELECT event_type, t, event_id,
+      |SELECT user_id, t, event_id,
       |       CAST(coalesce(pp - least(0, mp), 0) AS BIGINT) AS s_pos,
       |       CAST(coalesce(pn - least(0, mn), 0) AS BIGINT) AS s_neg,
       |       coalesce(pp - least(0, mp), 0) > 20000 OR
       |       coalesce(pn - least(0, mn), 0) > 20000 AS alarm
-      |FROM p ORDER BY event_type, t, event_id""".stripMargin
+      |FROM p ORDER BY user_id, t, event_id""".stripMargin
 
   /** Per-type running peak / drawdown ([[graft.ops.RollingStats
     * .runningDrawdown]]): expanding max + decline-from-high per row. No

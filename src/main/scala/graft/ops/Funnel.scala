@@ -113,38 +113,55 @@ object Funnel {
     * any activity, the distinct entities active THAT day and in the
     * trailing `windowDays` window ending that day.
     *
-    * The window count uses the bounded-explode trick: each distinct
-    * (entity, day) activity row supports exactly `windowDays` target days
-    * (`day .. day+windowDays−1`), so a 7× narrow fan-out + groupBy
-    * replaces any windowed-distinct machinery — count(DISTINCT) inside a
-    * sliding frame isn't decomposable, but this explode is, and the
-    * fan-out is a constant, not data-sized. Target days are inner-joined
-    * to the observed-day set (broadcast — calendar-sized), so leading
-    * days with no activity of their own never appear.
+    * The window count uses COVERAGE-INTERVAL union (r8 rewrite): each
+    * distinct (entity, day) activity row covers the target days
+    * `day .. day+windowDays−1`; per entity, overlapping coverages merge
+    * into disjoint intervals (one entity-keyed lag/cumsum pass over the
+    * Zipf-shrunk activity frame), and each MERGED interval explodes its
+    * day range once. The previous formulation exploded every activity
+    * row ×windowDays — at 10M events / 30-day windows that is a 134M-row
+    * fan-out feeding a count(DISTINCT); interval union emits each
+    * (entity, covered day) exactly once, so the fan-out is proportional
+    * to COVERED DAYS (≈ span + window per entity) and the final count
+    * needs no distinct at all. count(DISTINCT) inside a sliding frame
+    * isn't decomposable; this is. Target days inner-join the observed-day
+    * set (broadcast — calendar-sized), so leading days with no activity
+    * of their own never appear.
     *
     * Scale shape: ONE distinct pass over (entity, day) — materialized
-    * once for both counts — then two map-side-combined aggregates; the
-    * only non-aggregate join is the broadcast day-set filter. All exact
-    * integers.
+    * once for both counts — one entity-partitioned window over it, two
+    * map-side-combined aggregates; the only non-aggregate join is the
+    * broadcast day-set filter. All exact integers.
     */
   def activeUsers(
       df: DataFrame,
       entityCol: String,
       tsCol: String,
       windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(windowDays >= 1, s"windowDays must be positive: $windowDays")
     val day = (col(tsCol) / 86400000L).cast("long")
     val activity = graft.pipeline.Dedup.materializeOnce(
       df.select(col(entityCol), day.as("__day")).distinct())
     val days = activity.select(col("__day").as("day")).distinct()
     val dau = activity.groupBy(col("__day").as("day"))
-      .agg(countDistinct(col(entityCol)).as("dau"))
-    val wau = activity
-      .withColumn("day",
-        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .agg(count(lit(1)).as("dau")) // activity is distinct per (entity, day)
+    val w  = Window.partitionBy(col(entityCol)).orderBy(col("__day"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    // new interval when this day's coverage cannot touch the previous
+    // active day's coverage: gap > windowDays − 1
+    val newIv = when(col("__day") - lag(col("__day"), 1).over(w) > (windowDays - 1)
+      || lag(col("__day"), 1).over(w).isNull, 1L).otherwise(0L)
+    val intervals = activity
+      .withColumn("__grp", sum(newIv).over(wc))
+      .groupBy(col(entityCol), col("__grp"))
+      .agg(min(col("__day")).as("__s"),
+           (max(col("__day")) + (windowDays - 1)).as("__e"))
+    val wau = intervals
+      .withColumn("day", explode(sequence(col("__s"), col("__e"))))
       .join(broadcast(days), Seq("day"))
       .groupBy(col("day"))
-      .agg(countDistinct(col(entityCol)).as("wau"))
+      .agg(count(lit(1)).as("wau")) // intervals are disjoint per entity
     dau.join(wau, Seq("day"))
   }
 

@@ -467,14 +467,20 @@ class PlanSpec extends SparkTestBase {
     assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, plan)
   }
 
-  test("active users: day-set broadcast, no window, nothing event-sized joined") {
+  test("active users: day-set broadcast, interval window entity-partitioned only") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)
     val qe = SparkEntry.queries("q_active_users")(spark, dir).queryExecution
     val plan = qe.explainString(SimpleMode)
     assert(plan.contains("BroadcastExchange"), plan) // observed-day set
     assert(plan.contains("ExistingRDD"), plan)       // one materialized distinct pass
-    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, plan)
+    // r8 coverage-interval union: the lag/cumsum pass runs over the
+    // Zipf-shrunk activity frame, partitioned by entity — never global,
+    // and the explode emits merged intervals, not per-activity fan-out
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned window:\n${unpart.mkString("\n")}")
   }
 
   test("funnel and retention: entity-keyed joins only, no cartesian, no window") {

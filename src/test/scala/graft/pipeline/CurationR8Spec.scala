@@ -66,6 +66,25 @@ class CurationR8Spec extends SparkTestBase {
     }
   }
 
+  test("NormalizeForDedup kernel == declarative regex composition (ASCII + Unicode)") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "abXY 09!,.\t\n-_&é漢K"
+    val cases = Seq("", " ", "!!!", "  a  ", "A.b,C", "KELVIN",
+      "é é", "a\tb\nc") ++
+      Seq.fill(300)((0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("t")
+    val declarative = trim(regexp_replace(
+      regexp_replace(lower($"t"), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+    val rows = df.select($"t",
+      TextAnalysis.normalizedForDedup($"t").as("k"),
+      declarative.as("d")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"kernel '${r.getString(1)}' != declarative '${r.getString(2)}' for input '${r.getString(0)}'")
+    }
+  }
+
   test("jsDriftAgainstPrior: identical dist ~0, disjoint vocab = ln 2") {
     val prior = Profiler.termCounts(
       Seq((1L, "a b c a")).toDF("id", "text"), "text")
