@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, NfcNormalize, RollingMinHash, SearchSorted, VectorDot, WordListHits, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, NfcNormalize, NormalizeForDedup, PairComponents, RollingMinHash, SearchSorted, VectorCovSums, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -89,6 +89,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"search_sorted requires an array literal of numbers, got $other")
         }) }))
+    injectR8(ext)
+  }
+
+  /** r8 additions: the dedup normalizer, the union-find components
+    * aggregate, and the one-pass covariance aggregate — the kernels whose
+    * arguments are plain columns/literals (the centroid-table kernels
+    * NearestCell/ProbeCells carry driver-built reference objects and have
+    * no SQL-literal construction, so they stay Column-API-only).
+    */
+  private def injectR8(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_for_dedup"),
+      new ExpressionInfo(classOf[NormalizeForDedup].getName, "normalize_for_dedup"),
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "normalize_for_dedup")
+        NormalizeForDedup(exprs.head) }))
+    ext.injectFunction((
+      new FunctionIdentifier("pair_components"),
+      new ExpressionInfo(classOf[PairComponents].getName, "pair_components"),
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "pair_components")
+        PairComponents(exprs.head, exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_cov_sums"),
+      new ExpressionInfo(classOf[VectorCovSums].getName, "vector_cov_sums"),
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "vector_cov_sums")
+        VectorCovSums(exprs.head,
+          foldableArg(exprs, 1, "vector_cov_sums", "an integer dim") match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"vector_cov_sums dim must be an integer literal, got $other")
+          }) }))
   }
 
   /** Evaluate a constructor argument that must be a foldable literal, with a

@@ -602,6 +602,28 @@ object Queries {
        |SELECT id AS doc_id, CAST(root AS BIGINT) AS cluster_id
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-cluster size histogram: how many near-dup groups exist at
+    * each size — the one-line health metric of a dedup pass (a sudden
+    * large-cluster tail means boilerplate or a crawler loop, not organic
+    * duplication). Tiny aggregations over the pair-bounded component
+    * table.
+    */
+  def dupSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.jaccardPairs(tbl(spark, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val dupSizesSql: String =
+    s"""$clusterCte, sz AS (
+       |  SELECT root, count(*) AS s FROM lab GROUP BY 1
+       |)
+       |SELECT CAST(s AS BIGINT) AS cluster_size, count(*) AS n_clusters
+       |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** End-to-end near-dup dedup: the kept corpus after dropping every
     * non-representative cluster member ([[Dedup.dedupByClusters]]).
     */
@@ -3826,6 +3848,44 @@ object Queries {
       |)
       |SELECT canonical_url, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
+  /** Snapshot diff audit ([[Dedup.snapshotDiff]]): the documents table as
+    * "before"; "after" drops every `doc_id % 7 == 0` (removed), rewrites
+    * the text of `doc_id % 5 == 0` survivors (changed), and appends a
+    * shifted-id copy of `doc_id % 11 == 0` (added) — all same-construction
+    * in both engines, so every per-id status and the category counts must
+    * agree exactly.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select("doc_id", "text")
+    val after = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(docs, after, "doc_id", "text")
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, md5(text) AS d FROM documents
+      |), a AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS d
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+      |), j AS (
+      |  SELECT CASE WHEN a.d IS NULL THEN 'removed'
+      |              WHEN b.d IS NULL THEN 'added'
+      |              WHEN a.d = b.d THEN 'same' ELSE 'changed' END AS status
+      |  FROM b FULL OUTER JOIN a USING (doc_id)
+      |)
+      |SELECT status, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
   /** Directed containment pairs ([[Dedup.containmentPairs]]): quoted /
     * embedded duplication that Jaccard's union term dilutes away. Docs

@@ -188,6 +188,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Corpus snapshot diff: per id, whether a document was `added`,
+    * `removed`, `changed` (same id, different content digest) or `same`
+    * between two snapshots — the audit table every scheduled re-crawl /
+    * re-export pipeline publishes before promoting a snapshot (count
+    * deltas catch a silently truncated export or an upstream rewrite
+    * faster than any content metric).
+    *
+    * Scale shape: both sides reduce to (id, md5) projections first — the
+    * full outer join carries 16-byte digests, never documents — one
+    * id-keyed shuffle, output one row per id in either snapshot.
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol), md5(col(textCol)).as("__da"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("__db"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__db").isNull, lit("removed"))
+          .when(col("__da").isNull, lit("added"))
+          .when(col("__da") === col("__db"), lit("same"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   /** Asymmetric near-dup by n-gram CONTAINMENT (Broder's resemblance
     * companion): `C(A→B) = |A∩B| / |A|` — "how much of A lives inside B".
     * Jaccard misses the short-doc-inside-long-doc case (the union term

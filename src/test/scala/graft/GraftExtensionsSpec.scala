@@ -18,6 +18,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("r8 functions: normalize_for_dedup, pair_components, vector_cov_sums via SQL") {
+    withExtensionsSession { spark =>
+      val n = spark.sql("SELECT normalize_for_dedup('  Hello,  WORLD!! ') AS s").head
+      assert(n.getString(0) == "hello world")
+      val pc = spark.sql(
+        """SELECT explode(pair_components(a, b)) AS c FROM VALUES
+          |  (1L, 2L), (2L, 3L), (7L, 9L) AS t(a, b)""".stripMargin)
+        .selectExpr("c.id", "c.comp").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+      val cov = spark.sql(
+        """SELECT explode(vector_cov_sums(v, 2)) AS s FROM VALUES
+          |  (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
+        .selectExpr("s.i", "s.j", "s.n", "s.sij").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(cov((0, 0)) == ((2L, 10.0))) // 1 + 9
+      assert(cov((0, 1)) == ((2L, 14.0))) // 2 + 12
+      assert(cov((1, 1)) == ((2L, 20.0))) // 4 + 16
+    }
+  }
+
   test("clear errors for bad SQL arguments") {
     withExtensionsSession { spark =>
       val e1 = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").head)

@@ -66,6 +66,14 @@ class CurationR8Spec extends SparkTestBase {
     }
   }
 
+  test("snapshotDiff: added/removed/changed/same per id from digest compare") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val after  = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val m = Dedup.snapshotDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
   test("NormalizeForDedup kernel == declarative regex composition (ASCII + Unicode)") {
     val rnd = new scala.util.Random(7L)
     val alphabet = "abXY 09!,.\t\n-_&é漢K"
