@@ -4429,6 +4429,131 @@ object Queries {
       |       round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
       |FROM r CROSS JOIN t WHERE rn IN (5, 10, 25) ORDER BY k""".stripMargin
 
+  /** Per-type quantile transform ([[graft.functions.SearchSorted]] against
+    * a trained percentile grid): every value mapped to its empirical
+    * quantile bucket — the rank-normalization preconditioner (monotone,
+    * outlier-proof) on the SearchSorted/ForwardFill bucketing machinery.
+    *
+    * Scale shape: the grid is a BOUNDED artifact (|keys| × ≤19 doubles),
+    * folded back as per-type literals into one codegen'd O(log splits)
+    * binary search per row; no window, no join at event scale. With
+    * unbounded key counts the same transform joins a grid TABLE instead
+    * of folding literals — the documented lever, same as the centroid
+    * artifacts.
+    *
+    * The splits are DISCRETE quantiles — the actual data value at rank
+    * `⌈p·n⌉` — NOT interpolated ones: interpolated splits from
+    * `percentile`/`quantile_cont` agree cross-engine only to the last
+    * ulp, and a bucketing comparison `v <= split` amplifies that ulp into
+    * a bucket flip whenever a data value sits exactly on a split
+    * (measured: 6 of 100k rows at sf0.1). A rank-selected split IS a data
+    * value, so both engines compare identical doubles; duplicate splits
+    * (heavy ties) are deduped on BOTH sides and the score divides by the
+    * surviving grid size. The rank selection itself is a training-step
+    * window over the |keys| partitions (same gather cost `percentile`
+    * pays internally).
+    */
+  def quantileTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = (1 to 19).map(_ * 0.05)
+    val ev = events(spark, dir).select($"event_id", $"event_type", $"value")
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    val ranked = ev.filter($"value".isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy($"event_type")).cast("long"))
+    val isSplit = ps.map(p =>
+      $"__rn" === ceil(lit(p) * $"__n".cast("double")).cast("long")).reduce(_ || _)
+    val grids = ranked.filter(isSplit)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).distinct.sorted.toArray }
+    val bucket = grids.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (t, g)) =>
+        when($"event_type" === t,
+          graft.functions.SearchSorted.searchSorted($"value", g)).otherwise(acc)
+    }
+    val denom = grids.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (t, g)) =>
+        when($"event_type" === t, lit((g.length + 1).toDouble)).otherwise(acc)
+    }
+    ev.withColumn("q_bucket", when($"value".isNotNull, bucket))
+      .withColumn("qscore",
+        when($"value".isNotNull, round($"q_bucket".cast("double") / denom, 6)))
+      .select($"event_id", $"event_type", $"q_bucket", $"qscore")
+      .orderBy("event_id")
+  }
+
+  val quantileTransformSql: String = {
+    val ps = (1 to 19).map(i => (i * 0.05).toString).mkString(", ")
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL
+       |), ladder AS (SELECT unnest([$ps]) AS p),
+       |g AS (
+       |  SELECT event_type, list_sort(list_distinct(list(value))) AS grid
+       |  FROM r JOIN ladder ON rn = CAST(ceiling(p * n) AS BIGINT)
+       |  GROUP BY 1
+       |)
+       |SELECT event_id, e.event_type,
+       |       CASE WHEN value IS NOT NULL
+       |            THEN len(list_filter(grid, s -> s <= value)) END AS q_bucket,
+       |       CASE WHEN value IS NOT NULL
+       |            THEN round(CAST(len(list_filter(grid, s -> s <= value))
+       |                       AS DOUBLE) / (len(grid) + 1), 6) END AS qscore
+       |FROM events e JOIN g USING (event_type) ORDER BY event_id""".stripMargin
+  }
+
+  /** Term-lift ranking between two corpus snapshots (odd vs even doc ids,
+    * the [[driftIncr]] convention): smoothed relative frequency ratio
+    * `((cB+1)/(tB+V)) / ((cA+1)/(tA+V))` per term — the "what is suddenly
+    * trending" report next to the scalar drift monitors. Exact integer
+    * counts; one rounded ratio; total order (lift desc, term asc).
+    */
+  def termLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents")
+    val terms = docs.select(pmod($"doc_id", lit(2)).as("__p"),
+        explode(TextAnalysis.words($"text")).as("term"))
+    val counts = terms.groupBy($"term")
+      .agg(sum(when($"__p" === 0, 1L).otherwise(0L)).as("c_a"),
+           sum(when($"__p" === 1, 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum($"c_a").as("t_a"), sum($"c_b").as("t_b"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("lift", round(
+        (($"c_b" + 1).cast("double") / ($"t_b" + $"v").cast("double")) /
+        (($"c_a" + 1).cast("double") / ($"t_a" + $"v").cast("double")), 6))
+      .select($"term", $"c_a", $"c_b", $"lift")
+      .orderBy($"lift".desc, $"term".asc)
+      .limit(10)
+  }
+
+  val termLiftSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id % 2 AS p,
+      |         unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), c AS (
+      |  SELECT term,
+      |         CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |         CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM w GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(c_a) AS BIGINT) AS t_a, CAST(sum(c_b) AS BIGINT) AS t_b,
+      |         CAST(count(*) AS BIGINT) AS v
+      |  FROM c
+      |)
+      |SELECT term, c_a, c_b,
+      |       round((CAST(c_b + 1 AS DOUBLE) / (t_b + v)) /
+      |             (CAST(c_a + 1 AS DOUBLE) / (t_a + v)), 6) AS lift
+      |FROM c CROSS JOIN t ORDER BY lift DESC, term LIMIT 10""".stripMargin
+
   /** Day-cohort retention triangle ([[graft.ops.Funnel.retentionCohorts]]):
     * users bucketed by first-seen epoch day, counted per day offset.
     */
