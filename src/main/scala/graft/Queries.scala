@@ -3969,6 +3969,51 @@ object Queries {
     * [[graft.ops.Layout.zorderWrite]]'s 2-D pruning, pinned here as exact
     * integer arithmetic (both engines run the identical spread shifts).
     */
+  /** Hilbert curve key over (user bucket, hour bucket)
+    * ([[graft.functions.HilbertKey]], bits = 10): the locality-stronger
+    * clustering key next to [[zorder]]'s Morton one — no quadrant-boundary
+    * jumps, so unaligned file splits cover tighter 2-D boxes (spec-pinned
+    * vs Morton). The per-level quadrant rotation is sequential state no
+    * column algebra expresses, so the oracle replays the identical loop
+    * in a recursive CTE.
+    */
+  def hilbert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id",
+        pmod($"user_id", lit(1024)).cast("long").as("xq"),
+        pmod(floor(unix_millis($"ts") / 3600000L), lit(1024)).cast("long").as("yq"))
+      .select($"event_id", $"xq", $"yq",
+        graft.functions.HilbertKey.hilbertKey($"xq", $"yq", 10).as("hkey"))
+      .orderBy("event_id")
+  }
+
+  val hilbertSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT event_id, user_id % 1024 AS xq,
+      |         (epoch_ms(ts) // 3600000) % 1024 AS yq
+      |  FROM events
+      |), h AS (
+      |  SELECT event_id, xq AS x, yq AS y,
+      |         CAST(512 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT event_id,
+      |         CASE WHEN (y & s) = 0
+      |              THEN CASE WHEN (x & s) <> 0 THEN 1023 - y ELSE y END
+      |              ELSE x END,
+      |         CASE WHEN (y & s) = 0
+      |              THEN CASE WHEN (x & s) <> 0 THEN 1023 - x ELSE x END
+      |              ELSE y END,
+      |         s // 2,
+      |         d + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END),
+      |                         CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END)
+      |  FROM h WHERE s > 0
+      |)
+      |SELECT ev.event_id, ev.xq, ev.yq, h.d AS hkey
+      |FROM ev JOIN h ON h.event_id = ev.event_id AND h.s = 0
+      |ORDER BY ev.event_id""".stripMargin
+
   def zorder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ops.Layout
