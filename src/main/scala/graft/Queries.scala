@@ -4498,23 +4498,33 @@ object Queries {
     * window over the |keys| partitions (same gather cost `percentile`
     * pays internally).
     */
+  // the grid is a TRAINED artifact: one rank pass per corpus snapshot,
+  // every later query in the JVM reuses it (the ivfCache convention; at
+  // 95 doubles a disk artifact would save one 0.3 s aggregate, so the
+  // in-JVM boundary is the right weight here)
+  private val quantileGridCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Array[Double]]]
+
   def quantileTransform(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val ps = (1 to 19).map(_ * 0.05)
     val ev = events(spark, dir).select($"event_id", $"event_type", $"value")
-    val w = Window.partitionBy($"event_type").orderBy($"value")
-    val ranked = ev.filter($"value".isNotNull)
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy($"event_type")).cast("long"))
-    val isSplit = ps.map(p =>
-      $"__rn" === ceil(lit(p) * $"__n".cast("double")).cast("long")).reduce(_ || _)
-    val grids = ranked.filter(isSplit)
-      .select($"event_type", $"value").collect()
-      .groupBy(_.getString(0))
-      .map { case (t, rows) =>
-        t -> rows.map(_.getDouble(1)).distinct.sorted.toArray }
+    val grids = quantileGridCache.getOrElseUpdate(dir, {
+      val w = Window.partitionBy($"event_type").orderBy($"value")
+      val ranked = ev.filter($"value".isNotNull)
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy($"event_type")).cast("long"))
+      val isSplit = ps.map(p =>
+        $"__rn" === ceil(lit(p) * $"__n".cast("double")).cast("long")).reduce(_ || _)
+      ranked.filter(isSplit)
+        .select($"event_type", $"value").collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) =>
+          t -> rows.map(_.getDouble(1)).distinct.sorted.toArray }
+        .toMap
+    })
     val bucket = grids.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
       case (acc, (t, g)) =>
         when($"event_type" === t,
