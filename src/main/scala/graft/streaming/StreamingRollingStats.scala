@@ -125,6 +125,83 @@ object StreamingRollingStats {
       }
   }
 
+  private[streaming] case class BandState(prevTs: Long, xs: List[Double], ok: List[Boolean])
+
+  /** Streaming rolling volatility band ([[graft.ops.RollingStats
+    * .rollingBand]] as a stream): one `(key, ts, roll_mean, roll_std,
+    * outside_band, n_in)` row per event — population σ over the last
+    * `frameRows` ROWS (null values hold frame slots but contribute
+    * nothing, the batch window's count/sum semantics), NULL stats below
+    * two in-frame values, `outside_band` NULL when the row's own value is
+    * null. Bit-exact batch parity: the frame folds oldest-first with the
+    * same assign-then-add association as the batch window sums, and the
+    * rounding (incl. the signed-zero normalization) matches `Num.round0`.
+    */
+  def rollingBand[K](
+      ds: Dataset[(K, Long, Option[Double])],
+      frameRows: Int = 20,
+      nSigma: Double = 2.0,
+      roundTo: Int = 6,
+      idleTimeout: Option[String] = None)(
+      implicit ke: Encoder[K],
+      outEnc: Encoder[(K, Long, Option[Double], Option[Double], Option[Boolean], Long)])
+      : Dataset[(K, Long, Option[Double], Option[Double], Option[Boolean], Long)] = {
+    require(frameRows >= 2, s"frame must be >= 2 rows: $frameRows")
+    implicit val stateEnc: Encoder[BandState] = Encoders.product[BandState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[BandState,
+        (K, Long, Option[Double], Option[Double], Option[Boolean], Long)](
+        OutputMode.Append(), timeoutConf) {
+        (key: K, rows: Iterator[(K, Long, Option[Double])],
+         state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(K, Long, Option[Double], Option[Double], Option[Boolean], Long)]
+            var st = state.getOption.getOrElse(BandState(Long.MinValue, Nil, Nil))
+            rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
+              if (t > st.prevTs) {
+                st = BandState(t,
+                  (st.xs :+ x.getOrElse(0.0)).takeRight(frameRows),
+                  (st.ok :+ x.isDefined).takeRight(frameRows))
+                // oldest-first assign-then-add fold, like the batch sums
+                var n = 0L
+                var sx = 0.0; var sxx = 0.0
+                var started = false
+                val xi = st.xs.iterator; val oi = st.ok.iterator
+                while (xi.hasNext) {
+                  val v = xi.next()
+                  if (oi.next()) {
+                    if (!started) { sx = v; sxx = v * v; started = true }
+                    else { sx += v; sxx += v * v }
+                    n += 1
+                  }
+                }
+                val nD   = n.toDouble
+                val varN = nD * sxx - sx * sx
+                val ok   = n >= 2 && varN >= 0
+                val mean = sx / nD
+                val std  = math.sqrt(varN) / nD
+                val (mOut, sOut) =
+                  if (ok) (Some(roundHalfUp(mean, roundTo)),
+                           Some(roundHalfUp(std, roundTo)))
+                  else (None, None)
+                val outside =
+                  if (ok && x.isDefined) Some(math.abs(x.get - mean) > nSigma * std)
+                  else None
+                out += ((key, t, mOut, sOut, outside, n))
+              } // else: stale arrival, drop
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   private[streaming] case class PeakState(prevTs: Long, peak: Option[Double])
 
   /** Streaming running peak / drawdown ([[graft.ops.RollingStats

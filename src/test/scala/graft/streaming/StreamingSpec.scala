@@ -799,6 +799,51 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
 
+  test("streaming rolling band: bit-exact batch parity; null slots; stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val out = StreamingRollingStats.rollingBand(input.toDS(), frameRows = 3,
+        nSigma = 1.0)
+      .toDF("key", "t", "roll_mean", "roll_std", "outside_band", "n_in")
+    val q = out.writeStream.format("memory").queryName("band_stream")
+      .outputMode("append").start()
+    input.addData(("k", 1L, Some(10.0)), ("k", 2L, Some(20.0)))
+    q.processAllAvailable()
+    // cross-batch frame; a null holds a slot; stale t=1 drops
+    input.addData(("k", 3L, Some(60.0)), ("k", 4L, None),
+      ("k", 5L, Some(21.0)), ("k", 1L, Some(999.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("band_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)),
+        r.getLong(5)))
+      .sortBy(_._2)
+    // frame 3, sigma 1: t3 sees (10,20,60): mean 30, sd 21.602469, |60-30|>sd
+    assert(rows.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows(2)._3 === Some(30.0) && rows(2)._5 === Some(true))
+    assert(rows(3)._5 === None) // null value row: no band decision
+    // t5 frame holds (60, null, 21): n=2
+    assert(rows(4)._6 === 2L)
+
+    // batch parity on the delivered events, bit-exact
+    val delivered = Seq(("k", 1L, Some(10.0)), ("k", 2L, Some(20.0)),
+      ("k", 3L, Some(60.0)), ("k", 4L, None), ("k", 5L, Some(21.0)))
+      .toDF("key", "t", "value")
+    val batch = graft.ops.RollingStats.rollingBand(delivered, Seq("key"), "t",
+        "value", frameRows = 3, nSigma = 1.0)
+      .select("key", "t", "roll_mean", "roll_std", "outside_band").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      .sortBy(_._2)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq === batch.toSeq,
+      s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
   test("streaming CUSUM: bit-exact batch parity incl. null carry; stale dropped; alarm fires") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Option[Long])]
