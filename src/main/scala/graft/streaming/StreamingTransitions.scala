@@ -46,10 +46,16 @@ object StreamingTransitions {
             val out = scala.collection.mutable.ArrayBuffer.empty[(K, String, String, Long)]
             var st = state.getOption.orNull
             rows.toSeq.sortBy(_._2).foreach { case (_, t, typ) =>
-              if (typ != null && (st == null || t >= st.prevTs)) {
-                if (st != null && st.prevType != null) out += ((key, st.prevType, typ, t))
+              if (st == null || t >= st.prevTs) {
+                // a null type BREAKS the chain rather than being skipped:
+                // in the batch lag formulation a null-type row still
+                // occupies the lag slot, so neither the pair INTO it nor
+                // the pair OUT of it exists — the state records the null
+                // so the next event starts a fresh chain
+                if (typ != null && st != null && st.prevType != null)
+                  out += ((key, st.prevType, typ, t))
                 st = TransState(t, typ)
-              } // else: stale arrival or null type, drop
+              } // else: stale arrival, drop
             }
             if (st != null) {
               state.update(st)

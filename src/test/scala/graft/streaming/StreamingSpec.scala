@@ -891,24 +891,28 @@ class StreamingSpec extends SparkTestBase {
       .outputMode("append").start()
     input.addData(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 5L, "x"))
     q.processAllAvailable()
-    // chain carries across batches; a strictly-earlier arrival is stale
-    input.addData(("u1", 30L, "a"), ("u1", 15L, "zzz"), ("u2", 7L, "y"))
+    // chain carries across batches; a strictly-earlier arrival is stale;
+    // a NULL type breaks the chain (it occupies the batch lag slot)
+    input.addData(("u1", 30L, "a"), ("u1", 15L, "zzz"), ("u2", 7L, "y"),
+      ("u2", 8L, null), ("u2", 9L, "z"))
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("trans_stream").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(r => (r._1, r._4))
+    // no (y -> z) pair: the null at t=8 broke the chain
     assert(rows.toSeq === Seq(
       ("u1", "a", "b", 20L), ("u1", "b", "a", 30L), ("u2", "x", "y", 7L)))
 
     // batch parity on the delivered (non-stale) events: lag pairs per user
     import org.apache.spark.sql.expressions.Window
     val delivered = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "a"),
-      ("u2", 5L, "x"), ("u2", 7L, "y")).toDF("user", "t", "typ")
+      ("u2", 5L, "x"), ("u2", 7L, "y"), ("u2", 8L, null), ("u2", 9L, "z"))
+      .toDF("user", "t", "typ")
     val w = Window.partitionBy($"user").orderBy($"t")
     val batch = delivered
       .withColumn("from_type", lag($"typ", 1).over(w))
-      .filter($"from_type".isNotNull)
+      .filter($"from_type".isNotNull && $"typ".isNotNull)
       .select($"user", $"from_type", $"typ".as("to_type"), $"t")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(r => (r._1, r._4))
