@@ -4560,7 +4560,7 @@ object Queries {
        |       CASE WHEN value IS NOT NULL
        |            THEN round(CAST(len(list_filter(grid, s -> s <= value))
        |                       AS DOUBLE) / (len(grid) + 1), 6) END AS qscore
-       |FROM events e JOIN g USING (event_type) ORDER BY event_id""".stripMargin
+       |FROM events e LEFT JOIN g USING (event_type) ORDER BY event_id""".stripMargin
   }
 
   /** Term-lift ranking between two corpus snapshots (odd vs even doc ids,

@@ -105,10 +105,16 @@ case class PairComponents(
   }
 
   override def serialize(buffer: mutable.LongMap[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buffer.size * 16)
-    buffer.foreach { case (id, _) =>
-      bb.putLong(id)
-      bb.putLong(find(buffer, id))
+    // snapshot the keys before calling the path-compressing find(): find()
+    // rewrites parent values in this same map, and mutating a LongMap while
+    // foreach-ing it is only safe by an undocumented internal property
+    val ids = buffer.keys.toArray
+    val bb = ByteBuffer.allocate(ids.length * 16)
+    var i = 0
+    while (i < ids.length) {
+      bb.putLong(ids(i))
+      bb.putLong(find(buffer, ids(i)))
+      i += 1
     }
     bb.array()
   }

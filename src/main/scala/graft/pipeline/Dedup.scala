@@ -250,12 +250,15 @@ object Dedup {
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    // materialized: the union below fans this frame into two branches, and
+    // without a checkpoint the dominant shingle self-join + pair aggregation
+    // lineage would re-execute once per direction
+    val shared = materializeOnce(a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b")))
     // both directions from the one aggregated pair row
     val dirs = shared.select(col("id_a"), col("id_b"), col("shared"), col("n_a"))
       .union(shared.select(col("id_b").as("id_a"), col("id_a").as("id_b"),

@@ -164,8 +164,10 @@ object StreamingBars {
     * property this family exists for.
     *
     * Ordering contract as the rest of the family: rows process in ts
-    * order per key within a micro-batch; arrivals at or before the key's
-    * last seen ts are dropped. `idleTimeout` evicts silent keys (output
+    * order per key within a micro-batch; only arrivals strictly before the
+    * key's last seen ts are dropped — an equal-millisecond arrival is
+    * still a frame row, matching the batch ROWS window (the r8 `>=` stale
+    * rule). `idleTimeout` evicts silent keys (output
     * is per-event, so eviction loses only smoothing history: a resumed
     * key restarts its frame cold, exactly like a fresh key).
     */
@@ -195,7 +197,9 @@ object StreamingBars {
             val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Double, Double)]
             var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Nil))
             rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
-              if (t > st.prevTs) {
+              // >= : ROWS-frame operator — an equal-ms arrival is still a
+              // frame row like the batch window (the r8 family stale rule)
+              if (t >= st.prevTs) {
                 val frame = (st.frame :+ v).takeRight(frameRows)
                 // same oldest-first fold + closed-form weight as batch
                 var ws = 0.0

@@ -22,8 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exact.
   *
   * Ordering contract shared with the whole streaming family: rows process
-  * in ts order per key within a micro-batch; arrivals at or before the
-  * key's last seen ts are dropped. `idleTimeout` evicts silent keys —
+  * in ts order per key within a micro-batch; only arrivals STRICTLY before
+  * the key's last seen ts are dropped — an equal-millisecond arrival is
+  * still a frame row, because the batch ROWS window counts every row (the
+  * r8 `>=` stale rule, shared with StreamingCusum / StreamingTransitions /
+  * StreamingFunnel). `idleTimeout` evicts silent keys —
   * output is per-event, so eviction costs only frame history (a resumed
   * key restarts cold, like a fresh key).
   *
@@ -104,7 +107,7 @@ object StreamingRollingStats {
               .empty[(K, Long, Option[Double], Long)]
             var st = state.getOption.getOrElse(CoMomentState(Long.MinValue, Nil, Nil, Nil))
             rows.toSeq.sortBy(_._2).foreach { case (_, t, x, y) =>
-              if (t > st.prevTs) {
+              if (t >= st.prevTs) {
                 st = advance(st, t, x, y, frameRows)
                 val (n, sx, sy, sxy, sxx, syy) = coMoments(st)
                 val nD   = n.toDouble
@@ -163,7 +166,11 @@ object StreamingRollingStats {
               .empty[(K, Long, Option[Double], Option[Double], Option[Boolean], Long)]
             var st = state.getOption.getOrElse(BandState(Long.MinValue, Nil, Nil))
             rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
-              if (t > st.prevTs) {
+              // >= : an equal-millisecond arrival is still a frame row (the
+              // batch window counts every row) — the r8 family stale rule
+              // shared with StreamingCusum/StreamingTransitions; only a
+              // strictly-earlier arrival is stale
+              if (t >= st.prevTs) {
                 st = BandState(t,
                   (st.xs :+ x.getOrElse(0.0)).takeRight(frameRows),
                   (st.ok :+ x.isDefined).takeRight(frameRows))
@@ -234,7 +241,7 @@ object StreamingRollingStats {
               .empty[(K, Long, Option[Double], Option[Double], Option[Double])]
             var st = state.getOption.getOrElse(PeakState(Long.MinValue, None))
             rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
-              if (t > st.prevTs) {
+              if (t >= st.prevTs) {
                 val peak = (st.peak, v) match {
                   case (Some(p), Some(x)) => Some(math.max(p, x))
                   case (p, x)             => p.orElse(x)
@@ -280,7 +287,7 @@ object StreamingRollingStats {
               .empty[(K, Long, Option[Double], Option[Double], Long)]
             var st = state.getOption.getOrElse(CoMomentState(Long.MinValue, Nil, Nil, Nil))
             rows.toSeq.sortBy(_._2).foreach { case (_, t, x, y) =>
-              if (t > st.prevTs) {
+              if (t >= st.prevTs) {
                 st = advance(st, t, x, y, frameRows)
                 val (n, sx, sy, sxy, sxx, _) = coMoments(st)
                 val nD   = n.toDouble
