@@ -1009,4 +1009,234 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(tup).sortBy(r => (r._1, r._2))
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
+
+  // ---- equal-millisecond stale-rule pins -----------------------------------
+  // The family contract: only arrivals STRICTLY before the key's last seen ts
+  // are stale. An arrival at the SAME millisecond — whether in the same
+  // micro-batch or a later one — is a real row, because the batch ROWS window
+  // counts every row. Each test below feeds an equal-ts collision and asserts
+  // (a) the colliding arrival produces an output row (under a `>` stale rule
+  // it would be silently dropped and the count assert fails), and (b)
+  // bit-exact batch parity over the full delivered sequence, ties in arrival
+  // order. These pin the five `>=` sites in StreamingRollingStats /
+  // StreamingBars plus the family sharers StreamingCusum and
+  // StreamingTransitions (StreamingFunnel's pin lives in its own test above).
+
+  test("equal-ms EWMA: same-ts arrivals enter the frame; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamingBars.ewma(input.toDS(), frameRows = 3, decay = 0.5)
+      .toDF("k", "t", "value", "ewma")
+    val q = out.writeStream.format("memory").queryName("ewma_eqms")
+      .outputMode("append").start()
+    input.addData(("a", 1L, 10.0), ("a", 2L, 20.0))
+    q.processAllAvailable()
+    input.addData(("a", 2L, 30.0)) // equal-ts in a LATER batch: not stale
+    q.processAllAvailable()
+    input.addData(("a", 2L, 40.0), ("a", 3L, 50.0)) // same-batch tie too
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_eqms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2, r._3))
+    // a `>` stale rule drops both later t=2 arrivals -> only 3 rows
+    assert(rows.length == 5, s"equal-ts arrivals were dropped: ${rows.toSeq}")
+    val batch = graft.ops.Bars.ewma(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 2L, 30.0), ("a", 2L, 40.0),
+        ("a", 3L, 50.0)).toDF("k", "t", "value"),
+      Seq("k"), "t", "value", frameRows = 3, decay = 0.5)
+      .select(col("k"), col("t"), col("value"), col("ewma"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms rolling corr: same-ts arrivals hold frame slots; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double], Option[Double])]
+    val out = StreamingRollingStats.rollingCorr(input.toDS(), frameRows = 3)
+      .toDF("k", "t", "roll_corr", "n_pairs")
+    val q = out.writeStream.format("memory").queryName("rollcorr_eqms")
+      .outputMode("append").start()
+    input.addData(("a", 1L, Some(1.0), Some(2.0)), ("a", 2L, Some(2.0), Some(4.0)))
+    q.processAllAvailable()
+    input.addData(("a", 2L, Some(3.0), Some(5.0))) // equal-ts later batch
+    q.processAllAvailable()
+    input.addData(("a", 3L, Some(4.0), Some(9.0)))
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))
+    val rows = spark.table("rollcorr_eqms").collect().map(tup)
+      .sortBy(r => (r._1, r._2, r._4))
+    assert(rows.length == 4, s"equal-ts arrival was dropped: ${rows.toSeq}")
+    // the t=3 frame must hold BOTH t=2 rows: n_pairs = 3, not 2
+    assert(rows.last._4 == 3L, s"frame lost the equal-ts row: ${rows.toSeq}")
+    val batch = graft.ops.RollingStats.rollingCorr(
+      Seq(("a", 1L, Some(1.0), Some(2.0)), ("a", 2L, Some(2.0), Some(4.0)),
+        ("a", 2L, Some(3.0), Some(5.0)), ("a", 3L, Some(4.0), Some(9.0)))
+        .toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", frameRows = 3)
+      .select(col("k"), col("t"), col("roll_corr"), col("n_pairs"))
+      .collect().map(tup).sortBy(r => (r._1, r._2, r._4))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms rolling slope: same-ts arrivals hold frame slots; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double], Option[Double])]
+    val out = StreamingRollingStats.rollingSlope(input.toDS(), frameRows = 3)
+      .toDF("k", "t", "roll_slope", "roll_icept", "n_pairs")
+    val q = out.writeStream.format("memory").queryName("rollslope_eqms")
+      .outputMode("append").start()
+    input.addData(("a", 1L, Some(0.0), Some(1.0)), ("a", 2L, Some(1.0), Some(3.0)))
+    q.processAllAvailable()
+    input.addData(("a", 2L, Some(2.0), Some(5.0))) // equal-ts later batch
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))
+    val rows = spark.table("rollslope_eqms").collect().map(tup)
+      .sortBy(r => (r._1, r._2, r._5))
+    assert(rows.length == 3, s"equal-ts arrival was dropped: ${rows.toSeq}")
+    // the second t=2 row's frame holds all three exactly-linear points
+    assert(rows.last._3.contains(2.0) && rows.last._5 == 3L, rows.toSeq.toString)
+    val batch = graft.ops.RollingStats.rollingSlope(
+      Seq(("a", 1L, Some(0.0), Some(1.0)), ("a", 2L, Some(1.0), Some(3.0)),
+        ("a", 2L, Some(2.0), Some(5.0))).toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", frameRows = 3)
+      .select(col("k"), col("t"), col("roll_slope"), col("roll_icept"), col("n_pairs"))
+      .collect().map(tup).sortBy(r => (r._1, r._2, r._5))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms rolling band: same-ts arrivals hold frame slots; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val out = StreamingRollingStats.rollingBand(input.toDS(), frameRows = 3,
+        nSigma = 1.0)
+      .toDF("key", "t", "roll_mean", "roll_std", "outside_band", "n_in")
+    val q = out.writeStream.format("memory").queryName("band_eqms")
+      .outputMode("append").start()
+    input.addData(("k", 1L, Some(10.0)), ("k", 2L, Some(20.0)))
+    q.processAllAvailable()
+    input.addData(("k", 2L, Some(60.0))) // equal-ts later batch
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(4)) None else Some(r.getBoolean(4)), r.getLong(5))
+    val rows = spark.table("band_eqms").collect().map(tup)
+      .sortBy(r => (r._1, r._2, r._6))
+    assert(rows.length == 3, s"equal-ts arrival was dropped: ${rows.toSeq}")
+    // the equal-ts row's frame is (10,20,60): mean 30, outside the 1-sigma band
+    assert(rows.last._3 == Some(30.0) && rows.last._5 == Some(true) &&
+      rows.last._6 == 3L, rows.toSeq.toString)
+    val batch = graft.ops.RollingStats.rollingBand(
+      Seq(("k", 1L, Some(10.0)), ("k", 2L, Some(20.0)), ("k", 2L, Some(60.0)))
+        .toDF("key", "t", "value"),
+      Seq("key"), "t", "value", frameRows = 3, nSigma = 1.0)
+      .select("key", "t", "roll_mean", "roll_std", "outside_band").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)).sortBy(r => (r._1, r._2, r._3)).toSeq
+      === batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms drawdown: same-ts arrivals advance the peak; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val out = StreamingRollingStats.runningDrawdown(input.toDS())
+      .toDF("k", "t", "value", "peak", "drawdown")
+    val q = out.writeStream.format("memory").queryName("drawdown_eqms")
+      .outputMode("append").start()
+    input.addData(("a", 1L, Some(5.0)), ("a", 2L, Some(3.0)))
+    q.processAllAvailable()
+    input.addData(("a", 2L, Some(7.0))) // equal-ts later batch: new peak
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val rows = spark.table("drawdown_eqms").collect().map(tup)
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows.length == 3, s"equal-ts arrival was dropped: ${rows.toSeq}")
+    assert(rows.last._4.contains(7.0) && rows.last._5.contains(0.0),
+      rows.toSeq.toString)
+    val batch = graft.ops.RollingStats.runningDrawdown(
+      Seq(("a", 1L, Some(5.0)), ("a", 2L, Some(3.0)), ("a", 2L, Some(7.0)))
+        .toDF("k", "t", "value"),
+      Seq("k"), "t", "value")
+      .select(col("k"), col("t"), col("value"), col("peak"), col("drawdown"))
+      .collect().map(tup).sortBy(r => (r._1, r._2, r._3))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms CUSUM: same-ts arrivals update S; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Long])]
+    val out = StreamingCusum.cusum(input.toDS(), mu0 = 100L, slack = 10L,
+        threshold = 50L)
+      .toDF("key", "t", "s_pos", "s_neg", "alarm")
+    val q = out.writeStream.format("memory").queryName("cusum_eqms")
+      .outputMode("append").start()
+    input.addData(("a", 1L, Some(100L)), ("a", 2L, Some(200L)))
+    q.processAllAvailable()
+    input.addData(("a", 2L, Some(210L))) // equal-ts later batch: S+ walks again
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cusum_eqms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._2, r._3))
+    // a `>` rule drops the second t=2 row; `>=` walks S+ 0 -> 90 -> 190
+    assert(rows.toSeq === Seq(
+      ("a", 1L, 0L, 0L, false), ("a", 2L, 90L, 0L, true),
+      ("a", 2L, 190L, 0L, true)))
+    val batch = graft.ops.Anomalies.cusumOnline(
+      Seq(("a", 1L, Some(100L)), ("a", 2L, Some(200L)), ("a", 2L, Some(210L)))
+        .toDF("key", "t", "cents"),
+      Seq("key"), "t", "cents", mu0 = 100L, slack = 10L, threshold = 50L)
+      .select("key", "t", "s_pos", "s_neg", "alarm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows.toSeq === batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+  }
+
+  test("equal-ms transitions: same-ts arrivals extend the chain; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamingTransitions.transitions(input.toDS())
+      .toDF("user", "from_type", "to_type", "t")
+    val q = out.writeStream.format("memory").queryName("trans_eqms")
+      .outputMode("append").start()
+    input.addData(("u", 10L, "a"), ("u", 20L, "b"))
+    q.processAllAvailable()
+    input.addData(("u", 20L, "c")) // equal-ts later batch: emits (b -> c)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trans_eqms").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4, r._3))
+    assert(rows.toSeq === Seq(("u", "a", "b", 20L), ("u", "b", "c", 20L)))
+    import org.apache.spark.sql.expressions.Window
+    val delivered = Seq(("u", 10L, "a"), ("u", 20L, "b"), ("u", 20L, "c"))
+      .toDF("user", "t", "typ")
+    val w = Window.partitionBy($"user").orderBy($"t")
+    val batch = delivered
+      .withColumn("from_type", lag($"typ", 1).over(w))
+      .filter($"from_type".isNotNull && $"typ".isNotNull)
+      .select($"user", $"from_type", $"typ".as("to_type"), $"t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4, r._3))
+    assert(rows.toSeq === batch.toSeq)
+  }
 }
