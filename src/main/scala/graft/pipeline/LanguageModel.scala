@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.Num
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained n-gram language-model scoring — the perplexity-style
@@ -14,48 +14,57 @@ import org.apache.spark.sql.functions._
   *              ln( λ·P̂(w₂|w₁) + (1−λ)·P̂(w₂) )
   *
   * with P̂(w₂|w₁) = c(w₁,w₂)/c(w₁,·) and P̂(w₂) = c(w₂)/N estimated from
-  * the scored corpus itself (the self-trained regime; feeding a reference
-  * corpus' counts instead is the CCNet shape and needs no new machinery —
-  * the count frames are just built from a different DataFrame). The
-  * unigram back-off keeps every bigram probability positive, so the log
-  * never sees zero. Documents with fewer than two tokens produce no
-  * bigrams and drop out, mirroring how perplexity is undefined for them.
+  * the training corpus. The unigram back-off keeps every bigram
+  * probability positive, so the log never sees zero. Documents with fewer
+  * than two tokens produce no bigrams and drop out, mirroring how
+  * perplexity is undefined for them.
   *
-  * Scale shape (rewritten r7c): ONE descent tokenizes each document to
-  * its words ARRAY, materialized once ([[Dedup.materializeOnce]] — ids
-  * and word arrays, no full text); bigrams slice straight out of the
-  * array (`arrays_zip` of the array with its own tail) in a NARROW
-  * explode — the previous formulation's corpus-wide (doc, pos) sort and
-  * `lead` window are gone entirely, which alone was the difference
-  * between 1.46 s and ~0.8 s at sf0.1. The count tables are
-  * token/bigram-type bounded (vocabulary-scale), and the bigram-count
-  * join is the only content-keyed shuffle.
+  * TRAINED-ARTIFACT BOUNDARY (r10): training and scoring are separate
+  * operations joined by a persisted model table, the
+  * [[PQ.saveCodebooks]] / [[Profiler.jsDriftAgainstPrior]] convention.
+  * [[trainBigramModel]] folds the four count frames (bigram counts,
+  * bigram-start counts, unigram counts, grand total) into ONE
+  * vocabulary-bounded table `(__w, __w2, __lp)` with the per-bigram-TYPE
+  * log-probability precomputed — every input to the `ln` is a type-level
+  * integer-count division, so computing it once per type is bit-identical
+  * to computing it per occurrence. [[saveModel]]/[[loadModel]] persist it
+  * as a distributed parquet artifact (vocabulary-scale — ~1e8 bigram
+  * types on a 100 TB web corpus — so it is NEVER collected to the
+  * driver, unlike the KB-scale centroid/codebook artifacts).
+  * [[scoreAgainstModel]] is then tokenize → bigram explode → ONE
+  * content-keyed join → per-doc average; the production shape is train
+  * once per corpus snapshot (or use a reference corpus' model, the CCNet
+  * regime) and score every later batch against the loaded artifact.
   *
-  * The unigram join carries NO broadcast hint on purpose: vocabulary is
-  * corpus-dependent (a few 100k types at test scale, ~1e8 on a 100 TB
-  * web corpus — far past any broadcast limit), so the plan lets AQE's
-  * runtime size check pick broadcast-hash when the table is actually
-  * small and fall back to a shuffled join when it isn't, instead of
-  * hard-coding a hint that would OOM the driver at scale. Only the
-  * one-row grand-total frame keeps an explicit broadcast.
+  * Scale shape of training: ONE descent tokenizes each document to its
+  * words ARRAY, materialized once ([[Dedup.materializeOnce]] — ids and
+  * word arrays, no full text); bigrams slice straight out of the array
+  * (`arrays_zip` of the array with its own tail) in a NARROW explode —
+  * no corpus-wide (doc, pos) sort, no `lead` window. All model-building
+  * joins are between vocabulary-bounded TYPE tables; the only
+  * occurrence-scale shuffle in the whole pipeline is the single scoring
+  * join (the pre-r10 shape ran TWO occurrence-scale joins — probs on
+  * (w₁,w₂) and unigrams on w₂ — per scoring pass).
+  *
+  * The scoring join carries NO broadcast hint on purpose: vocabulary is
+  * corpus-dependent (a few 100k types at test scale, far past any
+  * broadcast limit on a web corpus), so the plan lets AQE's runtime size
+  * check pick broadcast-hash when the model is actually small and fall
+  * back to a shuffled join when it isn't, instead of hard-coding a hint
+  * that would OOM the driver at scale. Only the one-row grand-total frame
+  * (inside training) keeps an explicit broadcast.
   */
 object LanguageModel {
 
-  /** `oneMinusLambda` is a separate literal rather than computed as
-    * `1 - lambda`: `1.0 - 0.7` in binary floating point is
-    * 0.30000000000000004 while an engine parsing the literal `0.3` gets
-    * 0.29999999999999999 — passing both keeps the engine and any
-    * independent re-derivation multiplying by the IDENTICAL double.
+  /** `materialize` only when the caller descends the token frame twice
+    * (training reads both the unigram stream and the bigram stream);
+    * scoring reads it once, and a checkpoint there would be a pure
+    * materialization barrier in an otherwise narrow pipeline.
     */
-  def bigramLmScore(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      lambda: Double = 0.7,
-      oneMinusLambda: Double = 0.3): DataFrame = {
-    val toks = Dedup.materializeOnce(
-      docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws")))
-    val tok = toks.select(col(idCol), explode(col("__ws")).as("__w"))
+  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean): (DataFrame, DataFrame) = {
+    val raw = docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+    val toks = if (materialize) Dedup.materializeOnce(raw) else raw
     // bigrams = the array zipped with its own tail: a narrow explode with
     // no (doc, pos) sort and no window — order within the array IS
     // document order
@@ -65,20 +74,111 @@ object LanguageModel {
         slice(col("__ws"), lit(1), nPairs).as("__a"),
         slice(col("__ws"), lit(2), nPairs).as("__b"))).as("__bg"))
       .select(col(idCol), col("__bg.__a").as("__w"), col("__bg.__b").as("__w2"))
-    val uni = tok.groupBy(col("__w").as("__w2")).agg(count(lit(1)).as("__c1"))
-    val grand = tok.agg(count(lit(1)).as("__n"))
-    val big = bigrams.groupBy(col("__w"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    (toks, bigrams)
+  }
+
+  /** Train the interpolated bigram model: one row per bigram TYPE seen in
+    * `docs`, columns `(__w, __w2, __lp)` where
+    * `__lp = ln(λ·c(w₁,w₂)/c(w₁,·) + (1−λ)·c(w₂)/N)`.
+    *
+    * `oneMinusLambda` is a separate literal rather than computed as
+    * `1 - lambda`: `1.0 - 0.7` in binary floating point is
+    * 0.30000000000000004 while an engine parsing the literal `0.3` gets
+    * 0.29999999999999999 — passing both keeps the engine and any
+    * independent re-derivation multiplying by the IDENTICAL double.
+    */
+  def trainBigramModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7,
+      oneMinusLambda: Double = 0.3): DataFrame = {
+    val (toks, bigrams) = bigramsOf(docs, idCol, textCol, materialize = true)
+    val tok    = toks.select(explode(col("__ws")).as("__w2"))
+    val uni    = tok.groupBy(col("__w2")).agg(count(lit(1)).as("__c1"))
+    val grand  = tok.agg(count(lit(1)).as("__n"))
+    val big    = bigrams.groupBy(col("__w"), col("__w2")).agg(count(lit(1)).as("__c2"))
     val starts = bigrams.groupBy(col("__w")).agg(count(lit(1)).as("__cs"))
-    val probs = big.join(starts, Seq("__w"))
-    bigrams.select(col(idCol), col("__w"), col("__w2"))
-      .join(probs, Seq("__w", "__w2"))
+    big.join(starts, Seq("__w"))
       .join(uni, Seq("__w2"))
       .crossJoin(broadcast(grand))
-      .withColumn("__lp",
+      .select(col("__w"), col("__w2"),
         log(lit(lambda) * (col("__c2").cast("double") / col("__cs").cast("double")) +
-          lit(oneMinusLambda) * (col("__c1").cast("double") / col("__n").cast("double"))))
+          lit(oneMinusLambda) * (col("__c1").cast("double") / col("__n").cast("double")))
+          .as("__lp"))
+  }
+
+  /** Persist a trained model as a parquet artifact. Vocabulary-scale, so
+    * it stays distributed — no coalesce, no driver collect.
+    */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.write.mode("overwrite").parquet(path)
+
+  /** Load a model persisted by [[saveModel]].
+    *
+    * The artifact boundary makes the broadcast decision a MEASUREMENT
+    * instead of a guess: the model's on-disk size is known at plan time,
+    * so a model under the session's `autoBroadcastJoinThreshold` (the
+    * same leaf-file-size heuristic Spark's own stats use) gets an
+    * explicit broadcast hint — skipping the AQE detour of materializing
+    * both shuffle sides before converting to broadcast-hash (measured
+    * ~0.2 s of pure planning latency per scoring pass at sf0.1). A
+    * vocabulary-scale model (~1e8 bigram types on a web corpus) exceeds
+    * the threshold and takes the unhinted path, where AQE keeps the
+    * shuffled join — the hint can never OOM the driver.
+    */
+  def loadModel(spark: SparkSession, path: String): DataFrame = {
+    val model = spark.read.parquet(path)
+      .select(col("__w").cast("string"), col("__w2").cast("string"),
+        col("__lp").cast("double"))
+    val threshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(v => if (v.endsWith("b") || v.exists(_.isLetter))
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+      else v.toLong)
+      .getOrElse(10L * 1024 * 1024)
+    val onDisk =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    if (threshold > 0 && onDisk <= threshold) broadcast(model) else model
+  }
+
+  /** Score documents against a trained model: per doc, the count of its
+    * bigrams and the round-6 average of the model's per-type
+    * log-probabilities. The join is INNER: every bigram of a corpus scored
+    * against its own self-trained model matches by construction; scoring
+    * against a FOREIGN model (the CCNet reference-corpus regime) drops
+    * out-of-vocabulary bigrams from the average — callers wanting a
+    * smoothed open-vocabulary floor should union a floor row per unseen
+    * type before scoring.
+    */
+  def scoreAgainstModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    val (_, bigrams) = bigramsOf(docs, idCol, textCol, materialize = false)
+    bigrams
+      .join(model, Seq("__w", "__w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         Num.round0(avg(col("__lp")), 6).as("avg_logp"))
   }
+
+  /** Self-trained scoring — train on `docs`, score `docs` — the regime the
+    * relational oracle replays end-to-end. Kept as the single-call entry;
+    * production pipelines split it at the artifact boundary
+    * ([[trainBigramModel]] → [[saveModel]] / [[loadModel]] →
+    * [[scoreAgainstModel]]).
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7,
+      oneMinusLambda: Double = 0.3): DataFrame =
+    scoreAgainstModel(docs, idCol, textCol,
+      trainBigramModel(docs, idCol, textCol, lambda, oneMinusLambda))
 }

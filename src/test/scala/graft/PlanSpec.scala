@@ -390,14 +390,23 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("bigram LM: word-array frame materialized once; NO window, no sort for bigrams") {
+  test("bigram LM: scores against the model artifact — one join, no window, no re-train") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     assumeTestData(dir)
     val qe = SparkEntry.queries("q_bigram_lm")(spark, dir).queryExecution
     val plan = qe.explainString(SimpleMode)
-    assert(plan.contains("ExistingRDD"), plan)
-    assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
+    // r10 artifact boundary: the scoring plan reads EXACTLY two parquet
+    // sources — the documents and the persisted model — and nothing else;
+    // a third scan or a reappearing checkpoint means training crept back
+    // into the scoring path
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the model is under the broadcast threshold at gate scale, and the
+    // load path measured its file size — the join must be broadcast-hash,
+    // not an AQE shuffle detour
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     // r7c: bigrams slice out of the words array — the corpus-wide
     // (doc, pos) sort + lead window must never come back
     val windows = qe.optimizedPlan.collect { case w: LWindow => w }

@@ -32,6 +32,29 @@ class LanguageModelSpec extends SparkTestBase {
     assert(ids == Set(3L), s"ids=$ids")
   }
 
+  test("scoring against the saved/loaded model artifact is bit-identical to self-trained") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c a b c c d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_artifact").toFile
+    try {
+      val path = s"${dir.getAbsolutePath}/bigram_lm"
+      LanguageModel.saveModel(
+        LanguageModel.trainBigramModel(docs, "doc_id", "text"), path)
+      val viaArtifact = LanguageModel.scoreAgainstModel(docs, "doc_id", "text",
+          LanguageModel.loadModel(spark, path))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val selfTrained = LanguageModel.bigramLmScore(docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(viaArtifact.toSeq == selfTrained.toSeq,
+        s"artifact ${viaArtifact.toSeq} vs self ${selfTrained.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("rarer continuations score lower") {
     // "c d" appears once, "a b" five times: avg_logp("a b") > avg_logp("c d")
     val docs = (1L to 5L).map(i => (i, "a b")) :+ (6L, "c d")
