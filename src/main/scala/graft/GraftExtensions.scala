@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinMd5Hex, NfcNormalize, NormalizeForDedup, PairComponents, RollingMinHash, SearchSorted, VectorCovSums, VectorDot, WordListHits, WordShingles}
+import graft.functions.{CosineSim, MinMd5Hex, NfcNormalize, NormalizeForDedup, PairComponents, RollingMinHash, SearchSorted, ShingleHashes, VectorCovSums, VectorDot, WordListHits, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native expressions
   * available to pure-SQL users on any cluster via
@@ -88,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             }
           case other => throw new IllegalArgumentException(
             s"search_sorted requires an array literal of numbers, got $other")
+        }) }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => { arity(exprs, 2, "shingle_hashes"); ShingleHashes(exprs.head,
+        foldableArg(exprs, 1, "shingle_hashes", "an integer n") match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
         }) }))
     injectR8(ext)
   }

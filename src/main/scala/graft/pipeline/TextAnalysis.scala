@@ -126,9 +126,13 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, roundTo: Int = 6): DataFrame = {
+    // hash at the byte scan ([[graft.functions.ShingleHashes]] — bit-equal
+    // to xxhash64(word_shingles(...)) but with no shingle-string
+    // allocation; the per-shingle UTF8String burst was the recorded GC
+    // band at the 500k-doc crossover fixture)
     val exD = docs
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__sh"))
+      .select(col(idCol), explode(
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n)).as("__sh"))
       .distinct()
     val perDoc = exD.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val novel = exD.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
