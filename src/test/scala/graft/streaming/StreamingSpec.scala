@@ -1010,6 +1010,60 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
   }
 
+  test("streaming SemDeDup drops same-cell cosine dups vs prior; cross-batch incrKeep parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // two orthogonal unit centroids: cell 0 = x-axis, cell 1 = y-axis
+    val centroids = Array(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 1.0)))
+    val prior = Seq(
+      (100L, Array(1.0, 0.0)),   // cell 0
+      (101L, Array(0.0, 1.0)))   // cell 1
+      .toDF("vec_id", "embedding")
+    val priorAssigned = graft.pipeline.Similarity
+      .ivfAssignWithSim(prior, "embedding", centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .cache()
+
+    val input = MemoryStream[(Long, Array[Double])]
+    val out = StreamingSemDedup.keepAgainstPrior(
+      input.toDS().toDF("vec_id", "embedding"),
+      priorAssigned, "embedding", centroids, threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+
+    // batch 1: 1 = dup of prior 100 (same cell, cos 1.0) -> dropped;
+    //          2 = cell-0 but far from prior (cos ~.707 < .9) -> kept
+    input.addData((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.44)))
+    q.processAllAvailable()
+    // batch 2: 3 = dup of prior 101 -> dropped; 4 and 5 land in cell 1
+    // with cosine vs prior 101 just under the gate (~.898, ~.8) -> kept
+    input.addData((3L, Array(0.0, 1.0)), (4L, Array(0.44, 0.9)),
+      (5L, Array(0.6, 0.8)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamKept = spark.table("semdedup_stream")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    // batch contract on the SAME arrivals (both micro-batches unioned)
+    val allFresh = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.44)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.44, 0.9)), (5L, Array(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val batchKept = graft.pipeline.SemDedup.incrKeep(
+      allFresh, prior, "vec_id", "embedding", centroids, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    assert(streamKept.toSeq == batchKept.toSeq,
+      s"stream ${streamKept.toSeq} vs batch ${batchKept.toSeq}")
+    // the dups of prior rows are gone, survivors carry their cells
+    val keptIds = streamKept.map(_._1).toSet
+    assert(!keptIds.contains(1L) && !keptIds.contains(3L), streamKept.toSeq.toString)
+    assert(keptIds.contains(2L), streamKept.toSeq.toString)
+  }
+
   // ---- equal-millisecond stale-rule pins -----------------------------------
   // The family contract: only arrivals STRICTLY before the key's last seen ts
   // are stale. An arrival at the SAME millisecond — whether in the same
