@@ -513,4 +513,33 @@ class PlanSpec extends SparkTestBase {
       assert(bad.isEmpty, s"$q has unpartitioned windows:\n${bad.mkString("\n")}")
     }
   }
+
+  test("scan/exchange budgets: the audited chain plans can't silently grow") {
+    // the ReuseCheck/ExplainCheck dev mains promoted to a failing gate
+    // (r9 verdict item 7): each chain's physical plan is pinned to its
+    // audited resource ceiling — an extra FileScan means a descent
+    // stopped sharing its source (a checkpoint or reuse regressed), an
+    // extra Exchange means a stage stopped satisfying its child's
+    // distribution (e.g. the subset-partitioning tricks regressed).
+    // Ceilings, not equalities, so a plan IMPROVEMENT never fails.
+    assumeTestData(dir)
+    val budgets = Seq(
+      // q -> (max FileScan parquet, max Exchange)
+      ("q_resample_1h",    1, 3),
+      ("q_resample_keyed", 2, 5),
+      ("q_curate",         1, 7),
+      ("q_dedup_keep",     1, 3),
+      ("q_stickiness",     1, 7),
+      ("q_bigram_lm",      2, 3))
+    for ((q, maxScans, maxExch) <- budgets) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution
+        .executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      val exch  = "(?<!Reused)Exchange ".r.findAllIn(plan).length
+      assert(scans <= maxScans,
+        s"$q: $scans scans > audited $maxScans\n$plan")
+      assert(exch <= maxExch,
+        s"$q: $exch exchanges > audited $maxExch\n$plan")
+    }
+  }
 }
