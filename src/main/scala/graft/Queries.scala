@@ -5329,6 +5329,91 @@ object Queries {
       |       round(dot / (sqrt(nl) * sqrt(ng)), 6) + 0 AS centroid_cos
       |FROM d JOIN np USING (label) ORDER BY label""".stripMargin
 
+  /** Trained per-dimension rank-normalization grid ([[EmbedStats
+    * .rankGrid]] — [[graft.pipeline.RankSelect]] two-phase exact rank
+    * selection, no whole-dimension sort) exported as (dim_idx, value)
+    * scalars, the [[ivfCentroids]] artifact convention. The oracle
+    * re-derives the DISCRETE rank-⌈p·n⌉ values relationally, so the
+    * export is value-checked, not just shape-checked.
+    */
+  private val rankGridCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Array[Double]]]
+
+  private def trainedRankGrid(spark: SparkSession, dir: String): Map[Int, Array[Double]] =
+    rankGridCache.getOrElseUpdate(dir,
+      loadOrTrain(spark, dir, "rank_grid",
+        p => EmbedStats.loadRankGrid(spark, p),
+        p => {
+          val g = EmbedStats.rankGrid(tbl(spark, dir, "embeddings"), "embedding")
+          EmbedStats.saveRankGrid(spark, g, p)
+          g
+        }))
+
+  def embedRankGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedRankGrid(spark, dir).toSeq.sortBy(_._1)
+      .flatMap { case (d, g) => g.toSeq.map(v => (d, v)) }
+      .toDF("dim_idx", "value")
+      .orderBy("dim_idx", "value")
+  }
+
+  private def rankLadderSql: String =
+    (1 to 19).map(i => (i * 0.05).toString).mkString(", ")
+
+  val embedRankGridSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(t.i - 1 AS INT) AS dim_idx,
+       |         CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM embeddings,
+       |       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+       |  WHERE embedding[t.i] IS NOT NULL
+       |), r AS (
+       |  SELECT dim_idx, v,
+       |         row_number() OVER (PARTITION BY dim_idx ORDER BY v) AS rn,
+       |         count(*) OVER (PARTITION BY dim_idx) AS n
+       |  FROM e
+       |), ladder AS (SELECT unnest([$rankLadderSql]) AS p)
+       |SELECT DISTINCT dim_idx, v AS value
+       |FROM r JOIN ladder ON rn = CAST(ceiling(p * n) AS BIGINT)
+       |ORDER BY dim_idx, value""".stripMargin
+
+  /** Rank-normalized embedding coordinates ([[EmbedStats.rankTransform]]
+    * against the trained grid): per (vector, dim), the discrete quantile
+    * bucket and `bucket/(|grid|+1)` score — the monotone outlier-proof
+    * scaling next to [[embedRobust]]'s affine one, sharing the
+    * train-once/transform-many artifact boundary with every other index.
+    */
+  def embedRankNorm(spark: SparkSession, dir: String): DataFrame =
+    EmbedStats.rankTransform(tbl(spark, dir, "embeddings"), "vec_id",
+        "embedding", trainedRankGrid(spark, dir))
+      .orderBy("vec_id", "dim_idx")
+
+  val embedRankNormSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(t.i - 1 AS INT) AS dim_idx,
+       |         CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM embeddings,
+       |       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+       |), r AS (
+       |  SELECT dim_idx, v,
+       |         row_number() OVER (PARTITION BY dim_idx ORDER BY v) AS rn,
+       |         count(*) OVER (PARTITION BY dim_idx) AS n
+       |  FROM ex WHERE v IS NOT NULL
+       |), ladder AS (SELECT unnest([$rankLadderSql]) AS p),
+       |g AS (
+       |  SELECT dim_idx, list_sort(list_distinct(list(v))) AS grid
+       |  FROM r JOIN ladder ON rn = CAST(ceiling(p * n) AS BIGINT)
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id, dim_idx,
+       |       CASE WHEN v IS NOT NULL AND grid IS NOT NULL
+       |            THEN len(list_filter(grid, s -> s <= v)) END AS q_bucket,
+       |       CASE WHEN v IS NOT NULL AND grid IS NOT NULL
+       |            THEN round(CAST(len(list_filter(grid, s -> s <= v)) AS DOUBLE)
+       |                       / (len(grid) + 1), 6) END AS qscore
+       |FROM ex LEFT JOIN g USING (dim_idx)
+       |ORDER BY vec_id, dim_idx""".stripMargin
+
   /** Top BPE merge candidates ([[TextAnalysis.bpePairStats]]): the
     * highest-count adjacent char pairs, corpus-weighted — step one of BPE
     * vocabulary training. Total order: count desc, pair asc.

@@ -360,4 +360,89 @@ object EmbedStats {
         Num.round0((col("s.sij") - col("s.si") * col("s.sj") / col("s.n")) / col("s.n"),
           roundTo).as("cov"))
   }
+
+  // ------------------------------------------------- rank normalization (r10)
+
+  /** Train the per-dimension DISCRETE quantile grid — the
+    * rank-normalization preconditioner for embedding columns (monotone,
+    * outlier-proof; the embedding-space sibling of
+    * `Queries.quantileTransform`'s per-type grid, completing the
+    * robust-scaling family next to [[robustScale]]).
+    *
+    * Discrete (rank-selected) splits, not interpolated ones: the value at
+    * rank ⌈p·n⌉ IS a data value, so any engine re-deriving the grid
+    * compares identical doubles — the recorded lesson that interpolated
+    * quantiles flip buckets by an ulp. Trained via
+    * [[RankSelect.exactQuantileGrid]]: two bounded aggregation passes,
+    * no whole-dimension sort anywhere (64 dims would otherwise be 64
+    * single-task corpus sorts — the low-cardinality-window hazard).
+    */
+  def rankGrid(
+      embeds: DataFrame,
+      vecCol: String,
+      ps: Seq[Double] = (1 to 19).map(_ * 0.05),
+      accuracy: Int = 10000): Map[Int, Array[Double]] =
+    RankSelect.exactQuantileGrid(
+      embeds.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(col("dim").cast("string").as("__k"),
+          col("x").cast("double").as("__v")),
+      "__k", "__v", ps, accuracy)
+      .map { case (k, g) => k.toInt -> g }
+
+  /** Persist a trained rank grid as a KB-scale parquet artifact —
+    * (dim_idx, value) scalars, the exploded export convention the
+    * relational oracles reassemble with `list(... ORDER BY value)`
+    * (same boundary as `Similarity.saveCentroids`).
+    */
+  def saveRankGrid(spark: org.apache.spark.sql.SparkSession,
+      grid: Map[Int, Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    grid.toSeq.sortBy(_._1)
+      .flatMap { case (d, g) => g.toSeq.map(v => (d, v)) }
+      .toDF("dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a grid persisted by [[saveRankGrid]] (bounded collect: ≤ |ps|
+    * rows per dimension).
+    */
+  def loadRankGrid(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Int, Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("dim_idx").cast("int"), col("value").cast("double"))
+      .collect()
+    require(rows.nonEmpty, s"empty rank-grid artifact at $path")
+    rows.groupBy(_.getInt(0)).map { case (d, rs) =>
+      d -> rs.map(_.getDouble(1)).sorted
+    }
+  }
+
+  /** Rank-normalize every vector against a trained grid: one output row
+    * per (id, dim) with the value's discrete quantile bucket and
+    * `qscore = bucket / (|grid_dim| + 1)`. Dimensions absent from the
+    * grid (no trained splits) emit NULL bucket/score.
+    *
+    * Scale shape: posexplode is narrow, the per-dim bucket is ONE
+    * [[graft.functions.RankBucket]] kernel call (the whole grid family a
+    * flat codegen reference object; a per-dim `when`-chain of
+    * SearchSorted calls FAILED codegen compilation at 64 dims — the JVM
+    * 64 KB method cliff NearestCell documents — and ran interpreted), and
+    * there is no join or window at any scale.
+    */
+  def rankTransform(
+      embeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      grid: Map[Int, Array[Double]],
+      roundTo: Int = 6): DataFrame = {
+    require(grid.nonEmpty, "rank grid must not be empty")
+    embeds
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim_idx", "__x")))
+      .withColumn("__rb", graft.functions.RankBucket.rankBucket(
+        col("__x").cast("double"), col("dim_idx"), grid))
+      .select(col(idCol), col("dim_idx"),
+        col("__rb.q_bucket").as("q_bucket"),
+        round(col("__rb.q_bucket").cast("double") / col("__rb.denom"), roundTo)
+          .as("qscore"))
+  }
 }

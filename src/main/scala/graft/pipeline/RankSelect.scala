@@ -103,16 +103,22 @@ object RankSelect {
 
     // pass 2: (key, segment, in-band value) cells. Segment ids alternate
     // outside/inside: seg 2i = values below interval i, seg 2i+1 = inside
-    // interval i, last seg = above the final interval.
-    val segOf: Column = plans.foldLeft(lit(null).cast("int")) {
-      case (acc, (k, plan)) =>
-        val chain = plan.intervals.zipWithIndex.foldRight(
-            lit(2 * plan.intervals.length)) { case (((lo, hi), i), rest) =>
-          when(col("__v") < lit(lo), lit(2 * i))
-            .otherwise(when(col("__v") <= lit(hi), lit(2 * i + 1)).otherwise(rest))
-        }
-        when(col("__k") === lit(k), chain).otherwise(acc)
+    // interval i, last seg = above the final interval. The assignment is
+    // ONE RankBucket kernel call — seg = upper-bound search over the
+    // key's boundary ladder [lo₁, nextUp(hi₁), lo₂, nextUp(hi₂), …]
+    // (v ≤ hi counts lo only → odd inside id; v > hi also counts
+    // nextUp(hi) → even outside id). A per-key when-chain of interval
+    // tests FAILS codegen compilation past ~60 keys (the 64 KB method
+    // cliff — observed at 64 embedding dims) and runs interpreted; the
+    // kernel's generated code is constant-size in the key count.
+    val keyIdx = plans.keys.toSeq.sorted.zipWithIndex.toMap
+    val boundaryFamily: Map[Int, Array[Double]] = plans.map { case (k, plan) =>
+      keyIdx(k) -> plan.intervals.flatMap { case (lo, hi) =>
+        Seq(lo, Math.nextUp(hi)) }.toArray
     }
+    val segOf: Column = graft.functions.RankBucket.rankBucket(
+        col("__v"), element_at(typedLit(keyIdx), col("__k")), boundaryFamily)
+      .getField("q_bucket").cast("int")
     val inBand = (col("__seg") % 2) === 1
     val cells = rows
       .withColumn("__seg", segOf)
