@@ -270,20 +270,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
-  /** MinHash signatures as a table: explode shingles once, then ONE hash
-    * aggregation computing all `numHashes` minima (hash function i =
-    * `xxhash64(i, shingle)`). The explode materializes the shingle expression
-    * exactly once — expressing this as nested array functions would let
-    * Catalyst's project-collapse inline the (regex-heavy) shingle expression
-    * into every hash. Output: (idCol, __mh0..__mh{n-1}).
+  /** MinHash signatures as a table: ONE narrow byte-scan kernel per doc
+    * ([[graft.functions.MinHashSig]] — hash function i =
+    * `xxhash64(i, shingle)`, the identical chained-seed family, pinned
+    * bit-equal by MinHashSigSpec). Output: (idCol, __mh0..__mh{n-1}),
+    * docs with < n words dropped — the same rows the pre-r10
+    * explode→groupBy formulation produced, WITHOUT its per-shingle
+    * string allocation, its (shingle × numHashes) aggregate updates, or
+    * its corpus-wide doc-keyed shuffle: the signature is now a per-row
+    * expression and LSH banding runs straight off the scan.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val exploded = explodedShingles(df, textCol, idCol, n)
-    val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"__mh$i")
-    }
-    exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val sig = graft.functions.MinHashSig.minHashSig(col(textCol), n, numHashes)
+    df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"__mh$i")): _*)
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of `rowsPerBand`

@@ -103,16 +103,15 @@ object StreamingDedup {
         }: _*)).as("bb"))
       .select(col("id_prior"), col("__sig_prior"), col("bb.band"), col("bb.bucket"))
 
-    // stream side: per-row signature — hash i's min over the distinct
-    // shingles (identical hash family to the batch signatures: xxhash64 of
-    // (int i, string shingle)). No groupBy: a document is one row.
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("__sh"), s => xxhash64(i, s))))
+    // stream side: per-row signature — the same one-pass byte-scan kernel
+    // the batch signatures use (r10: [[graft.functions.MinHashSig]],
+    // identical chained-seed hash family xxhash64(i, shingle); min over
+    // duplicates = min over distinct, so values are unchanged). A doc is
+    // one row; no groupBy, no shingle strings.
     val withSig = df
-      .withColumn("__sh",
-        array_distinct(graft.pipeline.TextAnalysis.shingles(col(textCol), n)))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig_new", sig)
+      .withColumn("__sig_new",
+        graft.functions.MinHashSig.minHashSig(col(textCol), n, k))
+      .filter(col("__sig_new").isNotNull)
       .withWatermark(tsCol, watermarkDelay)
 
     val banded = withSig.select(
@@ -199,14 +198,11 @@ object StreamingDedup {
     val k = bands * rowsPerBand
     val horizonMs = parseDelayMs(watermarkDelay)
     // identical hash family to the batch signatures and the artifact
-    // variant above: hash i = min over distinct shingles of xxhash64(i, s)
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("__sh"), s => xxhash64(i, s))))
+    // variant above: the shared MinHashSig kernel (xxhash64(i, shingle))
     val banded = df
-      .withColumn("__sh",
-        array_distinct(graft.pipeline.TextAnalysis.shingles(col(textCol), n)))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", sig)
+      .withColumn("__sig",
+        graft.functions.MinHashSig.minHashSig(col(textCol), n, k))
+      .filter(col("__sig").isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .select(
         explode(array((0 until bands).map { b =>
