@@ -128,10 +128,26 @@ object Dedup {
     definitelyNew.unionByName(settledNew)
   }
 
-  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  /** Distinct word n-gram shingles per doc: (id, shingle). String-valued —
+    * for consumers that OUTPUT shingles (ngram frequency reports); the
+    * join/count paths use [[explodedShingleHashes]].
+    */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+
+  /** Distinct word n-gram shingle HASHES per doc: (id, shingle: long),
+    * `shingle = xxhash64(shingle string)` computed by the
+    * [[graft.functions.ShingleHashes]] byte-scan kernel — bit-identical
+    * values to `xxhash64` over [[explodedShingles]]'s strings, with no
+    * shingle string ever allocated. Every join/count consumer was already
+    * on hashed keys (the ~2^-40-per-pair collision stance documented at
+    * [[jaccardPairs]]); this moves the hashing before the explode.
+    */
+  def explodedShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(
+          graft.functions.ShingleHashes.shingleHashes(col(textCol), n))).as("shingle"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity >= `threshold`.
     * `maxShingleDf` drops shingles appearing in more than that many docs
@@ -148,8 +164,7 @@ object Dedup {
     // Join on a 64-bit hash of the shingle, not the string: narrower shuffle
     // and cheaper equality. Collision probability at corpus scale is ~2^-40+
     // per pair and only perturbs a count by 1 — far below any threshold.
-    val sh = explodedShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = explodedShingleHashes(df, textCol, idCol, n)
     val filteredLineage =
       if (maxShingleDf == Int.MaxValue) sh
       else {
@@ -237,8 +252,7 @@ object Dedup {
       threshold: Double = 0.9,
       maxShingleDf: Int = Int.MaxValue,
       roundTo: Int = 6): DataFrame = {
-    val sh = explodedShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = explodedShingleHashes(df, textCol, idCol, n)
     val filteredLineage =
       if (maxShingleDf == Int.MaxValue) sh
       else {
@@ -329,7 +343,8 @@ object Dedup {
         .union(candIds.select(col("id_b").as(idCol))).distinct()
       val shingled = materializeOnce(
         df.join(ids, Seq(idCol), "left_semi").select(col(idCol),
-          array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh")))
+          array_distinct(graft.functions.ShingleHashes.shingleHashes(
+            col(textCol), n)).as("__sh")))
       val aSh = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
       val bSh = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
       candIds.join(aSh, Seq("id_a")).join(bSh, Seq("id_b"))
@@ -402,7 +417,8 @@ object Dedup {
       materializeOnce(
         docs.join(keep.select(col(outId).as(idCol)).distinct(), Seq(idCol), "left_semi")
           .select(col(idCol).as(outId),
-            array_distinct(TextAnalysis.shingles(col(textCol), n)).as(s"__sh_$outId")))
+            array_distinct(graft.functions.ShingleHashes.shingleHashes(
+              col(textCol), n)).as(s"__sh_$outId")))
     val newSh   = candSide(newDocs, cands, "id_new")
     val priorSh = candSide(priorDocs, cands, "id_prior")
     cands.join(newSh, Seq("id_new")).join(priorSh, Seq("id_prior"))
@@ -428,8 +444,7 @@ object Dedup {
     */
   def dupShingleFraction(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = explodedShingleHashes(df, textCol, idCol, n)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     sh.withColumn("__df", count(lit(1)).over(w))
       .groupBy(col(idCol))
@@ -468,8 +483,8 @@ object Dedup {
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = df.select(col(idCol),
-      posexplode(TextAnalysis.shingles(col(textCol), n)).as(Seq("pos", "sh")))
-      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("sh"))
+      posexplode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as(Seq("pos", "sh")))
     val p = materializeOnce(pairs.select(col("id_a"), col("id_b")))
     val a = pos.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("sh"))
     val b = pos.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("sh"))
@@ -640,7 +655,8 @@ object Dedup {
                          n: Int, minShared: Long = 1L): DataFrame = {
     def postings(df: DataFrame, id: String, outId: String) = df
       .select(col(id).as(outId),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+        explode(array_distinct(graft.functions.ShingleHashes.shingleHashes(
+          col(textCol), n))).as("shingle"))
     val benchPost  = postings(bench, benchIdCol, "bench_id")
     val corpusPost = postings(corpus, idCol, "__cid")
     corpusPost
