@@ -740,6 +740,46 @@ object Stress {
       s"whitened variance off unit: $vz0 / $vz3")
     println(f"""{"stage":"embed_whiten","vecs":$nvp,"var_z0":$vz0%.6f,"var_z3":$vz3%.6f}""")
 
+    // ---- r10 rank-normalization at volume: two-phase exact rank
+    // selection (RankSelect — approx-percentile bands + one bounded cell
+    // aggregation, NO whole-dimension sort) + the RankBucket kernel
+    // transform. Invariants:
+    //  - all 32 dims trained; grids strictly ascending, 2..19 splits;
+    //  - bucket occupancy IS the discrete-quantile definition: every
+    //    (dim, bucket) exists (up to one boundary-tie empty), no bucket
+    //    swallowed more than 25% of a dim, counts sum exactly to rows;
+    //  - no NULL buckets on trained dims; mean qscore near center.
+    val rgT0 = System.nanoTime()
+    val rGrid = graft.pipeline.EmbedStats.rankGrid(pVecs, "embedding")
+    val sRg = (System.nanoTime() - rgT0) / 1e9
+    println(f"""{"stage":"rank_grid","vecs":$nvp,"dims":${rGrid.size},"sec":$sRg%.2f}""")
+    assert(rGrid.size == covDim, s"trained dims ${rGrid.size} of $covDim")
+    rGrid.foreach { case (d, g) =>
+      assert(g.length >= 2 && g.length <= 19, s"dim $d grid size ${g.length}")
+      assert(g.zip(g.tail).forall { case (x, y) => x < y }, s"dim $d grid not ascending")
+    }
+    val rtT0 = System.nanoTime()
+    val rCells = graft.pipeline.EmbedStats
+      .rankTransform(pVecs, "vec_id", "embedding", rGrid)
+      .groupBy(col("dim_idx"), col("q_bucket"))
+      .agg(count(lit(1)).as("c"), avg(col("qscore")).as("qs"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val sRt = (System.nanoTime() - rtT0) / 1e9
+    println(f"""{"stage":"rank_transform","rows":${nvp * covDim},"sec":$sRt%.2f}""")
+    assert(!rCells.exists(_._2.isEmpty), "NULL bucket on a trained dim")
+    assert(rCells.map(_._3).sum == nvp * covDim, "bucket counts don't cover rows")
+    for (d <- 0 until covDim) {
+      val cells = rCells.filter(_._1 == d)
+      val gLen  = rGrid(d).length
+      assert(cells.length >= gLen, s"dim $d: ${cells.length} buckets for $gLen splits")
+      assert(cells.map(_._3).max <= nvp / 4, s"dim $d: a bucket holds >25%")
+      val meanQs = cells.map(c => c._4.get * c._3).sum / nvp
+      assert(meanQs > 0.35 && meanQs < 0.65, s"dim $d mean qscore $meanQs")
+    }
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

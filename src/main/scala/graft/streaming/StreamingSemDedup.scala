@@ -64,4 +64,22 @@ object StreamingSemDedup {
         round(Similarity.cosine(col(vecCol), col("__pv")), 6) >= lit(threshold),
       "left_anti")
   }
+
+  /** Streaming rank-normalization: every arriving vector scored against
+    * the TRAINED per-dimension quantile grid
+    * ([[graft.pipeline.EmbedStats.loadRankGrid]] — the same persisted
+    * artifact the batch transform uses). Pure per-row narrow work
+    * (posexplode + one [[graft.functions.RankBucket]] kernel call), so
+    * the operator is stateless, watermark-free, and Append by
+    * construction — and batch parity is structural: the union of outputs
+    * over any micro-batch split equals
+    * [[graft.pipeline.EmbedStats.rankTransform]] on the unioned arrivals.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      grid: Map[Int, Array[Double]],
+      roundTo: Int = 6): DataFrame =
+    graft.pipeline.EmbedStats.rankTransform(df, idCol, vecCol, grid, roundTo)
 }

@@ -1064,6 +1064,39 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds.contains(2L), streamKept.toSeq.toString)
   }
 
+  test("streaming rank-normalization scores arrivals against the trained grid; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val grid = Map(
+      0 -> Array(1.0, 2.0, 3.0),
+      1 -> Array(10.0))
+    val input = MemoryStream[(Long, Array[Double])]
+    val out = StreamingSemDedup.rankNormalize(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding", grid)
+    val q = out.writeStream.format("memory").queryName("ranknorm_stream")
+      .outputMode("append").start()
+    input.addData((1L, Array(0.5, 20.0)), (2L, Array(2.0, 5.0)))
+    q.processAllAvailable()
+    input.addData((3L, Array(9.0, 10.0, 7.0))) // dim 2 untrained -> nulls
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val rows = spark.table("ranknorm_stream").collect().map(tup)
+      .sortBy(r => (r._1, r._2))
+    val batch = graft.pipeline.EmbedStats.rankTransform(
+      Seq((1L, Array(0.5, 20.0)), (2L, Array(2.0, 5.0)),
+        (3L, Array(9.0, 10.0, 7.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", grid)
+      .collect().map(tup).sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == batch.toSeq, s"stream ${rows.toSeq} vs batch ${batch.toSeq}")
+    // hand-checks: vec 1 dim 0: 0.5 below all splits -> bucket 0, score 0;
+    // vec 2 dim 0: 2.0 <= two splits -> bucket 2/4; vec 3 dim 2 -> nulls
+    assert(rows.find(r => r._1 == 1L && r._2 == 0).get._3.contains(0L))
+    assert(rows.find(r => r._1 == 2L && r._2 == 0).get._4.contains(0.5))
+    assert(rows.find(r => r._1 == 3L && r._2 == 2).get._3.isEmpty)
+  }
+
   // ---- equal-millisecond stale-rule pins -----------------------------------
   // The family contract: only arrivals STRICTLY before the key's last seen ts
   // are stale. An arrival at the SAME millisecond — whether in the same
