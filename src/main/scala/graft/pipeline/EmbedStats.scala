@@ -381,7 +381,7 @@ object EmbedStats {
       embeds: DataFrame,
       vecCol: String,
       ps: Seq[Double] = (1 to 19).map(_ * 0.05),
-      accuracy: Int = 10000): Map[Int, Array[Double]] =
+      accuracy: Int = 2000): Map[Int, Array[Double]] =
     RankSelect.exactQuantileGrid(
       embeds.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
         .select(col("dim").cast("string").as("__k"),

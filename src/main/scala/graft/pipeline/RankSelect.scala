@@ -63,7 +63,7 @@ object RankSelect {
       keyCol: String,
       valueCol: String,
       ps: Seq[Double],
-      accuracy: Int = 10000): Map[String, Array[Double]] = {
+      accuracy: Int = 2000): Map[String, Array[Double]] = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), s"bad ps: $ps")
     val margin = 3.0 / accuracy
     // fraction ladder: every p plus its band edges, deduped, sorted
