@@ -324,6 +324,39 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("score"))
   }
 
+  /** The quality gate's trained threshold as a driver scalar — the
+    * train-once artifact for gating LATER batches (or a stream — see
+    * `StreamingTextQuality`) against a reference corpus' score
+    * distribution, instead of re-deriving the percentile per batch
+    * (which would also let a low-quality batch lower its own bar).
+    * Same score, filter and percentile as [[qualityGate]], so gating a
+    * corpus against its own trained threshold reproduces `qualityGate`
+    * row-for-row.
+    */
+  def qualityThreshold(docs: DataFrame, textCol: String,
+      minTokens: Long = 5L, p: Double = 0.25): Double = {
+    require(p > 0 && p < 1, s"p must be in (0, 1): $p")
+    val sigs = qualitySignals(col(textCol)).toMap
+    docs.select(sigs("n_tokens").as("n_tokens"),
+        round(sigs("stopword_ratio"), 6).as("score"))
+      .filter(col("n_tokens") >= minTokens)
+      .agg(expr(s"percentile(score, $p)").as("__thr"))
+      .head().getDouble(0)
+  }
+
+  /** Gate rows against a FIXED trained threshold (from
+    * [[qualityThreshold]]): pure per-row work — one [[qualitySignals]]
+    * kernel evaluation and two comparisons, no aggregation — so it runs
+    * identically over a batch or a stream.
+    */
+  def gateAgainstThreshold(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, minTokens: Long = 5L): DataFrame = {
+    val sigs = qualitySignals(col(textCol)).toMap
+    docs.select(col(idCol), sigs("n_tokens").as("n_tokens"),
+        round(sigs("stopword_ratio"), 6).as("score"))
+      .filter(col("n_tokens") >= minTokens && col("score") >= lit(threshold))
+  }
+
   /** Top-`k` most characteristic terms per document by tf-idf with a LINEAR
     * idf (`score = tf · n_docs / df` — no logarithm): cross-engine `ln`
     * implementations differ in the last ulp, while this score is exact

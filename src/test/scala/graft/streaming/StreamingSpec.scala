@@ -1097,6 +1097,54 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.find(r => r._1 == 3L && r._2 == 2).get._3.isEmpty)
   }
 
+  test("streaming quality gate filters against the trained threshold; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: stopword-free docs score 0, stopword-rich score high
+    val corpus = Seq(
+      (100L, "the cat sat on the mat and the dog ran"),
+      (101L, "a bird in the hand is worth two in a bush"),
+      (102L, "quantum flux capacitor module vector tensor units"),
+      (103L, "gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val thr = graft.pipeline.TextAnalysis.qualityThreshold(corpus, "text", p = 0.5)
+    assert(thr > 0.0, s"threshold $thr")
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingTextQuality.gateAgainstThreshold(
+      input.toDS().toDF("doc_id", "text"), "text", "doc_id", thr)
+    val q = out.writeStream.format("memory").queryName("qgate_stream")
+      .outputMode("append").start()
+    input.addData((1L, "the cat and the dog and the bird sat"), // stopword-rich: keep
+      (2L, "alpha beta gamma delta epsilon zeta"))              // zero stopwords: drop
+    q.processAllAvailable()
+    input.addData((3L, "short one"),                            // < 5 tokens: drop
+      (4L, "it is what it is and that is that"))                // keep
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("qgate_stream").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L), kept.toSeq.toString)
+
+    // batch parity on the unioned arrivals
+    val batch = graft.pipeline.TextAnalysis.gateAgainstThreshold(
+      Seq((1L, "the cat and the dog and the bird sat"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "short one"), (4L, "it is what it is and that is that"))
+        .toDF("doc_id", "text"), "text", "doc_id", thr)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == batch.toSeq)
+
+    // self-training consistency: gating the corpus against its OWN trained
+    // threshold reproduces the batch qualityGate row set
+    val viaArtifact = graft.pipeline.TextAnalysis.gateAgainstThreshold(
+      corpus, "text", "doc_id", thr).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val viaGate = graft.pipeline.TextAnalysis.qualityGate(
+      corpus, "text", "doc_id", p = 0.5).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(viaArtifact == viaGate, s"$viaArtifact vs $viaGate")
+  }
+
   // ---- equal-millisecond stale-rule pins -----------------------------------
   // The family contract: only arrivals STRICTLY before the key's last seen ts
   // are stale. An arrival at the SAME millisecond — whether in the same
