@@ -90,6 +90,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"search_sorted requires an array literal of numbers, got $other")
         }) }))
     ext.injectFunction((
+      new FunctionIdentifier("min_hash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "min_hash_sig"),
+      (exprs: Seq[Expression]) => { arity(exprs, 3, "min_hash_sig")
+        def intArg(i: Int, what: String): Int =
+          foldableArg(exprs, i, "min_hash_sig", what) match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"min_hash_sig $what must be an integer literal, got $other")
+          }
+        graft.functions.MinHashSig(exprs.head,
+          intArg(1, "shingle width n"), intArg(2, "signature length k")) }))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => { arity(exprs, 2, "shingle_hashes"); ShingleHashes(exprs.head,

@@ -39,6 +39,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("r10 functions: shingle_hashes and min_hash_sig via SQL") {
+    withExtensionsSession { spark =>
+      val sh = spark.sql(
+        "SELECT shingle_hashes('a b c d', 3) AS h, " +
+        "array(xxhash64('a b c'), xxhash64('b c d')) AS ref").head
+      assert(sh.getSeq[Long](0) == sh.getSeq[Long](1))
+      val ms = spark.sql(
+        "SELECT min_hash_sig('a b c d', 3, 4) AS sig, " +
+        "array(least(xxhash64(0, 'a b c'), xxhash64(0, 'b c d')), " +
+        "      least(xxhash64(1, 'a b c'), xxhash64(1, 'b c d')), " +
+        "      least(xxhash64(2, 'a b c'), xxhash64(2, 'b c d')), " +
+        "      least(xxhash64(3, 'a b c'), xxhash64(3, 'b c d'))) AS ref").head
+      assert(ms.getSeq[Long](0) == ms.getSeq[Long](1))
+    }
+  }
+
   test("clear errors for bad SQL arguments") {
     withExtensionsSession { spark =>
       val e1 = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").head)
