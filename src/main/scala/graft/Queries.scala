@@ -4530,9 +4530,10 @@ object Queries {
     * (measured: 6 of 100k rows at sf0.1). A rank-selected split IS a data
     * value, so both engines compare identical doubles; duplicate splits
     * (heavy ties) are deduped on BOTH sides and the score divides by the
-    * surviving grid size. The rank selection itself is a training-step
-    * window over the |keys| partitions (same gather cost `percentile`
-    * pays internally).
+    * surviving grid size. The rank selection runs through
+    * [[graft.pipeline.RankSelect.exactQuantileGrid]] (r10) — two bounded
+    * aggregation passes, no per-key window, so training never funnels a
+    * whole event_type through one task.
     */
   // the grid is a TRAINED artifact: one rank pass per corpus snapshot,
   // every later query in the JVM reuses it (the ivfCache convention; at
