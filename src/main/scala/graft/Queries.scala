@@ -1459,8 +1459,11 @@ object Queries {
     * the λ literals are passed verbatim to both engines, so only the
     * final per-doc average needs the usual round-6.
     */
+  // keyed by (session, dir) — unlike the value caches (quantileGridCache,
+  // rankGridCache) this holds a session-BOUND plan; a dir-only key would
+  // hand a restarted-JVM-session a DataFrame referencing a stopped session
   private val bigramLmCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     // trained-artifact boundary (the saveCodebooks / jsDriftAgainstPrior
@@ -1473,7 +1476,7 @@ object Queries {
     // the in-JVM handle cache under the disk artifact (the ivfCache
     // convention): a scoring service holds the loaded model plan instead
     // of re-reading footers and re-stat'ing the artifact per batch
-    val model = bigramLmCache.getOrElseUpdate(dir,
+    val model = bigramLmCache.getOrElseUpdate((spark, dir),
       loadOrTrain[DataFrame](spark, dir, "bigram_lm",
         p => LanguageModel.loadModel(spark, p),
         p => {

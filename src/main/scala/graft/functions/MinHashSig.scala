@@ -128,9 +128,22 @@ object MinHashSig {
     // keys). 0 marks an empty slot; a shingle hashing to exactly 0 is
     // remapped to 1 (harmless: worst case one extra k-pass for that pair).
     val nShingles = nWords - n + 1
-    var cap = java.lang.Integer.highestOneBit(math.max(4, nShingles * 2) - 1) << 1
+    // long arithmetic + 2^30 ceiling: at ~1e9+ shingles an Int nShingles*2
+    // would overflow negative, collapse cap to 4, and the open-addressing
+    // probe below would spin forever once >4 distinct keys landed. With the
+    // ceiling, a hotter-than-capacity table merely degrades the dedup guard
+    // (the `insertMax` gate below stops inserting and re-hashes duplicates
+    // instead) — the probe loop always terminates.
+    val wantCap = math.min(1L << 30, math.max(4L, nShingles.toLong * 2L)).toInt
+    var cap = java.lang.Integer.highestOneBit(wantCap - 1) << 1
     val seen = new Array[Long](cap)
     val mask = cap - 1
+    // once the table holds cap-1 keys, stop inserting and hash every
+    // remaining shingle unconditionally (duplicates included) — correctness
+    // is unaffected (re-hashing a seen shingle cannot change any min), and
+    // the probe loop can no longer spin on a full table
+    var inserted  = 0
+    val insertMax = cap - 1
     w = 0
     while (w <= nWords - n) {
       var pos = 0
@@ -142,12 +155,16 @@ object MinHashSig {
         pos += wl
         j += 1
       }
-      var key = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, DedupSeed)
-      if (key == 0L) key = 1L
-      var slot = (key & mask).toInt
-      while (seen(slot) != 0L && seen(slot) != key) slot = (slot + 1) & mask
-      if (seen(slot) == 0L) {
-        seen(slot) = key
+      var fresh = true
+      if (inserted < insertMax) {
+        var key = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, DedupSeed)
+        if (key == 0L) key = 1L
+        var slot = (key & mask).toInt
+        while (seen(slot) != 0L && seen(slot) != key) slot = (slot + 1) & mask
+        if (seen(slot) == 0L) { seen(slot) = key; inserted += 1 }
+        else fresh = false
+      }
+      if (fresh) {
         var h = 0
         while (h < k) {
           val x = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, sd(h))

@@ -149,6 +149,16 @@ object Funnel {
     // and then re-exchanged the deduped frame on entity for the window —
     // two medium shuffles instead of this one raw one (measured 2.7 s →
     // 2.0 s on the 10M-event fixture).
+    // SKEW ASSUMPTION (deliberate trade): because the explicit repartition
+    // sits BELOW the aggregate, RAW (pre-dedup) events cross this exchange,
+    // so one pathologically hot entity funnels its entire raw slice through
+    // a single task — the map-side-combine protection the old (entity, day)
+    // shape had is given up for the saved second exchange. That is the right
+    // trade for product-analytics activity data, where per-entity event
+    // counts are bounded by human behavior (thousands, not millions). For a
+    // machine-generated source with unbounded per-key volume, pre-aggregate
+    // to (entity, day) upstream first, or restore the two-exchange shape:
+    // .select(...).distinct().repartition(col(entityCol)).
     val activity = graft.pipeline.Dedup.materializeOnce(
       df.select(col(entityCol), day.as("__day"))
         .repartition(col(entityCol)).distinct())

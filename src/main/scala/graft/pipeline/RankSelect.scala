@@ -57,6 +57,17 @@ object RankSelect {
     * `keyCol` must be string-typed (callers with numeric keys cast
     * first); `valueCol` double. `accuracy` trades cell-table size
     * (∝ n/accuracy) against sketch size (∝ accuracy).
+    *
+    * DETERMINISTIC-INPUT CONTRACT: the band pass and the cell pass are two
+    * separate jobs over `df`. A source whose contents change between the
+    * jobs (a table being appended to, a non-deterministic derivation) can
+    * make pass-2 counts inconsistent with pass-1 plans — the walk then
+    * reads a value at the wrong rank WITHOUT tripping the outside-segment
+    * fallback. Hand this trainer an immutable snapshot (a parquet dir, a
+    * cached frame); every in-repo caller reads fixed parquet. We do not
+    * force a `.cache()` here because the trainer's whole point is that
+    * neither pass needs the raw rows resident — caching a 100 TB input to
+    * guard against a contract violation would invert the cost model.
     */
   def exactQuantileGrid(
       df: DataFrame,

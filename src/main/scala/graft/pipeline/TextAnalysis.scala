@@ -341,7 +341,16 @@ object TextAnalysis {
         round(sigs("stopword_ratio"), 6).as("score"))
       .filter(col("n_tokens") >= minTokens)
       .agg(expr(s"percentile(score, $p)").as("__thr"))
-      .head().getDouble(0)
+      .head() match {
+        // percentile over zero rows is NULL — surface a clear trainer error
+        // instead of an opaque NPE when the reference corpus is empty or
+        // every document falls under the minTokens floor
+        case r if r.isNullAt(0) => throw new IllegalArgumentException(
+          s"qualityThreshold: reference corpus has no document with >= " +
+          s"$minTokens tokens — cannot train a threshold from an empty " +
+          "score distribution")
+        case r => r.getDouble(0)
+      }
   }
 
   /** Gate rows against a FIXED trained threshold (from
