@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Artifacts, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.functions.Num
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1213,10 +1213,31 @@ object Queries {
     * hash, smoothed distributions and ln-difference, so the engines agree
     * on every weight, not just the selection.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    Dsir.logWeights(tbl(spark, dir, "documents"), "doc_id", "text",
-      isTarget = col("lang") === "en", buckets = 64)
+  // session-free value cache (the quantileGridCache convention — the
+  // artifact is a plain 64-double array, safe across session restarts)
+  private val dsirRatioCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    // trained-artifact boundary (r11, the bigram-LM convention): the
+    // bucket log-ratio table trains ONCE per corpus snapshot and persists
+    // as a 64-row parquet artifact; scoring is then PURE per-row kernel
+    // work — one scan, zero exchanges. Self-trained, the weights are
+    // bit-identical to the single-call train+score path the oracle
+    // replays.
+    val lr = dsirRatioCache.getOrElseUpdate(dir,
+      loadOrTrain[Array[Double]](spark, dir, "dsir_ratios",
+        p => Dsir.loadLogRatios(spark, p),
+        p => {
+          val t = Dsir.trainLogRatios(tbl(spark, dir, "documents"), "text",
+            isTarget = col("lang") === "en", buckets = 64)
+          Dsir.saveLogRatios(spark, t, p)
+          t
+        },
+        table = "documents.parquet"))
+    Dsir.scoreAgainstRatios(tbl(spark, dir, "documents"), "doc_id", "text", lr)
       .orderBy("doc_id")
+  }
 
   val dsirWeightsSql: String = {
     val hex8 = hex8Sql("tok")
@@ -1431,9 +1452,27 @@ object Queries {
     * integer counts through one IEEE division — the divisor is computed as
     * BIGINT on both sides, so the double is bit-identical.
     */
-  def unigram(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.unigramScore(tbl(spark, dir, "documents"), "text", "doc_id")
+  // session-bound plan cache (the bigramLmCache convention)
+  private val unigramModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def unigram(spark: SparkSession, dir: String): DataFrame = {
+    // trained-artifact boundary (r11): the (term, cf, __total) unigram
+    // model trains once per corpus snapshot; scoring is kernel tf → ONE
+    // term join → per-doc aggregate against the loaded artifact.
+    val model = unigramModelCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[DataFrame](spark, dir, "unigram_model",
+        p => Artifacts.sizedBroadcast(spark, p, spark.read.parquet(p)),
+        p => {
+          Artifacts.save(TextAnalysis.trainUnigramModel(
+            tbl(spark, dir, "documents"), "text", "doc_id"), p)
+          Artifacts.sizedBroadcast(spark, p, spark.read.parquet(p))
+        },
+        table = "documents.parquet"))
+    TextAnalysis.scoreAgainstUnigramModel(
+        tbl(spark, dir, "documents"), "text", "doc_id", model)
       .orderBy("doc_id")
+  }
 
   val unigramSql: String =
     raw"""WITH w AS (
@@ -1645,9 +1684,27 @@ object Queries {
     * tie-break (score desc, term asc) is total, so the ranking — not just
     * the set — must match the oracle.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tfIdfTopK(tbl(spark, dir, "documents"), "text", "doc_id", k = 5)
+  // session-bound plan cache (the bigramLmCache convention)
+  private val idfModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    // trained-artifact boundary (r11): the (term, df, __idf) table trains
+    // once per corpus snapshot; scoring is kernel tf → ONE term join →
+    // per-doc top-k window against the loaded artifact.
+    val idf = idfModelCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[DataFrame](spark, dir, "idf_model",
+        p => Artifacts.sizedBroadcast(spark, p, spark.read.parquet(p)),
+        p => {
+          Artifacts.save(TextAnalysis.trainIdf(
+            tbl(spark, dir, "documents"), "text", "doc_id"), p)
+          Artifacts.sizedBroadcast(spark, p, spark.read.parquet(p))
+        },
+        table = "documents.parquet"))
+    TextAnalysis.scoreTfIdfAgainstIdf(
+        tbl(spark, dir, "documents"), "text", "doc_id", idf, k = 5)
       .orderBy("doc_id", "rank")
+  }
 
   val tfidfSql: String =
     raw"""WITH w AS (

@@ -18,17 +18,20 @@ import org.apache.spark.sql.functions._
   * deterministic and engine-reproducible, the same convention as the
   * dedup digests and sampling scores elsewhere in the library.
   *
-  * Scale shape (rewritten r7c): the whole per-document feature pipeline is
-  * ONE native byte-scan kernel ([[graft.functions.DsirBucketCounts]])
-  * emitting a `buckets`-slot count vector — no token explode, and NO wide
-  * exchange anywhere: the narrow (id, target, counts) frame is
-  * materialized once; the bucket totals reduce a posexploded view of it
-  * map-side to `buckets` rows; the log-ratio table is a BOUNDED driver
-  * artifact (`buckets` doubles — the k-means-centroid contract) folded
-  * back in as a literal, so every per-document weight is one codegen'd
-  * [[graft.functions.VectorDot]] in a plain map. The previous explode
-  * formulation shuffled one row per TOKEN (~75M rows at 500k docs) and
-  * measured 2.7× DuckDB; this shape is pure scan + 64-key combine.
+  * Scale shape (rewritten r7c, artifact-split r11): the whole
+  * per-document feature pipeline is ONE native byte-scan kernel
+  * ([[graft.functions.DsirBucketCounts]]) emitting a `buckets`-slot count
+  * vector — no token explode, and NO wide exchange anywhere. Training
+  * ([[trainLogRatios]]) reduces a posexploded view of the counts
+  * map-side to `buckets` rows and collects the BOUNDED log-ratio table
+  * (`buckets` doubles — the k-means-centroid contract); persisted via
+  * [[saveLogRatios]]/[[loadLogRatios]]. Scoring
+  * ([[scoreAgainstRatios]]) folds the table back in as a literal, so
+  * every per-document weight is one codegen'd
+  * [[graft.functions.VectorDot]] in a plain map — stateless per-row
+  * work, batch or stream. The previous explode formulation shuffled one
+  * row per TOKEN (~75M rows at 500k docs) and measured 2.7× DuckDB;
+  * this shape is pure scan + 64-key combine.
   */
 object Dsir {
 
@@ -53,15 +56,30 @@ object Dsir {
       idCol: String,
       textCol: String,
       isTarget: Column,
-      buckets: Int = 64): DataFrame = {
-    import graft.functions.{DsirBucketCounts, VectorDot}
-    val withCounts = Dedup.materializeOnce(
-      docs.select(col(idCol), isTarget.as("__t"),
-          DsirBucketCounts.dsirBucketCounts(col(textCol), buckets).as("__bc"))
-        .filter(col("__bc").isNotNull))
+      buckets: Int = 64): DataFrame =
+    scoreAgainstRatios(docs, idCol, textCol,
+      trainLogRatios(docs, textCol, isTarget, buckets))
+
+  /** Train the per-bucket smoothed log-ratio table — DSIR's persistable
+    * artifact ([[Artifacts]] convention, like the k-means centroids): a
+    * BOUNDED `buckets`-double array, the only state the scoring pass
+    * needs. One kernel scan + one 64-key map-side combine + a
+    * `buckets`-row collect.
+    */
+  def trainLogRatios(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 64): Array[Double] = {
+    import graft.functions.DsirBucketCounts
     // counts are exact small integers carried as doubles; the totals stay
     // exact (< 2^53) and cast back to long for the smoothing arithmetic
-    val totals = withCounts
+    // no is-null filter: posexplode's Generate (outer=false) already
+    // skips NULL count vectors, and an explicit filter would push the
+    // kernel into the scan and evaluate it twice per row
+    val totals = docs
+      .select(isTarget.as("__t"),
+        DsirBucketCounts.dsirBucketCounts(col(textCol), buckets).as("__bc"))
       .select(col("__t"), posexplode(col("__bc")).as(Seq("__b", "__c")))
       .groupBy(col("__b"))
       .agg(sum(when(col("__t"), col("__c")).otherwise(0d)).cast("long").as("__ct"),
@@ -77,7 +95,54 @@ object Dsir {
       lr(r.getInt(0)) = math.log((r.getLong(1) + 1d) / (tt.toDouble + buckets)) -
         math.log((r.getLong(2) + 1d) / (tr.toDouble + buckets))
     }
-    withCounts.select(col(idCol),
-      Num.round0(VectorDot.vectorDot(col("__bc"), lit(lr)), 6).as("logw"))
+    lr
+  }
+
+  /** Persist a trained log-ratio table as a `(b, lr)` parquet artifact
+    * (doubles round-trip parquet bit-exactly).
+    */
+  def saveLogRatios(spark: org.apache.spark.sql.SparkSession,
+      lr: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    Artifacts.save(lr.toSeq.zipWithIndex.map { case (v, b) => (b, v) }
+      .toDF("b", "lr"), path)
+  }
+
+  /** Load a log-ratio artifact persisted by [[saveLogRatios]]. */
+  def loadLogRatios(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).select(col("b"), col("lr")).collect()
+    val lr = new Array[Double](rows.length)
+    rows.foreach(r => lr(r.getInt(0)) = r.getDouble(1))
+    lr
+  }
+
+  /** Score documents against a trained log-ratio table: PURE per-row work
+    * — one [[graft.functions.DsirBucketCounts]] kernel evaluation and one
+    * codegen'd [[graft.functions.VectorDot]] against the literal — no
+    * aggregation, no exchange, no state. Runs identically over a batch or
+    * a stream (the [[TextAnalysis.gateAgainstThreshold]] shape).
+    * Documents with null or zero-token text emit nothing.
+    */
+  def scoreAgainstRatios(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lr: Array[Double]): DataFrame = {
+    import graft.functions.{DsirBucketCounts, VectorDot}
+    // degenerate-doc filter on a CHEAP byte predicate instead of
+    // kernel-is-null: the kernel returns NULL exactly for null text or
+    // zero tokens (its tokenizer splits on the six ASCII whitespace
+    // bytes), and `trim(text, <those six bytes>)` empties exactly then —
+    // filtering on the kernel output would push the md5-per-token kernel
+    // into the scan's DataFilters and evaluate it TWICE per row (once in
+    // the pushed filter, once in the project)
+    docs
+      .filter(col(textCol).isNotNull &&
+        length(trim(col(textCol), " \t\n\u000B\f\r")) > 0)
+      .select(col(idCol),
+        Num.round0(VectorDot.vectorDot(
+          DsirBucketCounts.dsirBucketCounts(col(textCol), lr.length),
+          lit(lr)), 6).as("logw"))
   }
 }

@@ -114,36 +114,16 @@ object LanguageModel {
   def saveModel(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
-  /** Load a model persisted by [[saveModel]].
-    *
-    * The artifact boundary makes the broadcast decision a MEASUREMENT
-    * instead of a guess: the model's on-disk size is known at plan time,
-    * so a model under the session's `autoBroadcastJoinThreshold` (the
-    * same leaf-file-size heuristic Spark's own stats use) gets an
-    * explicit broadcast hint — skipping the AQE detour of materializing
-    * both shuffle sides before converting to broadcast-hash (measured
-    * ~0.2 s of pure planning latency per scoring pass at sf0.1). A
-    * vocabulary-scale model (~1e8 bigram types on a web corpus) exceeds
-    * the threshold and takes the unhinted path, where AQE keeps the
-    * shuffled join — the hint can never OOM the driver.
+  /** Load a model persisted by [[saveModel]], with the size-gated
+    * broadcast hint ([[Artifacts.sizedBroadcast]] — the on-disk size is
+    * known at plan time, so the broadcast decision is a measurement, not
+    * a guess; a vocabulary-scale model takes the unhinted shuffled-join
+    * path and can never OOM the driver).
     */
-  def loadModel(spark: SparkSession, path: String): DataFrame = {
-    val model = spark.read.parquet(path)
+  def loadModel(spark: SparkSession, path: String): DataFrame =
+    Artifacts.sizedBroadcast(spark, path, spark.read.parquet(path)
       .select(col("__w").cast("string"), col("__w2").cast("string"),
-        col("__lp").cast("double"))
-    val threshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .map(v => if (v.endsWith("b") || v.exists(_.isLetter))
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
-      else v.toLong)
-      .getOrElse(10L * 1024 * 1024)
-    val onDisk =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(p).getLength
-      } catch { case _: Throwable => Long.MaxValue }
-    if (threshold > 0 && onDisk <= threshold) broadcast(model) else model
-  }
+        col("__lp").cast("double")))
 
   /** Score documents against a trained model: per doc, the count of its
     * bigrams and the round-6 average of the model's per-type

@@ -393,19 +393,58 @@ object TextAnalysis {
     * Output: `(id, term, tf, df, score, rank)`, `rank` in 1..k.
     */
   def tfIdfTopK(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 5): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    val tf = docs
+      k: Int = 5): DataFrame =
+    scoreTfIdfAgainstIdf(docs, textCol, idCol,
+      trainIdf(docs, textCol, idCol), k)
+
+  /** The per-document `(id, term, tf)` frame via the
+    * [[graft.functions.WordCounts]] kernel: the per-document term
+    * grouping happens row-locally inside the native expression, so the
+    * plan goes straight from the ONE tokenizing scan to
+    * already-aggregated rows with NO aggregation exchange.
+    */
+  private def tfFrame(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
       .select(col(idCol),
         explode(graft.functions.WordCounts.wordCounts(col(textCol))).as("__wc"))
       .select(col(idCol), col("__wc.term").as("term"), col("__wc.tf").as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Train the idf table — the tf-idf family's persistable artifact
+    * ([[Artifacts]] convention): one row per term TYPE with its document
+    * frequency and the precomputed linear idf `n_docs / df` (one IEEE
+    * division per TYPE — bit-identical to computing it per occurrence,
+    * the [[graft.pipeline.LanguageModel.trainBigramModel]] argument).
+    * `n_docs` counts EVERY document — including zero-token ones that
+    * never reach the tf frame — so it rides in from an id-only
+    * (column-pruned) scan.
+    *
+    * Output: `(term, df, __idf)`; persist with [[Artifacts.save]], load
+    * with [[Artifacts.sizedBroadcast]] wrapping `spark.read.parquet`.
+    * Vocabulary-scale on a web corpus — never collected.
+    */
+  def trainIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dfreq = tfFrame(docs, textCol, idCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
-    val scored = tf
-      .join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        col("tf") * (col("__n_docs").cast("double") / col("df")))
+    dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        (col("__n_docs").cast("double") / col("df")).as("__idf"))
+  }
+
+  /** Score documents against a trained idf artifact: tokenize (narrow
+    * kernel tf), ONE term equi-join, per-document top-k window. Scoring a
+    * corpus against its own self-trained idf reproduces [[tfIdfTopK]]
+    * bit-for-bit; scoring against a FOREIGN idf (the production regime —
+    * train on a reference snapshot, score every later batch) drops
+    * out-of-vocabulary terms from the ranking (INNER join, the
+    * [[LanguageModel.scoreAgainstModel]] contract).
+    */
+  def scoreTfIdfAgainstIdf(docs: DataFrame, textCol: String, idCol: String,
+      idf: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = tfFrame(docs, textCol, idCol)
+      .join(idf, "term")
+      .withColumn("score", col("tf") * col("__idf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
     // the rank predicate stays on the raw row_number so Spark plans
@@ -432,26 +471,55 @@ object TextAnalysis {
     * that, the last bits of the mantissa go (the RANKING a gate needs is
     * unaffected).
     *
-    * Scale shape: tokenize-explode → (id, term) count with map-side
-    * combine; corpus frequency aggregates the (much smaller) tf frame by
-    * term; the tf⋈cf join is keyed on term; the total rides in as a
-    * broadcast scalar. Output: (id, n_tokens, mean_unigram_p).
+    * Scale shape (r11 — trained-artifact boundary, the [[LanguageModel]]
+    * convention): [[trainUnigramModel]] builds the per-term corpus
+    * frequencies once (narrow kernel tf → one vocabulary-keyed combine);
+    * [[scoreAgainstUnigramModel]] is kernel tf → ONE term equi-join →
+    * per-document aggregate. This single-call face self-trains and
+    * scores in one plan — production pipelines split at the artifact.
+    * Output: (id, n_tokens, mean_unigram_p).
     */
-  def unigramScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+  def unigramScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    scoreAgainstUnigramModel(docs, textCol, idCol,
+      trainUnigramModel(docs, textCol, idCol))
+
+  /** Train the unigram model — one row per term TYPE with its corpus
+    * frequency and the corpus total (a constant column: parquet RLE
+    * stores it for free, and carrying it in-row keeps the artifact ONE
+    * table instead of a table + sidecar scalar). Exact integer counts.
+    * The tf source is the narrow [[graft.functions.WordCounts]] kernel,
+    * so training is one tokenizing scan + one vocabulary-keyed combine —
+    * the old `(id, term)` pre-aggregation exchange is gone.
+    * Persist with [[Artifacts.save]]; vocabulary-scale — never collected.
+    * Output: `(term, cf, __total)`.
+    */
+  def trainUnigramModel(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cf = tfFrame(docs, textCol, idCol)
+      .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val total = cf.agg(sum(col("cf")).as("__total"))
-    tf.join(cf, "term")
+    cf.crossJoin(broadcast(total))
+  }
+
+  /** Score documents against a trained unigram model: narrow kernel tf →
+    * ONE term equi-join → per-document aggregate (`max(__total)` reads
+    * the constant column back without a second descent of the model).
+    * Self-trained scoring reproduces the single-call [[unigramScore]]
+    * exactly (integer counts through one IEEE division); against a
+    * FOREIGN model, out-of-vocabulary terms drop from both the numerator
+    * and `n_tokens` (INNER join, the
+    * [[LanguageModel.scoreAgainstModel]] contract).
+    */
+  def scoreAgainstUnigramModel(docs: DataFrame, textCol: String,
+      idCol: String, model: DataFrame): DataFrame =
+    tfFrame(docs, textCol, idCol)
+      .join(model, "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf") * col("cf")).as("__sum_cf"),
-           sum(col("tf")).as("n_tokens"))
-      .crossJoin(broadcast(total))
+           sum(col("tf")).as("n_tokens"),
+           max(col("__total")).as("__total"))
       .withColumn("mean_unigram_p",
         col("__sum_cf").cast("double") / (col("n_tokens") * col("__total")))
       .select(col(idCol), col("n_tokens"), col("mean_unigram_p"))
-  }
 
   /** Adjacent-symbol pair frequencies over the corpus — the counting step
     * of BPE vocabulary training (Sennrich et al., ACL'16): every adjacent

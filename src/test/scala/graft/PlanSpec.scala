@@ -377,17 +377,19 @@ class PlanSpec extends SparkTestBase {
     assert(bad.isEmpty, s"non-narrow nodes in whiten plan:\n${bad.mkString("\n")}")
   }
 
-  test("dsir: scoring plan is a pure map over the materialized counts — no exchange at all") {
-    // r7c kernel rewrite: the count vectors are materialized once, the
-    // log-ratio table is a driver literal, and the weight is a codegen'd
-    // dot product — the final plan must contain NO join, NO exchange and
-    // NO re-read of the corpus
+  test("dsir: scoring plan is a pure per-row map over ONE corpus scan — no exchange at all") {
+    // r11 artifact boundary: the log-ratio table is a trained driver
+    // literal, so scoring is one FileScan → filter → kernel dot product —
+    // NO join, NO data exchange, NO checkpoint, and the md5-per-token
+    // kernel appears ONCE (the degenerate-doc filter is a cheap byte
+    // trim, not a pushed copy of the kernel)
     val plan = planOf("q_dsir_weights")
-    assert(plan.contains("ExistingRDD"), plan)
-    assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan)
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("Exchange hashpartitioning") &&
       !plan.contains("BroadcastExchange"), plan) // only the output-sort range exchange
     assert(!plan.contains("Join"), plan)
+    assert("dsir_bucket_counts".r.findAllIn(plan).length == 1, plan)
   }
 
   test("bigram LM: scores against the model artifact — one join, no window, no re-train") {
@@ -530,7 +532,13 @@ class PlanSpec extends SparkTestBase {
       ("q_curate",         1, 7),
       ("q_dedup_keep",     1, 3),
       ("q_stickiness",     1, 7),
-      ("q_bigram_lm",      2, 3))
+      ("q_bigram_lm",      2, 3),
+      // r11 trained-artifact scoring plans: each must read exactly its
+      // docs scan + artifact scan (dsir's artifact is a driver literal —
+      // one scan total) and keep scoring free of training-time exchanges
+      ("q_dsir_weights",   1, 1),
+      ("q_unigram_score",  2, 3),
+      ("q_tfidf",          2, 3))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
