@@ -780,6 +780,45 @@ object Stress {
       assert(meanQs > 0.35 && meanQs < 0.65, s"dim $d mean qscore $meanQs")
     }
 
+    // ---- exact quantile grids at UNBOUNDED key cardinality: 100k keys ×
+    // ~n/100k values through the table-backed two-phase trainer
+    // (RankSelect.exactQuantileGridTable — nothing driver-side scales
+    // with |keys|; the collected path would hold 100k sketch rows + cell
+    // tables on the driver). Exactness is spot-checked against the
+    // single-key sort definition on 20 sampled keys; the fallback counter
+    // must not move (the sketch bands hold at this accuracy).
+    val rkKeys = 100000L
+    val rkRows = math.max(n / 2, rkKeys * 20)
+    val rkIn = spark.range(rkRows).select(
+      concat(lit("k"), pmod(col("id") * lit(2654435761L), lit(rkKeys))).as("k"),
+      (pmod(xxhash64(col("id"), lit(3L)), lit(100000L)).cast("double") / 100.0).as("v"))
+    val rkPs = Seq(0.25, 0.5, 0.75, 0.95)
+    val rkFb0 = graft.pipeline.RankSelect.fallbacks
+    val rkT0 = System.nanoTime()
+    val rkGrids = graft.pipeline.RankSelect.exactQuantileGridTable(
+      rkIn, "k", "v", rkPs, accuracy = 2000)
+    val rkOut = rkGrids.persist()
+    val rkN = rkOut.count()
+    val sRk = (System.nanoTime() - rkT0) / 1e9
+    println(f"""{"stage":"rank_select_100k_keys","keys":$rkN,"rows":$rkRows,"sec":$sRk%.2f,"rows_per_sec":${(rkRows / sRk).toLong}}""")
+    assert(rkN == rkKeys, s"trained $rkN of $rkKeys keys")
+    assert(graft.pipeline.RankSelect.fallbacks == rkFb0,
+      "100k-key run paid the single-key sort fallback")
+    val rkSampleKeys = (0 until 20).map(i => s"k${i * 4999}")
+    val rkGot = rkOut.filter(col("k").isin(rkSampleKeys: _*))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val rkExp = rkIn.filter(col("k").isin(rkSampleKeys: _*))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val nn = sorted.length
+        k -> rkPs.map(p => sorted(math.ceil(p * nn).toLong.max(1L).min(nn).toInt - 1))
+          .distinct.sorted
+      }
+    rkExp.foreach { case (k, g) =>
+      assert(rkGot(k) == g, s"key $k: ${rkGot(k)} vs $g") }
+    rkOut.unpersist()
+
     // ---- 3-D z-order at volume: n events clustered on (user bucket, hour,
     // value band); a 3-D box read back must match the direct filter, and
     // every file's bounding box must stay tight in ALL THREE dimensions.

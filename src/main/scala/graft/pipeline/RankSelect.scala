@@ -50,6 +50,11 @@ object RankSelect {
     */
   private[pipeline] val fallbackCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Read-only view of the fallback counter for harnesses outside the
+    * package (Stress pins that a 100k-key run never pays the sort).
+    */
+  def fallbacks: Long = fallbackCount.get()
+
   /** Exact discrete quantile grid per key: for each key with ≥1 non-null
     * value, the deduped sorted array of the values at ranks
     * `⌈p·n_key⌉` for `p` in `ps`.
@@ -169,6 +174,37 @@ object RankSelect {
     }
   }
 
+  /** Score rows against a TRAINED per-key quantile grid — the transform
+    * half of the quantile pipeline, shared by the batch query face and
+    * the streaming face ([[graft.streaming.StreamingQuantile]]): per row,
+    * `q_bucket` = count of the key's grid splits ≤ value (upper-bound
+    * binary search) and `qscore = round(q_bucket / (|grid|+1), roundTo)`.
+    * PURE per-row narrow work through ONE [[graft.functions.RankBucket]]
+    * kernel call (flat reference-object grids — immune to the literal
+    * when-chain's 64 KB codegen cliff when the key family grows), so it
+    * runs identically over a batch or a stream. Rows whose key has no
+    * trained grid, or with null values, get null bucket/score.
+    */
+  def transformAgainstGrids(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      grids: Map[String, Array[Double]],
+      roundTo: Int = 6): DataFrame = {
+    require(grids.nonEmpty, "transformAgainstGrids requires a trained grid")
+    val keyIdx = grids.keys.toSeq.sorted.zipWithIndex.toMap
+    val family = grids.map { case (k, g) => keyIdx(k) -> g }
+    val rb = graft.functions.RankBucket.rankBucket(
+      col(valueCol).cast("double"),
+      element_at(typedLit(keyIdx), col(keyCol).cast("string")),
+      family)
+    df.withColumn("__rb", rb)
+      .withColumn("q_bucket", col("__rb.q_bucket"))
+      .withColumn("qscore",
+        round(col("__rb.q_bucket").cast("double") / col("__rb.denom"), roundTo))
+      .drop("__rb")
+  }
+
   /** Exact single-key fallback: the plain rank window, scoped to one key
     * (correct at any tie pathology; only used when a sketch band misses).
     */
@@ -180,5 +216,142 @@ object RankSelect {
       .filter(col("__rn").isin(rset.toSeq: _*))
       .select(col("__v")).collect().map(_.getDouble(0))
       .distinct.sorted
+  }
+
+  /** The UNBOUNDED-KEYS lever (r11 — the table-backed twin of
+    * [[exactQuantileGrid]]): the same two-phase exact rank selection, but
+    * every driver-side step becomes a relational one, so nothing scales
+    * with |keys| on the driver:
+    *
+    *  - the band pass keeps its per-key sketch row as a TABLE, and the
+    *    target-rank / merged-interval plan is derived per key with
+    *    higher-order array functions (`aggregate` folds the sorted bands
+    *    into disjoint intervals — the same append-merge the driver runs);
+    *  - the cell pass attaches each key's interval arrays by a key
+    *    equi-join (AQE broadcasts the plan table when it is small;
+    *    web-scale key counts fall back to a keyed shuffle that the cell
+    *    aggregation then REUSES — `HashPartitioning(__k)` satisfies the
+    *    `(__k, __seg, __bv)` clustering by the subset rule) and computes
+    *    the segment id with two tiny array filters:
+    *    `seg = #{lo ≤ v} + #{hi < v}` — over DISJOINT merged intervals
+    *    this equals the boundary-ladder upper bound the literal kernel
+    *    computes (odd = inside), with no `nextUp` needed;
+    *  - the walk is a cumulative-sum window over the CELL table (bounded:
+    *    O(|ps|·n/accuracy) cells per key — the window sorts cells, never
+    *    rows) plus one ranks⋈cells range join.
+    *
+    * Returns `(<keyCol>, grid array<double>)` — one row per key, the grid
+    * bit-identical to [[exactQuantileGrid]]'s on the same input. Keys
+    * whose sketch band misses a target rank (never observed) fall back to
+    * the exact single-key sort, like the collected path.
+    */
+  def exactQuantileGridTable(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 2000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), s"bad ps: $ps")
+    val spark = df.sparkSession
+    val margin = 3.0 / accuracy
+    val frs = ps.flatMap(p => Seq(math.max(p - margin, 1e-9), p,
+        math.min(p + margin, 1.0)))
+      .distinct.sorted
+    val frIdx = frs.zipWithIndex.toMap
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+      .select(col(keyCol).cast("string").as("__k"), v.as("__v"))
+
+    // band pass — kept as a TABLE; same ladder, same sketch
+    val stats = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        percentile_approx(col("__v"),
+          array(frs.map(lit): _*), lit(accuracy)).as("__apx"))
+
+    // per-key plan columns, all derived relationally. Ranks: the driver's
+    // math.ceil(p * n) on the identical double product — Spark's ceil on
+    // double returns LONG with the same value below 2^53.
+    val ranksExpr = array_sort(array_distinct(array(ps.map(p =>
+      least(greatest(ceil(lit(p) * col("__n").cast("double")), lit(1L)),
+        col("__n"))): _*)))
+    // bands at literal ladder indices, sorted by (lo, hi) — band MERGING
+    // is order-independent within equal-lo groups, so lexicographic
+    // sort_array and the driver's stable sortBy(lo) merge identically
+    val bandsExpr = sort_array(array(ps.map { p =>
+      struct(
+        element_at(col("__apx"), frIdx(math.max(p - margin, 1e-9)) + 1).as("lo"),
+        element_at(col("__apx"), frIdx(math.min(p + margin, 1.0)) + 1).as("hi"))
+    }: _*))
+    val planTable = Dedup.materializeOnce(stats
+      .withColumn("__bands", bandsExpr)
+      .withColumn("__ranks", ranksExpr)
+      .withColumn("__merged", expr(
+        """aggregate(
+          |  __bands,
+          |  cast(array() as array<struct<lo:double,hi:double>>),
+          |  (acc, b) -> if(size(acc) > 0 and b.lo <= element_at(acc, -1).hi,
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('lo', element_at(acc, -1).lo,
+          |                         'hi', greatest(element_at(acc, -1).hi, b.hi)))),
+          |    concat(acc, array(b)))
+          |)""".stripMargin))
+      .select(col("__k"), col("__n"), col("__ranks"),
+        expr("transform(__merged, x -> x.lo)").as("__los"),
+        expr("transform(__merged, x -> x.hi)").as("__his")))
+
+    // cell pass: seg = #{lo <= v} + #{hi < v} over the key's merged
+    // disjoint intervals (odd = inside); one key equi-join + one
+    // aggregation that reuses the join's partitioning
+    val tagged = rows.join(planTable, "__k")
+      .withColumn("__seg",
+        (size(filter(col("__los"), l => l <= col("__v"))) +
+         size(filter(col("__his"), h => h < col("__v")))))
+    val cells = tagged
+      .groupBy(col("__k"), col("__seg"),
+        when(col("__seg") % 2 === 1, col("__v")).as("__bv"))
+      .agg(count(lit(1)).as("__c"))
+
+    // walk: cumulative counts over the bounded cell table, then each
+    // target rank picks the cell whose [cum-c+1, cum] range covers it
+    import org.apache.spark.sql.expressions.Window
+    val wcum = Window.partitionBy(col("__k")).orderBy(col("__seg"), col("__bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("__cum", sum(col("__c")).over(wcum))
+    val targets = planTable.select(col("__k"),
+      size(col("__ranks")).as("__want"), explode(col("__ranks")).as("__t"))
+    val picked = targets.alias("t").join(cum.alias("c"),
+      col("t.__k") === col("c.__k") &&
+        col("t.__t").between(col("c.__cum") - col("c.__c") + 1, col("c.__cum")))
+      .select(col("t.__k").as("__k"), col("t.__want").as("__want"),
+        col("c.__seg").as("__seg"), col("c.__bv").as("__bv"))
+    val perKey = picked.groupBy(col("__k"))
+      .agg(max(col("__want")).as("__want"),
+        count(lit(1)).as("__got"),
+        min((col("__seg") % 2).cast("int")).as("__minpar"),
+        sort_array(array_distinct(collect_list(col("__bv")))).as("grid"))
+
+    val good = perKey.filter(col("__got") === col("__want") && col("__minpar") === 1)
+      .select(col("__k").as(keyCol), col("grid"))
+
+    // sketch-violation fallback (never observed; pinned by fallbackCount
+    // in the specs): the affected keys — and only they — pay the exact
+    // single-key sort
+    val badKeys = perKey
+      .filter(!(col("__got") === col("__want") && col("__minpar") === 1))
+      .select(col("__k")).collect().map(_.getString(0))
+    if (badKeys.isEmpty) good
+    else {
+      import spark.implicits._
+      val ranksByKey = planTable
+        .filter(col("__k").isin(badKeys.toSeq: _*))
+        .select(col("__k"), col("__ranks")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      val patched = badKeys.toSeq.map { k =>
+        fallbackCount.incrementAndGet()
+        k -> exactGridBySort(rows.filter(col("__k") === lit(k)), ranksByKey(k))
+      }
+      good.unionByName(
+        patched.toDF(keyCol, "grid").select(col(keyCol), col("grid")))
+    }
   }
 }

@@ -28,6 +28,15 @@ class RankSelectSpec extends SparkTestBase {
     for (k <- exp.keySet)
       assert(got(k).toSeq == exp(k).toSeq,
         s"key $k: ${got(k).toSeq} vs ${exp(k).toSeq}")
+    // the table-backed unbounded-keys twin must produce the IDENTICAL
+    // grids on the same input (bit-exact, not approximately)
+    val tbl = RankSelect.exactQuantileGridTable(df, "k", "v", ps, accuracy)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(tbl.keySet == exp.keySet, s"table keys ${tbl.keySet} vs ${exp.keySet}")
+    for (k <- exp.keySet)
+      assert(tbl(k).toSeq == exp(k).toSeq,
+        s"table path, key $k: ${tbl(k).toSeq} vs ${exp(k).toSeq}")
   }
 
   private val ladder = (1 to 19).map(_ * 0.05)
@@ -73,5 +82,32 @@ class RankSelectSpec extends SparkTestBase {
     val got = RankSelect.exactQuantileGrid(df, "k", "v", Seq(0.5))
     assert(got.keySet == Set("a"))
     assert(got("a").toSeq == Seq(1.0))
+    val tbl = RankSelect.exactQuantileGridTable(df, "k", "v", Seq(0.5)).collect()
+    assert(tbl.map(_.getString(0)).toSet == Set("a"))
+    assert(tbl.head.getSeq[Double](1) == Seq(1.0))
+  }
+
+  test("table path: many keys, no sort fallback, plan stays keyed") {
+    // the unbounded-keys regime in miniature: 2000 distinct keys — far
+    // past anything the literal-fold path would want to collect — each
+    // with a small slice; grids must match brute force per key and the
+    // whole run must never pay the single-key sort fallback
+    val rnd = new scala.util.Random(19)
+    val data = for {
+      k <- (0 until 2000).map(i => f"k$i%04d")
+      _ <- 1 to 5
+    } yield (k, math.floor(rnd.nextDouble() * 100) / 2.0)
+    val before = RankSelect.fallbackCount.get()
+    val exp = bruteGrid(data, Seq(0.25, 0.5, 0.75))
+    val tbl = RankSelect.exactQuantileGridTable(
+        data.toDF("k", "v"), "k", "v", Seq(0.25, 0.5, 0.75))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(tbl.keySet == exp.keySet)
+    for (k <- exp.keySet)
+      assert(tbl(k).toSeq == exp(k).toSeq,
+        s"key $k: ${tbl(k).toSeq} vs ${exp(k).toSeq}")
+    assert(RankSelect.fallbackCount.get() == before,
+      "ordinary data must not pay the exact-sort fallback")
   }
 }
