@@ -36,10 +36,11 @@ import graft.pipeline.Similarity
   * trained-cell lever bounds it), never the prior corpus. `priorAssigned`
   * must be the pre-assigned prior — `(vecCol, cell_id)`, e.g. the
   * persisted cell-assignment artifact the batch pipeline exports — and
-  * should be cached/compact: the static side of a stream-static join is
-  * re-evaluated every micro-batch, so hand it a parquet artifact or a
-  * cached frame, not a derivation that re-runs k-means assignment per
-  * batch.
+  * must be cached/compact: the static side of a stream-static join is
+  * re-evaluated every micro-batch. Since r11 this is ENFORCED, not
+  * advisory: the DataFrame face rejects an uncached derivation plan, and
+  * the artifact-path overload loads + caches the parquet prior once per
+  * session.
   */
 object StreamingSemDedup {
 
@@ -56,6 +57,28 @@ object StreamingSemDedup {
       vecCol: String,
       centroids: Array[(Long, Array[Double])],
       threshold: Double): DataFrame = {
+    // ENFORCED static-side contract (was doc-only until r11): the static
+    // side of a stream-static join is re-evaluated EVERY micro-batch, so
+    // a caller handing us a raw derivation (a k-means assignment, an
+    // aggregation) would silently re-train per batch. Accept the prior
+    // only when it is cached, or when its plan is derivation-free (a
+    // file-sourced artifact read / checkpoint / literal with projections
+    // and filters only).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val cached = priorAssigned.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    lazy val derivation = priorAssigned.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+      case j: Join      => j
+      case w: LWindow   => w
+    }
+    require(cached || derivation.isEmpty,
+      "priorAssigned must be a cached frame or a derivation-free artifact " +
+      "read (file scan / checkpoint + projections): the static side of a " +
+      "stream-static join re-evaluates every micro-batch, and this plan " +
+      s"contains ${derivation.map(_.nodeName).getOrElse("a derivation")} — " +
+      "persist the assignment artifact and use the path overload, or " +
+      ".cache() the frame")
     val assigned = Similarity.ivfAssignWithSim(df, vecCol, centroids)
     val prior = priorAssigned.select(col("cell_id").as("__pcell"),
       col(vecCol).as("__pv"))
@@ -63,6 +86,36 @@ object StreamingSemDedup {
       col("cell_id") === col("__pcell") &&
         round(Similarity.cosine(col(vecCol), col("__pv")), 6) >= lit(threshold),
       "left_anti")
+  }
+
+  // one cached plan per (session, artifact path) — repeated streams in the
+  // same JVM share it instead of stacking duplicate cache entries.
+  // private[streaming] so StreamingSpec can pin that the overload's prior
+  // really sits behind a cache (a streaming plan can't be batch-inspected)
+  private[streaming] val priorCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Artifact-path overload: load the persisted prior cell-assignment
+    * table (the `(vecCol, cell_id)` parquet the batch pipeline exports),
+    * cache it ONCE per session, and judge arrivals against it. This is
+    * the production face — the static side is a compact cached artifact
+    * by construction, so no caller can accidentally re-derive the prior
+    * per micro-batch.
+    */
+  def keepAgainstPrior(
+      df: DataFrame,
+      priorArtifactPath: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val prior = priorCache.getOrElseUpdate((spark, priorArtifactPath), {
+      val p = spark.read.parquet(priorArtifactPath)
+        .select(col(vecCol), col("cell_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p
+    })
+    keepAgainstPrior(df, prior, vecCol, centroids, threshold)
   }
 
   /** Streaming rank-normalization: every arriving vector scored against
