@@ -4616,18 +4616,13 @@ object Queries {
     // cell aggregation — bit-identical grid, no window anywhere.
     val grids = quantileGridCache.getOrElseUpdate(dir,
       RankSelect.exactQuantileGrid(ev, "event_type", "value", ps))
-    val bucket = grids.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
-      case (acc, (t, g)) =>
-        when($"event_type" === t,
-          graft.functions.SearchSorted.searchSorted($"value", g)).otherwise(acc)
-    }
-    val denom = grids.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
-      case (acc, (t, g)) =>
-        when($"event_type" === t, lit((g.length + 1).toDouble)).otherwise(acc)
-    }
-    ev.withColumn("q_bucket", when($"value".isNotNull, bucket))
-      .withColumn("qscore",
-        when($"value".isNotNull, round($"q_bucket".cast("double") / denom, 6)))
+    // r11: the scoring half is the shared RankBucket-kernel transform —
+    // one flat reference-object dispatch instead of the per-type literal
+    // when-chain (bit-identical upper-bound search; immune to the 64 KB
+    // codegen cliff if the key family ever grows), and the SAME function
+    // the streaming face calls (StreamingQuantile — batch/stream parity
+    // is one code path, not two kept in sync)
+    RankSelect.transformAgainstGrids(ev, "event_type", "value", grids)
       .select($"event_id", $"event_type", $"q_bucket", $"qscore")
       .orderBy("event_id")
   }
@@ -5496,4 +5491,98 @@ object Queries {
       |)
       |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM px GROUP BY 1
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** BPE trained-artifact tokenizer ([[graft.pipeline.Bpe]]): the merges
+    * table trains once per corpus snapshot (12 rounds of count → top pair
+    * → rewrite over the VOCABULARY frame), persists as a 12-row parquet
+    * artifact, and encoding runs against the loaded rules. The oracle
+    * replays the identical 12 training rounds as chained CTEs — both
+    * engines' `replace` is the same non-overlapping left-to-right scan,
+    * which IS BPE's greedy merge order, so rules AND token counts are
+    * bit-comparable.
+    */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.pipeline.Bpe.Merge]]
+
+  private val BpeMergeCount = 12
+
+  private def trainedBpe(spark: SparkSession, dir: String): Seq[graft.pipeline.Bpe.Merge] =
+    bpeMergesCache.getOrElseUpdate(dir,
+      loadOrTrain[Seq[graft.pipeline.Bpe.Merge]](spark, dir, "bpe_merges",
+        p => graft.pipeline.Bpe.loadMerges(spark, p),
+        p => {
+          val m = graft.pipeline.Bpe.trainMerges(
+            tbl(spark, dir, "documents"), "text", BpeMergeCount)
+          graft.pipeline.Bpe.saveMerges(spark, m, p)
+          m
+        },
+        table = "documents.parquet"))
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.mergesFrame(spark, trainedBpe(spark, dir))
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.encode(tbl(spark, dir, "documents"), "doc_id", "text",
+        trainedBpe(spark, dir))
+      .orderBy("doc_id")
+
+  /** The shared training CTE chain: v0 = vocabulary reprs; per round i,
+    * s_i = pair occurrences, m_i = the top pair (count desc, l, r — the
+    * trainer's total tie-break), v_i = the rewritten vocabulary.
+    */
+  private def bpeTrainCtes: String = {
+    // AS MATERIALIZED is load-bearing: each v_i is referenced twice
+    // (round i+1's pair count and round i+1's rewrite), so DuckDB's
+    // default CTE inlining would expand the chain 2^rounds-fold —
+    // measured as a hang at 12 rounds even on sf0.001; materialized, the
+    // whole chain runs in ~0.1 s
+    val sb = new StringBuilder(
+      raw"""WITH w AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(text, '\s+'),
+         |                x -> len(x) > 0)) AS word
+         |  FROM documents
+         |), v0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS wc,
+         |         regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS repr
+         |  FROM w GROUP BY word
+         |)""".stripMargin)
+    for (i <- 1 to BpeMergeCount) {
+      sb.append(raw""", m$i AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest([{'l': syms[j], 'r': syms[j + 1]}
+         |                           for j in range(1, len(syms))]) AS pr
+         |        FROM (SELECT wc, list_filter(string_split(repr, ' '),
+         |                                     x -> len(x) > 0) AS syms
+         |              FROM v${i - 1}))
+         |  GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1
+         |), v$i AS MATERIALIZED (
+         |  SELECT word, wc,
+         |         replace(repr, ' ' || m.l || ' ' || m.r || ' ',
+         |                 ' ' || m.l || m.r || ' ') AS repr
+         |  FROM v${i - 1} CROSS JOIN m$i m
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val bpeMergesSql: String =
+    bpeTrainCtes + "\n" +
+      (1 to BpeMergeCount).map(i =>
+        s"SELECT $i AS merge_rank, l AS l_sym, r AS r_sym, cnt FROM m$i")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  val bpeEncodeSql: String =
+    bpeTrainCtes +
+      raw""", d AS (
+         |  SELECT word,
+         |         CAST(len(list_filter(string_split(repr, ' '),
+         |                              x -> len(x) > 0)) AS BIGINT) AS toks
+         |  FROM v$BpeMergeCount
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
+         |FROM w JOIN d USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
