@@ -98,16 +98,24 @@ object Bench {
     // output exactly on the documented shape.
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    // the record documents its own measurement protocol (r11 — so a
+    // round-over-round comparison always knows what it is reading); the
+    // committed round record is the per-query min over TWO full sweeps
+    // (tools/bench_min.py), which this field then reflects
+    val protocol = "one-JVM full sweep, min of 2-3 runs per query (3rd for " +
+      "sub-500ms or >1.5x-variance rows), inter-query System.gc"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_protocol":"$protocol","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the full JSON to the repo: the driver's BENCH_r*.json
-    // stdout capture has truncated the tail in past rounds, losing the
-    // per-query record — a committed file survives regardless.
+    // Persist the full JSON to the repo (the driver's BENCH_r*.json stdout
+    // capture has truncated the tail in past rounds) — but ONLY for a full
+    // sweep: a single-query invocation would otherwise CLOBBER the round
+    // record with a one-row file (the r10 footgun).
     try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("BENCH_local.json"),
+      val target = if (only.isEmpty) "BENCH_local.json" else "BENCH_partial.json"
+      java.nio.file.Files.write(dir.resolve(target),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"[bench] persist: $e") }
     spark.stop()
