@@ -5544,7 +5544,7 @@ object Queries {
          |  FROM documents
          |), v0 AS MATERIALIZED (
          |  SELECT word, count(*) AS wc,
-         |         regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS repr
+         |         regexp_replace(word, '(.)', ' \1 ', 'g') AS repr
          |  FROM w GROUP BY word
          |)""".stripMargin)
     for (i <- 1 to BpeMergeCount) {
@@ -5559,7 +5559,7 @@ object Queries {
          |  ORDER BY cnt DESC, l, r LIMIT 1
          |), v$i AS MATERIALIZED (
          |  SELECT word, wc,
-         |         replace(repr, ' ' || m.l || ' ' || m.r || ' ',
+         |         replace(repr, ' ' || m.l || '  ' || m.r || ' ',
          |                 ' ' || m.l || m.r || ' ') AS repr
          |  FROM v${i - 1} CROSS JOIN m$i m
          |)""".stripMargin)

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * The whole algorithm is kept RELATIONAL and cross-engine reproducible
   * (the repo's oracle discipline): a word's symbol sequence is its
-  * space-separated representation `" h e l l o "`, an adjacent-pair merge
-  * is one literal `replace(repr, " l r ", " lr ")` — the same
-  * non-overlapping left-to-right scan every SQL engine's `replace`
-  * implements, which is exactly BPE's greedy merge order — and the top
-  * pair each round is `ORDER BY cnt DESC, l, r LIMIT 1` (total
-  * tie-break). An independent SQL engine replays training and encoding
-  * bit-for-bit.
+  * own-space representation `" h  e  l  l  o "` ([[wordRepr]] — every
+  * symbol carries both its delimiters, so merge matches are disjoint),
+  * an adjacent-pair merge is one literal `replace(repr, " l  r ",
+  * " lr ")` — the same non-overlapping left-to-right scan every SQL
+  * engine's `replace` implements, which over disjoint matches is exactly
+  * BPE's greedy merge of every occurrence — and the top pair each round
+  * is `ORDER BY cnt DESC, l, r LIMIT 1` (total tie-break). An
+  * independent SQL engine replays training and encoding bit-for-bit.
   *
   * Scale shape ([[TextAnalysis.bpePairStats]]'s argument, extended): the
   * corpus → vocabulary groupBy is the ONLY full-width pass — training
@@ -36,13 +37,19 @@ object Bpe {
     */
   final case class Merge(rank: Int, l: String, r: String, cnt: Long)
 
-  /** `" h e l l o "` — the space-separated symbol representation BPE
-    * rewrites; leading/trailing spaces make every symbol's occurrence
-    * `" sym "`, so a literal replace can never match across symbol
-    * boundaries.
+  /** `" h  e  l  l  o "` — the symbol representation BPE rewrites: every
+    * symbol carries its OWN leading and trailing space (adjacent symbols
+    * are therefore double-spaced). Self-delimited symbols are
+    * load-bearing: with a single shared separator, two adjacent
+    * occurrences of the top pair share the boundary space, the first
+    * replace consumes it, and the second occurrence no longer matches —
+    * `replace` would then merge only alternate repeats (`a a a a` →
+    * `[aa, a, a]`), diverging from BPE's greedy left-to-right merge.
+    * With own-space symbols the matches are disjoint by construction and
+    * `replace(" l  r ", " lr ")` merges EVERY occurrence — textbook BPE.
     */
   def wordRepr(word: Column): Column =
-    concat(regexp_replace(word, "(.)", " $1"), lit(" "))
+    regexp_replace(word, "(.)", " $1 ")
 
   /** The vocabulary frame: distinct word, corpus count, symbol repr. */
   private def vocabFrame(docs: DataFrame, textCol: String): DataFrame =
@@ -68,7 +75,7 @@ object Bpe {
     */
   def applyMerges(repr: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(repr) { (r, m) =>
-      replace(r, lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} "))
+      replace(r, lit(s" ${m.l}  ${m.r} "), lit(s" ${m.l}${m.r} "))
     }
 
   /** Train `nMerges` merge rules on the corpus. Each round: count
@@ -96,7 +103,7 @@ object Bpe {
           top(0).getLong(2))
         out += m
         voc = voc.withColumn("repr",
-          replace(col("repr"), lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} ")))
+          replace(col("repr"), lit(s" ${m.l}  ${m.r} "), lit(s" ${m.l}${m.r} ")))
         rank += 1
       }
     }
@@ -141,5 +148,29 @@ object Bpe {
     wordRows.join(dict, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__toks")).as("n_bpe_tokens"))
+  }
+
+  /** PER-ROW tokenization against trained merges — the stream face
+    * ([[graft.streaming.StreamingBpe]]) and the narrow batch path: every
+    * word of a document is rewritten inside the row (a `transform` over
+    * the words array — no explode, no dict join, no aggregation), so the
+    * operator is stateless and Append by construction. Same rows as
+    * [[encode]] for every document WITH words (the dict join only dedups
+    * the rewrite work); zero-word documents — which [[encode]]'s explode
+    * drops — are kept here as `(0, 0)`, the right contract for a stream
+    * (every arrival gets a verdict). Prefer [[encode]] for batch corpora
+    * with Zipf-repeated vocabularies, this face for streams and
+    * wide-vocabulary scans.
+    */
+  def encodeRow(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val toks = transform(ws, w =>
+      size(filter(split(applyMerges(wordRepr(w), merges), " "),
+        s => length(s) > 0)).cast("long"))
+    docs.select(col(idCol),
+      size(ws).cast("long").as("n_words"),
+      coalesce(aggregate(toks, lit(0L), (a, b) => a + b), lit(0L))
+        .as("n_bpe_tokens"))
   }
 }

@@ -312,28 +312,42 @@ class PlanSpec extends SparkTestBase {
       plan)
   }
 
-  test("winsorize: one data exchange; rank and bound windows share it") {
+  test("winsorize: two-phase clamp plan has NO sort, NO window, NO data exchange") {
     assumeTestData(dir)
     val ev = Queries.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("event_type"),
         org.apache.spark.sql.functions.col("value"))
+    // r11: bounds come from the two-phase rank pass (jobs run at call
+    // time); the RETURNED plan is scan → broadcast-join the 5-row bounds
+    // table → clamp — the per-key whole-slice sort is gone entirely
     val plan = graft.ops.Anomalies.winsorize(ev, Seq("event_type"), "value")
       .queryExecution.explainString(SimpleMode)
-    // one shuffle introduces the key partitioning; the unordered bound
-    // windows run on the sorted window's output without re-exchanging
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("winsorizedStats: one data exchange; groupBy reuses the window partitioning") {
+  test("winsorizedStats: two-phase answer is a local frame; window fallback keeps one exchange") {
     assumeTestData(dir)
     val ev = Queries.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("event_type"),
         org.apache.spark.sql.functions.col("value"))
+    // r11: the whole statistic is read off the two aggregation passes'
+    // cell table — the result plan is a |keys|-row local scan, no
+    // window, no sort, no exchange, no re-descent of the source
     val plan = graft.ops.Anomalies.winsorizedStats(ev, Seq("event_type"), "value")
       .queryExecution.explainString(SimpleMode)
-    // the sorted window introduces the key partitioning; the final
-    // aggregation groups on the same keys so no second exchange appears
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    // the windowed fallback (forced via maxTwoPhaseKeys = 0) keeps its
+    // audited one-exchange shape: the sorted window introduces the key
+    // partitioning and the final aggregation reuses it
+    val fb = graft.ops.Anomalies.winsorizedStats(ev, Seq("event_type"), "value",
+        pLo = 0.05, pHi = 0.95, maxTwoPhaseKeys = 0)
+      .queryExecution.explainString(SimpleMode)
+    assert("Exchange hashpartitioning".r.findAllIn(fb).length == 1, fb)
   }
 
   test("semdedup: cell equijoin only — no cartesian, no corpus broadcast; keep windows partitioned") {

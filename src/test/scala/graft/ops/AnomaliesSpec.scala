@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class AnomaliesSpec extends SparkTestBase {
 
@@ -93,5 +94,43 @@ class AnomaliesSpec extends SparkTestBase {
     val inSet = vals.toSet
     assert(out.forall(r => inSet(r.getDouble(0)) && inSet(r.getDouble(1)) &&
       inSet(r.getDouble(2))))
+  }
+
+  test("winsorize/winsorizedStats: two-phase path ≡ windowed fallback on randomized + tie-heavy keys") {
+    // the r11 sort-free path and the legacy window path must agree on
+    // EVERY statistic — bounds are order statistics (deterministic data
+    // values), counts are integers, and the clamped sum only differs in
+    // float association (compared at round-6, far tighter than the
+    // query's round-2). Includes a 90%-tie key and sub-rank-width keys.
+    val rnd = new scala.util.Random(23)
+    val data =
+      (1 to 4000).map(_ => ("u", math.floor(rnd.nextDouble() * 500) / 10.0)) ++
+      (1 to 3600).map(_ => ("t", 5.0)) ++
+      (1 to 400).map(_ => ("t", math.floor(rnd.nextDouble() * 100) / 10.0)) ++
+      Seq(("one", 3.14)) ++
+      (1 to 3).map(i => ("three", i * 1.5))
+    val df = data.toDF("k", "value")
+    def statsOf(maxKeys: Int) =
+      Anomalies.winsorizedStats(df, Seq("k"), "value",
+          pLo = 0.05, pHi = 0.95, maxTwoPhaseKeys = maxKeys)
+        .select(col("k"), col("n"), col("lo"), col("hi"),
+          round(col("sum_w"), 6).as("sw"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(statsOf(4096) == statsOf(0)) // two-phase vs forced window
+    def clampOf(maxKeys: Int) =
+      Anomalies.winsorize(df, Seq("k"), "value",
+          pLo = 0.05, pHi = 0.95, maxTwoPhaseKeys = maxKeys)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"), round(sum(col("value_w")), 6).as("sw"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(clampOf(4096) == clampOf(0))
+    // and the two operators agree with each other (the decomposition
+    // identity the oracle checks, asserted engine-side too)
+    assert(statsOf(4096) == clampOf(4096))
   }
 }

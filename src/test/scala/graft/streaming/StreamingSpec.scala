@@ -1180,6 +1180,49 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(2L)._2.contains(2L) && byId(2L)._3.contains(0.5))
   }
 
+  test("streaming BPE encode tokenizes arrivals against trained merges; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // merges trained on a tiny reference corpus; 'ab' then 'abc' fuse
+    val train = Seq((1L, "abc abc abd xy"), (2L, "abc xy xy"))
+      .toDF("doc_id", "text")
+    val merges = graft.pipeline.Bpe.trainMerges(train, "text", nMerges = 2)
+    assert(merges.map(m => (m.l, m.r)) == Seq(("a", "b"), ("ab", "c")), merges)
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingBpe.encode(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", merges)
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    val batch1 = Seq((1L, "abc abd"), (2L, "zz abcabc"))
+    val batch2 = Seq((3L, "xy abc zz abd q"), (4L, "   "))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("bpe_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // batch parity on the unioned arrivals — BOTH batch faces
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchRow = graft.pipeline.Bpe.encodeRow(all, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.toSeq == batchRow.toSeq,
+      s"stream ${streamed.toSeq} vs encodeRow ${batchRow.toSeq}")
+    val batchDict = graft.pipeline.Bpe.encode(all, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the dict-join face drops zero-word docs; the stream face keeps them
+    // as (0, 0) — every other row identical
+    assert(streamed.filter(_._2 > 0).toSeq == batchDict.toSeq,
+      s"stream ${streamed.toSeq} vs encode ${batchDict.toSeq}")
+    // hand checks: "abc abd" -> [abc] + [ab, d] = 3 tokens;
+    // "zz abcabc" -> [z, z] + [abc, abc] = 4; whitespace-only doc -> (0, 0)
+    val m = streamed.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == ((2L, 3L)), m(1L).toString)
+    assert(m(2L) == ((2L, 4L)), m(2L).toString)
+    assert(m(4L) == ((0L, 0L)), m(4L).toString)
+  }
+
   test("streaming rank-normalization scores arrivals against the trained grid; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val grid = Map(
