@@ -4649,6 +4649,45 @@ object Queries {
        |FROM events e LEFT JOIN g USING (event_type) ORDER BY event_id""".stripMargin
   }
 
+  /** The table-backed exact quantile grids
+    * ([[RankSelect.exactQuantileGridTable]] — the unbounded-keys twin of
+    * the collected trainer) exported as (k, q_idx, value) scalars, the
+    * [[ivfCentroids]] artifact convention. The oracle re-derives the
+    * DISCRETE rank-⌈p·n⌉ values with the plain rank window, so the fully
+    * relational band/cell/walk pipeline — higher-order interval merge,
+    * segment parity, windowed cumulative walk, range join — is
+    * value-checked end-to-end by an independent engine, not just against
+    * the collected path's specs.
+    */
+  def quantileGridTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = (1 to 19).map(_ * 0.05)
+    val ev = events(spark, dir).select($"event_type", $"value")
+    RankSelect.exactQuantileGridTable(ev, "event_type", "value", ps)
+      .select(col("event_type").as("k"),
+        posexplode(col("grid")).as(Seq("q_idx", "value")))
+      .withColumn("q_idx", col("q_idx").cast("long"))
+      .orderBy("k", "q_idx")
+  }
+
+  val quantileGridTableSql: String = {
+    val ps = (1 to 19).map(i => (i * 0.05).toString).mkString(", ")
+    s"""WITH r AS (
+       |  SELECT event_type AS k, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL
+       |), ladder AS (SELECT unnest([$ps]) AS p),
+       |g AS (
+       |  SELECT k, list_sort(list_distinct(list(value))) AS grid
+       |  FROM r JOIN ladder ON rn = CAST(ceiling(p * n) AS BIGINT)
+       |  GROUP BY 1
+       |)
+       |SELECT k, CAST(generate_subscripts(grid, 1) - 1 AS BIGINT) AS q_idx,
+       |       unnest(grid) AS value
+       |FROM g ORDER BY k, q_idx""".stripMargin
+  }
+
   /** Term-lift ranking between two corpus snapshots (odd vs even doc ids,
     * the [[driftIncr]] convention): smoothed relative frequency ratio
     * `((cB+1)/(tB+V)) / ((cA+1)/(tA+V))` per term — the "what is suddenly

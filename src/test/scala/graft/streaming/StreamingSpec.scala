@@ -1180,6 +1180,41 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(2L)._2.contains(2L) && byId(2L)._3.contains(0.5))
   }
 
+  test("streaming DSIR scoring against the trained log-ratio artifact; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // ratios trained on a reference corpus; arrivals scored per row (the
+    // scoreAgainstRatios face is pure narrow work, so it runs on a
+    // stream unchanged — no dedicated streaming operator needed)
+    val ref = Seq((1L, "alpha beta beta", true), (2L, "gamma delta", false),
+      (3L, "alpha gamma", true)).toDF("doc_id", "text", "is_t")
+    val lr = graft.pipeline.Dsir.trainLogRatios(ref, "text",
+      org.apache.spark.sql.functions.col("is_t"), buckets = 16)
+
+    val input = MemoryStream[(Long, String)]
+    val out = graft.pipeline.Dsir.scoreAgainstRatios(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", lr)
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    val batch1 = Seq((10L, "alpha beta"), (11L, "  "))
+    val batch2 = Seq((12L, "gamma gamma delta"), (13L, "alpha"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dsir_stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val batch = graft.pipeline.Dsir.scoreAgainstRatios(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", lr)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} vs batch ${batch.toSeq}")
+    // degenerate (whitespace-only) arrival emits nothing, like the batch
+    assert(!streamed.map(_._1).contains(11L))
+    assert(streamed.map(_._1).toSeq == Seq(10L, 12L, 13L))
+  }
+
   test("streaming BPE encode tokenizes arrivals against trained merges; batch parity") {
     implicit val sqlCtx = spark.sqlContext
     // merges trained on a tiny reference corpus; 'ab' then 'abc' fuse
