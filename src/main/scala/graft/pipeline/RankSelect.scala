@@ -299,10 +299,23 @@ object RankSelect {
         expr("transform(__merged, x -> x.lo)").as("__los"),
         expr("transform(__merged, x -> x.hi)").as("__his")))
 
+    // measured broadcast decision (the Artifacts.sizedBroadcast
+    // convention): the checkpointed plan table carries NO stats, so
+    // without a hint the rows⋈plans join goes sort-merge and shuffles
+    // the whole input (measured 21 s for 10M rows × 5 keys). The key
+    // count is known post-checkpoint (a cheap count over the
+    // materialized rows), so hint broadcast whenever the estimated plan
+    // bytes fit comfortably; a web-scale key count takes the keyed
+    // shuffle, which the cell aggregation then reuses.
+    val nKeys = planTable.count()
+    val estBytes = nKeys * (64L + 16L * (2L + 2L * ps.length))
+    val planSide =
+      if (estBytes <= 64L * 1024 * 1024) broadcast(planTable) else planTable
+
     // cell pass: seg = #{lo <= v} + #{hi < v} over the key's merged
     // disjoint intervals (odd = inside); one key equi-join + one
     // aggregation that reuses the join's partitioning
-    val tagged = rows.join(planTable, "__k")
+    val tagged = rows.join(planSide, "__k")
       .withColumn("__seg",
         (size(filter(col("__los"), l => l <= col("__v"))) +
          size(filter(col("__his"), h => h < col("__v")))))
@@ -317,18 +330,27 @@ object RankSelect {
     val wcum = Window.partitionBy(col("__k")).orderBy(col("__seg"), col("__bv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells.withColumn("__cum", sum(col("__c")).over(wcum))
-    val targets = planTable.select(col("__k"),
+    val targetsRaw = planTable.select(col("__k"),
       size(col("__ranks")).as("__want"), explode(col("__ranks")).as("__t"))
+    // same measured hint: |keys|·|ps| rows vs the cell table
+    val targets =
+      if (estBytes * ps.length <= 64L * 1024 * 1024) broadcast(targetsRaw)
+      else targetsRaw
     val picked = targets.alias("t").join(cum.alias("c"),
       col("t.__k") === col("c.__k") &&
         col("t.__t").between(col("c.__cum") - col("c.__c") + 1, col("c.__cum")))
       .select(col("t.__k").as("__k"), col("t.__want").as("__want"),
         col("c.__seg").as("__seg"), col("c.__bv").as("__bv"))
-    val perKey = picked.groupBy(col("__k"))
+    // materialize the bounded (one row per key) verdict table ONCE: the
+    // good/bad split below consumes it twice (the badKeys collect plus
+    // the caller's read of `good`), and without this checkpoint each
+    // consumer re-executes the whole 2×-scan band+cell DAG — measured as
+    // a full second run of the 10M-row cell pass
+    val perKey = Dedup.materializeOnce(picked.groupBy(col("__k"))
       .agg(max(col("__want")).as("__want"),
         count(lit(1)).as("__got"),
         min((col("__seg") % 2).cast("int")).as("__minpar"),
-        sort_array(array_distinct(collect_list(col("__bv")))).as("grid"))
+        sort_array(array_distinct(collect_list(col("__bv")))).as("grid")))
 
     val good = perKey.filter(col("__got") === col("__want") && col("__minpar") === 1)
       .select(col("__k").as(keyCol), col("grid"))
