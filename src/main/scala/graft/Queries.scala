@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Artifacts, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Artifacts, Bm25, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.functions.Num
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1728,6 +1728,99 @@ object Queries {
       |)
       |SELECT doc_id, term, tf, df, score, rank
       |FROM s WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** The BM25 model + stats pair, trained once per corpus snapshot and
+    * persisted ([[pipeline.Bm25.saveModel]]); later sessions load the
+    * artifact. Session-keyed plan cache (the bigramLmCache convention).
+    */
+  private val bm25ModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def bm25Pair(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25ModelCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[(DataFrame, DataFrame)](spark, dir, "bm25_model",
+        p => Bm25.loadModel(spark, p),
+        p => {
+          val docs = tbl(spark, dir, "documents")
+          Bm25.saveModel(Bm25.trainModel(docs, "text", "doc_id"),
+            Bm25.corpusStats(docs, "text", "doc_id"), p)
+          Bm25.loadModel(spark, p)
+        },
+        table = "documents.parquet"))
+
+  /** The trained BM25 term model `(term, df, idf)` — the oracle re-derives
+    * document frequencies and the Robertson–Spärck Jones idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` independently, value-checking the
+    * trainer (idf rounded to 6; `ln` differs cross-engine in the last ulp).
+    */
+  def bm25Model(spark: SparkSession, dir: String): DataFrame = {
+    val (terms, _) = bm25Pair(spark, dir)
+    terms.select(col("term"), col("df"), round(col("idf"), 6).as("idf"))
+      .orderBy("term")
+  }
+
+  val bm25ModelSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), d AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT term, df, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+      |FROM d CROSS JOIN n ORDER BY term""".stripMargin
+
+  /** The fixed retrieval query the BM25 gate scores — common synthetic
+    * vocabulary terms with a spread of document frequencies.
+    */
+  private val bm25QueryTerms = Seq("spark", "merge", "vector", "window")
+
+  /** BM25 top-50 retrieval against the trained artifact
+    * ([[pipeline.Bm25.topK]]): per document ONE byte-scan kernel
+    * ([[graft.functions.Bm25Score]] — the query-side idf rows and corpus
+    * stats fold into a flat reference object, never a vocabulary join),
+    * then `ORDER BY … LIMIT` (TakeOrderedAndProject). The oracle replays
+    * the full tf/df/dl/avgdl derivation and the exact arithmetic shape
+    * relationally. Total order: (rounded score desc, doc_id asc).
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val (terms, stats) = bm25Pair(spark, dir)
+    Bm25.topK(tbl(spark, dir, "documents"), "text", "doc_id",
+      terms, stats, bm25QueryTerms, n = 50)
+  }
+
+  val bm25TopKSql: String = {
+    val q = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |st AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+      |           / (SELECT CAST(n_docs AS DOUBLE) FROM n) AS avgdl
+      |), d AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), q AS (SELECT unnest([$q]) AS term),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |         ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |           * (tf.tf * (1.2 + 1))
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) AS contrib
+      |  FROM tf JOIN q USING (term) JOIN d USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN st
+      |), s AS (
+      |  SELECT doc_id, sum(contrib) AS score FROM c GROUP BY 1
+      |)
+      |SELECT s.doc_id, dl.dl AS dl, round(s.score, 6) AS score
+      |FROM s JOIN dl USING (doc_id)
+      |WHERE s.score > 0
+      |ORDER BY round(s.score, 6) DESC, s.doc_id LIMIT 50""".stripMargin
+  }
 
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 retrieval over a document corpus — the text-side similarity
+  * search next to the embedding-side ANN family: train the corpus model
+  * once (term document-frequencies → idf weights, plus the corpus length
+  * stats), persist it as a parquet artifact, then score any batch or
+  * stream of documents against a query with PURE per-row narrow work.
+  *
+  * Model semantics (the Robertson–Spärck Jones form):
+  *
+  * {{{
+  * idf(t)      = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+  * score(D, Q) = Σ_{t∈Q} idf(t) · (tf_{t,D}·(k1+1)) / (tf_{t,D} + k1·(1 − b + b·|D|/avgdl))
+  * }}}
+  *
+  * Scale shape (the trained-artifact boundary, the
+  * [[LanguageModel.trainBigramModel]] convention):
+  *
+  *  - '''train''' is one tokenizing scan ([[graft.functions.WordCounts]] —
+  *    the per-document term grouping happens row-locally inside the
+  *    native kernel, so the plan goes straight from the scan to
+  *    (term, df) rows through one map-side-combined vocabulary
+  *    aggregation). The model table is vocabulary-sized and stays
+  *    DISTRIBUTED ([[Artifacts.save]] — ~1e8 term types on a web corpus
+  *    must never funnel through the driver).
+  *  - '''scoring''' never touches the vocabulary: the driver collects the
+  *    ≤|query| idf rows (bounded by the QUERY, not the corpus) and one
+  *    stats row, folds them into a [[graft.functions.Bm25Score]] flat
+  *    reference object, and the scan scores each document in ONE byte
+  *    pass — no explode, no tf aggregation, no term join, no exchange.
+  *    Stateless per-row work, so the same code path runs over a
+  *    Structured Streaming source unchanged.
+  *  - '''top-k''' is `ORDER BY … LIMIT n` — Spark plans
+  *    TakeOrderedAndProject (per-partition partial top-k, then one
+  *    n-row merge on the driver), never a global sort.
+  */
+object Bm25 {
+
+  /** Train the term model: `(term, df, idf)` — one row per term TYPE.
+    * `n_docs` counts every document (including zero-token ones that never
+    * reach the tf frame), riding in from an id-only column-pruned scan as
+    * a broadcast scalar. idf is precomputed per TYPE (bit-identical to
+    * computing it per occurrence — the
+    * [[LanguageModel.trainBigramModel]] argument).
+    */
+  def trainModel(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dfreq = docs
+      .select(explode(graft.functions.WordCounts.wordCounts(col(textCol))).as("__wc"))
+      .select(col("__wc.term").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("__n_docs"))
+    dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        log(lit(1.0) + (col("__n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+  }
+
+  /** Corpus length stats — ONE scan, one row:
+    * `(n_docs, total_tokens, avgdl)` with `avgdl = total_tokens / n_docs`
+    * (one IEEE division). The per-document token count folds row-locally
+    * over the [[graft.functions.WordCounts]] array, so the scan emits one
+    * long per document into a scalar aggregate — no explode.
+    */
+  def corpusStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dl = aggregate(
+      graft.functions.WordCounts.wordCounts(col(textCol)),
+      lit(0L), (acc, x) => acc + x.getField("tf"))
+    docs.agg(countDistinct(col(idCol)).as("n_docs"), sum(dl).as("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+  }
+
+  /** Persist the trained model: the vocabulary-scale term table under
+    * `path/terms` (distributed), the one-row stats under `path/stats`.
+    */
+  def saveModel(terms: DataFrame, stats: DataFrame, path: String): Unit = {
+    Artifacts.save(terms, path + "/terms")
+    Artifacts.save(stats, path + "/stats")
+    // two-part artifact: a top-level completion marker, written only
+    // after BOTH children commit, so loaders never read a half-written
+    // model (and the load-or-train convention has one path to probe)
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(
+      terms.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** Load a persisted model: `(terms, stats)`. The term table gets the
+    * measured size-gated broadcast hint ([[Artifacts.sizedBroadcast]]) for
+    * callers that join it wholesale; [[scoreQuery]] itself only ever
+    * collects the ≤|query| matching rows.
+    */
+  def loadModel(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (Artifacts.sizedBroadcast(spark, path + "/terms",
+        spark.read.parquet(path + "/terms")),
+      spark.read.parquet(path + "/stats"))
+
+  /** Score every document against `query`: `(<idCol>, dl, score)`,
+    * unrounded, one row per non-null-text document. Out-of-vocabulary
+    * query terms contribute nothing (they have no trained idf row — the
+    * INNER-join contract of every scoring face in this package); a
+    * document matching no query term scores 0.0.
+    *
+    * The ≤|query| idf rows and the single stats row are the only driver
+    * collects — bounded by the query, independent of corpus and
+    * vocabulary size. Stateless per-row scoring: works unchanged on a
+    * streaming `docs`.
+    */
+  def scoreQuery(docs: DataFrame, textCol: String, idCol: String,
+      terms: DataFrame, stats: DataFrame, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 query must have at least one term")
+    docs.select(col(idCol),
+      scoreColumn(col(textCol), terms, stats, query, k1, b).as("__bm"))
+      .select(col(idCol), col("__bm.dl").as("dl"), col("__bm.score").as("score"))
+  }
+
+  /** The raw scoring column (`struct<dl, score>`) for callers embedding
+    * BM25 in a wider projection (the streaming face uses this directly).
+    */
+  def scoreColumn(text: Column, terms: DataFrame, stats: DataFrame,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): Column =
+    graft.functions.Bm25Score.bm25Score(text,
+      buildQueryModel(terms, stats, query, k1, b))
+
+  /** Collect the bounded query-side model: ≤|query| idf rows + 1 stats
+    * row → the kernel's flat reference object.
+    */
+  def buildQueryModel(terms: DataFrame, stats: DataFrame, query: Seq[String],
+      k1: Double, b: Double): graft.functions.Bm25Score.QueryModel = {
+    val qterms = query.distinct
+    val idfByTerm = terms
+      .filter(col("term").isin(qterms: _*))
+      .select(col("term"), col("idf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val statsRow = stats.select(col("avgdl")).collect()
+    require(statsRow.nonEmpty && !statsRow(0).isNullAt(0),
+      "bm25 corpus stats are empty — train on a non-empty corpus")
+    val avgdl = statsRow(0).getDouble(0)
+    require(avgdl > 0.0,
+      s"bm25 avgdl is $avgdl — the training corpus has no tokens")
+    val present = qterms.filter(idfByTerm.contains)
+    new graft.functions.Bm25Score.QueryModel(
+      present.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray,
+      present.map(idfByTerm).toArray, k1, b, avgdl)
+  }
+
+  /** Retrieval face: the `n` best-scoring documents for `query`, rounded
+    * to 6 decimals and totally ordered (score desc, id asc) — the order
+    * and the cut are deterministic and engine-independent. Plans as
+    * TakeOrderedAndProject over the narrow scoring scan.
+    */
+  def topK(docs: DataFrame, textCol: String, idCol: String,
+      terms: DataFrame, stats: DataFrame, query: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n > 0, s"topK n must be positive: $n")
+    scoreQuery(docs, textCol, idCol, terms, stats, query, k1, b)
+      .filter(col("score") > 0.0)
+      .select(col(idCol), col("dl"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(n)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkTestBase {
+
+  import testImplicits._
+  private lazy val testImplicits = spark.implicits
+
+  private val corpus = Seq(
+    (0L, "spark merge spark table window"),
+    (1L, "vector vector vector"),
+    (2L, "the quick brown fox"),
+    (3L, "spark"),
+    (4L, ""), // zero tokens
+    (5L, "window merge window merge window spark table scan row value"))
+
+  private def docs = corpus.toDF("doc_id", "text")
+
+  /** Brute-force BM25 over the same corpus — independent arithmetic. */
+  private def brute(query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, (Long, Double)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.length.toLong
+    val dfOf = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val total = toks.values.map(_.length.toLong).sum
+    val avgdl = total.toDouble / n.toDouble
+    toks.map { case (id, ws) =>
+      val dl = ws.length.toLong
+      val score =
+        if (dl == 0) 0.0
+        else {
+          val norm = k1 * (1.0 - b + b * (dl.toDouble / avgdl))
+          query.distinct.filter(dfOf.contains).map { t =>
+            val tf = ws.count(_ == t).toLong
+            if (tf == 0) 0.0
+            else math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)) *
+              (tf.toDouble * (k1 + 1.0)) / (tf.toDouble + norm)
+          }.sum
+        }
+      id -> (dl, score)
+    }
+  }
+
+  private def trained = {
+    val d = docs
+    (Bm25.trainModel(d, "text", "doc_id"), Bm25.corpusStats(d, "text", "doc_id"))
+  }
+
+  test("scoreQuery matches an independent brute-force BM25 bit-for-bit") {
+    val (terms, stats) = trained
+    val query = Seq("spark", "window", "vector")
+    val got = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats, query)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = brute(query)
+    assert(got.keySet === want.keySet)
+    for ((id, (dl, s)) <- want) {
+      assert(got(id)._1 === dl, s"dl for doc $id")
+      assert(got(id)._2 === s, s"score for doc $id") // exact: same op sequence
+    }
+  }
+
+  test("corpus stats: n_docs counts zero-token docs; avgdl is total/n") {
+    val (_, stats) = trained
+    val r = stats.collect()(0)
+    assert(r.getLong(0) === 6L)
+    val total = corpus.map(_._2.split("\\s+").count(_.nonEmpty)).sum.toLong
+    assert(r.getLong(1) === total)
+    assert(r.getDouble(2) === total.toDouble / 6.0)
+  }
+
+  test("out-of-vocabulary query terms contribute nothing") {
+    val (terms, stats) = trained
+    val base = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val oov = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats,
+        Seq("spark", "zzz_never_seen"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(oov === base)
+  }
+
+  test("zero-token and non-matching docs score 0.0; null text scores null") {
+    val (terms, stats) = trained
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val rows = Bm25.scoreQuery(withNull, "text", "doc_id", terms, stats,
+        Seq("spark")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(4L) === Some(0.0)) // zero tokens
+    assert(rows(2L) === Some(0.0)) // no query term
+    assert(rows(9L) === None)      // null text propagates
+  }
+
+  test("topK is totally ordered, positive-only, and cut at n") {
+    val (terms, stats) = trained
+    val top = Bm25.topK(docs, "text", "doc_id", terms, stats,
+      Seq("spark", "window", "vector"), n = 3).collect()
+    assert(top.length === 3)
+    val scores = top.map(_.getDouble(2))
+    assert(scores.forall(_ > 0.0) || scores.forall(_ >= 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // ties (if any) broken by ascending id
+    val pairs = top.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (s, id) => (-s, id) }))
+  }
+
+  test("save/load roundtrip scores identically to the in-memory model") {
+    val (terms, stats) = trained
+    val dir = java.nio.file.Files.createTempDirectory("bm25_model").toString
+    Bm25.saveModel(terms, stats, dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "completion marker")
+    val (lt, ls) = Bm25.loadModel(spark, dir)
+    val q = Seq("spark", "merge")
+    val a = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Bm25.scoreQuery(docs, "text", "doc_id", lt, ls, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("scoring plan is narrow: no exchange, no join, one kernel per row") {
+    val (terms, stats) = trained
+    val plan = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats,
+      Seq("spark")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(plan.toLowerCase.contains("bm25"), s"kernel missing from plan:\n$plan")
+  }
+
+  test("streaming face: the same scorer over a stream matches the batch run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val (terms, stats) = trained
+    val mem = MemoryStream[(Long, String)]
+    val scored = Bm25.scoreQuery(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      terms, stats, Seq("spark", "window"))
+    val q = scored.writeStream.format("memory")
+      .queryName("bm25_stream").outputMode("append").start()
+    try {
+      mem.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val batch = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats,
+          Seq("spark", "window")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+}
