@@ -1822,6 +1822,96 @@ object Queries {
       |ORDER BY round(s.score, 6) DESC, s.doc_id LIMIT 50""".stripMargin
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the BM25 top-100 (sparse
+    * arm, [[bm25TopK]]'s trained artifact) fused with the cosine top-100
+    * around a fixed query embedding (dense arm,
+    * [[Similarity.bruteForceTopK]]) via
+    * `rrf = Σ_arm 1/(60 + rank_arm)` — the standard RRF constant, summed
+    * sparse-then-dense with absent arms contributing 0.
+    *
+    * Scale shape: each arm is already a bounded top-k
+    * (TakeOrderedAndProject / rank-window cut); the sparse arm's rank is
+    * then a count-of-better self-join over its OWN 100 rows — window-free
+    * (a global rank window would serialize through one task; this repo's
+    * scale-shape grep allows exactly one unpartitioned-window source and
+    * it is not this one), broadcast both ways, 100×100 worst case. The
+    * fuse is a full-outer equi-join of two ≤100-row frames. Total order:
+    * (rrf desc, doc_id asc).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (terms, stats) = bm25Pair(spark, dir)
+    val sparseTop = Bm25.topK(tbl(spark, dir, "documents"), "text", "doc_id",
+      terms, stats, bm25QueryTerms, n = 100)
+    val a = sparseTop.select($"doc_id", $"score")
+    val sparseRank = a.alias("a").join(broadcast(a.alias("b")),
+        ($"b.score" > $"a.score") ||
+        ($"b.score" === $"a.score" && $"b.doc_id" < $"a.doc_id"), "left")
+      .groupBy($"a.doc_id")
+      .agg((count($"b.doc_id") + lit(1L)).as("bm25_rank"))
+      .select($"doc_id", $"bm25_rank")
+    val e = tbl(spark, dir, "embeddings")
+    val denseRank = Similarity.bruteForceTopK(e.filter($"vec_id" === 0), e,
+        "vec_id", "embedding", k = 100)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("cos_rank"))
+    sparseRank.join(denseRank, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"bm25_rank", $"cos_rank",
+        round(coalesce(lit(1.0) / (lit(60L) + $"bm25_rank"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + $"cos_rank"), lit(0.0)), 6).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .limit(50)
+  }
+
+  val hybridRrfSql: String = {
+    val q = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |st AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+      |           / (SELECT CAST(n_docs AS DOUBLE) FROM n) AS avgdl
+      |), d AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), q AS (SELECT unnest([$q]) AS term),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |         ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |           * (tf.tf * (1.2 + 1))
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) AS contrib
+      |  FROM tf JOIN q USING (term) JOIN d USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN st
+      |), s AS (
+      |  SELECT doc_id, sum(contrib) AS score FROM c GROUP BY 1
+      |), sp AS (
+      |  SELECT doc_id, round(score, 6) AS score FROM s WHERE score > 0
+      |  ORDER BY round(score, 6) DESC, doc_id LIMIT 100
+      |), spr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |    AS BIGINT) AS bm25_rank FROM sp
+      |), qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+      |cs AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)), 6) AS cosine
+      |  FROM embeddings WHERE vec_id <> 0
+      |), dn AS (
+      |  SELECT doc_id, cosine FROM cs ORDER BY cosine DESC, doc_id LIMIT 100
+      |), dnr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+      |    AS BIGINT) AS cos_rank FROM dn
+      |)
+      |SELECT doc_id, bm25_rank, cos_rank,
+      |       round(COALESCE(1.0 / (60 + bm25_rank), 0) +
+      |             COALESCE(1.0 / (60 + cos_rank), 0), 6) AS rrf
+      |FROM spr FULL OUTER JOIN dnr USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable
