@@ -1912,6 +1912,32 @@ object Queries {
       |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  private val bm25IndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** BM25 retrieval through the persisted inverted-index artifact
+    * ([[pipeline.Bm25.buildIndex]]/[[pipeline.Bm25.searchIndex]]) — the
+    * retrieval-system shape whose query cost is independent of the corpus
+    * scan: the fixed query's `IN` filter reaches the term-clustered
+    * postings scan and prunes to just those terms' row groups. Same
+    * answer as [[bm25TopK]] (the two faces sum per-term contributions in
+    * different orders; the 6-decimal rounding absorbs the last ulp), so
+    * it shares [[bm25TopKSql]] as its oracle.
+    */
+  def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = bm25IndexCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[(DataFrame, DataFrame)](spark, dir, "bm25_index",
+        p => Bm25.loadIndex(spark, p),
+        p => {
+          val docs = tbl(spark, dir, "documents")
+          Bm25.saveIndex(Bm25.buildIndex(docs, "text", "doc_id"),
+            Bm25.corpusStats(docs, "text", "doc_id"), p)
+          Bm25.loadIndex(spark, p)
+        },
+        table = "documents.parquet"))
+    Bm25.searchIndex(postings, stats, "doc_id", bm25QueryTerms, n = 50)
+  }
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

@@ -149,6 +149,90 @@ object Bm25 {
       present.map(idfByTerm).toArray, k1, b, avgdl)
   }
 
+  /** Build the inverted-index artifact: one posting row
+    * `(<idCol>, term, tf, dl)` per (document, term TYPE) — `dl`
+    * denormalized onto every posting (the impact-index trick: scoring
+    * needs the document length next to the tf, and a doc-length join at
+    * query time would re-touch the corpus). One [[graft.functions.WordCounts]]
+    * scan; the per-document fold and the explode stay in separate
+    * projections so the kernel runs once (WordCounts is not collapse-cheap).
+    */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.WordCounts.wordCounts(col(textCol)).as("__wc"))
+      .select(col(idCol),
+        aggregate(col("__wc"), lit(0L), (acc, x) => acc + x.getField("tf"))
+          .as("dl"),
+        explode(col("__wc")).as("__e"))
+      .select(col(idCol), col("__e.term").as("term"), col("__e.tf").as("tf"),
+        col("dl"))
+
+  /** Persist the index TERM-CLUSTERED (repartition by term, sort within
+    * partitions): every parquet row group then covers a narrow term
+    * range, so a query-term `IN` filter prunes to just the touched
+    * groups via footer min/max stats — query cost scales with the
+    * QUERY's postings, not the corpus. The one-row corpus stats and a
+    * completion marker ride along, so the index is a self-contained
+    * retrieval artifact.
+    */
+  def saveIndex(index: DataFrame, stats: DataFrame, path: String): Unit = {
+    index.repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(path + "/postings")
+    Artifacts.save(stats, path + "/stats")
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(
+      index.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** Load a persisted index: `(postings, stats)`. */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path + "/postings"),
+      spark.read.parquet(path + "/stats"))
+
+  /** Retrieval through the inverted index — the face whose cost is
+    * independent of the corpus scan: the query-term filter reaches the
+    * postings scan (PushedFilters + row-group pruning on the
+    * term-clustered layout), df/idf derive from the pruned postings
+    * themselves (postings per term ARE the document frequency — no model
+    * join), and everything downstream aggregates frames bounded by the
+    * query's postings. Bit-equal to [[topK]] on the same corpus after the
+    * 6-decimal rounding (the two faces sum per-term contributions in
+    * different orders; rounding absorbs the last-ulp difference, the same
+    * contract the SQL oracle relies on).
+    */
+  def searchIndex(index: DataFrame, stats: DataFrame, idCol: String,
+      query: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 query must have at least one term")
+    require(n > 0, s"searchIndex n must be positive: $n")
+    val statsRow = stats.select(col("n_docs"), col("avgdl")).collect()
+    require(statsRow.nonEmpty && !statsRow(0).isNullAt(1),
+      "bm25 corpus stats are empty — index a non-empty corpus")
+    val nDocs = statsRow(0).getLong(0)
+    val avgdl = statsRow(0).getDouble(1)
+    require(avgdl > 0.0,
+      s"bm25 avgdl is $avgdl — the indexed corpus has no tokens")
+    val qterms = query.distinct
+    val post = index.filter(col("term").isin(qterms: _*))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // arithmetic shape mirrored verbatim from the Bm25Score kernel (and
+    // the SQL oracle): idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·(dl/avgdl)))
+    val contrib =
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    post.join(broadcast(dfreq), "term")
+      .groupBy(col(idCol))
+      .agg(sum(contrib).as("score"), first(col("dl")).as("dl"))
+      .filter(col("score") > 0.0)
+      .select(col(idCol), col("dl"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Retrieval face: the `n` best-scoring documents for `query`, rounded
     * to 6 decimals and totally ordered (score desc, id asc) — the order
     * and the cut are deterministic and engine-independent. Plans as

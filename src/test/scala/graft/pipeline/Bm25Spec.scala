@@ -124,11 +124,57 @@ class Bm25Spec extends SparkTestBase {
 
   test("scoring plan is narrow: no exchange, no join, one kernel per row") {
     val (terms, stats) = trained
-    val plan = Bm25.scoreQuery(docs, "text", "doc_id", terms, stats,
-      Seq("spark")).queryExecution.executedPlan.toString
+    // a local Seq corpus constant-folds to LocalTableScan (the kernel
+    // would run at plan time) — score a parquet-backed frame instead
+    val dir = java.nio.file.Files.createTempDirectory("bm25_docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Bm25.scoreQuery(spark.read.parquet(dir), "text", "doc_id",
+      terms, stats, Seq("spark")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
     assert(plan.toLowerCase.contains("bm25"), s"kernel missing from plan:\n$plan")
+  }
+
+  test("index face: searchIndex equals the kernel-scan topK after rounding") {
+    val (terms, stats) = trained
+    val q = Seq("spark", "window", "vector", "merge")
+    val viaScan = Bm25.topK(docs, "text", "doc_id", terms, stats, q, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val index = Bm25.buildIndex(docs, "text", "doc_id")
+    val viaIndex = Bm25.searchIndex(index, stats, "doc_id", q, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaIndex.sameElements(viaScan))
+  }
+
+  test("index build: postings carry denormalized dl; one row per (doc, term type)") {
+    val index = Bm25.buildIndex(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 0: "spark merge spark table window" → 4 types, dl 5, tf(spark)=2
+    val d0 = index.filter(_._1 == 0L)
+    assert(d0.length === 4)
+    assert(d0.forall(_._4 == 5L))
+    assert(d0.find(_._2 == "spark").get._3 === 2L)
+    // zero-token doc 4 contributes no postings
+    assert(!index.exists(_._1 == 4L))
+  }
+
+  test("saved index prunes by query term: the IN filter reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_index").toString
+    Bm25.saveIndex(Bm25.buildIndex(docs, "text", "doc_id"),
+      Bm25.corpusStats(docs, "text", "doc_id"), dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "completion marker")
+    val (postings, stats) = Bm25.loadIndex(spark, dir)
+    val q = Seq("spark", "window")
+    val plan = Bm25.searchIndex(postings, stats, "doc_id", q, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"query-term filter must reach the postings scan:\n$plan")
+    val got = Bm25.searchIndex(postings, stats, "doc_id", q, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val want = Bm25.topK(docs, "text", "doc_id",
+        Bm25.trainModel(docs, "text", "doc_id"), stats, q, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
   }
 
   test("streaming face: the same scorer over a stream matches the batch run") {
