@@ -65,14 +65,28 @@ object Bm25 {
     * long per document into a scalar aggregate — no explode.
     */
   def corpusStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val dl = aggregate(
-      graft.functions.WordCounts.wordCounts(col(textCol)),
-      lit(0L), (acc, x) => acc + x.getField("tf"))
-    docs.agg(countDistinct(col(idCol)).as("n_docs"), sum(dl).as("total_tokens"))
+    // token count via the codegen QualityCounts byte kernel, NOT a
+    // higher-order fold over the WordCounts array: HOFs are interpreted
+    // (CodegenFallback) — measured 2.04 s vs 0.66 s at 500k docs for this
+    // exact aggregate, and 109 s when the same fold sat next to the
+    // index explode
+    docs.agg(countDistinct(col(idCol)).as("n_docs"),
+        sum(dlColumn(col(textCol))).as("total_tokens"))
       .select(col("n_docs"), col("total_tokens"),
         (col("total_tokens").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
   }
+
+  /** Document length (token count, the BM25 `|D|`) as a codegen column:
+    * the [[graft.functions.QualityCounts]] byte kernel's `n_tokens` field
+    * — the same six-whitespace-byte tokenizer as [[graft.functions.WordCounts]],
+    * so `dl` ≡ the sum of the word-counts tfs, in one codegen'd scan.
+    */
+  private def dlColumn(text: Column): Column =
+    // the kernel requires a non-empty stopword set; n_tokens is
+    // stopword-independent, so any placeholder works
+    graft.functions.QualityCounts.qualityCounts(text, Seq("the"))
+      .getField("n_tokens").cast("long")
 
   /** Persist the trained model: the vocabulary-scale term table under
     * `path/terms` (distributed), the one-row stats under `path/stats`.
@@ -153,18 +167,15 @@ object Bm25 {
     * `(<idCol>, term, tf, dl)` per (document, term TYPE) — `dl`
     * denormalized onto every posting (the impact-index trick: scoring
     * needs the document length next to the tf, and a doc-length join at
-    * query time would re-touch the corpus). One [[graft.functions.WordCounts]]
-    * scan; the per-document fold and the explode stay in separate
-    * projections so the kernel runs once (WordCounts is not collapse-cheap).
+    * query time would re-touch the corpus). One scan, two codegen byte
+    * kernels per row ([[dlColumn]] for the length, WordCounts for the
+    * tfs) — measured 109 s → ~35 s at 500k docs vs the interpreted
+    * higher-order fold this replaced.
     */
   def buildIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
-      .select(col(idCol),
-        graft.functions.WordCounts.wordCounts(col(textCol)).as("__wc"))
-      .select(col(idCol),
-        aggregate(col("__wc"), lit(0L), (acc, x) => acc + x.getField("tf"))
-          .as("dl"),
-        explode(col("__wc")).as("__e"))
+      .select(col(idCol), dlColumn(col(textCol)).as("dl"),
+        explode(graft.functions.WordCounts.wordCounts(col(textCol))).as("__e"))
       .select(col(idCol), col("__e.term").as("term"), col("__e.tf").as("tf"),
         col("dl"))
 
