@@ -1938,6 +1938,77 @@ object Queries {
     Bm25.searchIndex(postings, stats, "doc_id", bm25QueryTerms, n = 50)
   }
 
+  /** The fixed query TABLE for multi-query retrieval — three queries of
+    * two terms each, mixing common and rare synthetic-vocab terms.
+    */
+  private val bm25MultiQueries: Seq[(String, String)] = Seq(
+    "q1" -> "spark", "q1" -> "merge",
+    "q2" -> "vector", "q2" -> "window",
+    "q3" -> "table", "q3" -> "scan")
+
+  /** Multi-query BM25 through the index ([[pipeline.Bm25.searchMany]]) —
+    * the evaluation-harness shape: a query table joined against the
+    * postings artifact, per-query top-10 with a WindowGroupLimit-friendly
+    * rank. The oracle replays the whole derivation plus the query VALUES
+    * table relationally.
+    */
+  def bm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (postings, stats) = bm25IndexCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[(DataFrame, DataFrame)](spark, dir, "bm25_index",
+        p => Bm25.loadIndex(spark, p),
+        p => {
+          val docs = tbl(spark, dir, "documents")
+          Bm25.saveIndex(Bm25.buildIndex(docs, "text", "doc_id"),
+            Bm25.corpusStats(docs, "text", "doc_id"), p)
+          Bm25.loadIndex(spark, p)
+        },
+        table = "documents.parquet"))
+    val queries = bm25MultiQueries.toDF("query_id", "term")
+    Bm25.searchMany(postings, stats, "doc_id", queries, "query_id", "term",
+        n = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val bm25MultiSql: String = {
+    val vals = bm25MultiQueries
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |st AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+      |           / (SELECT CAST(n_docs AS DOUBLE) FROM n) AS avgdl
+      |), d AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), q(query_id, term) AS (VALUES $vals),
+      |c AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |           * (tf.tf * (1.2 + 1))
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) AS contrib
+      |  FROM tf JOIN q USING (term) JOIN d USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN st
+      |), s AS (
+      |  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+      |  FROM c GROUP BY 1, 2 HAVING sum(contrib) > 0
+      |), r AS (
+      |  SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM s
+      |)
+      |SELECT r.query_id, r.doc_id, dl.dl AS dl, r.score, r.rank
+      |FROM r JOIN dl USING (doc_id)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

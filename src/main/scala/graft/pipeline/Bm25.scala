@@ -244,6 +244,56 @@ object Bm25 {
       .limit(n)
   }
 
+  /** Multi-query retrieval through the index — the evaluation-harness
+    * shape (a TABLE of queries against the corpus, e.g. a relevance test
+    * set): `queries` is one row per (query, term). Returns
+    * `(<queryIdCol>, <idCol>, dl, score, rank)`, the per-query top `n` by
+    * (rounded score desc, doc id asc).
+    *
+    * Scale shape: the postings prune by an equi-join with the DISTINCT
+    * query-term set (each surviving posting appears ONCE, so the df
+    * derived from it stays per-term exact even when queries share terms);
+    * per-posting contributions attach to queries by one term join; the
+    * per-(query, doc) sum and the per-query rank window are both keyed by
+    * query — nothing global. The rank predicate stays on the raw
+    * `row_number` so Spark plans WindowGroupLimit (partial top-n BEFORE
+    * the query-key exchange).
+    */
+  def searchMany(index: DataFrame, stats: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n > 0, s"searchMany n must be positive: $n")
+    val statsRow = stats.select(col("n_docs"), col("avgdl")).collect()
+    require(statsRow.nonEmpty && !statsRow(0).isNullAt(1),
+      "bm25 corpus stats are empty — index a non-empty corpus")
+    val nDocs = statsRow(0).getLong(0)
+    val avgdl = statsRow(0).getDouble(1)
+    require(avgdl > 0.0,
+      s"bm25 avgdl is $avgdl — the indexed corpus has no tokens")
+    val qterms = queries.select(col(termCol).as("term")).distinct()
+    val pruned = index.join(qterms, "term")
+    val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    val scored = pruned.join(broadcast(dfreq), "term")
+      .withColumn("__contrib", contrib)
+      .join(queries.select(col(queryIdCol), col(termCol).as("term")), "term")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("__score"), first(col("dl")).as("dl"))
+      .filter(col("__score") > 0.0)
+      .withColumn("score", round(col("__score"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .select(col(queryIdCol), col(idCol), col("dl"), col("score"),
+        col("__rank").cast("long").as("rank"))
+  }
+
   /** Retrieval face: the `n` best-scoring documents for `query`, rounded
     * to 6 decimals and totally ordered (score desc, id asc) — the order
     * and the cut are deterministic and engine-independent. Plans as

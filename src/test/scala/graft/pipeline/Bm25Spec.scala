@@ -177,6 +177,33 @@ class Bm25Spec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("searchMany: per-query top-n equals per-query searchIndex; shared terms keep df exact") {
+    val (_, stats) = trained
+    val index = Bm25.buildIndex(docs, "text", "doc_id")
+    // q_a and q_b SHARE the term "spark" — df must not double-count
+    val queries = Seq(
+      ("q_a", "spark"), ("q_a", "merge"),
+      ("q_b", "spark"), ("q_b", "vector"),
+      ("q_c", "zzz_never_seen")).toDF("query_id", "term")
+    val many = Bm25.searchMany(index, stats, "doc_id", queries,
+        "query_id", "term", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(!many.exists(_._1 == "q_c"), "no-match query must be absent")
+    for ((qid, terms) <- Seq("q_a" -> Seq("spark", "merge"),
+                             "q_b" -> Seq("spark", "vector"))) {
+      val single = Bm25.searchIndex(index, stats, "doc_id", terms, n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val got = many.filter(_._1 == qid).map(t => (t._2, t._3, t._4)).sortBy(_._1)
+      assert(got.sameElements(single), s"per-query slice for $qid")
+    }
+    // ranks are 1..k dense per query in (score desc, id) order
+    val ranks = many.filter(_._1 == "q_a").sortBy(_._5)
+    assert(ranks.map(_._5).sameElements(1L to ranks.length))
+  }
+
   test("streaming face: the same scorer over a stream matches the batch run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
