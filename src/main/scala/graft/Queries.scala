@@ -2009,6 +2009,33 @@ object Queries {
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val bm25IncrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Incrementally-built BM25 index ([[pipeline.Bm25.appendToIndex]]):
+    * index the even-id half of the corpus, APPEND the odd-id half, then
+    * search — the design makes append ≡ full rebuild exact (per-document
+    * postings, query-time df, summed stats), so this shares
+    * [[bm25TopKSql]], the whole-corpus oracle.
+    */
+  def bm25Incr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (postings, stats) = bm25IncrCache.getOrElseUpdate((spark, dir),
+      loadOrTrain[(DataFrame, DataFrame)](spark, dir, "bm25_index_incr",
+        p => Bm25.loadIndex(spark, p),
+        p => {
+          val docs = tbl(spark, dir, "documents")
+          val even = docs.filter(pmod($"doc_id", lit(2)) === 0)
+          val odd  = docs.filter(pmod($"doc_id", lit(2)) === 1)
+          Bm25.saveIndex(Bm25.buildIndex(even, "text", "doc_id"),
+            Bm25.corpusStats(even, "text", "doc_id"), p)
+          Bm25.appendToIndex(odd, "text", "doc_id", p)
+          Bm25.loadIndex(spark, p)
+        },
+        table = "documents.parquet"))
+    Bm25.searchIndex(postings, stats, "doc_id", bm25QueryTerms, n = 50)
+  }
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

@@ -202,6 +202,36 @@ object Bm25 {
     (spark.read.parquet(path + "/postings"),
       spark.read.parquet(path + "/stats"))
 
+  /** Append a document batch to a persisted index — the incremental
+    * maintenance face (the pq_encode_incr convention: index once, absorb
+    * every later crawl batch without re-touching the old corpus). The
+    * design makes this EXACT, not approximate: postings are per-document
+    * independent, df/idf derive from the postings at query time, and the
+    * corpus stats are a sum — so an appended index answers queries
+    * bit-identically to a full rebuild over the union (spec-pinned).
+    * New postings land term-clustered among themselves (each batch's
+    * files prune independently; re-cluster with a periodic rebuild if
+    * batch counts grow large). Caller must ensure the new batch's ids are
+    * disjoint from the indexed corpus — appending a duplicate id would
+    * double-count its postings.
+    */
+  def appendToIndex(newDocs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(path + "/stats").collect()(0)
+    val delta = corpusStats(newDocs, textCol, idCol).collect()(0)
+    buildIndex(newDocs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(path + "/postings")
+    val nDocs = old.getLong(0) + delta.getLong(0)
+    val total = old.getLong(1) + delta.getLong(1)
+    import spark.implicits._
+    // exact-long sums; avgdl recomputed from them, so it equals the
+    // full-rebuild division bit-for-bit
+    Artifacts.save(Seq((nDocs, total, total.toDouble / nDocs.toDouble))
+      .toDF("n_docs", "total_tokens", "avgdl"), path + "/stats")
+  }
+
   /** Retrieval through the inverted index — the face whose cost is
     * independent of the corpus scan: the query-term filter reaches the
     * postings scan (PushedFilters + row-group pruning on the

@@ -204,6 +204,28 @@ class Bm25Spec extends SparkTestBase {
     assert(ranks.map(_._5).sameElements(1L to ranks.length))
   }
 
+  test("appendToIndex: incremental index answers bit-identically to a full rebuild") {
+    val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("bm25_incr").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd  = docs.filter(col("doc_id") % 2 === 1)
+    Bm25.saveIndex(Bm25.buildIndex(docs, "text", "doc_id"),
+      Bm25.corpusStats(docs, "text", "doc_id"), full)
+    Bm25.saveIndex(Bm25.buildIndex(even, "text", "doc_id"),
+      Bm25.corpusStats(even, "text", "doc_id"), incr)
+    Bm25.appendToIndex(odd, "text", "doc_id", incr)
+    val (fp, fs) = Bm25.loadIndex(spark, full)
+    val (ip, is) = Bm25.loadIndex(spark, incr)
+    // stats identical (exact long sums; avgdl the same division)
+    assert(is.collect()(0).toSeq === fs.collect()(0).toSeq)
+    val q = Seq("spark", "window", "merge")
+    val a = Bm25.searchIndex(fp, fs, "doc_id", q, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Bm25.searchIndex(ip, is, "doc_id", q, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("streaming face: the same scorer over a stream matches the batch run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
