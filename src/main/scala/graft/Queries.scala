@@ -4042,6 +4042,67 @@ object Queries {
       |FROM g WHERE t - p > 43200000
       |ORDER BY user_id, gap_start""".stripMargin
 
+  /** Interval-overlap join ([[graft.ops.RangeJoin.intervalOverlap]]):
+    * per-user sessions (the [[sessionize]] intervals) × long-silence gap
+    * windows (the [[gapReport]] intervals) — "which sessions border or
+    * intersect an outage". Both interval sets derive from the same events
+    * with the established session/gap rules; the join buckets both sides
+    * by day and attributes each overlapping pair to the bucket of
+    * `greatest(starts)`, so no pair dedup is needed. Inclusive endpoints:
+    * a 12h+ gap STARTS at the last event of the session before it, so
+    * every gap touches its two bounding sessions — `overlap_ms` is 0 at a
+    * pure touch.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id")
+    val sess = graft.ops.Sessionize.sessions(ev, Seq("user_id"), "t",
+        gapMs = 3600000L, tieCols = Seq("event_id"))
+      .select($"user_id", $"session_id", $"session_start", $"session_end")
+    val gaps = graft.ops.Bars.gaps(ev, Seq("user_id"),
+        thresholdMs = 12L * 3600000, tsCol = "t", tieCols = Seq("event_id"))
+      .select($"user_id", $"gap_start", $"gap_end")
+    graft.ops.RangeJoin.intervalOverlap(sess, gaps, Seq("user_id"),
+        "session_start", "session_end", "gap_start", "gap_end",
+        bucketMs = 86400000L, rightCols = Seq.empty, rightPrefix = "")
+      .withColumn("overlap_ms",
+        least($"session_end", $"gap_end") - greatest($"session_start", $"gap_start"))
+      .orderBy($"user_id", $"session_id", $"gap_start")
+  }
+
+  val intervalJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
+      |), flagged AS (
+      |  SELECT user_id, t, event_id,
+      |         coalesce(t - lag(t) OVER w > 3600000, TRUE) AS is_start
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), numbered AS (
+      |  SELECT user_id, t,
+      |         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end
+      |  FROM numbered GROUP BY user_id, session_id
+      |), g AS (
+      |  SELECT user_id, t,
+      |         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS p
+      |  FROM ev
+      |), gaps AS (
+      |  SELECT user_id, p AS gap_start, t AS gap_end
+      |  FROM g WHERE t - p > 43200000
+      |)
+      |SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+      |       gaps.gap_start, gaps.gap_end,
+      |       least(s.session_end, gaps.gap_end)
+      |         - greatest(s.session_start, gaps.gap_start) AS overlap_ms
+      |FROM sess s JOIN gaps USING (user_id)
+      |WHERE s.session_start <= gaps.gap_end AND gaps.gap_start <= s.session_end
+      |ORDER BY s.user_id, s.session_id, gaps.gap_start""".stripMargin
+
   /** Per-type z-score outliers ([[graft.ops.Anomalies.zscoreOutliers]]).
     * Mean/stddev differ between engines only in final-ulp summation order;
     * the 2.5σ cut sits nowhere near that, and z itself is rounded.

@@ -237,6 +237,46 @@ object Stress {
       graft.pipeline.TextAnalysis.tfIdfTopK(docs, "text", "doc_id", k = 3))
     assert(tfidfRows == 3L * nd, s"tfidf rows $tfidfRows vs ${3L * nd}")
 
+    // ---- BM25 retrieval at volume: every synthetic doc is exactly 50
+    // tokens, so the corpus stats have closed forms (avgdl ≡ 50.0,
+    // total ≡ 50·nd); the scan face and the index face must agree on the
+    // top-50 after rounding (the only inter-face degree of freedom is
+    // contribution sum order).
+    val bmStats = graft.pipeline.Bm25.corpusStats(docs, "text", "doc_id")
+    val bmRow = bmStats.collect()(0)
+    assert(bmRow.getLong(0) == nd && bmRow.getLong(1) == 50L * nd &&
+      bmRow.getDouble(2) == 50.0,
+      s"bm25 stats ${bmRow.toSeq} vs ($nd, ${50L * nd}, 50.0)")
+    val bmQuery = Seq("w0", "w123", "w2500", "w4999")
+    val bmModel = graft.pipeline.Bm25.trainModel(docs, "text", "doc_id")
+    val bmScanT0 = System.nanoTime()
+    val bmScan = graft.pipeline.Bm25.topK(docs, "text", "doc_id",
+        bmModel, bmStats, bmQuery, n = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sBmScan = (System.nanoTime() - bmScanT0) / 1e9
+    println(f"""{"stage":"bm25_scan_top50","docs":$nd,"sec":$sBmScan%.2f,"rows_per_sec":${(nd / sBmScan).toLong}}""")
+    val bmDir = java.nio.file.Files.createTempDirectory("stress_bm25").toString
+    val bmIdxT0 = System.nanoTime()
+    graft.pipeline.Bm25.saveIndex(
+      graft.pipeline.Bm25.buildIndex(docs, "text", "doc_id"), bmStats, bmDir)
+    val sBmIdx = (System.nanoTime() - bmIdxT0) / 1e9
+    val (bmPost, bmSavedStats) = graft.pipeline.Bm25.loadIndex(spark, bmDir)
+    val bmPostings = bmPost.count()
+    println(f"""{"stage":"bm25_index_build","postings":$bmPostings,"sec":$sBmIdx%.2f,"rows_per_sec":${(bmPostings / sBmIdx).toLong}}""")
+    // search the SAVED term-clustered index — the production shape: the
+    // query-term IN filter prunes row groups at the scan
+    val bmSrchT0 = System.nanoTime()
+    val bmIdxTop = graft.pipeline.Bm25.searchIndex(bmPost, bmSavedStats,
+        "doc_id", bmQuery, n = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sBmSrch = (System.nanoTime() - bmSrchT0) / 1e9
+    println(f"""{"stage":"bm25_index_search","sec":$sBmSrch%.2f}""")
+    assert(bmScan.length == 50 && bmIdxTop.length == 50,
+      s"bm25 top-50 short: scan ${bmScan.length}, index ${bmIdxTop.length}")
+    assert(bmScan.sortBy(_._1).sameElements(bmIdxTop.sortBy(_._1)),
+      "bm25 scan face and index face disagree at volume")
+    assert(bmScan.forall(_._2 == 50L), "a bm25 hit reports dl != 50")
+
     // ---- linear interpolation at volume: per-user 1h grid over stream a
     // (100k keys x ~720 boundaries). The expected row count is derived
     // arithmetically from each key's (min, max) bounds — grid points k with

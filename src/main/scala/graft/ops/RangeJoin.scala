@@ -82,6 +82,62 @@ object RangeJoin {
       col(rTs): _*)
   }
 
+  /** Interval-OVERLAP join — both sides are intervals (sessions × outage
+    * windows, shifts × incidents): every (left, right) pair with equal
+    * keys and `l.start ≤ r.end && r.start ≤ l.end` (inclusive endpoints —
+    * touching intervals overlap).
+    *
+    * Same bucketed shape as [[timeRange]], with both sides exploding into
+    * the buckets their interval covers (fan-out = span/bucketMs + 1 per
+    * row — pick `bucketMs` near the typical interval length to bound it;
+    * there is no one-bucket side here, unlike the point-in-window join).
+    * A pair can meet in several shared buckets, so each match is
+    * ATTRIBUTED to exactly one: the bucket of `greatest(l.start, r.start)`
+    * — an instant both intervals contain whenever they overlap, so the
+    * attribution filter keeps each pair exactly once with no distinct.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketMs: Long,
+      rightCols: Seq[String],
+      rightPrefix: String = "right_"): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "column name __b is reserved by RangeJoin")
+    require(!rightCols.contains(rightStart) && !rightCols.contains(rightEnd),
+      "the interval bounds are always attached — leave them out of rightCols")
+    val rs = s"$rightPrefix$rightStart"
+    val re = s"$rightPrefix$rightEnd"
+    val reserved = (rightCols.map(c => s"$rightPrefix$c") ++ Seq(rs, re)).toSet
+    val clash = left.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(",")} clash with prefixed right columns; pick another rightPrefix")
+
+    def bucketOf(ts: Column): Column =
+      ((ts - pmod(ts, lit(bucketMs))) / lit(bucketMs)).cast("long")
+
+    val l = left.withColumn("__b",
+      explode(sequence(bucketOf(col(leftStart)), bucketOf(col(leftEnd)))))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightStart).as(rs), col(rightEnd).as(re),
+        struct(rightCols.map(c => col(c).as(s"$rightPrefix$c")): _*).as("__rrow")): _*)
+      .withColumn("__b", explode(sequence(bucketOf(col(rs)), bucketOf(col(re)))))
+
+    l.join(r, keyCols :+ "__b")
+      .filter(col(leftStart) <= col(re) && col(rs) <= col(leftEnd) &&
+        bucketOf(greatest(col(leftStart), col(rs))) === col("__b"))
+      .select(left.columns.map(col).toSeq ++
+        Seq(col(rs), col(re)) ++
+        rightCols.map(c => col(s"__rrow.$rightPrefix$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Streaming time-range join: the same pairing semantics over two streams,
     * as a native stream-stream inner join. The range condition on event time
     * plus watermarks lets Spark bound each side's join state (old rows are

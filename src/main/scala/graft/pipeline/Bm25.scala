@@ -310,7 +310,10 @@ object Bm25 {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
     val scored = pruned.join(broadcast(dfreq), "term")
       .withColumn("__contrib", contrib)
-      .join(queries.select(col(queryIdCol), col(termCol).as("term")), "term")
+      // distinct mirrors the single-query face's query.distinct — a
+      // duplicated (query, term) row must not double its contribution
+      .join(queries.select(col(queryIdCol), col(termCol).as("term")).distinct(),
+        "term")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("__score"), first(col("dl")).as("dl"))
       .filter(col("__score") > 0.0)

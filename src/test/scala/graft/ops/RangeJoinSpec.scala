@@ -64,4 +64,51 @@ class RangeJoinSpec extends SparkTestBase {
       .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
     assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
   }
+
+  test("intervalOverlap: touching endpoints overlap, disjoint don't, keys respected") {
+    val sessions = Seq(
+      ("u1", 1, 0L, 10000L),
+      ("u1", 2, 50000L, 60000L),
+      ("u2", 3, 0L, 10000L)
+    ).toDF("k", "sid", "s", "e")
+    val outages = Seq(
+      ("u1", 10000L, 50000L), // touches session 1's end AND session 2's start
+      ("u1", 70000L, 80000L), // disjoint from both
+      ("u2", 5000L, 6000L)    // strictly inside session 3
+    ).toDF("k", "os", "oe")
+    val out = RangeJoin.intervalOverlap(sessions, outages, Seq("k"),
+        "s", "e", "os", "oe", bucketMs = 7000L, rightCols = Seq.empty)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("u1", 1, 10000L, 50000L),
+      ("u1", 2, 10000L, 50000L),
+      ("u2", 3, 5000L, 6000L)))
+  }
+
+  test("intervalOverlap equals the quadratic overlap definition; each pair exactly once") {
+    val rnd = new scala.util.Random(7)
+    val li = (0 until 250).map(i => {
+      val s = rnd.nextInt(100000).toLong
+      (s"k${rnd.nextInt(3)}", i, s, s + rnd.nextInt(20000))
+    })
+    val ri = (0 until 250).map(i => {
+      val s = rnd.nextInt(100000).toLong
+      (s"k${rnd.nextInt(3)}", i, s, s + rnd.nextInt(20000))
+    })
+    val l = li.toDF("k", "lid", "s", "e")
+    val r = ri.toDF("k", "rid", "rs", "re")
+    val fast = RangeJoin.intervalOverlap(l, r, Seq("k"),
+        "s", "e", "rs", "re", bucketMs = 9999L, rightCols = Seq("rid"))
+      .select($"lid", $"right_rid")
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(fast.size == fast.toSet.size, "a pair was emitted more than once")
+    val slow = (for {
+      (lk, lid, ls, le) <- li
+      (rk, rid, rs, re) <- ri
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    assert(fast.toSet == slow,
+      s"missing=${slow -- fast.toSet} extra=${fast.toSet -- slow}")
+  }
 }

@@ -183,6 +183,7 @@ class Bm25Spec extends SparkTestBase {
     // q_a and q_b SHARE the term "spark" — df must not double-count
     val queries = Seq(
       ("q_a", "spark"), ("q_a", "merge"),
+      ("q_a", "spark"), // duplicated row must not double its contribution
       ("q_b", "spark"), ("q_b", "vector"),
       ("q_c", "zzz_never_seen")).toDF("query_id", "term")
     val many = Bm25.searchMany(index, stats, "doc_id", queries,
