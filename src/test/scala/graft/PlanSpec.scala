@@ -552,7 +552,14 @@ class PlanSpec extends SparkTestBase {
       // one scan total) and keep scoring free of training-time exchanges
       ("q_dsir_weights",   1, 1),
       ("q_unigram_score",  2, 3),
-      ("q_tfidf",          2, 3))
+      ("q_tfidf",          2, 3),
+      // r11 retrieval: kernel scoring reads docs ONLY (the query model is
+      // a plan-time reference object — no artifact scan, no exchange;
+      // top-k is TakeOrderedAndProject), and index search reads the
+      // pruned postings twice (df pass + scoring pass) with the df
+      // broadcast + one doc-keyed aggregation exchange
+      ("q_bm25_topk",      1, 0),
+      ("q_bm25_index",     2, 3))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
