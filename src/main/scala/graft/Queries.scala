@@ -2036,6 +2036,35 @@ object Queries {
     Bm25.searchIndex(postings, stats, "doc_id", bm25QueryTerms, n = 50)
   }
 
+  /** Exact-phrase search over the positional index
+    * ([[pipeline.Bm25.buildPositionalIndex]]/[[pipeline.Bm25.phraseOccurrences]]):
+    * documents containing the fixed phrase with their occurrence counts —
+    * the anchor-join (`pos − i` per phrase term) makes a k-term phrase
+    * k−1 equi-joins over query-pruned postings. The oracle re-derives
+    * positions with `generate_subscripts` and replays the same join.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posIndex = Bm25.buildPositionalIndex(
+      tbl(spark, dir, "documents"), "text", "doc_id")
+    Bm25.phraseOccurrences(posIndex, "doc_id", Seq("table", "value"))
+      .orderBy($"doc_id")
+  }
+
+  val phraseSearchSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, unnest(ws) AS term,
+      |         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+      |  FROM w
+      |)
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |WHERE a.term = 'table' AND b.term = 'value'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

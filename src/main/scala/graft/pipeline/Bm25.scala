@@ -232,6 +232,46 @@ object Bm25 {
       .toDF("n_docs", "total_tokens", "avgdl"), path + "/stats")
   }
 
+  /** Positional postings: one row per token OCCURRENCE —
+    * `(<idCol>, term, pos, dl)` with `pos` 1-based — the index shape that
+    * answers phrase and proximity queries. One tokenizing scan; the
+    * token array is referenced by both the posexplode and the length, in
+    * separate projections so the split runs once. Persist with
+    * [[saveIndex]]'s layout if needed (same term-clustered argument).
+    */
+  def buildPositionalIndex(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("long").as("dl"),
+        posexplode(col("__ws")).as(Seq("__p0", "term")))
+      .select(col(idCol), col("term"), (col("__p0") + 1).cast("long").as("pos"),
+        col("dl"))
+
+  /** Exact-phrase occurrence counts from a positional index:
+    * `(<idCol>, n_occurrences)` for documents containing the phrase at
+    * least once. Each phrase term's postings prune from the index (a
+    * pushed `IN` on a saved index), then every term joins on its ANCHOR —
+    * `pos − i`, the phrase's start position — so a k-term phrase is k−1
+    * equi-joins on (id, anchor) over query-bounded posting sets, and the
+    * count of surviving anchors per document IS the occurrence count.
+    * Repeated phrase terms (e.g. "fast fast") work unchanged: both
+    * position sets come from the same pruned postings, the anchor join
+    * demands both offsets exist.
+    */
+  def phraseOccurrences(posIndex: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, s"a phrase needs at least 2 terms: $phrase")
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      posIndex.filter(col("term") === lit(t))
+        .select(col(idCol), (col("pos") - lit(i.toLong)).as("__anchor"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq(idCol, "__anchor")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Retrieval through the inverted index — the face whose cost is
     * independent of the corpus scan: the query-term filter reaches the
     * postings scan (PushedFilters + row-group pruning on the

@@ -227,6 +227,32 @@ class Bm25Spec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("phrase search: anchor join counts exact occurrences, incl. repeated and 3-term phrases") {
+    val corpus2 = Seq(
+      (0L, "a b a b a"),     // "a b": 2; "b a": 2; "a b a": 2; "a a": 0
+      (1L, "x x x"),         // "x x": 2 (overlapping occurrences both count)
+      (2L, "a b"),           // "a b": 1
+      (3L, "b a b"),         // "a b": 1
+      (4L, ""))
+    val idx = Bm25.buildPositionalIndex(corpus2.toDF("doc_id", "text"),
+      "text", "doc_id")
+    def occ(phrase: Seq[String]): Map[Long, Long] =
+      Bm25.phraseOccurrences(idx, "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ(Seq("a", "b")) === Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(occ(Seq("x", "x")) === Map(1L -> 2L))
+    assert(occ(Seq("a", "b", "a")) === Map(0L -> 2L))
+    assert(occ(Seq("a", "a")) === Map.empty)
+  }
+
+  test("positional index: 1-based positions, dl on every posting, empty docs absent") {
+    val idx = Bm25.buildPositionalIndex(
+        Seq((7L, "p q p"), (8L, "")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(idx.toSet === Set(
+      (7L, "p", 1L, 3L), (7L, "q", 2L, 3L), (7L, "p", 3L, 3L)))
+  }
+
   test("streaming face: the same scorer over a stream matches the batch run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
