@@ -2065,6 +2065,71 @@ object Queries {
       |WHERE a.term = 'table' AND b.term = 'value'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  /** Collocation mining by pointwise mutual information over adjacent
+    * word pairs: `pmi = ln( (c₁₂/N₂) / ((c₁/N₁)·(c₂/N₁)) )` — which word
+    * pairs co-occur far beyond their unigram frequencies (the classic
+    * phrase-vocabulary discovery pass a tokenizer/phrase-merge pipeline
+    * runs). Exact integer counts; the probability divisions and the one
+    * `ln` mirror the oracle op-for-op; pmi rounded to 6. Floor `c₁₂ ≥ 10`
+    * kills noise pairs; total order (pmi desc, w1, w2); top 20.
+    *
+    * Scale shape: pairs come from the [[graft.functions.WordShingles]]
+    * byte kernel (no intermediate token array), unigrams from
+    * [[graft.functions.WordCounts]] (per-doc combine inside the kernel),
+    * each through one map-side-combined vocabulary aggregation; the two
+    * scalar totals ride in as broadcast literals; the unigram table
+    * attaches to the vocabulary-bounded pair table by two term
+    * equi-joins (AQE broadcasts small vocabularies); TakeOrdered cut.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents")
+    val pairs = docs.select(
+        explode(graft.functions.WordShingles.wordShingles($"text", 2)).as("__s"))
+      .select(split($"__s", " ").as("__w"))
+      .select($"__w".getItem(0).as("w1"), $"__w".getItem(1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(
+        explode(graft.functions.WordCounts.wordCounts($"text")).as("__wc"))
+      .select($"__wc.term".as("term"), $"__wc.tf".as("tf"))
+      .groupBy($"term").agg(sum($"tf").as("c"))
+    val n1 = uni.agg(sum($"c").as("n1"))
+    val n2 = pairs.agg(sum($"c12").as("n2"))
+    pairs.filter($"c12" >= 10)
+      .join(uni.select($"term".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"term".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2",
+        round(log(($"c12".cast("double") / $"n2".cast("double")) /
+          (($"c1".cast("double") / $"n1".cast("double")) *
+           ($"c2".cast("double") / $"n1".cast("double")))), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1".asc, $"w2".asc)
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), uni AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS term FROM w) GROUP BY 1
+      |), bg AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |    SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |    FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)
+      |  ) GROUP BY 1, 2
+      |), n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+      |n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM bg)
+      |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+      |       round(ln((CAST(c12 AS DOUBLE) / n2)
+      |         / ((CAST(u1.c AS DOUBLE) / n1) * (CAST(u2.c AS DOUBLE) / n1))), 6) AS pmi
+      |FROM bg JOIN uni u1 ON bg.w1 = u1.term
+      |        JOIN uni u2 ON bg.w2 = u2.term
+      |        CROSS JOIN n1 CROSS JOIN n2
+      |WHERE c12 >= 10
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable
