@@ -2130,6 +2130,56 @@ object Queries {
       |WHERE c12 >= 10
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Embedding prefix-recall curve (Matryoshka-style truncation eval):
+    * for each prefix length d ∈ {8,16,32,64}, recall@10 of
+    * prefix-cosine top-10 against the full-vector top-10 over a fixed
+    * 20-query set — the measurement that decides how many dimensions a
+    * production index actually needs. The d=64 row is the full vector
+    * itself, so it must read exactly 1.0 (an in-data self-check). Same
+    * rounded-cosine/rank-tiebreak determinism contract as [[annTopK]];
+    * recall = joined-hit count through one double division, rounded.
+    */
+  def embedPrefixRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    val dims = Seq(8, 16, 32, 64)
+    val perDim = dims.map { d =>
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id", slice($"embedding", 1, d).as("emb"))
+      val c = e.select($"vec_id", slice($"embedding", 1, d).as("emb"))
+      Similarity.bruteForceTopK(q, c, "vec_id", "emb", k = 10)
+        .select(lit(d.toLong).as("prefix_dim"), $"query_id", $"neighbor_id")
+    }.reduce(_ unionByName _)
+    val full = perDim.filter($"prefix_dim" === 64L)
+      .select($"query_id", $"neighbor_id")
+    perDim.join(full, Seq("query_id", "neighbor_id"))
+      .groupBy($"prefix_dim")
+      .agg(round(count(lit(1)).cast("double") / lit(200.0), 6).as("recall_at_10"))
+      .orderBy($"prefix_dim")
+  }
+
+  val embedPrefixRecallSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |d AS (SELECT unnest([8, 16, 32, 64]) AS pd),
+      |scored AS (
+      |  SELECT d.pd, q.query_id, c.neighbor_id,
+      |         round(list_cosine_similarity(qv[1:pd], cv[1:pd]), 6) AS cos
+      |  FROM q, c, d WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT pd, query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY pd, query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM scored),
+      |pref AS (SELECT pd, query_id, neighbor_id FROM ranked WHERE rnk <= 10),
+      |full10 AS (SELECT query_id, neighbor_id FROM pref WHERE pd = 64)
+      |SELECT CAST(p.pd AS BIGINT) AS prefix_dim,
+      |       round(CAST(count(*) AS DOUBLE) / CAST(200 AS DOUBLE), 6) AS recall_at_10
+      |FROM pref p JOIN full10 f
+      |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+      |GROUP BY 1 ORDER BY prefix_dim""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable
