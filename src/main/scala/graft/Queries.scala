@@ -2180,6 +2180,35 @@ object Queries {
       |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
       |GROUP BY 1 ORDER BY prefix_dim""".stripMargin
 
+  /** Proximity (NEAR) search over the positional index
+    * ([[pipeline.Bm25.proximityOccurrences]]): documents where "merge"
+    * follows "spark" within 5 tokens, with pair counts — one doc-keyed
+    * equi-join of two query-pruned posting sets (never an inequality
+    * join), window as a post-filter.
+    */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posIndex = Bm25.buildPositionalIndex(
+      tbl(spark, dir, "documents"), "text", "doc_id")
+    Bm25.proximityOccurrences(posIndex, "doc_id", "spark", "merge", window = 5)
+      .orderBy($"doc_id")
+  }
+
+  val proximitySearchSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, unnest(ws) AS term,
+      |         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+      |  FROM w
+      |)
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM t a JOIN t b ON a.doc_id = b.doc_id
+      |WHERE a.term = 'spark' AND b.term = 'merge'
+      |  AND b.pos > a.pos AND b.pos <= a.pos + 5
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   /** Gopher-style repetition stats: duplicate-word fraction, top-word
     * fraction, duplicate-trigram fraction. All fractions are single IEEE
     * divisions of exact integer counts, so the oracle is bit-comparable

@@ -272,6 +272,29 @@ object Bm25 {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Proximity (NEAR) occurrences from a positional index:
+    * `(<idCol>, n_occurrences)` — position pairs where `second` follows
+    * `first` within `window` tokens (`0 < posB − posA ≤ window`;
+    * window = 1 degenerates to the two-term phrase). Two query-pruned
+    * posting sets meet in ONE doc-id equi-join (never an inequality
+    * join — that would plan a nested loop); the window condition is a
+    * post-filter whose fan-out is bounded by the two terms' per-document
+    * frequencies.
+    */
+  def proximityOccurrences(posIndex: DataFrame, idCol: String,
+      first: String, second: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = posIndex.filter(col("term") === lit(first))
+      .select(col(idCol), col("pos").as("__pa"))
+    val b = posIndex.filter(col("term") === lit(second))
+      .select(col(idCol), col("pos").as("__pb"))
+    a.join(b, Seq(idCol))
+      .filter(col("__pb") > col("__pa") &&
+        col("__pb") <= col("__pa") + lit(window.toLong))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Retrieval through the inverted index — the face whose cost is
     * independent of the corpus scan: the query-term filter reaches the
     * postings scan (PushedFilters + row-group pruning on the

@@ -245,6 +245,21 @@ class Bm25Spec extends SparkTestBase {
     assert(occ(Seq("a", "a")) === Map.empty)
   }
 
+  test("proximity: ordered within-window pairs; window=1 degenerates to the phrase") {
+    val idx = Bm25.buildPositionalIndex(Seq(
+      (0L, "a x x b a b"),   // (a,b) pairs within 3: a@1→b@4; a@5→b@6 → 2
+      (1L, "b a"),           // b BEFORE a only — ordered, so no hit
+      (2L, "a b")).toDF("doc_id", "text"), "text", "doc_id")
+    def prox(w: Int): Map[Long, Long] =
+      Bm25.proximityOccurrences(idx, "doc_id", "a", "b", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prox(3) === Map(0L -> 2L, 2L -> 1L))
+    assert(prox(5) === Map(0L -> 3L, 2L -> 1L)) // adds a@1→b@6
+    val phrase = Bm25.phraseOccurrences(idx, "doc_id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prox(1) === phrase)
+  }
+
   test("positional index: 1-based positions, dl on every posting, empty docs absent") {
     val idx = Bm25.buildPositionalIndex(
         Seq((7L, "p q p"), (8L, "")).toDF("doc_id", "text"), "text", "doc_id")
