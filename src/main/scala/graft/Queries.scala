@@ -6165,4 +6165,188 @@ object Queries {
          |       CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM w JOIN d USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // link-graph analytics
+  // ------------------------------------------------------------------
+
+  /** Damped PageRank ([[graft.ops.Graph.pageRank]], 10 iterations,
+    * d = 0.85) over a planted document link graph: each doc links to a
+    * hub (doc_id % 97 — 97 hubs with ~n/97 in-links each), its ring
+    * successor ((doc_id + 1) % n) and an expander target
+    * ((doc_id * 31 + 7) % n); self-loops dropped, duplicates collapsed.
+    * The oracle replays all 10 Jacobi steps as chained MATERIALIZED CTEs
+    * (the BPE-chain lesson). Every float literal is written in `e0`
+    * scientific notation on the SQL side so DuckDB parses DOUBLE, not
+    * DECIMAL — (1e0 - 0.85e0) etc. match the Scala IEEE arithmetic
+    * bit-for-bit; only the final rank is rounded (sum order differs).
+    *
+    * Scale shape: see [[graft.ops.Graph.pageRank]] — the edge table
+    * checkpoints once and never moves; one iteration = broadcast(ranks)
+    * + one map-side-combined aggregate.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("__n"))
+    val d = docs.crossJoin(broadcast(nRow))
+    val edges = d.select($"doc_id".as("src"), pmod($"doc_id", lit(97L)).as("dst"))
+      .unionByName(d.select($"doc_id".as("src"), pmod($"doc_id" + 1, $"__n").as("dst")))
+      .unionByName(d.select($"doc_id".as("src"), pmod($"doc_id" * 31 + 7, $"__n").as("dst")))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10, damping = 0.85)
+      .select($"node", Num.round0($"r", 9).as("rank"))
+      .orderBy($"node")
+  }
+
+  val pagerankSql: String = {
+    val pre = raw"""WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1
+      |), ed AS MATERIALIZED (
+      |  SELECT e.src, e.dst, deg.od FROM e JOIN deg USING (src)
+      |), nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), r0 AS MATERIALIZED (
+      |  SELECT node, 1e0 / (SELECT n FROM nn) AS r FROM nodes
+      |)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         (1e0 - 0.85e0) / (SELECT n FROM nn)
+         |           + 0.85e0 * coalesce(c.s, 0e0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst AS node, sum(p.r / ed.od) AS s
+         |    FROM ed JOIN r${i - 1} p ON ed.src = p.node GROUP BY 1
+         |  ) c ON nodes.node = c.node
+         |)""".stripMargin
+    }
+    pre + ",\n" + iters.mkString(",\n") +
+      "\nSELECT node, round(r, 9) + 0 AS rank FROM r10 ORDER BY node"
+  }
+
+  // ------------------------------------------------------------------
+  // per-document token entropy; per-user burstiness; event path trigrams
+  // ------------------------------------------------------------------
+
+  /** Shannon entropy of each document's term distribution,
+    * H = ln(n) - Σ tf·ln(tf) / n — a single algebraic form both engines
+    * evaluate from the same per-term counts, so no per-term probability
+    * division order can differ. Terms come from the
+    * [[graft.functions.WordCounts]] byte kernel (per-doc combine inside
+    * the scan); the aggregate is codegen sum/ln only. Empty documents
+    * produce no terms and drop out on both sides.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.WordCounts.wordCounts($"text")).as("__wc"))
+      .select($"doc_id", $"__wc.tf".cast("double").as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").cast("long").as("n_tokens"),
+        Num.round0(log(sum($"tf")) - sum($"tf" * log($"tf")) / sum($"tf"), 6)
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenEntropySql: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(text, '\s+'),
+      |                              x -> len(x) > 0)) AS term
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) + 0 AS entropy
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-user inter-arrival burstiness B = (σ - μ) / (σ + μ) over the
+    * millisecond gaps between consecutive events (σ = sample stddev):
+    * -1 = perfectly periodic, 0 = Poisson, → 1 = bursty. Unit-free, so
+    * the gaps stay in ms with no rescaling division. Users need ≥ 2 gaps
+    * for σ to exist; the all-equal-timestamp degenerate case (σ + μ = 0)
+    * is pinned to 0 on both sides. σ is the one aggregate here whose
+    * merge tree differs across engines — round-6 absorbs it.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    ev.select($"user_id", ($"t" - lag($"t", 1).over(w)).cast("double").as("gap"))
+      .filter($"gap".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg($"gap").as("__m"), stddev_samp($"gap").as("__s"))
+      .filter($"n_gaps" >= 2)
+      .select($"user_id", $"n_gaps",
+        Num.round0(col("__m"), 6).as("mean_gap_ms"),
+        Num.round0(when(col("__s") + col("__m") === 0.0, lit(0.0))
+          .otherwise((col("__s") - col("__m")) / (col("__s") + col("__m"))), 6)
+          .as("burstiness"))
+      .orderBy($"user_id")
+  }
+
+  val burstinessSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
+      |), g AS (
+      |  SELECT user_id,
+      |         CAST(t - lag(t) OVER (PARTITION BY user_id
+      |                               ORDER BY t, event_id) AS DOUBLE) AS gap
+      |  FROM ev
+      |), a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         avg(gap) AS m, stddev_samp(gap) AS s
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |)
+      |SELECT user_id, n_gaps, round(m, 6) + 0 AS mean_gap_ms,
+      |       round(CASE WHEN s + m = 0e0 THEN 0e0
+      |                  ELSE (s - m) / (s + m) END, 6) + 0 AS burstiness
+      |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin
+
+  /** Top event-type path trigrams: two leads over the per-user
+    * (ts, event_id) total order, exact counts — the n-step generalization
+    * of the transition matrix ([[transitions]]). Tie order inside an
+    * equal-millisecond burst is pinned by event_id on both sides.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    ev.select($"event_type".as("e1"),
+        lead($"event_type", 1).over(w).as("e2"),
+        lead($"event_type", 2).over(w).as("e3"))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"e1", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path".asc)
+  }
+
+  val eventPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events
+      |), p AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+      |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path""".stripMargin
 }

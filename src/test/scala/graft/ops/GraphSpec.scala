@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.pipeline.Dedup
+
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 10,
+      damping: Double = 0.85, bcastLimit: Long = 4L << 20): Map[Long, Double] =
+    Dedup.withMaterialized {
+      Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters, damping,
+          broadcastNodeLimit = bcastLimit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+
+  /** Driver-side reference: the same simple-graph power iteration. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    val simple = edges.filter(e => e._1 != e._2).distinct
+    val nodes  = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val n      = nodes.size
+    val outDeg = simple.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val byDst  = simple.groupBy(_._2)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        val in = byDst.getOrElse(v, Nil).map(e => r(e._1) / outDeg(e._1)).sum
+        v -> ((1.0 - damping) / n + damping * in)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank: uniform on a ring, every iteration a fixed point") {
+    val k = 12L
+    val ring = (0L until k).map(i => (i, (i + 1) % k))
+    val r = ranksOf(ring)
+    assert(r.size === k)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / k) < 1e-12))
+  }
+
+  test("pageRank: matches the driver-side power iteration on a mixed graph") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, i % 7), (i, (i * 13 + 3) % 40)))
+    val expect = reference(edges, 10, 0.85)
+    val got    = ranksOf(edges)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - expect(v)) < 1e-12, s"node $v") }
+    // rank is a probability vector when every node has an out-edge
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: star hub outranks the plain spokes; spokes tie exactly") {
+    // spokes 1..9 -> 0, hub returns mass to spoke 1 only. (After finitely
+    // many iterations spoke 1 — sole receiver of the hub's whole mass —
+    // can transiently outrank the hub itself, so the assertion is against
+    // the PLAIN spokes, not a global max.)
+    val edges = (1L to 9L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val r = ranksOf(edges)
+    // spokes 2..9 have identical in-structure (none) => identical rank
+    val spokeRanks = (2L to 9L).map(r).distinct
+    assert(spokeRanks.size === 1)
+    assert(r(0L) > spokeRanks.head)
+    assert(r(1L) > spokeRanks.head) // spoke 1 also receives the hub's mass
+  }
+
+  test("pageRank: self-loops and duplicate edges are ignored") {
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val noisy = base ++ Seq((0L, 0L), (1L, 1L), (0L, 1L), (2L, 0L), (2L, 2L))
+    assert(ranksOf(noisy) === ranksOf(base))
+  }
+
+  test("pageRank: dangling node leaks mass, no redistribution") {
+    // 0 -> 1, 1 has no out-edges: 1's mass drains each iteration
+    val edges = Seq((0L, 1L))
+    val expect = reference(edges, 10, 0.85)
+    val got = ranksOf(edges)
+    got.foreach { case (v, r) => assert(math.abs(r - expect(v)) < 1e-12, s"node $v") }
+    assert(got.values.sum < 1.0 - 1e-3)
+  }
+
+  test("pageRank: shuffled-join path (no broadcast) agrees with broadcast path") {
+    val edges = (0L until 30L).flatMap(i => Seq((i, (i + 3) % 30), (i, i % 5)))
+    val bc = ranksOf(edges)
+    val sj = ranksOf(edges, bcastLimit = 0L)
+    assert(bc.keySet === sj.keySet)
+    bc.foreach { case (v, r) => assert(math.abs(r - sj(v)) < 1e-12, s"node $v") }
+  }
+}
