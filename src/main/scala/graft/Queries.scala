@@ -6233,6 +6233,52 @@ object Queries {
       "\nSELECT node, round(r, 9) + 0 AS rank FROM r10 ORDER BY node"
   }
 
+  /** Connected components ([[graft.ops.Graph.connectedComponents]],
+    * min-label propagation to fixpoint) over a planted multi-component
+    * graph: rings within blocks of 10 docs, plus a sparse bridge from
+    * every 37th doc to a doc ~100 blocks away — components are unions
+    * of bridge-chained blocks, so the labeling is non-trivial but the
+    * closure stays small. The oracle is a genuine RECURSIVE CTE
+    * (DuckDB's UNION-dedup fixpoint) computing the same min-reachable
+    * label, so the Spark loop's convergence — not just one round — is
+    * value-checked. All-integer output, no rounding anywhere.
+    */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("__n"))
+    val d = docs.crossJoin(broadcast(nRow))
+    val edges = d.select($"doc_id".as("src"),
+        ($"doc_id" - pmod($"doc_id", lit(10L)) +
+          pmod(pmod($"doc_id", lit(10L)) + 1, lit(10L))).as("dst"))
+      .unionByName(d.filter(pmod($"doc_id", lit(37L)) === 0)
+        .select($"doc_id".as("src"), pmod($"doc_id" + 1003, $"__n").as("dst")))
+    graft.ops.Graph.connectedComponents(edges, "src", "dst")
+      .orderBy($"node")
+  }
+
+  val graphComponentsSql: String =
+    """WITH RECURSIVE e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 1) % 10) AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1003) % (SELECT count(*) FROM documents)
+      |    FROM documents WHERE doc_id % 37 = 0
+      |  ) WHERE src <> dst
+      |), e AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      |), nodes AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node FROM e
+      |), lab(node, comp) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.dst, lab.comp FROM lab JOIN e ON e.src = lab.node
+      |)
+      |SELECT node, CAST(min(comp) AS BIGINT) AS comp
+      |FROM lab GROUP BY 1 ORDER BY node""".stripMargin
+
   // ------------------------------------------------------------------
   // per-document token entropy; per-user burstiness; event path trigrams
   // ------------------------------------------------------------------

@@ -88,4 +88,64 @@ class GraphSpec extends SparkTestBase {
     assert(bc.keySet === sj.keySet)
     bc.foreach { case (v, r) => assert(math.abs(r - sj(v)) < 1e-12, s"node $v") }
   }
+
+  private def compsOf(edges: Seq[(Long, Long)], maxRounds: Int = 64,
+      bcastLimit: Long = 4L << 20): Map[Long, Long] =
+    Dedup.withMaterialized {
+      Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+          maxRounds, broadcastNodeLimit = bcastLimit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+  /** Driver-side union-find reference over the undirected view. */
+  private def referenceComps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long = { var x = v; while (parent(x) != x) x = parent(x); x }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents: matches driver union-find on a random graph") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val expect = referenceComps(edges)
+    val got = compsOf(edges)
+    assert(got === expect)
+  }
+
+  test("connectedComponents: disjoint rings stay disjoint; a bridge merges") {
+    val ringA = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val ringB = (10L until 15L).map(i => (i, 10L + (i + 1) % 5))
+    val two = compsOf(ringA ++ ringB)
+    assert(two.filter(_._1 < 5).values.toSet === Set(0L))
+    assert(two.filter(_._1 >= 10).values.toSet === Set(10L))
+    val one = compsOf(ringA ++ ringB :+ ((4L, 12L)))
+    assert(one.values.toSet === Set(0L))
+  }
+
+  test("connectedComponents: direction is ignored (undirected semantics)") {
+    // labels must flow AGAINST the arrows too: 5 -> 4 -> 3 -> 2 -> 1 -> 0
+    val chain = (1L to 5L).map(i => (i, i - 1))
+    assert(compsOf(chain).values.toSet === Set(0L))
+  }
+
+  test("connectedComponents: maxRounds bound fails loudly, not silently") {
+    val longChain = (0L until 40L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](compsOf(longChain, maxRounds = 3))
+    assert(e.getMessage.contains("fixpoint"))
+    // and with room it converges
+    assert(compsOf(longChain).values.toSet === Set(0L))
+  }
+
+  test("connectedComponents: shuffled-join path agrees with broadcast path") {
+    val rnd = new scala.util.Random(23L)
+    val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+    assert(compsOf(edges) === compsOf(edges, bcastLimit = 0L))
+  }
 }
