@@ -6185,15 +6185,22 @@ object Queries {
     * checkpoints once and never moves; one iteration = broadcast(ranks)
     * + one map-side-combined aggregate.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted document link graph shared by the PageRank-family
+    * queries: hub (doc_id % 97), ring successor, expander target. */
+  private def plantedLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = tbl(spark, dir, "documents").select($"doc_id")
     val nRow = docs.agg(count(lit(1)).as("__n"))
     val d = docs.crossJoin(broadcast(nRow))
-    val edges = d.select($"doc_id".as("src"), pmod($"doc_id", lit(97L)).as("dst"))
+    d.select($"doc_id".as("src"), pmod($"doc_id", lit(97L)).as("dst"))
       .unionByName(d.select($"doc_id".as("src"), pmod($"doc_id" + 1, $"__n").as("dst")))
       .unionByName(d.select($"doc_id".as("src"), pmod($"doc_id" * 31 + 7, $"__n").as("dst")))
-    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10, damping = 0.85)
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Graph.pageRank(plantedLinkEdges(spark, dir), "src", "dst",
+        iterations = 10, damping = 0.85)
       .select($"node", Num.round0($"r", 9).as("rank"))
       .orderBy($"node")
   }
@@ -6222,6 +6229,62 @@ object Queries {
       s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |         (1e0 - 0.85e0) / (SELECT n FROM nn)
+         |           + 0.85e0 * coalesce(c.s, 0e0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst AS node, sum(p.r / ed.od) AS s
+         |    FROM ed JOIN r${i - 1} p ON ed.src = p.node GROUP BY 1
+         |  ) c ON nodes.node = c.node
+         |)""".stripMargin
+    }
+    pre + ",\n" + iters.mkString(",\n") +
+      "\nSELECT node, round(r, 9) + 0 AS rank FROM r10 ORDER BY node"
+  }
+
+  /** Personalized PageRank ([[graft.ops.Graph.personalizedPageRank]])
+    * from the every-101st-doc seed set over the same planted link
+    * graph: the teleport vector concentrates on the seeds, so ranks
+    * measure link-proximity to them — the contamination-tracing /
+    * related-content primitive. The oracle replays the 10 steps with
+    * the seed-indicator weight CASE inlined at every level, all float
+    * literals in e0 notation.
+    */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = tbl(spark, dir, "documents").select($"doc_id")
+      .filter(pmod($"doc_id", lit(101L)) === 0)
+    graft.ops.Graph.personalizedPageRank(plantedLinkEdges(spark, dir),
+        "src", "dst", seeds, "doc_id", iterations = 10, damping = 0.85)
+      .select($"node", Num.round0($"r", 9).as("rank"))
+      .orderBy($"node")
+  }
+
+  val pprSql: String = {
+    val w = "CASE WHEN nodes.node % 101 = 0 THEN 1e0 / (SELECT k FROM sk) ELSE 0e0 END"
+    val pre = raw"""WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1
+      |), ed AS MATERIALIZED (
+      |  SELECT e.src, e.dst, deg.od FROM e JOIN deg USING (src)
+      |), nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), sk AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS k FROM nodes WHERE node % 101 = 0
+      |), r0 AS MATERIALIZED (
+      |  SELECT node, $w AS r FROM nodes
+      |)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         (1e0 - 0.85e0) * ($w)
          |           + 0.85e0 * coalesce(c.s, 0e0) AS r
          |  FROM nodes LEFT JOIN (
          |    SELECT ed.dst AS node, sum(p.r / ed.od) AS s

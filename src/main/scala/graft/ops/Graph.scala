@@ -79,6 +79,71 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (uniformly split across the seed nodes present in the graph)
+    * instead of uniformly on all nodes —
+    *
+    *   r'(v) = (1 - d) · w(v)  +  d · Σ_{(u,v) ∈ E} r(u) / outdeg(u)
+    *
+    * with w the seed indicator / |seeds ∩ nodes| and r₀ = w. Ranks then
+    * measure proximity to the seed set — the contamination-tracing /
+    * related-content primitive. Same simple-graph normalization, scale
+    * shape and iteration machinery as [[pageRank]]: the teleport vector
+    * is one more (node, w) column riding the checkpointed node table,
+    * so an iteration still moves nothing but the rank vector. Seeds not
+    * present in the graph are ignored (they could receive no mass).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    val simple = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = simple.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("__od"))
+    val ed = Dedup.materializeOnce(simple.join(deg, "src"))
+    val nodes =
+      ed.select(col("src").as("node"))
+        .union(ed.select(col("dst").as("node"))).distinct()
+    val seedNodes = Dedup.materializeOnce(
+      nodes.join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi"))
+    val k = seedNodes.count()
+    require(k > 0, "personalizedPageRank: no seed is a node of the graph")
+    val tele = Dedup.materializeOnce(
+      nodes.as("nd")
+        .join(seedNodes.select(col("node"), lit(true).as("__is")).as("s"),
+          Seq("node"), "left")
+        .select(col("node"),
+          when(col("__is"), lit(1.0 / k)).otherwise(lit(0.0)).as("__w")))
+    val n = tele.count()
+    val hint = n <= broadcastNodeLimit
+    var ranks = tele.select(col("node"), col("__w").as("r"))
+    for (_ <- 1 to iterations) {
+      val rs = if (hint) broadcast(ranks) else ranks
+      val contribs = ed.join(rs, ed("src") === rs("node"))
+        .groupBy(ed("dst").as("node"))
+        .agg(sum(col("r") / col("__od")).as("__c"))
+      val next = tele.as("t")
+        .join(if (hint) broadcast(contribs.as("c")) else contribs.as("c"),
+          col("t.node") === col("c.node"), "left")
+        .select(col("t.node").as("node"),
+          (lit(1.0 - damping) * col("__w") +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
+      ranks = Dedup.materializeOnce(next)
+    }
+    ranks
+  }
+
   /** Connected components of the UNDIRECTED view of an edge list:
     * min-label propagation to fixpoint (each node's component is the
     * smallest node id it can reach), the Pregel formulation. Returns

@@ -89,6 +89,56 @@ class GraphSpec extends SparkTestBase {
     bc.foreach { case (v, r) => assert(math.abs(r - sj(v)) < 1e-12, s"node $v") }
   }
 
+  test("personalizedPageRank: matches a driver-side seeded power iteration") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, i % 7), (i, (i * 13 + 3) % 40)))
+    val seedIds = Seq(0L, 17L)
+    // driver reference with teleport concentrated on the seeds
+    val simple = edges.filter(e => e._1 != e._2).distinct
+    val nodes = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val outDeg = simple.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val byDst = simple.groupBy(_._2)
+    val w = nodes.map(v => v -> (if (seedIds.contains(v)) 1.0 / seedIds.size else 0.0)).toMap
+    var r = w
+    for (_ <- 1 to 10) {
+      r = nodes.map { v =>
+        val in = byDst.getOrElse(v, Nil).map(e => r(e._1) / outDeg(e._1)).sum
+        v -> ((1.0 - 0.85) * w(v) + 0.85 * in)
+      }.toMap
+    }
+    val got = Dedup.withMaterialized {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seedIds.toDF("doc_id"), "doc_id")
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    assert(got.keySet === r.keySet)
+    got.foreach { case (v, rv) => assert(math.abs(rv - r(v)) < 1e-12, s"node $v") }
+    // seeds hold far more mass than the background
+    assert(got(0L) > 10 * got.values.toSeq.sorted.apply(nodes.size / 2))
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored; none in -> error") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val withGhost = Dedup.withMaterialized {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          Seq(0L, 99L).toDF("s"), "s")
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    val justSeed = Dedup.withMaterialized {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          Seq(0L).toDF("s"), "s")
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    assert(withGhost === justSeed)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.withMaterialized {
+        Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          Seq(99L).toDF("s"), "s").collect()
+      }
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   private def compsOf(edges: Seq[(Long, Long)], maxRounds: Int = 64,
       bcastLimit: Long = 4L << 20): Map[Long, Long] =
     Dedup.withMaterialized {
