@@ -6458,4 +6458,244 @@ object Queries {
       |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
       |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path""".stripMargin
+
+  /** Cluster-balanced sampling: cap every semantic cluster (IVF cell of
+    * the trained centroids) at `ClusterSampleQuota` members, picked by
+    * the deterministic hash-rank order ([[Sampling.hashScore]], then id)
+    * — the density-flattening curation pass (oversampled semantic
+    * regions thinned, sparse regions kept whole) that SemDeDup-style
+    * pipelines run between dedup and mixing. Reuses [[Sampling.capPerKey]]
+    * (rank predicate on the raw row_number → WindowGroupLimit prunes
+    * before the exchange). Oracle: the identical md5-derived rank over
+    * the EXPORTED cell assignment.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = Similarity.ivfAssign(
+        tbl(spark, dir, "embeddings"), "embedding", trainedCentroids(spark, dir))
+      .select($"vec_id", $"cell_id",
+        Sampling.hashScore($"vec_id").as("__hs"))
+    Sampling.capPerKey(assigned, Seq("cell_id"), ClusterSampleQuota,
+        Seq("__hs", "vec_id"))
+      .select($"vec_id", $"cell_id")
+      .orderBy($"vec_id")
+  }
+
+  private val ClusterSampleQuota = 24
+
+  val clusterSampleSql: String = {
+    val hex8 = hex8Sql("CAST(vec_id AS VARCHAR)")
+    s"""SELECT vec_id, cell_id FROM (
+       |  SELECT vec_id, cell_id,
+       |         row_number() OVER (PARTITION BY cell_id
+       |           ORDER BY CAST($hex8 AS DOUBLE) / 4294967296.0, vec_id) AS rk
+       |  FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet')
+       |WHERE rk <= $ClusterSampleQuota
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The planted triangle-rich graph shared by [[triangleCounts]]: the
+    * component fixture's block rings (i → next within its block of 10)
+    * plus a skip-2 chord (i → i+2 within the block — every consecutive
+    * ring triple closes into a triangle) plus the every-37th-doc bridge.
+    */
+  private def plantedTriangleEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("__n"))
+    val d = docs.crossJoin(broadcast(nRow))
+    def inBlock(k: Int) =
+      $"doc_id" - pmod($"doc_id", lit(10L)) + pmod(pmod($"doc_id", lit(10L)) + k, lit(10L))
+    d.select($"doc_id".as("src"), inBlock(1).as("dst"))
+      .unionByName(d.select($"doc_id".as("src"), inBlock(2).as("dst")))
+      .unionByName(d.filter(pmod($"doc_id", lit(37L)) === 0)
+        .select($"doc_id".as("src"), pmod($"doc_id" + 1003, $"__n").as("dst")))
+  }
+
+  /** Per-node triangle counts + local clustering coefficient
+    * ([[graft.ops.Graph.triangles]] — degree-ordered orientation, each
+    * triangle enumerated exactly once) over the planted block-ring +
+    * chord graph. The oracle enumerates the same orientation-invariant
+    * triangle set with an id-ordered 3-join over canonical u<v edges.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Graph.triangles(plantedTriangleEdges(spark, dir), "src", "dst")
+      .orderBy($"node")
+  }
+
+  val triangleCountsSql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 1) % 10) AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 2) % 10)
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1003) % (SELECT count(*) FROM documents)
+      |    FROM documents WHERE doc_id % 37 = 0
+      |  ) WHERE src <> dst
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0
+      |), deg AS MATERIALIZED (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      |  ) GROUP BY 1
+      |), tri AS MATERIALIZED (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+      |  JOIN e c ON c.u = a.v AND c.v = b.v
+      |), pn AS MATERIALIZED (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri
+      |  ) GROUP BY 1
+      |)
+      |SELECT deg.node, deg.degree,
+      |       coalesce(pn.n_triangles, 0) AS n_triangles,
+      |       CASE WHEN deg.degree >= 2 THEN
+      |         round(2e0 * coalesce(pn.n_triangles, 0)
+      |               / (deg.degree * (deg.degree - 1)), 6)
+      |       END AS clustering
+      |FROM deg LEFT JOIN pn USING (node)
+      |ORDER BY deg.node""".stripMargin
+
+  /** Degree census of the planted link graph: exact (direction, degree,
+    * n_nodes) histogram over the simple directed edge set — the graph
+    * health report (hub detection, dangling share) run before any
+    * iterative graph pass. All-integer output.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val simple = plantedLinkEdges(spark, dir)
+      .filter($"src" =!= $"dst").distinct()
+    val outD = simple.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy($"deg".as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit("out").as("direction"), $"degree", $"n_nodes")
+    val inD = simple.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy($"deg".as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit("in").as("direction"), $"degree", $"n_nodes")
+    outD.unionByName(inD).orderBy($"direction", $"degree")
+  }
+
+  val degreeDistSql: String =
+    """WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |)
+      |SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+      |  SELECT 'out' AS direction, src AS node, CAST(count(*) AS BIGINT) AS degree
+      |  FROM e GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'in', dst, CAST(count(*) AS BIGINT) FROM e GROUP BY 2
+      |) GROUP BY 1, 2 ORDER BY direction, degree""".stripMargin
+
+  /** Bounded-horizon BFS ([[graft.ops.Graph.hopDistance]], 6 hops
+    * forward) from the every-101st-doc seed set over the planted link
+    * graph — the k-hop neighborhood extraction primitive (GNN
+    * neighborhood sampling, contamination blast-radius tracing). The
+    * oracle is a recursive CTE computing the same min-hop labeling with
+    * the same horizon cut; all-integer output, so the Spark loop's
+    * frontier bookkeeping is value-checked exactly.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = tbl(spark, dir, "documents").select($"doc_id")
+      .filter(pmod($"doc_id", lit(101L)) === 0)
+    graft.ops.Graph.hopDistance(plantedLinkEdges(spark, dir), "src", "dst",
+        seeds, "doc_id", maxHops = 6)
+      .orderBy($"node")
+  }
+
+  /** MMR-diversified retrieval ([[Similarity.mmrRerank]], λ = 0.7,
+    * k = 10) over the cosine top-50 around the fixed query embedding —
+    * the result-diversification pass a retrieval stack runs after
+    * [[hybridRrf]]-style fusion. Everything the walk consumes (candidate
+    * relevances, the 50×50 pairwise sim matrix) is computed in Spark and
+    * rounded to 6 decimals FIRST, so the oracle — which replays all ten
+    * greedy picks as chained MATERIALIZED CTEs, argmax = ORDER BY/LIMIT 1
+    * with the id tiebreak — makes bit-identical selections (the greedy
+    * arithmetic is then identical IEEE ops on identical doubles).
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    val cand = Similarity.bruteForceTopK(e.filter($"vec_id" === 0), e,
+        "vec_id", "embedding", k = 50)
+      .select($"neighbor_id".as("id"), $"cosine".as("rel"))
+      .join(e.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+    Similarity.mmrRerank(cand, "id", "rel", "embedding", k = 10, lambda = 0.7)
+      .select($"rank", $"id".as("doc_id"), $"rel", $"mmr")
+      .orderBy($"rank")
+  }
+
+  val mmrRerankSql: String = {
+    val k = 10
+    val pre = raw"""WITH qv AS MATERIALIZED (
+      |  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+      |), cand AS MATERIALIZED (
+      |  SELECT vec_id AS id,
+      |         round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)), 6) AS rel,
+      |         embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id <> 0
+      |  ORDER BY rel DESC, id LIMIT 50
+      |), sims AS MATERIALIZED (
+      |  SELECT a.id AS a, b.id AS b, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |  FROM cand a JOIN cand b ON a.id <> b.id
+      |)""".stripMargin
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        """p1 AS MATERIALIZED (
+          |  SELECT id, rel, 0.7e0 * rel - (1e0 - 0.7e0) * 0e0 AS score
+          |  FROM cand ORDER BY score DESC, id LIMIT 1
+          |), s1 AS MATERIALIZED (SELECT id FROM p1)""".stripMargin
+      else
+        s"""p$i AS MATERIALIZED (
+           |  SELECT c.id, c.rel,
+           |         0.7e0 * c.rel - (1e0 - 0.7e0) *
+           |           (SELECT max(sim) FROM sims JOIN s${i - 1} ON sims.b = s${i - 1}.id
+           |            WHERE sims.a = c.id) AS score
+           |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s${i - 1})
+           |  ORDER BY score DESC, c.id LIMIT 1
+           |), s$i AS MATERIALIZED (
+           |  SELECT id FROM s${i - 1} UNION ALL SELECT id FROM p$i)""".stripMargin
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, id AS doc_id, rel, round(score, 6) + 0 AS mmr FROM p$i")
+      .mkString("", "\nUNION ALL ", "\nORDER BY rank")
+    pre + ",\n" + steps.mkString(",\n") + "\n" + out
+  }
+
+  val bfsHopsSql: String =
+    """WITH RECURSIVE nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), reach(node, hop) AS (
+      |  SELECT node, 0 FROM nodes WHERE node % 101 = 0
+      |  UNION
+      |  SELECT e.dst, reach.hop + 1
+      |  FROM reach JOIN e ON e.src = reach.node WHERE reach.hop < 6
+      |)
+      |SELECT node, CAST(min(hop) AS INTEGER) AS hop
+      |FROM reach GROUP BY 1 ORDER BY node""".stripMargin
 }

@@ -18,4 +18,13 @@ object Num {
     * normalization (`round(...) + 0`) for the pairing to hold.
     */
   def round0(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
+  /** Driver-side twin of [[round0]]: BigDecimal HALF_UP (the same rule
+    * Spark's `round` and DuckDB's `round` apply to doubles) with the sign
+    * of zero normalized away — for bounded driver-side walks whose rounded
+    * outputs must hash-match a relational oracle.
+    */
+  def roundHalfUp(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
 }

@@ -144,6 +144,132 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts and local clustering coefficients of the
+    * UNDIRECTED simple view of an edge list. Returns
+    * (node, degree, n_triangles, clustering) with
+    * `clustering = 2·T(v) / (deg(v)·(deg(v)−1))` (NULL for degree < 2).
+    *
+    * Algorithm: degree-ordered orientation (the node-iterator++ /
+    * Latapy scheme). Every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, so each triangle
+    * {x, y, z} is enumerated EXACTLY once as a wedge (x→y, x→z) closed
+    * by the oriented edge (y→z) — no post-dedup. The orientation bounds
+    * every node's oriented out-degree by O(√m), so the wedge fan-out is
+    * O(m^{3/2}) worst case instead of Σ deg² — a hub with a million
+    * neighbors generates NO wedges at all because all its edges point
+    * INTO it. The triangle SET is orientation-invariant, so an
+    * id-ordered relational oracle enumerates the identical rows.
+    *
+    * Scale shape: one distinct + one degree aggregate + two self-joins
+    * on the oriented table (shuffled on the wedge apex / closing edge
+    * key); the closing join's build side is the oriented edge table
+    * itself. Per-node counts come from exploding each triangle to its
+    * three corners — 3·T rows, never corpus-squared.
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // canonical undirected simple edges (u < v)
+    val und = Dedup.materializeOnce(
+      directed.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val deg = Dedup.materializeOnce(
+      und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree")))
+    // orient each edge from the lower (degree, id) endpoint to the higher
+    val du = deg.select(col("node").as("u"), col("degree").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("__dv"))
+    val oriented = Dedup.materializeOnce(
+      und.join(du, "u").join(dv, "v")
+        .select(
+          when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("a"),
+          when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("b")))
+    // wedges (a→b, a→c) with b before c in the orientation order, closed
+    // by the oriented edge (b→c); orientation is a total order, so "b
+    // before c" is exactly "the oriented edge b→c could exist"
+    val e1 = oriented.select(col("a"), col("b"))
+    val e2 = oriented.select(col("a"), col("b").as("c"))
+    val tri = e1.join(e2, "a")
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+  }
+
+  /** Bounded-horizon BFS: the minimum hop distance from a seed set,
+    * following edges FORWARD, cut off at `maxHops` — the k-hop
+    * neighborhood extraction primitive (GNN neighborhood sampling,
+    * contamination blast-radius tracing). Returns (node, hop) for every
+    * node reachable within `maxHops`; unreached nodes are absent.
+    *
+    * Scale shape: classic frontier iteration — hop h's NEW nodes are the
+    * out-neighbors of hop h−1's frontier minus everything already
+    * labeled (one join + one left-anti join per round against the
+    * size-gated broadcast label set); the edge table checkpoints once
+    * and never moves. Exactly `maxHops` rounds, data-independent — the
+    * horizon is the semantics, so a pathological diameter cannot stall
+    * the job. The frontier (not the full label table) drives each join,
+    * so a converged region stops costing anything.
+    */
+  def hopDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int,
+      broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
+    val simple = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val ed = Dedup.materializeOnce(simple)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+    // seeds restricted to graph nodes: an off-graph seed labels nothing
+    var frontier = Dedup.materializeOnce(
+      nodes.join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi"))
+    var frontierSize = frontier.count()
+    var labeled = frontierSize
+    var labels = frontier.select(col("node"), lit(0).as("hop"))
+    var h = 0
+    while (h < maxHops && frontierSize > 0) {
+      h += 1
+      // the label set only grows, so its count is maintained incrementally —
+      // no extra action per round beyond the frontier count the loop needs
+      val seen = if (labeled <= broadcastNodeLimit) broadcast(labels) else labels
+      frontier = Dedup.materializeOnce(
+        ed.join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .join(seen.select(col("node")), Seq("node"), "left_anti"))
+      frontierSize = frontier.count()
+      if (frontierSize > 0) {
+        labels = labels.union(frontier.select(col("node"), lit(h).as("hop")))
+        labeled += frontierSize
+      }
+    }
+    Dedup.materializeOnce(labels)
+  }
+
   /** Connected components of the UNDIRECTED view of an edge list:
     * min-label propagation to fixpoint (each node's component is the
     * smallest node id it can reach), the Pregel formulation. Returns

@@ -59,6 +59,78 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedy k-step selection maximizing
+    *
+    *   score(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * (diversity term 0 for the empty selection; ties broken by id asc) —
+    * the result-diversification pass run on a retrieval arm's top-k.
+    *
+    * Scale shape: MMR is inherently sequential — every pick changes every
+    * remaining candidate's score — so the GREEDY WALK runs on the driver,
+    * while everything that scales stays distributed: candidate generation
+    * is whatever bounded top-k produced `candidates`, and the pairwise
+    * similarity matrix is computed IN SPARK (one bounded self-join over
+    * the ≤`maxCandidates` rows, broadcast both sides) and rounded to
+    * `roundTo` BEFORE the walk, so an independent engine replaying the
+    * same rounded inputs makes bit-identical picks (the raw greedy
+    * arithmetic is then the same IEEE ops on the same doubles). The
+    * candidate set is bounded BY CONTRACT; `maxCandidates` fails loudly
+    * if a caller points this at a corpus.
+    *
+    * Returns (rank, id, rel, mmr) for the k selected candidates in pick
+    * order, `mmr` rounded to `roundTo` (signed zero normalized).
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double,
+      maxCandidates: Int = 4096,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0, 1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cv = Dedup.materializeOnce(candidates.select(
+      col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+      col(vecCol).as("__v")))
+    val rels = cv.select(col("id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    require(rels.length <= maxCandidates,
+      s"mmrRerank: ${rels.length} candidates exceed maxCandidates=$maxCandidates — " +
+        "this is a re-ranker for a bounded retrieval arm, not a corpus pass")
+    val relOf = rels.toMap
+    val sims = cv.as("x")
+      .join(broadcast(cv.as("y")), col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(cosine(col("x.__v"), col("y.__v")), roundTo).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val remaining = scala.collection.mutable.SortedSet[Long](relOf.keys.toSeq: _*)
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val steps = math.min(k, rels.length)
+    for (step <- 1 to steps) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { c =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sims((c, s))).max
+        val score = lambda * relOf(c) - (1.0 - lambda) * ms
+        // strict > plus ascending-id iteration = (score desc, id asc)
+        if (score > bestScore) { bestScore = score; bestId = c }
+      }
+      remaining -= bestId
+      selected += bestId
+      picks += ((step, bestId, relOf(bestId),
+        graft.functions.Num.roundHalfUp(bestScore, roundTo)))
+    }
+    picks.toSeq.toDF("rank", "id", "rel", "mmr")
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup). Exact;
     * O(n²) — restrict the inputs or use [[lshPairs]] at scale.
     */

@@ -198,4 +198,124 @@ class GraphSpec extends SparkTestBase {
       .filter(e => e._1 != e._2)
     assert(compsOf(edges) === compsOf(edges, bcastLimit = 0L))
   }
+
+  // ---------------------------------------------------------------- triangles
+
+  private def trianglesOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] =
+    Dedup.withMaterialized {
+      Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+    }
+
+  /** Driver-side brute-force triangle census over the undirected view. */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val es = und.toSet
+    val tris = for {
+      (u, v) <- und
+      w <- nodes if w > v && es.contains((u, w)) && es.contains((v, w))
+    } yield (u, v, w)
+    val per = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    tris.foreach { case (a, b, c) => per(a) += 1; per(b) += 1; per(c) += 1 }
+    nodes.map(v => v -> per(v)).toMap
+  }
+
+  test("triangles: K4 — every node in 3 triangles, clustering 1") {
+    val k4 = for { a <- 0L until 4L; b <- 0L until 4L if a < b } yield (a, b)
+    val got = trianglesOf(k4)
+    assert(got.size === 4)
+    got.values.foreach { case (deg, t, c) =>
+      assert(deg === 3L); assert(t === 3L); assert(c === Some(1.0))
+    }
+  }
+
+  test("triangles: matches brute force on a random graph incl. zero-triangle nodes") {
+    val rnd = new scala.util.Random(11L)
+    val edges = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val expect = referenceTriangles(edges)
+    val got = trianglesOf(edges)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (v, (deg, t, c)) =>
+      assert(t === expect(v), s"node $v")
+      if (deg >= 2)
+        assert(c === Some(BigDecimal(2.0 * t / (deg * (deg - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), s"node $v")
+      else assert(c === None, s"node $v")
+    }
+  }
+
+  test("triangles: direction, duplicates and self-loops are ignored") {
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val noisy = base ++ Seq((1L, 0L), (0L, 2L), (0L, 0L), (2L, 0L))
+    assert(trianglesOf(noisy) === trianglesOf(base))
+    trianglesOf(base).values.foreach { case (deg, t, _) =>
+      assert(deg === 2L); assert(t === 1L)
+    }
+  }
+
+  test("triangles: a tree has none; degree-1 nodes get NULL clustering") {
+    val star = (1L to 5L).map(i => (0L, i))
+    val got = trianglesOf(star)
+    assert(got.values.forall(_._2 == 0L))
+    assert(got(0L)._3 === Some(0.0))
+    (1L to 5L).foreach(i => assert(got(i)._3 === None))
+  }
+
+  // --------------------------------------------------------------- hopDistance
+
+  private def hopsOf(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int,
+      bcastLimit: Long = 4L << 20): Map[Long, Int] =
+    Dedup.withMaterialized {
+      Graph.hopDistance(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("s"), "s", maxHops, broadcastNodeLimit = bcastLimit)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+
+  test("hopDistance: directed chain labels exactly the horizon") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val got = hopsOf(chain, Seq(0L), maxHops = 4)
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("hopDistance: min hop wins when two seeds reach the same node") {
+    // 0 -> 1 -> 2 -> 3 and seed 2 directly: node 3 is hop 1 (via 2), not 3
+    val chain = (0L until 4L).map(i => (i, i + 1))
+    val got = hopsOf(chain, Seq(0L, 2L), maxHops = 6)
+    assert(got(3L) === 1)
+    assert(got(1L) === 1)
+    assert(got(2L) === 0)
+  }
+
+  test("hopDistance: follows edges forward only; off-graph seeds ignored") {
+    val chain = Seq((0L, 1L), (1L, 2L))
+    // seed at the END reaches nothing upstream
+    assert(hopsOf(chain, Seq(2L), maxHops = 5) === Map(2L -> 0))
+    // an off-graph seed contributes nothing
+    assert(hopsOf(chain, Seq(0L, 99L), maxHops = 5) ===
+      hopsOf(chain, Seq(0L), maxHops = 5))
+  }
+
+  test("hopDistance: early frontier exhaustion stops the loop; maxHops 0 = seeds") {
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
+    // horizon far beyond the diameter — every node labeled once, loop stops
+    val got = hopsOf(ring, Seq(0L), maxHops = 50)
+    assert(got === (0 until 6).map(i => i.toLong -> i).toMap)
+    assert(hopsOf(ring, Seq(0L), maxHops = 0) === Map(0L -> 0))
+  }
+
+  test("hopDistance: shuffled-join path agrees with broadcast path") {
+    val rnd = new scala.util.Random(31L)
+    val edges = Seq.fill(100)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    assert(hopsOf(edges, Seq(0L, 7L), 4) === hopsOf(edges, Seq(0L, 7L), 4, bcastLimit = 0L))
+  }
 }
