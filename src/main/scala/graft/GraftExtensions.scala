@@ -110,6 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"shingle_hashes n must be an integer literal, got $other")
         }) }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[graft.functions.TokenStats].getName, "token_stats"),
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "token_stats")
+        graft.functions.TokenStats(exprs.head) }))
     injectR8(ext)
   }
 

@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Artifacts, Bm25, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Artifacts, Bm25, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, QualityModel, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.functions.Num
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -6316,7 +6316,11 @@ object Queries {
           pmod(pmod($"doc_id", lit(10L)) + 1, lit(10L))).as("dst"))
       .unionByName(d.filter(pmod($"doc_id", lit(37L)) === 0)
         .select($"doc_id".as("src"), pmod($"doc_id" + 1003, $"__n").as("dst")))
-    graft.ops.Graph.connectedComponents(edges, "src", "dst")
+    // maxRounds = 256: bridge-chained block components grow with the corpus
+    // (the crossover fixture's longest chain exceeds the 64-round default's
+    // diameter bound); rounds stay = actual diameter, the bound is only the
+    // loud-failure ceiling
+    graft.ops.Graph.connectedComponents(edges, "src", "dst", maxRounds = 256)
       .orderBy($"node")
   }
 
@@ -6676,6 +6680,119 @@ object Queries {
       .mkString("", "\nUNION ALL ", "\nORDER BY rank")
     pre + ",\n" + steps.mkString(",\n") + "\n" + out
   }
+
+  // session-free weight cache (the quantileGridCache convention): the
+  // trained OLS weights are plain doubles, valid for any session over the
+  // same dir
+  private val qualityRegCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  private def trainedQualityWeights(spark: SparkSession, dir: String,
+      feats: => DataFrame): Array[Double] =
+    qualityRegCache.getOrElseUpdate(dir, QualityModel.train(feats))
+
+  /** One-pass trained linear quality model ([[pipeline.QualityModel]]):
+    * OLS distilling the corpus-unigram likelihood into four cheap
+    * byte-scan features — training is ONE moment aggregation (15 + 5
+    * scalars) + a driver 5×5 solve. Output: the weight artifact plus the
+    * per-feature normal-equation residual (0.000 for a correct solve —
+    * the OLS optimality condition checked IN-DATA). The oracle reads the
+    * EXPORTED weights, recomputes features, teacher signal and residuals
+    * relationally (every feature and y is exact integer counts through
+    * one IEEE division, so both engines agree bit-for-bit), and requires
+    * the residuals to agree — a wrong solve is non-zero on both sides
+    * and the spec's driver-reference check catches it first.
+    */
+  def qualityReg(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Dedup.materializeOnce(QualityModel.featureFrame(
+      tbl(spark, dir, "documents"), "text", "doc_id"))
+    val w = trainedQualityWeights(spark, dir, feats)
+    QualityModel.report(feats, w).orderBy("feature")
+  }
+
+  private val qualityRegWp: String =
+    """wp AS MATERIALIZED (
+      |  SELECT
+      |    max(CASE WHEN feature = 'intercept' THEN weight END) AS w0,
+      |    max(CASE WHEN feature = 'n_tokens' THEN weight END) AS w1,
+      |    max(CASE WHEN feature = 'ttr' THEN weight END) AS w2,
+      |    max(CASE WHEN feature = 'max_tf_ratio' THEN weight END) AS w3,
+      |    max(CASE WHEN feature = 'avg_token_len' THEN weight END) AS w4
+      |  FROM '__VERIFY_OUT__/q_quality_reg/*.parquet'
+      |)""".stripMargin
+
+  private val qualityRegFeats: String =
+    raw"""tf AS MATERIALIZED (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(text, '\s+'),
+      |                              x -> len(x) > 0)) AS term
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), f AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |         CAST(t.nt AS DOUBLE) AS x1,
+      |         CAST(t.types AS DOUBLE) / t.nt AS x2,
+      |         CAST(t.maxtf AS DOUBLE) / t.nt AS x3,
+      |         CAST(len(d.text) AS DOUBLE) / t.nt AS x4
+      |  FROM documents d JOIN (
+      |    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nt,
+      |           CAST(count(*) AS BIGINT) AS types,
+      |           CAST(max(tf) AS BIGINT) AS maxtf
+      |    FROM tf GROUP BY 1) t USING (doc_id)
+      |)""".stripMargin
+
+  val qualityRegSql: String =
+    s"""WITH $qualityRegWp,
+      |$qualityRegFeats,
+      |uni AS MATERIALIZED (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+      |), tot AS MATERIALIZED (
+      |  SELECT CAST(sum(cf) AS BIGINT) AS total FROM uni
+      |), yy AS MATERIALIZED (
+      |  SELECT tf.doc_id,
+      |         CAST(sum(tf.tf * uni.cf) AS DOUBLE)
+      |           / (CAST(sum(tf.tf) AS BIGINT) * (SELECT total FROM tot)) AS y
+      |  FROM tf JOIN uni USING (term) GROUP BY 1
+      |), j AS MATERIALIZED (
+      |  SELECT f.x1, f.x2, f.x3, f.x4, yy.y,
+      |         (SELECT w0 FROM wp) + (SELECT w1 FROM wp) * f.x1
+      |           + (SELECT w2 FROM wp) * f.x2 + (SELECT w3 FROM wp) * f.x3
+      |           + (SELECT w4 FROM wp) * f.x4 AS yhat
+      |  FROM f JOIN yy USING (doc_id)
+      |), r AS MATERIALIZED (
+      |  SELECT 'intercept' AS feature,
+      |         round(sum(1e0 * (y - yhat)) / count(*), 3) + 0 AS resid FROM j
+      |  UNION ALL SELECT 'n_tokens', round(sum(x1 * (y - yhat)) / count(*), 3) + 0 FROM j
+      |  UNION ALL SELECT 'ttr', round(sum(x2 * (y - yhat)) / count(*), 3) + 0 FROM j
+      |  UNION ALL SELECT 'max_tf_ratio', round(sum(x3 * (y - yhat)) / count(*), 3) + 0 FROM j
+      |  UNION ALL SELECT 'avg_token_len', round(sum(x4 * (y - yhat)) / count(*), 3) + 0 FROM j
+      |)
+      |SELECT w.feature, w.weight, r.resid
+      |FROM '__VERIFY_OUT__/q_quality_reg/*.parquet' w JOIN r USING (feature)
+      |ORDER BY w.feature""".stripMargin
+
+  /** Per-document quality score from the trained weight artifact
+    * ([[pipeline.QualityModel.score]]): the feature scan + one codegen
+    * projection — the cheap full-corpus gate the distillation exists
+    * for. The oracle recomputes every feature from the raw table and
+    * replays the identical literal `w·x` fold from the exported weights.
+    */
+  def qualityRegScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val w = trainedQualityWeights(spark, dir,
+      Dedup.materializeOnce(QualityModel.featureFrame(docs, "text", "doc_id")))
+    QualityModel.score(docs, "text", "doc_id", w).orderBy("doc_id")
+  }
+
+  val qualityRegScoreSql: String =
+    s"""WITH $qualityRegWp,
+      |$qualityRegFeats
+      |SELECT f.doc_id,
+      |       round((SELECT w0 FROM wp) + (SELECT w1 FROM wp) * f.x1
+      |             + (SELECT w2 FROM wp) * f.x2 + (SELECT w3 FROM wp) * f.x3
+      |             + (SELECT w4 FROM wp) * f.x4, 6) + 0 AS score
+      |FROM f ORDER BY f.doc_id""".stripMargin
 
   val bfsHopsSql: String =
     """WITH RECURSIVE nn AS MATERIALIZED (

@@ -49,6 +49,20 @@ object Dedup {
     out
   }
 
+  /** [[materializeOnce]] for ITERATIVE loop state (the Graph fixpoints):
+    * additionally strips the checkpoint's propagated origin statistics.
+    * A loop whose round output has two consumers (a self-join, or feeding
+    * both the next candidate join and the change probe) SQUARES the
+    * carried `sizeInBytes` estimate every round — the BigInt's digit
+    * count doubles per round and the driver ends up multiplying
+    * million-digit numbers at plan time (see
+    * [[org.apache.spark.sql.graftbridge.Bridge.dropOriginStats]] for the
+    * measured pathology). One-shot checkpoints should keep
+    * [[materializeOnce]] — their real statistics feed broadcast planning.
+    */
+  private[graft] def materializeOnceLoop(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.dropOriginStats(materializeOnce(df))
+
   /** Open checkpoint scopes on this thread (innermost first); checkpoints
     * register to the innermost scope only — a nested bracket releases its
     * own checkpoints without touching the outer scope's.
@@ -715,7 +729,7 @@ object Dedup {
     val edges = materializeOnce(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    var labels = materializeOnce(
+    var labels = materializeOnceLoop(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster_id", col("id")))
     var changed = 1L
@@ -735,15 +749,15 @@ object Dedup {
       val next =
         if (iters < 2) {
           // shallow-graph fast path: one materialization, no jump join
-          materializeOnce(propPlan.select(col("id"), col("cluster_id"),
+          materializeOnceLoop(propPlan.select(col("id"), col("cluster_id"),
             (col("__old") > col("cluster_id")).cast("long").as("__chg")))
         } else {
           // deep graph: jump step — adopt the label OF the label. Every
           // label value is a node id (labels start as ids and only take
           // mins of other labels), so the lookup always resolves;
           // `coalesce` is belt-and-braces.
-          val prop = materializeOnce(propPlan)
-          val jumped = materializeOnce(
+          val prop = materializeOnceLoop(propPlan)
+          val jumped = materializeOnceLoop(
             prop
               .join(prop.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
                 col("cluster_id") === col("__jid"), "left")

@@ -14,4 +14,33 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Strip the propagated origin statistics from a just-checkpointed frame,
+    * keeping its RDD, output partitioning and ordering.
+    *
+    * `Dataset.localCheckpoint` builds a `LogicalRDD` that CARRIES the
+    * originating plan's estimated `sizeInBytes`. In an iterative loop whose
+    * round output self-joins (connected components' pointer jump, any
+    * fixpoint with two consumers of the previous round), the estimate
+    * SQUARES every round — a BigInt whose digit count doubles per round,
+    * and by round ~25 the driver spends minutes inside
+    * `SizeInBytesOnlyStatsPlanVisitor` multiplying million-digit numbers
+    * (measured: a 500k-node components run pinned one core for 19 minutes
+    * at 4% total CPU, all in `BigInteger.multiplyToomCook3`). Dropping
+    * `originStats` resets the frame to `defaultSizeInBytes`, which is what
+    * a fresh scan would report — loops stay O(1) at plan time. Joins
+    * against such frames won't auto-broadcast (the conservative default),
+    * which is fine for loop code that places explicit size-gated hints.
+    */
+  def dropOriginStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          session,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(session, None, None))
+      case _ => df
+    }
 }

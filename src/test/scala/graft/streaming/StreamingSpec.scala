@@ -1568,4 +1568,32 @@ class StreamingSpec extends SparkTestBase {
       .sortBy(r => (r._1, r._4, r._3))
     assert(rows.toSeq === batch.toSeq)
   }
+
+  test("streaming quality-model scoring: stateless kernel path, batch parity") {
+    // QualityModel.score is one TokenStats kernel projection — stateless per
+    // row, so the IDENTICAL code path runs over a stream in Append mode with
+    // no watermark/state store, and every micro-batch scores bit-identically
+    // to the batch face (the BM25-kernel convention).
+    implicit val sqlCtx = spark.sqlContext
+    val w = Array(0.1, 0.002, 0.5, -0.3, 0.04)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.pipeline.QualityModel.score(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", w)
+    assert(scored.isStreaming)
+    val q = scored.writeStream.format("memory").queryName("qm_scores")
+      .outputMode("append").start()
+    input.addData((1L, "a a b c"), (2L, "x y"), (3L, "   "))
+    q.processAllAvailable()
+    input.addData((4L, "b b b b"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qm_scores").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = graft.pipeline.QualityModel.score(
+      Seq((1L, "a a b c"), (2L, "x y"), (3L, "   "), (4L, "b b b b"))
+        .toDF("doc_id", "text"), "text", "doc_id", w)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L)) // the empty doc drops
+  }
 }
