@@ -6794,6 +6794,37 @@ object Queries {
       |             + (SELECT w4 FROM wp) * f.x4, 6) + 0 AS score
       |FROM f ORDER BY f.doc_id""".stripMargin
 
+  /** Leakage-safe train/heldout split ([[Sampling.clusterAtomicSplit]]):
+    * the split decision hashes each document's near-dup CLUSTER root (own
+    * id when unclustered), so near-duplicate pairs can never straddle the
+    * boundary — naive per-doc splitting leaks heldout answers whose
+    * near-copies sit in train. Clusters come from the same jaccard pair
+    * set as [[dedupClusters]]; the oracle replays pairs → recursive-CTE
+    * components → the identical md5 hash rule, so the leakage invariant
+    * itself (all members of a cluster on one side) is hash-checked.
+    */
+  def splitSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents")
+    val clusters = Dedup.clusters(Dedup.jaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8, maxShingleDf = JaccardMaxShingleDf))
+    Sampling.clusterAtomicSplit(docs.select($"doc_id"), "doc_id", clusters,
+        trainFraction = 0.9)
+      .select($"doc_id", $"split_unit", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val splitSafeSql: String = {
+    val hex8 = hex8Sql("CAST(coalesce(lab.root, d.doc_id) AS VARCHAR)")
+    s"""$clusterCte
+       |SELECT d.doc_id,
+       |       CAST(coalesce(lab.root, d.doc_id) AS BIGINT) AS split_unit,
+       |       CASE WHEN CAST($hex8 AS DOUBLE) / 4294967296.0 < 0.9
+       |            THEN 'train' ELSE 'heldout' END AS split
+       |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val bfsHopsSql: String =
     """WITH RECURSIVE nn AS MATERIALIZED (
       |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents

@@ -155,6 +155,42 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Leakage-safe train/heldout split: the split decision hashes the
+    * document's DUP-CLUSTER root (its own id when unclustered), so two
+    * near-duplicates can never straddle the boundary — the evaluation-
+    * contamination failure mode of naive per-document splitting (a
+    * heldout doc whose near-copy sits in train is a leaked answer).
+    *
+    * `clusters` is a `(id, cluster_id)` assignment (e.g.
+    * [[Dedup.clusters]] over a near-dup pair set); documents absent from
+    * it are singletons and split by their own id, so the split remains
+    * append-stable: new unclustered docs don't move old decisions, and a
+    * doc joining an existing cluster adopts that cluster's (stable)
+    * side. Returns every row of `df` plus `split_unit` (the hashed id)
+    * and `split`.
+    *
+    * Scale shape: one LEFT join against the pair-bounded cluster table
+    * (far smaller than the corpus — broadcastable in practice) + the
+    * narrow hash filter; no window, no corpus shuffle.
+    */
+  def clusterAtomicSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      trainFraction: Double,
+      trainLabel: String = "train",
+      heldoutLabel: String = "heldout"): DataFrame = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      s"trainFraction out of range: $trainFraction")
+    val cl = clusters.select(col("id").as(idCol), col("cluster_id"))
+    df.join(cl, Seq(idCol), "left")
+      .withColumn("split_unit", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+      .withColumn("split",
+        when(hashScore(col("split_unit")) < trainFraction, trainLabel)
+          .otherwise(heldoutLabel))
+  }
+
   /** Per-stratum sampling rates (e.g. downweight a dominant source): rows in
     * a stratum missing from `rates` fall back to `defaultFraction`.
     */

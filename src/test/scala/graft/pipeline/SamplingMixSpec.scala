@@ -156,6 +156,44 @@ class SamplingMixSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Sampling.capPerKey(df, Seq("k"), 1, Nil) }
   }
 
+  test("clusterAtomicSplit: a cluster never straddles the split boundary") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // planted clusters: {0..4} rooted at 0, {10, 11} rooted at 10
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (10L, 10L), (11L, 10L)).toDF("id", "cluster_id")
+    val out = Sampling.clusterAtomicSplit(docs, "doc_id", clusters, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 200)
+    // invariant: every clustered member carries the root as unit and the
+    // root's OWN split decision
+    (0L to 4L).foreach { i =>
+      assert(out(i)._1 === 0L); assert(out(i)._2 === out(0L)._2)
+    }
+    assert(out(10L)._2 === out(11L)._2)
+    // singletons split by their own id — identical to deterministicSample
+    val trainIds = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    (20L until 200L).foreach { i =>
+      assert(out(i)._1 === i)
+      assert((out(i)._2 == "train") === trainIds.contains(i), s"doc $i")
+    }
+    // both sides populated at this fraction
+    assert(out.values.map(_._2).toSet === Set("train", "heldout"))
+  }
+
+  test("clusterAtomicSplit rejects a bad fraction; labels are configurable") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val none = spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("cluster_id"))
+    intercept[IllegalArgumentException] {
+      Sampling.clusterAtomicSplit(docs, "doc_id", none, 1.5)
+    }
+    val lab = Sampling.clusterAtomicSplit(docs, "doc_id", none, 1.0, "a", "b")
+      .collect().map(_.getString(2)).toSet
+    assert(lab === Set("a"))
+  }
+
   test("approxPercentilesCertified: exact values right, certificate holds") {
     // two keys, values 0..999 (exact p50 = 499.5 by linear interpolation)
     // and 0..99 doubled (p50 = 49.5)
