@@ -559,7 +559,14 @@ class PlanSpec extends SparkTestBase {
       // pruned postings twice (df pass + scoring pass) with the df
       // broadcast + one doc-keyed aggregation exchange
       ("q_bm25_topk",      1, 0),
-      ("q_bm25_index",     2, 3))
+      ("q_bm25_index",     2, 3),
+      // r11c: quality scoring is ONE TokenStats kernel scan + a codegen
+      // w·x projection (weights are plan-time literals — no artifact
+      // scan, no explode, no aggregation; the one exchange is the output
+      // sort), and cluster sampling is the assignment scan + the
+      // WindowGroupLimit cell window + the output sort
+      ("q_quality_reg_score", 1, 1),
+      ("q_cluster_sample",    1, 2))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
