@@ -723,7 +723,8 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      broadcastNodeLimit: Long = 65536): DataFrame = {
     val half = pairs.select(col(idACol).cast("long").as("src"),
       col(idBCol).cast("long").as("dst"))
     val edges = materializeOnce(
@@ -732,16 +733,22 @@ object Dedup {
     var labels = materializeOnceLoop(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster_id", col("id")))
+    // the loop checkpoints carry NO origin stats (the squaring hazard —
+    // see materializeOnceLoop), so the planner would never auto-broadcast
+    // the label table again: hint it explicitly while the node count is
+    // under the gate (one count on the already-materialized frame)
+    val hint = labels.count() <= broadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (hint) broadcast(df) else df
     var changed = 1L
     var iters   = 0
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")),
+        .join(bc(labels.select(col("id").as("dst"), col("cluster_id").as("__nl"))),
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__nmin"))
       // propagation step: min over the closed 1-hop neighborhood
-      val propPlan = labels.join(neighborMin, Seq("id"), "left")
+      val propPlan = labels.join(bc(neighborMin), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
             .as("cluster_id"),
@@ -759,7 +766,7 @@ object Dedup {
           val prop = materializeOnceLoop(propPlan)
           val jumped = materializeOnceLoop(
             prop
-              .join(prop.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
+              .join(bc(prop.select(col("id").as("__jid"), col("cluster_id").as("__jl"))),
                 col("cluster_id") === col("__jid"), "left")
               .select(col("id"),
                 coalesce(col("__jl"), col("cluster_id")).as("cluster_id"),
