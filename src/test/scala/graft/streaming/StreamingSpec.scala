@@ -1596,4 +1596,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === batch.toSeq)
     assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L)) // the empty doc drops
   }
+
+  test("streaming leakage-safe split: stream-static cluster join, batch parity") {
+    // clusterAtomicSplit is a LEFT join against the (cached) cluster
+    // artifact + a narrow hash filter — stateless per row, so the same
+    // code path assigns splits to arriving documents in Append mode, and
+    // an arrival whose near-dup cluster already exists lands on that
+    // cluster's (stable) side.
+    implicit val sqlCtx = spark.sqlContext
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id").cache()
+    val input = MemoryStream[Long]
+    val out = graft.pipeline.Sampling.clusterAtomicSplit(
+      input.toDF().toDF("doc_id"), "doc_id", clusters, 0.5)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    input.addData(1L, 7L, 100L)
+    q.processAllAvailable()
+    input.addData(2L, 8L, 101L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("split_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batch = graft.pipeline.Sampling.clusterAtomicSplit(
+      Seq(1L, 2L, 7L, 8L, 100L, 101L).toDF("doc_id"), "doc_id", clusters, 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === batch.toSeq)
+    // cross-batch cluster stability: 2 (batch 2) matches 1 (batch 1), 8 matches 7
+    val m = got.map(r => r._1 -> r._3).toMap
+    assert(m(1L) === m(2L)); assert(m(7L) === m(8L))
+  }
 }
