@@ -6106,6 +6106,28 @@ object Queries {
         trainedBpe(spark, dir))
       .orderBy("doc_id")
 
+  /** Per-source tokenizer-fit report against the trained BPE artifact:
+    * compression (chars per BPE token) by source — the metric that tells
+    * a pipeline which ingests the tokenizer fits poorly (low compression
+    * = out-of-distribution text paying more sequence length per char).
+    * Exact integer sums through one rounded division; documents with no
+    * words drop on both sides (the [[pipeline.Bpe.encode]] contract).
+    */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents")
+    graft.pipeline.Bpe.encode(docs, "doc_id", "text", trainedBpe(spark, dir))
+      .join(docs.select($"doc_id", $"source",
+        length($"text").cast("long").as("__nc")), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bpe_tokens").as("n_tokens"),
+        sum($"__nc").as("n_chars"),
+        Num.round0(sum($"__nc").cast("double") / sum($"n_bpe_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy($"source")
+  }
+
   /** The shared training CTE chain: v0 = vocabulary reprs; per round i,
     * s_i = pair occurrences, m_i = the top pair (count desc, l, r — the
     * trainer's total tie-break), v_i = the rewritten vocabulary.
@@ -6165,6 +6187,25 @@ object Queries {
          |       CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM w JOIN d USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val bpeCompressionSql: String =
+    bpeTrainCtes +
+      raw""", d AS (
+         |  SELECT word,
+         |         CAST(len(list_filter(string_split(repr, ' '),
+         |                              x -> len(x) > 0)) AS BIGINT) AS toks
+         |  FROM v$BpeMergeCount
+         |), e AS (
+         |  SELECT doc_id, CAST(sum(toks) AS BIGINT) AS nt
+         |  FROM w JOIN d USING (word) GROUP BY doc_id
+         |)
+         |SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(e.nt) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(dd.text)) AS BIGINT) AS n_chars,
+         |       round(CAST(sum(len(dd.text)) AS DOUBLE) / sum(e.nt), 6) + 0
+         |         AS chars_per_token
+         |FROM e JOIN documents dd USING (doc_id)
+         |GROUP BY dd.source ORDER BY dd.source""".stripMargin
 
   // ------------------------------------------------------------------
   // link-graph analytics
