@@ -6357,10 +6357,9 @@ object Queries {
           pmod(pmod($"doc_id", lit(10L)) + 1, lit(10L))).as("dst"))
       .unionByName(d.filter(pmod($"doc_id", lit(37L)) === 0)
         .select($"doc_id".as("src"), pmod($"doc_id" + 1003, $"__n").as("dst")))
-    // maxRounds = 256: bridge-chained block components grow with the corpus
-    // (the crossover fixture's longest chain exceeds the 64-round default's
-    // diameter bound); rounds stay = actual diameter, the bound is only the
-    // loud-failure ceiling
+    // maxRounds = 256: connectedComponents pointer-jumps, so rounds are
+    // O(log diameter) — the generous bound is only the loud-failure ceiling
+    // for a pathological graph, never the expected round count
     graft.ops.Graph.connectedComponents(edges, "src", "dst", maxRounds = 256)
       .orderBy($"node")
   }

@@ -289,20 +289,27 @@ object Graph {
     * smallest node id it can reach), the Pregel formulation. Returns
     * (node, comp).
     *
-    * Scale shape: the symmetrized edge table checkpoints once; one
-    * round = one neighbor join + one map-side-combined min aggregate +
-    * one POINTER JUMP (`comp := comp(comp)` — a label-vector self-join
-    * that halves the remaining propagation distance, the classic
-    * Shiloach–Vishkin shortcut), all against size-gated broadcast label
-    * vectors; the convergence probe is a COUNT on the already-
-    * checkpointed next frame. Rounds needed = O(log diameter) — a
-    * 500k-node fixture whose longest bridge chain needed ~100 plain
-    * rounds converges in ~8 jumped ones. A pathological graph bounded
-    * by `maxRounds` fails loudly rather than silently returning a
-    * half-propagated labeling. (The repo's other components engine —
-    * the [[graft.functions.PairComponents]] union-find aggregate used
-    * by dedup clustering — solves any diameter in ONE pass but holds
-    * the whole id universe in one aggregation buffer; this one never
+    * Scale shape: the symmetrized edge table checkpoints once,
+    * pre-partitioned on `src`; round 0 seeds every node with
+    * `min(node, min(neighbor))` (a plain aggregate — a whole propagation
+    * hop before any join is paid). Each later round is then ONE fused
+    * plan — the neighbor-min aggregate, the monotone merge with the
+    * current label, and TWO POINTER JUMPS (`comp := comp(comp)`, the
+    * Shiloach–Vishkin shortcut) chained through the PREVIOUS round's
+    * label vector — materialized with a single checkpoint job; the
+    * convergence probe is a COUNT over the already-checkpointed blocks.
+    * Jumping through the one-round-stale vector keeps the round a single
+    * job and is still EXACT: labels are monotone-decreasing node ids of
+    * the same component (`prev(c) ≤ c`, and every comp value has a row),
+    * so a stale jump is just a weaker contraction — at fixpoint the jump
+    * is the identity, and a min-label fixpoint over a symmetrized edge
+    * set labels every component by its minimum node id. Rounds needed =
+    * O(log diameter); a pathological graph bounded by `maxRounds` fails
+    * loudly rather than silently returning a half-propagated labeling.
+    * (The repo's other components engine — the
+    * [[graft.functions.PairComponents]] union-find aggregate used by
+    * dedup clustering — solves any diameter in ONE pass but holds the
+    * whole id universe in one aggregation buffer; this one never
     * materializes more than (node, comp) rows anywhere, so it is the
     * web-scale path.)
     */
@@ -319,12 +326,16 @@ object Graph {
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .repartition(col("src")))
-    val nodes = Dedup.materializeOnce(
-      und.select(col("src").as("node")).distinct())
-    val n = nodes.count()
-    val hint = n <= broadcastNodeLimit
+    // round-0 seed: comp = min(node, min(neighbor)). The symmetrized table
+    // gives every node an incoming edge, so one aggregate covers the whole
+    // node set — this IS the first propagation round, minus the label join
+    // a generic round pays (comp == node makes the join a no-op).
     var labels = Dedup.materializeOnceLoop(
-      nodes.select(col("node"), col("node").as("comp")))
+      und.groupBy(col("dst").as("node"))
+        .agg(min(col("src")).as("__m"))
+        .select(col("node"), least(col("node"), col("__m")).as("comp")))
+    val n = labels.count()
+    val hint = n <= broadcastNodeLimit
     var round = 0
     var changed = 1L
     while (changed > 0) {
@@ -336,24 +347,24 @@ object Graph {
       val cand = und.join(ls, und("src") === ls("node"))
         .groupBy(und("dst").as("node"))
         .agg(min(col("comp")).as("__c"))
-      val stepped = Dedup.materializeOnceLoop(
-        labels.as("l")
-          .join(if (hint) broadcast(cand.as("c")) else cand.as("c"),
-            col("l.node") === col("c.node"), "left")
-          .select(col("l.node").as("node"),
-            least(col("l.comp"), coalesce(col("__c"), col("l.comp"))).as("comp"),
-            col("l.comp").as("__old")))
-      // pointer jump: comp := comp(comp). Labels only shrink and every
-      // label IS a node of the same component, so the jump is exact and
-      // halves the remaining propagation distance each round. The jump
-      // target table is the stepped vector itself (every comp value has
-      // a row — inner join is total).
-      val jmp = stepped.select(col("node").as("__jn"), col("comp").as("__jc"))
+      val stepped = labels.as("l")
+        .join(if (hint) broadcast(cand.as("c")) else cand.as("c"),
+          col("l.node") === col("c.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.comp"), coalesce(col("__c"), col("l.comp"))).as("__s"),
+          col("l.comp").as("__old"))
+      // two chained pointer jumps through the PREVIOUS label vector (every
+      // comp value is a node id, so the inner joins are total; prev(c) ≤ c
+      // keeps the chain monotone) — fused into the same plan as the step,
+      // so the whole round materializes with one checkpoint job
+      val j1 = labels.select(col("node").as("__j1n"), col("comp").as("__j1c"))
+      val j2 = labels.select(col("node").as("__j2n"), col("comp").as("__j2c"))
       val next = Dedup.materializeOnceLoop(
-        stepped.join(if (hint) broadcast(jmp) else jmp,
-            stepped("comp") === col("__jn"))
-          .select(stepped("node").as("node"), col("__jc").as("comp"),
-            (col("__jc") < col("__old")).as("__chg")))
+        stepped
+          .join(if (hint) broadcast(j1) else j1, col("__s") === col("__j1n"))
+          .join(if (hint) broadcast(j2) else j2, col("__j1c") === col("__j2n"))
+          .select(col("node"), col("__j2c").as("comp"),
+            (col("__j2c") < col("__old")).as("__chg")))
       changed = next.filter(col("__chg")).count()
       labels = next.select(col("node"), col("comp"))
     }

@@ -88,6 +88,11 @@ object QualityModel {
         sum(xs(i) * xs(j)).as(s"m_${i}_$j")) ++
       (0 until k).map(i => sum(xs(i) * col("y")).as(s"v_$i"))
     val row = feats.agg(momentCols.head, momentCols.tail: _*).head()
+    // sums over zero rows are NULL — surface the empty-frame case with the
+    // descriptive error rather than an NPE at getDouble
+    require(!row.isNullAt(0),
+      "QualityModel.train: empty feature frame — nothing to fit " +
+        "(every document dropped out of the feature/teacher join?)")
     val m = Array.ofDim[Double](k, k)
     var idx = 0
     for (i <- 0 until k; j <- i until k) {

@@ -172,6 +172,11 @@ object Sampling {
     * Scale shape: one LEFT join against the pair-bounded cluster table
     * (far smaller than the corpus — broadcastable in practice) + the
     * narrow hash filter; no window, no corpus shuffle.
+    *
+    * The `clusters` frame's expected schema is `(id, cluster_id)` — the
+    * [[graft.pipeline.Dedup.clusters]] output contract. Its columns are
+    * renamed to internal names before the join, so a caller whose `df`
+    * already carries a `cluster_id` (or `id`) column is unaffected.
     */
   def clusterAtomicSplit(
       df: DataFrame,
@@ -182,10 +187,11 @@ object Sampling {
       heldoutLabel: String = "heldout"): DataFrame = {
     require(trainFraction >= 0.0 && trainFraction <= 1.0,
       s"trainFraction out of range: $trainFraction")
-    val cl = clusters.select(col("id").as(idCol), col("cluster_id"))
-    df.join(cl, Seq(idCol), "left")
-      .withColumn("split_unit", coalesce(col("cluster_id"), col(idCol)))
-      .drop("cluster_id")
+    val cl = clusters.select(col("id").as("__split_id"),
+      col("cluster_id").as("__split_cluster"))
+    df.join(cl, df(idCol) === cl("__split_id"), "left")
+      .withColumn("split_unit", coalesce(col("__split_cluster"), col(idCol)))
+      .drop("__split_id", "__split_cluster")
       .withColumn("split",
         when(hashScore(col("split_unit")) < trainFraction, trainLabel)
           .otherwise(heldoutLabel))

@@ -103,12 +103,23 @@ object Similarity {
     require(rels.length <= maxCandidates,
       s"mmrRerank: ${rels.length} candidates exceed maxCandidates=$maxCandidates — " +
         "this is a re-ranker for a bounded retrieval arm, not a corpus pass")
+    // non-finite scores poison the greedy argmax (every `>` comparison is
+    // false, leaving no pick) — fail loudly like the maxCandidates guard
+    rels.find(r => !java.lang.Double.isFinite(r._2)).foreach { case (id, rel) =>
+      throw new IllegalArgumentException(
+        s"mmrRerank: non-finite relevance $rel for candidate $id")
+    }
     val relOf = rels.toMap
     val sims = cv.as("x")
       .join(broadcast(cv.as("y")), col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         round(cosine(col("x.__v"), col("y.__v")), roundTo).as("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sims.find(s => !java.lang.Double.isFinite(s._2)).foreach { case ((a, b), s) =>
+      throw new IllegalArgumentException(
+        s"mmrRerank: non-finite cosine $s for pair ($a, $b) — " +
+          "a zero-norm candidate vector has no cosine; filter such rows out")
+    }
     val remaining = scala.collection.mutable.SortedSet[Long](relOf.keys.toSeq: _*)
     val selected = scala.collection.mutable.ArrayBuffer[Long]()
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()

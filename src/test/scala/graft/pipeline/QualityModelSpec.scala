@@ -10,6 +10,13 @@ class QualityModelSpec extends SparkTestBase {
   private def feat(rows: Seq[(Long, Double, Double, Double, Double, Double)]) =
     rows.toDF("doc_id", "n_tokens", "ttr", "max_tf_ratio", "avg_token_len", "y")
 
+  test("train on an empty feature frame fails with the descriptive error") {
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.train(feat(Seq.empty).filter(lit(false)))
+    }
+    assert(e.getMessage.contains("empty feature frame"))
+  }
+
   test("train recovers an exactly-linear signal; residuals read 0.000") {
     // y = 0.5 - 0.01*n_tokens + 2*ttr - 3*max_tf_ratio + 0.25*avg_len,
     // over features varied enough for a well-conditioned moment matrix

@@ -182,6 +182,18 @@ class SamplingMixSpec extends SparkTestBase {
     assert(out.values.map(_._2).toSet === Set("train", "heldout"))
   }
 
+  test("clusterAtomicSplit: caller-side id/cluster_id columns don't collide") {
+    import spark.implicits._
+    // df already carries cluster_id AND id columns — the join must not be
+    // ambiguous, and the caller's columns must survive untouched
+    val docs = Seq((1L, 99L, 5L), (2L, 98L, 6L)).toDF("doc_id", "cluster_id", "id")
+    val clusters = Seq((2L, 1L)).toDF("id", "cluster_id")
+    val out = Sampling.clusterAtomicSplit(docs, "doc_id", clusters, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((99L, 5L, 1L)))   // caller columns intact, singleton unit
+    assert(out(2L) === ((98L, 6L, 1L)))   // clustered doc adopts root 1
+  }
+
   test("clusterAtomicSplit rejects a bad fraction; labels are configurable") {
     import spark.implicits._
     val docs = Seq(1L, 2L).toDF("doc_id")
