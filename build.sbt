@@ -33,4 +33,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long-lived local[32] JVM — at 8g the tail of the pass GC-thrashes
   // (measured: q_percentiles 2.3s -> 34s run-over-run escalation).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Xms = Xmx: this box (a lazily-materialized VM) serves FIRST-TOUCH page
+  // faults at a GLOBAL ~350k pages/s (~1.4 GB/s) that COLLAPSES under
+  // parallelism (measured: 24 separate processes -> 172k/s aggregate, 60x
+  // per-process slowdown; 30+ task threads pinned in SYSTEM time). Any
+  // heap-capacity churn therefore storms: G1 shrinks after System.gc
+  // (observed 4.6g -> 2.4g) and the next 10M-row query regrows page by
+  // page — the box's "phantom load" (3-15x run-time bands with no
+  // runnable external process) was our own fresh-memory faulting. A
+  // pinned heap makes G1 REUSE the same already-touched pages instead of
+  // round-robining into untouched ones, so steady state faults nothing.
+  // Keep the heap SIZED TO THE WORKLOAD, not generous: every fresh
+  // gigabyte costs ~0.7-3 s of serialized kernel time, once.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

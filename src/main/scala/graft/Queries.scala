@@ -2929,6 +2929,136 @@ object Queries {
       |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  private val pqrProdCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.PQ.Codebooks]
+  private def trainedProdCodebooks(spark: SparkSession, dir: String): graft.pipeline.PQ.Codebooks =
+    pqrProdCache.getOrElseUpdate(dir,
+      loadOrTrain(spark, dir, "pqr_prod_codebooks",
+        p => graft.pipeline.PQ.loadCodebooks(spark, p),
+        p => {
+          val b = graft.pipeline.PQ.residualCodebooks(tbl(spark, dir, "embeddings"),
+            "vec_id", "embedding", trainedCentroids(spark, dir),
+            nSubq = 16, nCentroids = 256)
+          graft.pipeline.PQ.saveCodebooks(spark, b, p)
+          b
+        }))
+
+  /** CAPACITY-sized residual codebooks (16 subq × 256 centroids = 16
+    * bytes/vector, the FAISS-typical budget) — the configuration
+    * RECALL.json certifies (residual+rerank 0.912 recall@10 vs 0.700
+    * raw). Same exploded export + invariant-grid oracle as
+    * [[pqrCodebooks]], grid resized to the prod shape.
+    */
+  def pqrProdCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedProdCodebooks(spark, dir).zipWithIndex.toSeq.flatMap { case (book, s) =>
+      book.zipWithIndex.toSeq.flatMap { case (cent, c) =>
+        cent.zipWithIndex.toSeq.map { case (x, d) => (s, c, d, x) }
+      }
+    }.toDF("subq", "centroid_id", "dim_idx", "value")
+      .orderBy("subq", "centroid_id", "dim_idx")
+  }
+
+  val pqrProdCodebooksSql: String =
+    pqCodebooksSql.replace("q_pq_codebooks", "q_pqr_prod_codebooks")
+      .replace("range(0, 16)) AS centroid_id", "range(0, 256)) AS centroid_id")
+      .replace("range(0, 8)) AS subq", "range(0, 16)) AS subq")
+      .replace("// 8", "// 16")
+
+  /** Residual code assignment against the PROD codebooks (16 subq × 4
+    * dims over the 64-dim fixture), exploded to scalars; oracle
+    * re-derives the argmin from the exports exactly as [[pqrCodes]],
+    * with the subq width switched to 4.
+    */
+  def pqrProdCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cents = trainedCentroids(spark, dir).sortBy(_._1).map(_._2)
+    e.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .withColumn("cell_id",
+        graft.pipeline.Similarity.ivfCellExpr("embedding", trainedCentroids(spark, dir)))
+      .select(col("vec_id"),
+        posexplode(graft.functions.PQKernels.pqResidualCodes(
+          col("embedding"), col("cell_id"), cents,
+          trainedProdCodebooks(spark, dir))).as(Seq("subq", "code")))
+  }
+
+  val pqrProdCodesSql: String =
+    pqrCodesSql.replace("q_pqr_codebooks", "q_pqr_prod_codebooks")
+      .replace("range(1, 9)", "range(1, 5)")
+      .replace("subq * 8 + i", "subq * 4 + i")
+
+  /** The PRODUCTION ANN composition
+    * ([[graft.pipeline.PQ.ivfPqResidualRerankTopK]]): residual IVF-PQ
+    * ADC at the capacity codebooks generates 100 candidates per query
+    * (nProbe = 8), the exact inner product re-ranks them to top-10 —
+    * the first-class query face of the configuration whose recall the
+    * evidence run measured (0.912 vs brute-force truth at 200k vectors).
+    * The oracle replays the five-export ADC chain at rank ≤ 100, joins
+    * the raw vectors back and re-ranks by the same rounded IP.
+    */
+  def annIvfPqProd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    graft.pipeline.PQ.ivfPqResidualRerankTopK(e, e.filter($"vec_id" < 20),
+      "vec_id", "embedding", k = 10, centroids = trainedCentroids(spark, dir),
+      nProbe = 8, codebooks = trainedProdCodebooks(spark, dir),
+      nCandidates = 100)
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqProdSql: String =
+    """WITH cents AS (
+      |  SELECT cell_id, list(value ORDER BY dim_idx) AS cv
+      |  FROM '__VERIFY_OUT__/q_ivf_centroids/*.parquet' GROUP BY cell_id
+      |), q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20
+      |), probes AS (
+      |  SELECT q.vec_id, cell_id,
+      |         list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i])) AS cent_ip,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell_id) AS pr
+      |  FROM q CROSS JOIN cents
+      |), cells AS (
+      |  SELECT vec_id, cell_id FROM '__VERIFY_OUT__/q_ivf_cells/*.parquet'
+      |), cb AS (
+      |  SELECT subq, centroid_id, list(value ORDER BY dim_idx) AS cent
+      |  FROM '__VERIFY_OUT__/q_pqr_prod_codebooks/*.parquet' GROUP BY subq, centroid_id
+      |), codes AS (
+      |  SELECT vec_id, subq, code FROM '__VERIFY_OUT__/q_pqr_prod_codes/*.parquet'
+      |), terms AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.subq,
+      |         p.cent_ip,
+      |         list_sum(list_transform(range(1, 5),
+      |           i -> q.v[c.subq * 4 + i] * cent[i])) AS term
+      |  FROM probes p
+      |  JOIN q ON q.vec_id = p.vec_id
+      |  JOIN cells ce ON ce.cell_id = p.cell_id
+      |  JOIN codes c ON c.vec_id = ce.vec_id
+      |  JOIN cb ON cb.subq = c.subq AND cb.centroid_id = c.code
+      |  WHERE p.pr <= 8 AND p.vec_id <> c.vec_id
+      |), adc AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(any_value(cent_ip) + list_sum(list(term ORDER BY subq)), 6) AS adc_score
+      |  FROM terms GROUP BY query_id, neighbor_id
+      |), cand AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY adc_score DESC, neighbor_id) AS adc_rank
+      |  FROM adc
+      |), rer AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         round(list_sum(list_transform(range(1, len(q.v) + 1),
+      |           i -> q.v[i] * e.embedding[i]::DOUBLE)), 6) AS score
+      |  FROM cand c
+      |  JOIN q ON q.vec_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |  WHERE c.adc_rank <= 100
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM rer)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Incremental encode: a NEW batch of vectors (every 5th id here —
     * standing in for today's arrivals) coded against the PRIOR persisted
     * codebooks ([[graft.pipeline.PQ.loadCodebooks]] via the artifact
@@ -6111,19 +6241,30 @@ object Queries {
     * a pipeline which ingests the tokenizer fits poorly (low compression
     * = out-of-distribution text paying more sequence length per char).
     * Exact integer sums through one rounded division; documents with no
-    * words drop on both sides (the [[pipeline.Bpe.encode]] contract).
+    * words drop (the [[pipeline.Bpe.encode]] contract).
+    *
+    * Scale shape: the merges are a loaded driver-side artifact (literals
+    * in the plan), so scoring is ONE documents scan — per-row token
+    * counts via [[pipeline.Bpe.wordTokenCount]] folded inside the row (no
+    * explode, no dict join, no per-doc aggregation) straight into the
+    * tiny per-source aggregate. (The previous per-TYPE dict-join shape
+    * paid three exchanges to dedup rewrite work that is cheap enough to
+    * just redo per occurrence — measured 0.70 s → one-scan at sf0.1.)
     */
   def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = tbl(spark, dir, "documents")
-    graft.pipeline.Bpe.encode(docs, "doc_id", "text", trainedBpe(spark, dir))
-      .join(docs.select($"doc_id", $"source",
-        length($"text").cast("long").as("__nc")), "doc_id")
+    val merges = trainedBpe(spark, dir)
+    val ws = graft.pipeline.TextAnalysis.words($"text")
+    val toks = transform(ws, w => graft.pipeline.Bpe.wordTokenCount(w, merges))
+    tbl(spark, dir, "documents")
+      .select($"source", length($"text").cast("long").as("__nc"),
+        aggregate(toks, lit(0L), (a, b) => a + b).as("__nt"))
+      .filter($"__nt" > 0)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum($"n_bpe_tokens").as("n_tokens"),
+        sum($"__nt").as("n_tokens"),
         sum($"__nc").as("n_chars"),
-        Num.round0(sum($"__nc").cast("double") / sum($"n_bpe_tokens"), 6)
+        Num.round0(sum($"__nc").cast("double") / sum($"__nt"), 6)
           .as("chars_per_token"))
       .orderBy($"source")
   }

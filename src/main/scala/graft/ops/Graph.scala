@@ -40,10 +40,14 @@ object Graph {
     * contribution aggregate — is all that moves. (Measured at 500k
     * nodes / 1.5M edges: the broadcast path rebuilds two 500k-row
     * broadcast relations per iteration and runs ~3× slower than the
-    * co-partitioned layout.) Ranks are checkpointed per iteration to
-    * keep the optimizer's plan depth constant instead of growing 10
-    * joins deep; `localCheckpoint` preserves the partitioning, so the
-    * layout survives across iterations.
+    * co-partitioned layout.) The iteration recurrence is a LINEAR chain
+    * (round i+1 references round i exactly once), so ranks checkpoint
+    * every `checkpointEvery` iterations rather than every one — the
+    * between-checkpoint rounds fuse into ONE multi-stage job (their
+    * exchanges still run, but the per-job scheduling floor is paid once
+    * per block), while the periodic checkpoint keeps the optimizer's
+    * plan depth bounded. `localCheckpoint` preserves the partitioning,
+    * so the layout survives across iterations and blocks.
     */
   def pageRank(
       edges: DataFrame,
@@ -51,9 +55,11 @@ object Graph {
       dstCol: String,
       iterations: Int = 10,
       damping: Double = 0.85,
-      broadcastNodeLimit: Long = 65536): DataFrame = {
+      broadcastNodeLimit: Long = 65536,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     val simple = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -73,7 +79,7 @@ object Graph {
     require(n > 0, "pageRank: empty graph")
     val hint = n <= broadcastNodeLimit
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rs = if (hint) broadcast(ranks) else ranks
       val contribs = ed.join(rs, ed("src") === rs("node"))
         .groupBy(ed("dst").as("node"))
@@ -84,7 +90,10 @@ object Graph {
         .select(col("nd.node").as("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
-      ranks = Dedup.materializeOnceLoop(next)
+      // the broadcast path materializes EVERY round: broadcast of an
+      // unmaterialized chain would recompute the whole block per round
+      ranks = if (hint || i % checkpointEvery == 0 || i == iterations)
+        Dedup.materializeOnceLoop(next) else next
     }
     ranks
   }
@@ -98,10 +107,12 @@ object Graph {
     * with w the seed indicator / |seeds ∩ nodes| and r₀ = w. Ranks then
     * measure proximity to the seed set — the contamination-tracing /
     * related-content primitive. Same simple-graph normalization, scale
-    * shape and iteration machinery as [[pageRank]]: the teleport vector
-    * is one more (node, w) column riding the checkpointed node table,
-    * so an iteration still moves nothing but the rank vector. Seeds not
-    * present in the graph are ignored (they could receive no mass).
+    * shape and iteration machinery as [[pageRank]] (including the
+    * `checkpointEvery`-fused linear iteration chain): the teleport
+    * vector is one more (node, w) column riding the checkpointed node
+    * table, so an iteration still moves nothing but the rank vector.
+    * Seeds not present in the graph are ignored (they could receive no
+    * mass).
     */
   def personalizedPageRank(
       edges: DataFrame,
@@ -111,9 +122,11 @@ object Graph {
       seedCol: String,
       iterations: Int = 10,
       damping: Double = 0.85,
-      broadcastNodeLimit: Long = 65536): DataFrame = {
+      broadcastNodeLimit: Long = 65536,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     val simple = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -142,7 +155,7 @@ object Graph {
     val n = tele.count()
     val hint = n <= broadcastNodeLimit
     var ranks = tele.select(col("node"), col("__w").as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rs = if (hint) broadcast(ranks) else ranks
       val contribs = ed.join(rs, ed("src") === rs("node"))
         .groupBy(ed("dst").as("node"))
@@ -153,7 +166,9 @@ object Graph {
         .select(col("t.node").as("node"),
           (lit(1.0 - damping) * col("__w") +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
-      ranks = Dedup.materializeOnceLoop(next)
+      // same broadcast-path rule as [[pageRank]]
+      ranks = if (hint || i % checkpointEvery == 0 || i == iterations)
+        Dedup.materializeOnceLoop(next) else next
     }
     ranks
   }
@@ -306,22 +321,40 @@ object Graph {
     * set labels every component by its minimum node id. Rounds needed =
     * O(log diameter); a pathological graph bounded by `maxRounds` fails
     * loudly rather than silently returning a half-propagated labeling.
-    * (The repo's other components engine — the
-    * [[graft.functions.PairComponents]] union-find aggregate used by
-    * dedup clustering — solves any diameter in ONE pass but holds the
-    * whole id universe in one aggregation buffer; this one never
-    * materializes more than (node, comp) rows anywhere, so it is the
-    * web-scale path.)
+    * SIZE-GATED one-pass path: below `unionFindNodeLimit` nodes the whole
+    * problem fits the [[graft.functions.PairComponents]] union-find
+    * aggregate (the dedup-clustering engine) — connected components in
+    * ONE map-side-combinable aggregation, zero driver-synchronized
+    * rounds, any diameter. The buffer is an (id → root) map over the ids
+    * a partial sees (~16-32 bytes/id; at the 2²⁰ default a partial tops
+    * out around 32 MB and the final merge holds one such map), so the
+    * gate is a memory measurement, not a guess — the same philosophy as
+    * `broadcastNodeLimit`. The node count is probed with one
+    * approx_count_distinct scan of the edge list (a resource decision
+    * needs no exactness). Beyond the gate, the pointer-jump loop above
+    * never materializes more than (node, comp) rows anywhere — the
+    * web-scale path.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 64,
-      broadcastNodeLimit: Long = 65536): DataFrame = {
+      broadcastNodeLimit: Long = 65536,
+      unionFindNodeLimit: Long = 1L << 20): DataFrame = {
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+    val nApprox = directed
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .agg(approx_count_distinct(col("node")).as("n")).head().getLong(0)
+    if (nApprox <= unionFindNodeLimit) {
+      return directed
+        .agg(graft.functions.PairComponents.pairComponents(
+          col("src"), col("dst")).as("__cs"))
+        .select(explode(col("__cs")).as("__c"))
+        .select(col("__c.id").as("node"), col("__c.comp").as("comp"))
+    }
     val und = Dedup.materializeOnce(
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()

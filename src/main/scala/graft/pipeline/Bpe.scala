@@ -110,6 +110,145 @@ object Bpe {
     out.toSeq
   }
 
+  /** Train `nMerges` merge rules with the classic IN-MEMORY pair-heap
+    * trainer (Sennrich's algorithm) over the collected vocabulary —
+    * the PRODUCTION-VOCABULARY path. [[trainMerges]] is exactly right as
+    * the cross-engine oracle twin but pays one Spark round per merge and
+    * an nMerges-deep rewrite chain, which caps it at toy merge counts; a
+    * real 32k-50k-merge vocabulary needs the driver loop. The two
+    * trainers are BIT-IDENTICAL on the same corpus (spec-pinned): same
+    * per-occurrence Sennrich pair counting, same greedy disjoint
+    * left-to-right merge [[wordRepr]]'s own-space `replace` performs,
+    * same total `(cnt desc, l, r)` tie-break.
+    *
+    * Scale shape: the corpus → vocabulary groupBy stays distributed (the
+    * only full-width pass); ONLY the Zipf-shrunk `(word, count)` frame is
+    * collected, bounded by `maxVocab` (fails loudly over the bound —
+    * raise `minCount` to shrink a web-scale tail, the standard trainer
+    * knob). Training is then pure driver compute: a lazy-deletion
+    * priority queue over pair counts + an occurrence index, so each merge
+    * touches only the words containing its pair — O(corpus symbols +
+    * Σ affected-word lengths), not O(nMerges × vocabulary).
+    */
+  def trainMergesHeap(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 1L,
+      maxVocab: Int = 10000000): Seq[Merge] = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val rows = docs.select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"trainMergesHeap: vocabulary exceeds maxVocab=$maxVocab after " +
+        s"minCount=$minCount — raise minCount (rare types contribute " +
+        "negligible pair mass) or maxVocab")
+    trainHeapFromVocab(
+      rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** The in-memory trainer core, exposed for spec-level property runs:
+    * `vocab` is the distinct `(word, count)` table.
+    */
+  private[graft] def trainHeapFromVocab(
+      vocab: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    // each word as its codepoint-symbol sequence (wordRepr's "(.)" splits
+    // by codepoint, so the two trainers see identical symbols)
+    val syms = vocab.map { case (w, _) =>
+      val buf = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf += w.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
+    val wc = vocab.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * wc(wi)
+        if (c == 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    syms.indices.foreach(addPairs(_, 1L))
+    // lazy-deletion MAX-heap popping the trainer's total tie-break
+    // (cnt desc, l asc, r asc): max cnt first, then Reversed makes the
+    // SMALLEST symbol the max
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.by[(Long, String, String), (Long, Reversed, Reversed)] {
+        case (c, l, r) => (c, Reversed(l), Reversed(r))
+      })
+    pairCnt.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    while (rank <= nMerges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      if (pairCnt.getOrElse((l, r), 0L) != c) {
+        // stale heap entry — the pair's count changed since enqueue
+      } else {
+        out += Merge(rank, l, r, c)
+        val fused = l + r
+        val affected = pairWords.getOrElse((l, r), mutable.BitSet.empty).toArray
+        val touched = mutable.HashSet.empty[(String, String)]
+        affected.foreach { wi =>
+          val s = syms(wi)
+          // verify on use (the index keeps stale entries): does the pair
+          // still occur adjacently in this word?
+          var has = false
+          var i = 0
+          while (!has && i + 1 < s.length) {
+            if (s(i) == l && s(i + 1) == r) has = true
+            i += 1
+          }
+          if (has) {
+            var j = 0
+            while (j + 1 < s.length) { touched += ((s(j), s(j + 1))); j += 1 }
+            addPairs(wi, -1L)
+            // greedy disjoint left-to-right — replace(" l  r ", " lr ")
+            val nw = mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < s.length) {
+              if (k + 1 < s.length && s(k) == l && s(k + 1) == r) {
+                nw += fused; k += 2
+              } else { nw += s(k); k += 1 }
+            }
+            syms(wi) = nw
+            addPairs(wi, 1L)
+            var m = 0
+            while (m + 1 < nw.length) { touched += ((nw(m), nw(m + 1))); m += 1 }
+          }
+        }
+        touched.foreach { p =>
+          pairCnt.get(p).foreach(cc => heap.enqueue((cc, p._1, p._2)))
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Orders strings DESCENDING inside an ascending tuple ordering — the
+    * heap pops (cnt desc, l asc, r asc) as a max-heap of
+    * (cnt, Reversed(l), Reversed(r)).
+    */
+  private final case class Reversed(s: String) extends Ordered[Reversed] {
+    def compare(that: Reversed): Int = that.s.compareTo(s)
+  }
+
   /** Persist trained merges as a parquet artifact (nMerges rows). */
   def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
     import spark.implicits._
@@ -150,6 +289,15 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__toks")).as("n_bpe_tokens"))
   }
 
+  /** Per-word BPE token count against trained merges — the per-row scalar
+    * [[encodeRow]] and aggregate reports (tokenizer-fit compression by
+    * source) share: apply every merge to the word's own-space repr, count
+    * the surviving symbols. Pure projection work — no explode, no join.
+    */
+  def wordTokenCount(word: Column, merges: Seq[Merge]): Column =
+    size(filter(split(applyMerges(wordRepr(word), merges), " "),
+      s => length(s) > 0)).cast("long")
+
   /** PER-ROW tokenization against trained merges — the stream face
     * ([[graft.streaming.StreamingBpe]]) and the narrow batch path: every
     * word of a document is rewritten inside the row (a `transform` over
@@ -162,12 +310,28 @@ object Bpe {
     * with Zipf-repeated vocabularies, this face for streams and
     * wide-vocabulary scans.
     */
+  /** [[encodeRow]]'s PRODUCTION-MERGE-COUNT twin: per-row tokenization
+    * through the [[graft.functions.BpeTokenCount]] kernel, whose cost per
+    * word scales with the pairs PRESENT in the word (hash lookups against
+    * the merge-rank table) instead of the merge count — the encode face
+    * for [[trainMergesHeap]]'s 32k-50k-merge vocabularies, where the
+    * nMerges-deep `replace` chain would blow the codegen method-size
+    * cliff. Bit-identical rows to [[encodeRow]] (spec-pinned; same
+    * zero-word `(0, 0)` stream contract), stateless and Append by
+    * construction.
+    */
+  def encodeKernel(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val st = graft.functions.BpeTokenCount.bpeTokenCount(col(textCol), merges)
+    docs.select(col(idCol), st.as("__st"))
+      .select(col(idCol), col("__st.n_words").as("n_words"),
+        col("__st.n_bpe_tokens").as("n_bpe_tokens"))
+  }
+
   def encodeRow(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val ws = TextAnalysis.words(col(textCol))
-    val toks = transform(ws, w =>
-      size(filter(split(applyMerges(wordRepr(w), merges), " "),
-        s => length(s) > 0)).cast("long"))
+    val toks = transform(ws, w => wordTokenCount(w, merges))
     docs.select(col(idCol),
       size(ws).cast("long").as("n_words"),
       coalesce(aggregate(toks, lit(0L), (a, b) => a + b), lit(0L))

@@ -508,6 +508,53 @@ object PQ {
         col("rank").cast("long").as("rank"))
   }
 
+  /** The PRODUCTION retrieval composition the recall evidence certifies
+    * (RECALL.json: 16×256 residual + re-rank = 0.912 recall@10 vs 0.700
+    * raw / 0.17 without re-rank on clustered data): residual IVF-PQ ADC
+    * generates `nCandidates` coarse candidates per query, then the TRUE
+    * inner product against the raw vectors re-ranks them to `k` — the
+    * FAISS IndexIVFPQ + refine layout. ADC under quantization ties
+    * cannot order same-cell members; the exact pass restores the true
+    * order for every candidate generated.
+    *
+    * Scale shape: the ADC stage is [[ivfPqResidualTopK]] (queries
+    * broadcast, coded corpus streams, probed-cell pruning); the re-rank
+    * touches only queries × nCandidates rows — one broadcast-joined
+    * projection + a bounded per-query window, never a corpus pass.
+    * Output: (query_id, neighbor_id, score = exact IP rounded, rank).
+    */
+  def ivfPqResidualRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int,
+      codebooks: Codebooks,
+      nCandidates: Int = 100,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nCandidates >= k,
+      s"nCandidates=$nCandidates must cover k=$k")
+    val cand = ivfPqResidualTopK(corpus, queries, idCol, vecCol,
+      nCandidates, centroids, nProbe, codebooks, roundTo)
+    val rq = queries.select(col(idCol).as("query_id"), col(vecCol).as("__rq"))
+    val rc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__rc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(rq), Seq("query_id"))
+      .join(rc, Seq("neighbor_id"))
+      .withColumn("score", round(graft.functions.VectorDot.vectorDot(
+        col("__rq").cast("array<double>"), col("__rc").cast("array<double>")),
+        roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** ADC top-k: for every query row, the `k` coded corpus rows with the
     * highest approximate inner product (rounded; neighbor id breaks
     * ties), excluding self-matches by id. Queries broadcast; the coded

@@ -566,7 +566,12 @@ class PlanSpec extends SparkTestBase {
       // sort), and cluster sampling is the assignment scan + the
       // WindowGroupLimit cell window + the output sort
       ("q_quality_reg_score", 1, 1),
-      ("q_cluster_sample",    1, 2))
+      ("q_cluster_sample",    1, 2),
+      // r12: BPE compression scores against the loaded merges artifact
+      // (plan-time literals) — ONE docs scan, per-row token counts folded
+      // inside the row; the exchanges are the per-source aggregate and
+      // the output sort
+      ("q_bpe_compression",   1, 2))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString

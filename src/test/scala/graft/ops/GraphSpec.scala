@@ -140,10 +140,11 @@ class GraphSpec extends SparkTestBase {
   }
 
   private def compsOf(edges: Seq[(Long, Long)], maxRounds: Int = 64,
-      bcastLimit: Long = 4L << 20): Map[Long, Long] =
+      bcastLimit: Long = 4L << 20, ufLimit: Long = 1L << 20): Map[Long, Long] =
     Dedup.withMaterialized {
       Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
-          maxRounds, broadcastNodeLimit = bcastLimit)
+          maxRounds, broadcastNodeLimit = bcastLimit,
+          unionFindNodeLimit = ufLimit)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
 
@@ -164,8 +165,9 @@ class GraphSpec extends SparkTestBase {
     val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter(e => e._1 != e._2)
     val expect = referenceComps(edges)
-    val got = compsOf(edges)
-    assert(got === expect)
+    // both the gated one-pass aggregate AND the pointer-jump loop
+    assert(compsOf(edges) === expect)
+    assert(compsOf(edges, ufLimit = 0L) === expect)
   }
 
   test("connectedComponents: disjoint rings stay disjoint; a bridge merges") {
@@ -185,18 +187,21 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("connectedComponents: maxRounds bound fails loudly, not silently") {
+    // force the loop path — the one-pass aggregate has no round bound
     val longChain = (0L until 40L).map(i => (i, i + 1))
-    val e = intercept[IllegalArgumentException](compsOf(longChain, maxRounds = 3))
+    val e = intercept[IllegalArgumentException](
+      compsOf(longChain, maxRounds = 1, ufLimit = 0L))
     assert(e.getMessage.contains("fixpoint"))
     // and with room it converges
-    assert(compsOf(longChain).values.toSet === Set(0L))
+    assert(compsOf(longChain, ufLimit = 0L).values.toSet === Set(0L))
   }
 
   test("connectedComponents: shuffled-join path agrees with broadcast path") {
     val rnd = new scala.util.Random(23L)
     val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
       .filter(e => e._1 != e._2)
-    assert(compsOf(edges) === compsOf(edges, bcastLimit = 0L))
+    assert(compsOf(edges, ufLimit = 0L) ===
+      compsOf(edges, bcastLimit = 0L, ufLimit = 0L))
   }
 
   // ---------------------------------------------------------------- triangles
