@@ -41,13 +41,14 @@ object Graph {
     * nodes / 1.5M edges: the broadcast path rebuilds two 500k-row
     * broadcast relations per iteration and runs ~3× slower than the
     * co-partitioned layout.) The iteration recurrence is a LINEAR chain
-    * (round i+1 references round i exactly once), so ranks checkpoint
-    * every `checkpointEvery` iterations rather than every one — the
-    * between-checkpoint rounds fuse into ONE multi-stage job (their
-    * exchanges still run, but the per-job scheduling floor is paid once
-    * per block), while the periodic checkpoint keeps the optimizer's
-    * plan depth bounded. `localCheckpoint` preserves the partitioning,
-    * so the layout survives across iterations and blocks.
+    * (round i+1 references round i exactly once), so `checkpointEvery`
+    * can fuse a block of rounds into one multi-stage job — but the
+    * measured default is 1: AQE executes the chained shuffle stages
+    * sequentially either way and pays re-planning on the growing chain
+    * (fusing 5 rounds at 500k nodes REGRESSED 8.4 → 13.5 s), so
+    * per-round checkpoints win; the knob stays for other regimes.
+    * `localCheckpoint` preserves the partitioning, so the layout
+    * survives across iterations.
     */
   def pageRank(
       edges: DataFrame,
@@ -56,14 +57,29 @@ object Graph {
       iterations: Int = 10,
       damping: Double = 0.85,
       broadcastNodeLimit: Long = 65536,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 1,
+      edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val simple = edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // SIZE-GATED one-pass path (the connectedComponents/PairComponents
+    // argument applied to the numeric fixed-point): below the edge
+    // budget — probed on the RAW pre-dedup count, one scan, a
+    // conservative upper bound — all `iterations` Jacobi steps run
+    // inside ONE PageRankAgg aggregation instead of N checkpointed
+    // shuffle rounds. A map-side partial holds only its task's edge
+    // rows; only the final merged buffer sees the graph (~16 B/edge).
+    if (edgeBufferLimit > 0 && { val c = raw.count(); c > 0 && c <= edgeBufferLimit }) {
+      return raw
+        .agg(graft.functions.PageRankAgg.pageRankAgg(
+          col("src"), col("dst"), iterations, damping, null).as("__pr"))
+        .select(explode(col("__pr")).as("__p"))
+        .select(col("__p.node").as("node"), col("__p.r").as("r"))
+    }
+    val simple = raw.distinct()
     val deg = simple.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("__od"))
     // pre-partition the iteration-invariant tables ONCE: edges by the join
@@ -123,14 +139,30 @@ object Graph {
       iterations: Int = 10,
       damping: Double = 0.85,
       broadcastNodeLimit: Long = 65536,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 1,
+      edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val simple = edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // same size-gated one-pass path as [[pageRank]]; the seed set rides
+    // the model (collected DISTINCT — bounded by the seed frame, which
+    // is small by contract; a seed frame larger than the edge budget
+    // falls through to the iterative path)
+    if (edgeBufferLimit > 0 &&
+        { val c = raw.count(); c > 0 && c <= edgeBufferLimit } &&
+        seeds.count() <= edgeBufferLimit) {
+      val seedArr = seeds.select(col(seedCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      return raw
+        .agg(graft.functions.PageRankAgg.pageRankAgg(
+          col("src"), col("dst"), iterations, damping, seedArr).as("__pr"))
+        .select(explode(col("__pr")).as("__p"))
+        .select(col("__p.node").as("node"), col("__p.r").as("r"))
+    }
+    val simple = raw.distinct()
     val deg = simple.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("__od"))
     // same iteration-invariant layout as [[pageRank]]: edges by src,

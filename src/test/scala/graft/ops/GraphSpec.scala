@@ -8,10 +8,11 @@ class GraphSpec extends SparkTestBase {
   import spark.implicits._
 
   private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 10,
-      damping: Double = 0.85, bcastLimit: Long = 4L << 20): Map[Long, Double] =
+      damping: Double = 0.85, bcastLimit: Long = 4L << 20,
+      bufLimit: Long = 8L << 20): Map[Long, Double] =
     Dedup.withMaterialized {
       Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters, damping,
-          broadcastNodeLimit = bcastLimit)
+          broadcastNodeLimit = bcastLimit, edgeBufferLimit = bufLimit)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     }
 
@@ -45,11 +46,15 @@ class GraphSpec extends SparkTestBase {
     val edges = (0L until 40L).flatMap(i =>
       Seq((i, (i + 1) % 40), (i, i % 7), (i, (i * 13 + 3) % 40)))
     val expect = reference(edges, 10, 0.85)
-    val got    = ranksOf(edges)
-    assert(got.keySet === expect.keySet)
-    got.foreach { case (v, r) => assert(math.abs(r - expect(v)) < 1e-12, s"node $v") }
-    // rank is a probability vector when every node has an out-edge
-    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // both the gated one-pass aggregate AND the iterative loop
+    for (lim <- Seq(8L << 20, 0L)) {
+      val got = ranksOf(edges, bufLimit = lim)
+      assert(got.keySet === expect.keySet, s"bufLimit=$lim")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - expect(v)) < 1e-12, s"node $v bufLimit=$lim") }
+      // rank is a probability vector when every node has an out-edge
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
   }
 
   test("pageRank: star hub outranks the plain spokes; spokes tie exactly") {
@@ -83,8 +88,8 @@ class GraphSpec extends SparkTestBase {
 
   test("pageRank: shuffled-join path (no broadcast) agrees with broadcast path") {
     val edges = (0L until 30L).flatMap(i => Seq((i, (i + 3) % 30), (i, i % 5)))
-    val bc = ranksOf(edges)
-    val sj = ranksOf(edges, bcastLimit = 0L)
+    val bc = ranksOf(edges, bufLimit = 0L)
+    val sj = ranksOf(edges, bcastLimit = 0L, bufLimit = 0L)
     assert(bc.keySet === sj.keySet)
     bc.foreach { case (v, r) => assert(math.abs(r - sj(v)) < 1e-12, s"node $v") }
   }
@@ -106,15 +111,18 @@ class GraphSpec extends SparkTestBase {
         v -> ((1.0 - 0.85) * w(v) + 0.85 * in)
       }.toMap
     }
-    val got = Dedup.withMaterialized {
-      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
-          seedIds.toDF("doc_id"), "doc_id")
-        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    for (lim <- Seq(8L << 20, 0L)) {
+      val got = Dedup.withMaterialized {
+        Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+            seedIds.toDF("doc_id"), "doc_id", edgeBufferLimit = lim)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      }
+      assert(got.keySet === r.keySet, s"bufLimit=$lim")
+      got.foreach { case (v, rv) =>
+        assert(math.abs(rv - r(v)) < 1e-12, s"node $v bufLimit=$lim") }
+      // seeds hold far more mass than the background
+      assert(got(0L) > 10 * got.values.toSeq.sorted.apply(nodes.size / 2))
     }
-    assert(got.keySet === r.keySet)
-    got.foreach { case (v, rv) => assert(math.abs(rv - r(v)) < 1e-12, s"node $v") }
-    // seeds hold far more mass than the background
-    assert(got(0L) > 10 * got.values.toSeq.sorted.apply(nodes.size / 2))
   }
 
   test("personalizedPageRank: seeds outside the graph are ignored; none in -> error") {
@@ -130,13 +138,25 @@ class GraphSpec extends SparkTestBase {
         .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     }
     assert(withGhost === justSeed)
+    // loop path: the driver-side require throws directly
     val e = intercept[IllegalArgumentException] {
+      Dedup.withMaterialized {
+        Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          Seq(99L).toDF("s"), "s", edgeBufferLimit = 0L).collect()
+      }
+    }
+    assert(e.getMessage.contains("seed"))
+    // gated one-pass path: the same descriptive error surfaces in the
+    // task-failure cause chain
+    val t = intercept[Throwable] {
       Dedup.withMaterialized {
         Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
           Seq(99L).toDF("s"), "s").collect()
       }
     }
-    assert(e.getMessage.contains("seed"))
+    val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("no seed is a node"), msgs)
   }
 
   private def compsOf(edges: Seq[(Long, Long)], maxRounds: Int = 64,
