@@ -373,6 +373,42 @@ object Stress {
       org.apache.commons.io.FileUtils.deleteQuietly(layoutDir)
     }
 
+    // ---- pre-bucketed GRAPH layout round-trip at volume: a 3M-edge graph
+    // written as a src-bucketed, bucket-sorted table, read back, and
+    // iterated on by the NON-GATED PageRank loop (edgeBufferLimit = 0
+    // forces the web-scale path; broadcastNodeLimit = 0 forces the
+    // co-partitioned joins). Proves the layout survives write → read →
+    // iterate and the loop converges to a full rank vector at volume.
+    val gN = 1000000L
+    val gEdges = spark.range(gN).select(
+        col("id").as("src"), pmod(col("id") * 37 + 11, lit(gN)).as("dst"))
+      .union(spark.range(gN).select(
+        col("id").as("src"), pmod(col("id") + 1, lit(gN)).as("dst")))
+      .union(spark.range(gN).select(
+        col("id").as("src"), pmod(col("id"), lit(997L)).as("dst")))
+    try {
+      val tG = System.nanoTime()
+      graft.ops.Layout.writeBucketedTable(gEdges, "stress_graph_edges", "src", 64)
+      val sG = (System.nanoTime() - tG) / 1e9
+      println(f"""{"stage":"graph_layout_write","rows":${3 * gN},"sec":$sG%.2f,"rows_per_sec":${(3 * gN / sG).toLong}}""")
+      val back = spark.table("stress_graph_edges")
+      val tI = System.nanoTime()
+      val pr = graft.pipeline.Dedup.withMaterialized {
+        graft.ops.Graph.pageRank(back, "src", "dst", iterations = 3,
+            broadcastNodeLimit = 0L, edgeBufferLimit = 0L)
+          .agg(count(lit(1)), sum(col("r"))).head()
+      }
+      val sI = (System.nanoTime() - tI) / 1e9
+      val prNodes = pr.getLong(0)
+      assert(prNodes == gN, s"graph roundtrip ranked $prNodes of $gN nodes")
+      // every node has an out-edge, so rank mass is conserved
+      assert(math.abs(pr.getDouble(1) - 1.0) < 1e-6,
+        s"rank mass ${pr.getDouble(1)}")
+      println(f"""{"stage":"graph_layout_roundtrip","nodes":$prNodes,"sec":$sI%.2f,"iters":3}""")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stress_graph_edges")
+    }
+
     // ---- weighted sample + proportional mix at volume. The sample is
     // TakeOrdered(k): k rows reach the driver heap regardless of nd. The
     // mix is one keyed window + integer stride arithmetic; its 600-row

@@ -82,36 +82,51 @@ object Graph {
     val simple = raw.distinct()
     val deg = simple.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("__od"))
-    // pre-partition the iteration-invariant tables ONCE: edges by the join
-    // key src, nodes by node — every non-broadcast iteration then reuses
-    // the layout and only the contribution aggregate exchanges
-    val ed = Dedup.materializeOnce(
-      simple.join(deg, "src").repartition(col("src")))
-    val nodes = Dedup.materializeOnce(
+    // pre-partition the iteration-invariant tables ONCE and STAMP the
+    // layout (materializeOnceKeyed): under AQE a bare checkpoint reports
+    // UnknownPartitioning, so every round would re-exchange tables that
+    // are already laid out — with the stamp, a non-broadcast iteration's
+    // only planned exchanges are the contribution aggregate and the
+    // rank-vector re-layout
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ed = Dedup.materializeOnceKeyed(simple.join(deg, "src"), Seq("src"), P)
+    val nodes = Dedup.materializeOnceKeyed(
       ed.select(col("src").as("node"))
-        .union(ed.select(col("dst").as("node"))).distinct()
-        .repartition(col("node")))
+        .union(ed.select(col("dst").as("node"))).distinct(), Seq("node"), P)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val hint = n <= broadcastNodeLimit
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (i <- 1 to iterations) {
-      val rs = if (hint) broadcast(ranks) else ranks
-      val contribs = ed.join(rs, ed("src") === rs("node"))
-        .groupBy(ed("dst").as("node"))
-        .agg(sum(col("r") / col("__od")).as("__c"))
-      val next = nodes.as("nd")
-        .join(if (hint) broadcast(contribs.as("c")) else contribs.as("c"),
-          col("nd.node") === col("c.node"), "left")
-        .select(col("nd.node").as("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
+      val next = prStep(ed, nodes, ranks, damping, n, hint)
       // the broadcast path materializes EVERY round: broadcast of an
       // unmaterialized chain would recompute the whole block per round
-      ranks = if (hint || i % checkpointEvery == 0 || i == iterations)
-        Dedup.materializeOnceLoop(next) else next
+      ranks =
+        if (hint) Dedup.materializeOnceLoop(next)
+        else if (i % checkpointEvery == 0 || i == iterations)
+          Dedup.materializeOnceKeyed(next, Seq("node"), P)
+        else next
     }
     ranks
+  }
+
+  /** One PageRank Jacobi step as a PLAN (no materialization) — factored
+    * out so PlanSpec can pin the iteration's physical shape: with `ed`
+    * laid out by `src` and `nodes`/`ranks` by `node`, the ONLY exchange
+    * in the step is the map-side-combined contribution aggregate.
+    */
+  private[graft] def prStep(ed: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, damping: Double, n: Long, hint: Boolean): DataFrame = {
+    val rs = if (hint) broadcast(ranks) else ranks
+    val contribs = ed.join(rs, ed("src") === rs("node"))
+      .groupBy(ed("dst").as("node"))
+      .agg(sum(col("r") / col("__od")).as("__c"))
+    nodes.as("nd")
+      .join(if (hint) broadcast(contribs.as("c")) else contribs.as("c"),
+        col("nd.node") === col("c.node"), "left")
+      .select(col("nd.node").as("node"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
@@ -165,25 +180,25 @@ object Graph {
     val simple = raw.distinct()
     val deg = simple.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("__od"))
-    // same iteration-invariant layout as [[pageRank]]: edges by src,
-    // the teleport/node vector by node
-    val ed = Dedup.materializeOnce(
-      simple.join(deg, "src").repartition(col("src")))
+    // same stamped iteration-invariant layout as [[pageRank]]: edges by
+    // src, the teleport/node vector by node
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ed = Dedup.materializeOnceKeyed(simple.join(deg, "src"), Seq("src"), P)
     val nodes =
       ed.select(col("src").as("node"))
         .union(ed.select(col("dst").as("node"))).distinct()
-        .repartition(col("node"))
     val seedNodes = Dedup.materializeOnce(
       nodes.join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
         Seq("node"), "left_semi"))
     val k = seedNodes.count()
     require(k > 0, "personalizedPageRank: no seed is a node of the graph")
-    val tele = Dedup.materializeOnce(
+    val tele = Dedup.materializeOnceKeyed(
       nodes.as("nd")
         .join(seedNodes.select(col("node"), lit(true).as("__is")).as("s"),
           Seq("node"), "left")
         .select(col("node"),
-          when(col("__is"), lit(1.0 / k)).otherwise(lit(0.0)).as("__w")))
+          when(col("__is"), lit(1.0 / k)).otherwise(lit(0.0)).as("__w")),
+      Seq("node"), P)
     val n = tele.count()
     val hint = n <= broadcastNodeLimit
     var ranks = tele.select(col("node"), col("__w").as("r"))
@@ -199,8 +214,11 @@ object Graph {
           (lit(1.0 - damping) * col("__w") +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
       // same broadcast-path rule as [[pageRank]]
-      ranks = if (hint || i % checkpointEvery == 0 || i == iterations)
-        Dedup.materializeOnceLoop(next) else next
+      ranks =
+        if (hint) Dedup.materializeOnceLoop(next)
+        else if (i % checkpointEvery == 0 || i == iterations)
+          Dedup.materializeOnceKeyed(next, Seq("node"), P)
+        else next
     }
     ranks
   }
@@ -302,7 +320,8 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val ed = Dedup.materializeOnce(simple.repartition(col("src")))
+    val ed = Dedup.materializeOnceKeyed(simple, Seq("src"),
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node"))).distinct()
     // seeds restricted to graph nodes: an off-graph seed labels nothing
@@ -387,18 +406,19 @@ object Graph {
         .select(explode(col("__cs")).as("__c"))
         .select(col("__c.id").as("node"), col("__c.comp").as("comp"))
     }
-    val und = Dedup.materializeOnce(
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val und = Dedup.materializeOnceKeyed(
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(col("src")))
+        .distinct(), Seq("src"), P)
     // round-0 seed: comp = min(node, min(neighbor)). The symmetrized table
     // gives every node an incoming edge, so one aggregate covers the whole
     // node set — this IS the first propagation round, minus the label join
     // a generic round pays (comp == node makes the join a no-op).
-    var labels = Dedup.materializeOnceLoop(
+    var labels = Dedup.materializeOnceKeyed(
       und.groupBy(col("dst").as("node"))
         .agg(min(col("src")).as("__m"))
-        .select(col("node"), least(col("node"), col("__m")).as("comp")))
+        .select(col("node"), least(col("node"), col("__m")).as("comp")),
+      Seq("node"), P)
     val n = labels.count()
     val hint = n <= broadcastNodeLimit
     var round = 0
@@ -424,12 +444,14 @@ object Graph {
       // so the whole round materializes with one checkpoint job
       val j1 = labels.select(col("node").as("__j1n"), col("comp").as("__j1c"))
       val j2 = labels.select(col("node").as("__j2n"), col("comp").as("__j2c"))
-      val next = Dedup.materializeOnceLoop(
-        stepped
-          .join(if (hint) broadcast(j1) else j1, col("__s") === col("__j1n"))
-          .join(if (hint) broadcast(j2) else j2, col("__j1c") === col("__j2n"))
-          .select(col("node"), col("__j2c").as("comp"),
-            (col("__j2c") < col("__old")).as("__chg")))
+      val chained = stepped
+        .join(if (hint) broadcast(j1) else j1, col("__s") === col("__j1n"))
+        .join(if (hint) broadcast(j2) else j2, col("__j1c") === col("__j2n"))
+        .select(col("node"), col("__j2c").as("comp"),
+          (col("__j2c") < col("__old")).as("__chg"))
+      val next =
+        if (hint) Dedup.materializeOnceLoop(chained)
+        else Dedup.materializeOnceKeyed(chained, Seq("node"), P)
       changed = next.filter(col("__chg")).count()
       labels = next.select(col("node"), col("comp"))
     }

@@ -71,6 +71,35 @@ object Layout {
       .parquet(path)
   }
 
+  /** Persist `df` as a HASH-BUCKETED, bucket-sorted table — the
+    * iteration-invariant layout for graph edge tables (and any table an
+    * iterative operator joins on the same key every round). A reader of
+    * a table bucketed on `src` gets `hashpartitioning(src, nBuckets)`
+    * FOR FREE from the scan, so the simple-graph normalization a graph
+    * operator runs first (`distinct` over (src, dst), the out-degree
+    * `groupBy(src)`, the degree join) plans with ZERO exchanges — the
+    * one-time layout cost moves from every job to the write
+    * (PlanSpec-pinned; the Stress `graph_layout_roundtrip` stage proves
+    * the layout survives write → read → iterate at volume).
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable` — plain
+    * parquet files carry no bucket spec), so `table` is a table name,
+    * not a path; read back with `spark.table(table)`.
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol, sortCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   val ZKeyCol = "zkey"
 
   /** Morton (z-order) key: interleave the low 16 bits of two non-negative

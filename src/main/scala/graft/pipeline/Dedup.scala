@@ -63,6 +63,24 @@ object Dedup {
   private[graft] def materializeOnceLoop(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge.dropOriginStats(materializeOnce(df))
 
+  /** [[materializeOnce]] for a frame an iterative operator will JOIN on
+    * `keys` every round: explicit-count `repartition(n, keys)` (an
+    * explicit count is never AQE-coalesced, so the physical layout is
+    * exactly `hashpartitioning(keys, n)`), checkpoint, then STAMP the
+    * resulting `LogicalRDD` with that partitioning — under AQE the
+    * checkpoint otherwise reports `UnknownPartitioning` and every round
+    * re-exchanges a table that is already laid out (measured: the
+    * components loop re-shuffled its 3M-row symmetrized edge table every
+    * round). Origin stats are dropped (the stamp rebuilds the node), so
+    * this is loop-safe like [[materializeOnceLoop]]; loop code places its
+    * own size-gated broadcast hints.
+    */
+  private[graft] def materializeOnceKeyed(
+      df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.stampHashPartitioning(
+      materializeOnce(df.repartition(numPartitions, keys.map(col): _*)),
+      keys, numPartitions)
+
   /** Open checkpoint scopes on this thread (innermost first); checkpoints
     * register to the innermost scope only — a nested bracket releases its
     * own checkpoints without touching the outer scope's.

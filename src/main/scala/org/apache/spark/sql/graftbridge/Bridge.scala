@@ -43,4 +43,42 @@ object Bridge {
             lr.isStreaming, lr.stream)(session, None, None))
       case _ => df
     }
+
+  /** Stamp a just-checkpointed frame's `LogicalRDD` with the hash
+    * partitioning its rows PHYSICALLY have.
+    *
+    * Under AQE, `Dataset.localCheckpoint` loses the plan's output
+    * partitioning (the adaptive root reports `UnknownPartitioning` at
+    * checkpoint time), so a loop that carefully laid its tables out with
+    * `repartition(n, key)` pays a fresh ENSURE_REQUIREMENTS exchange on
+    * EVERY round's join anyway — the layout exists on the cluster but the
+    * planner can't see it. This restores the declaration. Callers must
+    * guarantee the physical layout really is `hashpartitioning(keys, n)`:
+    * produce the frame with an EXPLICIT-count `repartition(n, keys)`
+    * immediately before the checkpoint (an explicit count is never
+    * AQE-coalesced; a coalesced exchange's partitions are unions of hash
+    * buckets and must NOT be stamped).
+    */
+  def stampHashPartitioning(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      numPartitions: Int): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        require(lr.rdd.getNumPartitions == numPartitions,
+          s"stampHashPartitioning: rdd has ${lr.rdd.getNumPartitions} " +
+            s"partitions, caller claims $numPartitions")
+        val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"stampHashPartitioning: no output column named $k")))
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          session,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd,
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+              attrs, numPartitions),
+            lr.outputOrdering, lr.isStreaming, lr.stream)(session, None, None))
+      case _ => df
+    }
 }

@@ -530,6 +530,59 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("graph layout: a src-bucketed edge table normalizes exchange-free; " +
+      "an iteration pays only the contribution aggregate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (0L until 2000L)
+      .flatMap(i => Seq((i, (i + 1) % 2000), (i, i % 37)))
+      .toDF("src", "dst")
+    graft.ops.Layout.writeBucketedTable(edges, "graph_edges_bucketed", "src", 8)
+    try {
+      val back = spark.table("graph_edges_bucketed")
+      // the simple-graph normalization (distinct over (src, dst) — hash(src)
+      // satisfies the subset clustering — and the out-degree aggregate)
+      // must plan with ZERO exchanges over the bucketed scan
+      val norm = back.filter($"src" =!= $"dst").distinct()
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      val normPlan = norm.queryExecution.executedPlan.toString
+      assert(!normPlan.contains("Exchange "), normPlan)
+      // a non-broadcast PageRank step over the laid-out tables: the ONLY
+      // exchange is the map-side-combined contribution aggregate. The pin
+      // targets the WEB-SCALE regime, so the two AQE behaviors that only
+      // fire on toy row counts are disabled for the assertion: partition
+      // coalescing (it rewrites the checkpointed layout's partition count,
+      // breaking co-partitioning the real scale keeps) and stats-driven
+      // broadcast (at scale the rank vector exceeds the threshold, which
+      // is the whole point of the co-partitioned path).
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevCoalesce = spark.conf.get(coalesceKey, "true")
+      val prevBcast = spark.conf.get(bcastKey)
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(bcastKey, "-1")
+      try graft.pipeline.Dedup.withMaterialized {
+        val P = spark.sessionState.conf.numShufflePartitions
+        val simple = back.filter($"src" =!= $"dst").distinct()
+        val deg = simple.groupBy($"src").agg(count(lit(1)).cast("double").as("__od"))
+        val ed = graft.pipeline.Dedup.materializeOnceKeyed(
+          simple.join(deg, "src"), Seq("src"), P)
+        val nodes = graft.pipeline.Dedup.materializeOnceKeyed(
+          ed.select($"src".as("node")).union(ed.select($"dst".as("node")))
+            .distinct(), Seq("node"), P)
+        val n = nodes.count()
+        val ranks = nodes.select($"node", lit(1.0 / n).as("r"))
+        val step = graft.ops.Graph.prStep(ed, nodes, ranks, 0.85, n, hint = false)
+        val plan = step.queryExecution.executedPlan.toString
+        val exch = "(?<!Reused)Exchange ".r.findAllIn(plan).length
+        assert(exch <= 1, s"$exch exchanges in the iteration step:\n$plan")
+      } finally {
+        spark.conf.set(coalesceKey, prevCoalesce)
+        spark.conf.set(bcastKey, prevBcast)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graph_edges_bucketed")
+  }
+
   test("scan/exchange budgets: the audited chain plans can't silently grow") {
     // the ReuseCheck/ExplainCheck dev mains promoted to a failing gate
     // (r9 verdict item 7): each chain's physical plan is pinned to its
