@@ -6488,20 +6488,49 @@ object Queries {
     * label, so the Spark loop's convergence — not just one round — is
     * value-checked. All-integer output, no rounding anywhere.
     */
-  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted block-ring + bridge edge set the components queries
+    * share: doc_id links to its ring successor inside a block of 10, and
+    * every 37th doc bridges 1003 ahead (mod n).
+    */
+  private def plantedComponentEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = tbl(spark, dir, "documents").select($"doc_id")
     val nRow = docs.agg(count(lit(1)).as("__n"))
     val d = docs.crossJoin(broadcast(nRow))
-    val edges = d.select($"doc_id".as("src"),
+    d.select($"doc_id".as("src"),
         ($"doc_id" - pmod($"doc_id", lit(10L)) +
           pmod(pmod($"doc_id", lit(10L)) + 1, lit(10L))).as("dst"))
       .unionByName(d.filter(pmod($"doc_id", lit(37L)) === 0)
         .select($"doc_id".as("src"), pmod($"doc_id" + 1003, $"__n").as("dst")))
+  }
+
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // maxRounds = 256: connectedComponents pointer-jumps, so rounds are
     // O(log diameter) — the generous bound is only the loud-failure ceiling
     // for a pathological graph, never the expected round count
-    graft.ops.Graph.connectedComponents(edges, "src", "dst", maxRounds = 256)
+    graft.ops.Graph.connectedComponents(
+        plantedComponentEdges(spark, dir), "src", "dst", maxRounds = 256)
+      .orderBy($"node")
+  }
+
+  /** Incremental component maintenance
+    * ([[graft.ops.Graph.componentsIncrement]]): the planted edge set is
+    * split — every 3rd edge (by src) arrives as TODAY'S batch, the rest
+    * are history whose assignment is the prior artifact — and the batch
+    * folds in without replaying history (one batch-bounded union-find +
+    * one broadcast-remap join against the prior). The fold is EXACT, so
+    * the oracle is [[graphComponentsSql]] verbatim: the incremental
+    * result must be bit-identical to batch components over the union.
+    */
+  def graphComponentsIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = plantedComponentEdges(spark, dir)
+    val hist = edges.filter(pmod($"src", lit(3L)) =!= 0)
+    val batch = edges.filter(pmod($"src", lit(3L)) === 0)
+    val prior = graft.ops.Graph.connectedComponents(hist, "src", "dst",
+      maxRounds = 256)
+    graft.ops.Graph.componentsIncrement(batch, "src", "dst", prior)
       .orderBy($"node")
   }
 

@@ -223,6 +223,72 @@ object Graph {
     ranks
   }
 
+  /** INCREMENTAL connected components: fold a NEW batch of edges into a
+    * PRIOR `(node, comp)` assignment (e.g. the persisted output of
+    * [[connectedComponents]] — the artifact), returning the updated
+    * assignment for the unioned graph — the same against-prior contract
+    * as [[graft.pipeline.Dedup.nearDupsAgainstPrior]]: the prior is
+    * fixed, today's arrivals fold in, and the full edge history is never
+    * replayed.
+    *
+    * Exactness: a new edge's endpoints resolve to their prior component
+    * labels (their own ids when unseen); components of THAT contracted
+    * pair set tell every touched label its new root. Labels are min node
+    * ids, [[graft.functions.PairComponents]] roots each contracted group
+    * at its min member, and the min over a union of components is the min
+    * over their labels — so the output is IDENTICAL to batch
+    * [[connectedComponents]] over (prior edges ∪ batch), spec-pinned
+    * across arbitrary batch splits (a merge of two known components
+    * surfaces as those labels' rows remapping to one root).
+    *
+    * Scale shape: the contracted pair set is bounded by the BATCH (≤ one
+    * row per new edge, each two labels), so its union-find is one bounded
+    * aggregation; the prior pays ONE equijoin on `comp` against the tiny
+    * remap table (broadcast in practice) — never a corpus shuffle, no
+    * rounds. Two bounded endpoint-resolution joins on the prior are the
+    * only other contact. Returns every prior node plus every node the
+    * batch introduces.
+    */
+  def componentsIncrement(
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      prior: DataFrame): DataFrame = {
+    val e = Dedup.materializeOnce(newEdges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")))
+    val pr = prior.select(col("node"), col("comp"))
+    // endpoints -> prior labels (own id when the node is new)
+    val resolved = e
+      .join(pr.select(col("node").as("src"), col("comp").as("__cs")), Seq("src"), "left")
+      .join(pr.select(col("node").as("dst"), col("comp").as("__cd")), Seq("dst"), "left")
+      .select(coalesce(col("__cs"), col("src")).as("ca"),
+        coalesce(col("__cd"), col("dst")).as("cb"))
+      // an edge already internal to one component contracts nothing (a
+      // NEW node can never hit this: its own id is not a prior label)
+      .filter(col("ca") =!= col("cb"))
+    // contraction: components of the touched-label graph, batch-bounded
+    val remap = Dedup.materializeOnce(resolved
+      .agg(graft.functions.PairComponents.pairComponents(
+        col("ca"), col("cb")).as("__cs"))
+      .select(explode(col("__cs")).as("__c"))
+      .select(col("__c.id").as("__lbl"), col("__c.comp").as("__root"))
+      .filter(col("__lbl") =!= col("__root")))
+    val updatedPrior = pr
+      .join(broadcast(remap.select(col("__lbl").as("comp"), col("__root"))),
+        Seq("comp"), "left")
+      .select(col("node"), coalesce(col("__root"), col("comp")).as("comp"))
+    // nodes the batch introduces: absent from the prior, labeled by the
+    // contraction (their own id appears there whenever they carry an edge)
+    val newNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(pr.select(col("node")), Seq("node"), "left_anti")
+      .join(broadcast(remap.select(col("__lbl").as("node"), col("__root"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__root"), col("node")).as("comp"))
+    updatedPrior.unionByName(newNodes)
+  }
+
   /** Per-node triangle counts and local clustering coefficients of the
     * UNDIRECTED simple view of an edge list. Returns
     * (node, degree, n_triangles, clustering) with

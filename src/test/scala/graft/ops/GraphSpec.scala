@@ -224,6 +224,43 @@ class GraphSpec extends SparkTestBase {
       compsOf(edges, bcastLimit = 0L, ufLimit = 0L))
   }
 
+  test("componentsIncrement: folding batches equals batch components on the union") {
+    val rnd = new scala.util.Random(91L)
+    val edges = Seq.fill(150)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter(e => e._1 != e._2)
+    // arbitrary split into 4 uneven batches (incl. an empty one)
+    val batches = Seq(edges.take(10), edges.slice(10, 11), Seq.empty,
+      edges.slice(11, 90), edges.drop(90))
+    var prior = Dedup.withMaterialized {
+      Graph.connectedComponents(batches.head.toDF("src", "dst"), "src", "dst")
+        .collect()
+    }.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("node", "comp")
+    for (b <- batches.tail) {
+      val bdf = if (b.isEmpty)
+        Seq.empty[(Long, Long)].toDF("src", "dst")
+      else b.toDF("src", "dst")
+      prior = Dedup.withMaterialized {
+        Graph.componentsIncrement(bdf, "src", "dst", prior).collect()
+      }.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("node", "comp")
+    }
+    val folded = prior.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === referenceComps(edges))
+    // a merge of two KNOWN components surfaces as a remap: two disjoint
+    // rings folded first, then one bridging edge arrives
+    val ringA = (0L until 4L).map(i => (i, (i + 1) % 4))
+    val ringB = (10L until 14L).map(i => (i, 10L + (i + 1) % 4))
+    val p0 = Dedup.withMaterialized {
+      Graph.connectedComponents((ringA ++ ringB).toDF("src", "dst"), "src", "dst")
+        .collect()
+    }.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("node", "comp")
+    val merged = Dedup.withMaterialized {
+      Graph.componentsIncrement(Seq((12L, 3L)).toDF("src", "dst"), "src", "dst", p0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(merged.values.toSet === Set(0L))
+    assert(merged.keySet === (0L until 4L).toSet ++ (10L until 14L).toSet)
+  }
+
   // ---------------------------------------------------------------- triangles
 
   private def trianglesOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] =

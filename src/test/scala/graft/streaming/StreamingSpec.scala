@@ -1628,4 +1628,40 @@ class StreamingSpec extends SparkTestBase {
     val m = got.map(r => r._1 -> r._3).toMap
     assert(m(1L) === m(2L)); assert(m(7L) === m(8L))
   }
+
+  test("streaming components: foreachBatch artifact fold equals batch components") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_comps_").toFile
+    val artifact = new java.io.File(dir, "components").getAbsolutePath
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val edges = input.toDF().toDF("src", "dst")
+      val q = edges.writeStream
+        .foreachBatch(StreamingComponents.sink(artifact, "src", "dst") _)
+        .start()
+      // batch 1: two disjoint rings; batch 2: a bridge merges two KNOWN
+      // components and a fresh chain arrives; batch 3: extends the chain
+      val b1 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+      val b2 = Seq((2L, 11L), (20L, 21L))
+      val b3 = Seq((21L, 22L), (22L, 10L))
+      input.addData(b1: _*); q.processAllAvailable()
+      // mid-stream check: the artifact already merges nothing across rings
+      val mid = StreamingComponents.current(spark, artifact)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mid(10L) === 10L && mid(0L) === 0L)
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      q.stop()
+      val folded = StreamingComponents.current(spark, artifact)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.pipeline.Dedup.withMaterialized {
+        graft.ops.Graph.connectedComponents(
+          (b1 ++ b2 ++ b3).toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(folded === batch)
+      // everything is one component rooted at 0 after the bridges
+      assert(folded.values.toSet === Set(0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
