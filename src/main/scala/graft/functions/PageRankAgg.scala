@@ -158,7 +158,7 @@ object PageRankAgg {
   /** Minimal primitive open-addressing long set (no boxing — an 8M-edge
     * dedup through java.util.HashSet would box ~400 MB).
     */
-  private final class LongSet(expected: Int) {
+  private[functions] final class LongSet(expected: Int) {
     private var cap = Integer.highestOneBit(math.max(16, expected * 2) * 2 - 1) << 1
     private var mask = cap - 1
     private var table = new Array[Long](cap)

@@ -380,12 +380,27 @@ object Graph {
       seeds: DataFrame,
       seedCol: String,
       maxHops: Int,
-      broadcastNodeLimit: Long = 65536): DataFrame = {
+      broadcastNodeLimit: Long = 65536,
+      edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
-    val simple = edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // same size-gated one-pass path as [[pageRank]]: below the edge
+    // budget all maxHops frontier rounds run inside ONE HopDistanceAgg
+    // aggregation (BFS touches each edge once — strictly linear eval)
+    if (edgeBufferLimit > 0 &&
+        { val c = raw.count(); c > 0 && c <= edgeBufferLimit } &&
+        seeds.count() <= edgeBufferLimit) {
+      val seedArr = seeds.select(col(seedCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      return raw
+        .agg(graft.functions.HopDistanceAgg.hopDistanceAgg(
+          col("src"), col("dst"), seedArr, maxHops).as("__h"))
+        .select(explode(col("__h")).as("__p"))
+        .select(col("__p.node").as("node"), col("__p.hop").as("hop"))
+    }
+    val simple = raw.distinct()
     val ed = Dedup.materializeOnceKeyed(simple, Seq("src"),
       edges.sparkSession.sessionState.conf.numShufflePartitions)
     val nodes = ed.select(col("src").as("node"))

@@ -335,12 +335,24 @@ class GraphSpec extends SparkTestBase {
   // --------------------------------------------------------------- hopDistance
 
   private def hopsOf(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int,
-      bcastLimit: Long = 4L << 20): Map[Long, Int] =
+      bcastLimit: Long = 4L << 20, bufLimit: Long = 8L << 20): Map[Long, Int] =
     Dedup.withMaterialized {
       Graph.hopDistance(edges.toDF("src", "dst"), "src", "dst",
-          seeds.toDF("s"), "s", maxHops, broadcastNodeLimit = bcastLimit)
+          seeds.toDF("s"), "s", maxHops, broadcastNodeLimit = bcastLimit,
+          edgeBufferLimit = bufLimit)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     }
+
+  test("hopDistance: one-pass aggregate agrees with the frontier loop") {
+    val rnd = new scala.util.Random(57L)
+    val edges = Seq.fill(140)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 17L, 999L)
+    for (h <- Seq(0, 2, 6)) {
+      assert(hopsOf(edges, seeds, h) === hopsOf(edges, seeds, h, bufLimit = 0L),
+        s"maxHops=$h")
+    }
+  }
 
   test("hopDistance: directed chain labels exactly the horizon") {
     val chain = (0L until 10L).map(i => (i, i + 1))
