@@ -2965,22 +2965,34 @@ object Queries {
       .replace("range(0, 8)) AS subq", "range(0, 16)) AS subq")
       .replace("// 8", "// 16")
 
-  /** Residual code assignment against the PROD codebooks (16 subq × 4
-    * dims over the 64-dim fixture), exploded to scalars; oracle
-    * re-derives the argmin from the exports exactly as [[pqrCodes]],
-    * with the subq width switched to 4.
+  /** The PROD coded corpus as a persisted artifact — `(neighbor_id,
+    * cell_id, pqr_codes)`, [[graft.pipeline.PQ.residualCodedFrame]]: a
+    * capacity-codebook encode is 16×256×4 multiply-adds PER ROW, so it
+    * runs ONCE per corpus snapshot and every search/export session loads
+    * the parquet instead of re-encoding (measured: the prod search was
+    * 27 s re-encoding inline, ~1 s against the artifact).
     */
-  def pqrProdCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = tbl(spark, dir, "embeddings")
-    val cents = trainedCentroids(spark, dir).sortBy(_._1).map(_._2)
-    e.select(col("vec_id"), col("embedding")).orderBy("vec_id")
-      .withColumn("cell_id",
-        graft.pipeline.Similarity.ivfCellExpr("embedding", trainedCentroids(spark, dir)))
-      .select(col("vec_id"),
-        posexplode(graft.functions.PQKernels.pqResidualCodes(
-          col("embedding"), col("cell_id"), cents,
-          trainedProdCodebooks(spark, dir))).as(Seq("subq", "code")))
-  }
+  private def trainedProdCoded(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      loadOrTrain[String](spark, dir, "pqr_prod_coded",
+        p => p,
+        p => {
+          graft.pipeline.Artifacts.save(
+            graft.pipeline.PQ.residualCodedFrame(tbl(spark, dir, "embeddings"),
+              "vec_id", "embedding", trainedCentroids(spark, dir),
+              trainedProdCodebooks(spark, dir)), p)
+          p
+        }))
+
+  /** Residual code assignment against the PROD codebooks (16 subq × 4
+    * dims over the 64-dim fixture), exploded to scalars from the coded
+    * artifact; oracle re-derives the argmin from the exports exactly as
+    * [[pqrCodes]], with the subq width switched to 4.
+    */
+  def pqrProdCodes(spark: SparkSession, dir: String): DataFrame =
+    trainedProdCoded(spark, dir)
+      .select(col("neighbor_id").as("vec_id"),
+        posexplode(col("pqr_codes")).as(Seq("subq", "code")))
 
   val pqrProdCodesSql: String =
     pqrCodesSql.replace("q_pqr_codebooks", "q_pqr_prod_codebooks")
@@ -3002,7 +3014,7 @@ object Queries {
     graft.pipeline.PQ.ivfPqResidualRerankTopK(e, e.filter($"vec_id" < 20),
       "vec_id", "embedding", k = 10, centroids = trainedCentroids(spark, dir),
       nProbe = 8, codebooks = trainedProdCodebooks(spark, dir),
-      nCandidates = 100)
+      nCandidates = 100, coded = trainedProdCoded(spark, dir))
       .orderBy("query_id", "rank")
   }
 
@@ -6243,22 +6255,23 @@ object Queries {
     * Exact integer sums through one rounded division; documents with no
     * words drop (the [[pipeline.Bpe.encode]] contract).
     *
-    * Scale shape: the merges are a loaded driver-side artifact (literals
-    * in the plan), so scoring is ONE documents scan — per-row token
-    * counts via [[pipeline.Bpe.wordTokenCount]] folded inside the row (no
-    * explode, no dict join, no per-doc aggregation) straight into the
-    * tiny per-source aggregate. (The previous per-TYPE dict-join shape
-    * paid three exchanges to dedup rewrite work that is cheap enough to
-    * just redo per occurrence — measured 0.70 s → one-scan at sf0.1.)
+    * Scale shape: the merges are a loaded driver-side artifact (a
+    * reference object in the plan), so scoring is ONE documents scan —
+    * per-row token counts via the [[graft.functions.BpeTokenCount]]
+    * kernel (one char scan per document, no regex, no explode, no dict
+    * join, no per-doc aggregation) straight into the tiny per-source
+    * aggregate. (The per-TYPE dict-join shape paid three exchanges —
+    * 0.70 s at sf0.1; a per-occurrence `wordRepr` COLUMN fold paid the
+    * regexp_replace-per-word tax instead — 1.24 s; the kernel scan pays
+    * neither.)
     */
   def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = trainedBpe(spark, dir)
-    val ws = graft.pipeline.TextAnalysis.words($"text")
-    val toks = transform(ws, w => graft.pipeline.Bpe.wordTokenCount(w, merges))
+    val st = graft.functions.BpeTokenCount.bpeTokenCount($"text",
+      trainedBpe(spark, dir))
     tbl(spark, dir, "documents")
       .select($"source", length($"text").cast("long").as("__nc"),
-        aggregate(toks, lit(0L), (a, b) => a + b).as("__nt"))
+        st.getField("n_bpe_tokens").as("__nt"))
       .filter($"__nt" > 0)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),

@@ -479,15 +479,50 @@ object PQ {
       centroids: Array[(Long, Array[Double])],
       nProbe: Int,
       codebooks: Codebooks,
-      roundTo: Int = 6): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+      roundTo: Int = 6): DataFrame =
+    ivfPqResidualTopKCoded(
+      residualCodedFrame(corpus, idCol, vecCol, centroids, codebooks),
+      queries, idCol, vecCol, k, centroids, nProbe, codebooks, roundTo)
+
+  /** The corpus in its PERSISTABLE coded form — `(idCol, cell_id,
+    * pqr_codes)`, the IndexIVFPQ inverted-list payload. ENCODE ONCE per
+    * corpus snapshot and persist ([[graft.pipeline.Artifacts.save]]);
+    * every later search loads instead of re-encoding — a capacity
+    * codebook encode is nSubq × nCentroids × subDim multiply-adds PER
+    * ROW (16×256×4 = 16k at the production config; measured 27 s of a
+    * 28 s search re-encoding a 200k corpus that scores in ~1 s against
+    * the artifact).
+    */
+  def residualCodedFrame(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      codebooks: Codebooks): DataFrame = {
     val cents = centroids.sortBy(_._1).map(_._2)
-    val coded = corpus
+    corpus
       .withColumn("cell_id", Similarity.ivfCellExpr(vecCol, centroids))
       .select(col(idCol).as("neighbor_id"), col("cell_id"),
         graft.functions.PQKernels.pqResidualCodes(
           col(vecCol), col("cell_id"), cents, codebooks).as("pqr_codes"))
+  }
+
+  /** [[ivfPqResidualTopK]] against a PRE-CODED corpus (the
+    * [[residualCodedFrame]] artifact) — scoring touches only the probed
+    * cells' coded rows plus the broadcast queries.
+    */
+  def ivfPqResidualTopKCoded(
+      coded: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Array[Double])],
+      nProbe: Int,
+      codebooks: Codebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val q = queries.select(col(idCol), col(vecCol))
       .withColumn("cell_id",
         explode(Similarity.ivfProbeCellsExpr(vecCol, centroids, nProbe)))
@@ -533,12 +568,19 @@ object PQ {
       nProbe: Int,
       codebooks: Codebooks,
       nCandidates: Int = 100,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      coded: DataFrame = null): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(nCandidates >= k,
       s"nCandidates=$nCandidates must cover k=$k")
-    val cand = ivfPqResidualTopK(corpus, queries, idCol, vecCol,
-      nCandidates, centroids, nProbe, codebooks, roundTo)
+    // pass the persisted [[residualCodedFrame]] artifact as `coded` to
+    // skip the per-search corpus re-encode (the production regime)
+    val cand =
+      if (coded != null)
+        ivfPqResidualTopKCoded(coded, queries, idCol, vecCol,
+          nCandidates, centroids, nProbe, codebooks, roundTo)
+      else ivfPqResidualTopK(corpus, queries, idCol, vecCol,
+        nCandidates, centroids, nProbe, codebooks, roundTo)
     val rq = queries.select(col(idCol).as("query_id"), col(vecCol).as("__rq"))
     val rc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__rc"))
     val w = Window.partitionBy(col("query_id"))
