@@ -373,6 +373,25 @@ object Stress {
       org.apache.commons.io.FileUtils.deleteQuietly(layoutDir)
     }
 
+    // ---- production-vocabulary BPE at volume: the driver-side pair-heap
+    // trainer over the collected vocabulary (1k merges — the synthetic
+    // 5k-type corpus may exhaust its pair space first, which is the
+    // trainer's documented early stop), then the strict-rank-order kernel
+    // encode over every document. Token count is sanity-bounded: merges
+    // only ever SHRINK a word's symbol count, so tokens ≤ total chars.
+    val tB = System.nanoTime()
+    val bpeMerges1k = graft.pipeline.Bpe.trainMergesHeap(docs, "text", nMerges = 1000)
+    val sBt = (System.nanoTime() - tB) / 1e9
+    println(f"""{"stage":"bpe_train_heap","merges":${bpeMerges1k.length},"docs":$nd,"sec":$sBt%.2f}""")
+    val tBe = System.nanoTime()
+    val bpeEnc = graft.pipeline.Bpe.encodeKernel(docs, "doc_id", "text", bpeMerges1k)
+      .agg(count(lit(1)), sum(col("n_bpe_tokens")), sum(col("n_words"))).head()
+    val sBe = (System.nanoTime() - tBe) / 1e9
+    assert(bpeEnc.getLong(0) == nd, s"bpe encode lost docs: ${bpeEnc.getLong(0)}")
+    assert(bpeEnc.getLong(1) <= 50L * 6 * nd && bpeEnc.getLong(1) >= bpeEnc.getLong(2),
+      s"bpe token count implausible: ${bpeEnc.getLong(1)} vs words ${bpeEnc.getLong(2)}")
+    println(f"""{"stage":"bpe_encode_kernel","docs":$nd,"tokens":${bpeEnc.getLong(1)},"sec":$sBe%.2f,"docs_per_sec":${(nd / sBe).toLong}}""")
+
     // ---- pre-bucketed GRAPH layout round-trip at volume: a 3M-edge graph
     // written as a src-bucketed, bucket-sorted table, read back, and
     // iterated on by the NON-GATED PageRank loop (edgeBufferLimit = 0

@@ -49,14 +49,14 @@ case class BpeTokenCount(child: Expression, model: BpeTokenCount.MergeModel)
   }
 
   override def nullSafeEval(input: Any): Any =
-    BpeTokenCount.eval(input.asInstanceOf[UTF8String], model)
+    BpeTokenCount.evalCounts(input.asInstanceOf[UTF8String], model)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", model,
       "graft.functions.BpeTokenCount$MergeModel")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.BpeTokenCount.eval($c, $ref);
+         |${ev.value} = graft.functions.BpeTokenCount.evalCounts($c, $ref);
        """.stripMargin
     })
   }
@@ -164,8 +164,13 @@ object BpeTokenCount {
   @inline private def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
-  /** Static kernel invoked from generated code. */
-  def eval(text: UTF8String,
+  /** Static kernel invoked from generated code — named away from the
+    * expression's own `eval(InternalRow)`: an instance method of the same
+    * name SUPPRESSES the Scala static forwarder, and Janino then cannot
+    * resolve the companion call (caught by the Stress volume run as a
+    * codegen compile fallback; the [[TokenStats.evalTokenStats]] naming
+    * convention exists for exactly this reason). */
+  def evalCounts(text: UTF8String,
       model: MergeModel): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val s = text.toString
     val len = s.length

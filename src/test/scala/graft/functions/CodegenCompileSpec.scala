@@ -82,4 +82,23 @@ class CodegenCompileSpec extends SparkTestBase {
         "nearest centroid (caught live: kernel named eval ran interpreted)")
     }
   }
+
+  test("reference-object kernels compile and execute under codegen") {
+    withNoFallback {
+      val docs = Seq((1L, "aa ab ba bb aa"), (2L, "xyz")).toDF("id", "text")
+      val merges = Seq(graft.pipeline.Bpe.Merge(1, "a", "a", 2L),
+        graft.pipeline.Bpe.Merge(2, "b", "b", 1L))
+      val out = docs.select(
+        TokenStats.tokenStats($"text").getField("n_tokens").as("nt"),
+        BpeTokenCount.bpeTokenCount($"text", merges)
+          .getField("n_bpe_tokens").as("bpe")
+      ).orderBy($"id").collect()
+      assert(out(0).getLong(0) == 5L && out(1).getLong(0) == 1L)
+      // "aa"->1 tok, "ab"->2, "ba"->2, "bb"->1, "aa"->1 = 7; "xyz" = 3
+      assert(out(0).getLong(1) == 7L,
+        "bpe kernel under codegen (caught live: the companion's eval had " +
+          "no static forwarder, every call silently fell back interpreted)")
+      assert(out(1).getLong(1) == 3L)
+    }
+  }
 }
