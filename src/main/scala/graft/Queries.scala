@@ -6828,6 +6828,269 @@ object Queries {
       |  SELECT 'in', dst, CAST(count(*) AS BIGINT) FROM e GROUP BY 2
       |) GROUP BY 1, 2 ORDER BY direction, degree""".stripMargin
 
+  /** Link prediction ([[graft.ops.Graph.linkPredict]]): common-neighbor
+    * counts and Adamic–Adar scores for every non-adjacent pair of the
+    * planted triangle graph sharing a neighbor. The oracle re-derives
+    * the wedge enumeration, the 1/ln(deg) sum and the existing-edge
+    * anti-join over the identical canonical edge set; round-6 absorbs
+    * the engines' different float-sum merge orders (the tokenEntropy
+    * precedent), and AA > 0 always, so no signed-zero pairing is needed.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Graph.linkPredict(plantedTriangleEdges(spark, dir), "src", "dst")
+      .orderBy($"u", $"v")
+  }
+
+  val linkPredictSql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 1) % 10) AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 2) % 10)
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1003) % (SELECT count(*) FROM documents)
+      |    FROM documents WHERE doc_id % 37 = 0
+      |  ) WHERE src <> dst
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0
+      |), adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+      |), deg AS MATERIALIZED (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1
+      |), ad AS MATERIALIZED (
+      |  SELECT adj.node, adj.nbr, deg.degree FROM adj JOIN deg USING (node)
+      |), w AS MATERIALIZED (
+      |  SELECT x.nbr AS u, y.nbr AS v, x.degree AS dc
+      |  FROM ad x JOIN ad y ON x.node = y.node AND x.nbr < y.nbr
+      |), s AS MATERIALIZED (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+      |         round(sum(1e0 / ln(dc)), 6) AS adamic_adar
+      |  FROM w GROUP BY 1, 2
+      |)
+      |SELECT s.u, s.v, s.common_neighbors, s.adamic_adar
+      |FROM s LEFT JOIN e ON e.u = s.u AND e.v = s.v
+      |WHERE e.u IS NULL ORDER BY s.u, s.v""".stripMargin
+
+  /** Deterministic random-walk corpus ([[graft.ops.Graph.randomWalks]]):
+    * 4-step hash-seeded walks from the every-101st-doc seed set over the
+    * planted link graph — the DeepWalk/node2vec sequence generator. The
+    * oracle replays every step as a chained CTE picking the same
+    * md5-argmin next hop, so the full trajectory — not just the endpoint
+    * — is value-checked. All-integer output, no rounding anywhere.
+    */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = tbl(spark, dir, "documents").select($"doc_id")
+      .filter(pmod($"doc_id", lit(101L)) === 0)
+    graft.ops.Graph.randomWalks(plantedLinkEdges(spark, dir), "src", "dst",
+        seeds, "doc_id", steps = 4)
+      .orderBy($"walk_id", $"step")
+  }
+
+  /** Shared CTE prefix replaying the 4-step hash-argmin walk: the planted
+    * link edges, the every-101st-doc seeds as s0, one chained CTE per
+    * step, and `w` = the full (walk_id, step, node) trajectory table.
+    */
+  private val walkCtesSql: String = {
+    val pre = raw"""WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), s0 AS MATERIALIZED (
+      |  SELECT doc_id AS walk_id, doc_id AS node FROM documents
+      |  WHERE doc_id % 101 = 0
+      |)""".stripMargin
+    val steps = (1 to 4).map { t =>
+      val h = hex8Sql(
+        s"CAST(s.node AS VARCHAR) || ':${t - 1}:' || CAST(e.dst AS VARCHAR)")
+      s"""s$t AS MATERIALIZED (
+         |  SELECT walk_id, node FROM (
+         |    SELECT s.walk_id, e.dst AS node,
+         |           row_number() OVER (PARTITION BY s.walk_id
+         |             ORDER BY $h, e.dst) AS rn
+         |    FROM s${t - 1} s JOIN e ON e.src = s.node
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val levels = (0 to 4)
+      .map(t => s"SELECT walk_id, $t AS step, node FROM s$t")
+      .mkString(" UNION ALL ")
+    pre + ",\n" + steps.mkString(",\n") +
+      s",\nw AS MATERIALIZED (\n  $levels\n)"
+  }
+
+  val randomWalksSql: String =
+    walkCtesSql + "\nSELECT walk_id, step, node FROM w ORDER BY walk_id, step"
+
+  /** Skip-gram pair extraction over the deterministic walk corpus
+    * (window 2, forward offsets): the (center, context) training pairs
+    * DeepWalk/node2vec feed to the embedding model, aggregated to exact
+    * counts. One self-join of the walk table on walk_id with a bounded
+    * step offset — never a graph-sized operation (the walk corpus is
+    * |seeds|·(steps+1) rows however big the graph is).
+    */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = tbl(spark, dir, "documents").select($"doc_id")
+      .filter(pmod($"doc_id", lit(101L)) === 0)
+    val w = graft.ops.Graph.randomWalks(plantedLinkEdges(spark, dir),
+      "src", "dst", seeds, "doc_id", steps = 4)
+    w.as("a").join(w.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("b.step") - col("a.step") >= 1 &&
+          col("b.step") - col("a.step") <= 2)
+      .select(col("a.node").as("center"), col("b.node").as("context"),
+        (col("b.step") - col("a.step")).as("step_offset"))
+      .groupBy($"center", $"context", $"step_offset")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"center", $"context", $"step_offset")
+  }
+
+  val walkPairsSql: String =
+    walkCtesSql +
+      """
+        |SELECT a.node AS center, b.node AS context,
+        |       b.step - a.step AS step_offset, CAST(count(*) AS BIGINT) AS n
+        |FROM w a JOIN w b ON a.walk_id = b.walk_id
+        |  AND b.step - a.step BETWEEN 1 AND 2
+        |GROUP BY 1, 2, 3 ORDER BY center, context, step_offset""".stripMargin
+
+  /** k-core decomposition ([[graft.ops.Graph.kCore]], k = 2, synchronous
+    * peel to fixpoint) over the planted core fixture: the component
+    * fixture's block rings (every ring node keeps degree ≥ 2 forever)
+    * plus a 2-node hair chain hung off every block's position-3 node —
+    * hair tips peel in round 1, their parents in round 2, and the
+    * attachment ring nodes drop back to degree 2 and SURVIVE, so the
+    * oracle checks a genuine multi-round cascade, not one filter pass.
+    * Hair node ids live above the doc-id range (i+n, i+2n) — graph nodes
+    * are just longs. The oracle replays 10 synchronous peel rounds as
+    * materialized CTEs (peel depth here is ≤ ~6 at any corpus size —
+    * hair depth 2 plus a partial-block path cascade bounded by the block
+    * size of 10; extra rounds are no-op fixpoints). All-integer output.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("__n"))
+    val d = docs.crossJoin(broadcast(nRow))
+    val ring = d.select($"doc_id".as("src"),
+      ($"doc_id" - pmod($"doc_id", lit(10L)) +
+        pmod(pmod($"doc_id", lit(10L)) + 1, lit(10L))).as("dst"))
+    val hairs = d.filter(pmod($"doc_id", lit(10L)) === 3)
+    val edges = ring
+      .unionByName(hairs.select($"doc_id".as("src"), ($"doc_id" + $"__n").as("dst")))
+      .unionByName(hairs.select(($"doc_id" + $"__n").as("src"),
+        ($"doc_id" + $"__n" * 2).as("dst")))
+    graft.ops.Graph.kCore(edges, "src", "dst", k = 2)
+      .orderBy($"node")
+  }
+
+  val kCoreSql: String = {
+    val pre = """WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |           doc_id - (doc_id % 10) + ((doc_id % 10 + 1) % 10) AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, doc_id + (SELECT n FROM nn)
+      |    FROM documents WHERE doc_id % 10 = 3
+      |    UNION ALL
+      |    SELECT doc_id + (SELECT n FROM nn), doc_id + 2 * (SELECT n FROM nn)
+      |    FROM documents WHERE doc_id % 10 = 3
+      |  ) WHERE src <> dst
+      |), und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0
+      |), a0 AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und
+      |)""".stripMargin
+    val rounds = (1 to 10).map { r =>
+      s"""alive$r AS MATERIALIZED (
+         |  SELECT node FROM a${r - 1} GROUP BY 1 HAVING count(*) >= 2
+         |), a$r AS MATERIALIZED (
+         |  SELECT node, nbr FROM a${r - 1}
+         |  WHERE node IN (SELECT node FROM alive$r)
+         |    AND nbr IN (SELECT node FROM alive$r)
+         |)""".stripMargin
+    }
+    pre + ",\n" + rounds.mkString(",\n") +
+      "\nSELECT node, CAST(count(*) AS BIGINT) AS degree FROM a10" +
+      "\nGROUP BY 1 ORDER BY node"
+  }
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of the
+    * first 20 embedding ids, the 5 most cosine-similar vectors carrying a
+    * DIFFERENT label — the maximally-confusable contrastive negatives.
+    * Same exact-arm oracle as q_ann_topk plus the label-differs filter.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, dir, "embeddings")
+    Similarity.hardNegatives(e.filter($"vec_id" < 20), e,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |           FROM embeddings WHERE vec_id < 20),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+      |           FROM embeddings),
+      |     scored AS (
+      |       SELECT query_id, neighbor_id,
+      |              round(list_cosine_similarity(qv, cv), 6) AS cosine
+      |       FROM q, c WHERE query_id <> neighbor_id AND ql <> cl),
+      |     ranked AS (
+      |       SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Mutual k-NN graph ([[graft.pipeline.Similarity.mutualKnnGraph]] over
+    * the exact [[Similarity.bruteForceTopK]] arm, k = 8) on the every-7th
+    * embedding sample: the standard sparsified similarity graph built
+    * before density clustering. The oracle re-ranks the identical cosine
+    * top-k in DuckDB and self-joins for mutuality.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sample = tbl(spark, dir, "embeddings")
+      .filter(pmod($"vec_id", lit(7L)) === 0)
+    Similarity.mutualKnnGraph(
+        Similarity.bruteForceTopK(sample, sample, "vec_id", "embedding", k = 8))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val knnGraphSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id % 7 = 0
+      |), scored AS (
+      |  SELECT a.vec_id AS q, b.vec_id AS nb,
+      |         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |  FROM e a, e b WHERE a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q
+      |    ORDER BY cosine DESC, nb) AS rk FROM scored
+      |), topk AS MATERIALIZED (
+      |  SELECT q, nb, cosine FROM ranked WHERE rk <= 8
+      |)
+      |SELECT f.q AS id_a, f.nb AS id_b, f.cosine
+      |FROM topk f JOIN topk r ON r.q = f.nb AND r.nb = f.q
+      |WHERE f.q < f.nb ORDER BY id_a, id_b""".stripMargin
+
   /** Bounded-horizon BFS ([[graft.ops.Graph.hopDistance]], 6 hops
     * forward) from the every-101st-doc seed set over the planted link
     * graph — the k-hop neighborhood extraction primitive (GNN

@@ -538,4 +538,167 @@ object Graph {
     }
     labels
   }
+
+  /** Link prediction over the UNDIRECTED simple view of an edge list:
+    * for every non-adjacent pair (u, v) that shares at least one
+    * neighbor, the common-neighbor count and the Adamic–Adar score
+    *
+    *   AA(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    *
+    * — the classic "who should be linked" primitive (citation-graph
+    * augmentation, related-document suggestion, crawl frontier
+    * prioritization). Every wedge center w in the sum has deg(w) ≥ 2 by
+    * construction (it is adjacent to both u and v), so ln(deg(w)) > 0.
+    *
+    * Scale shape: ONE wedge self-join of the degree-annotated adjacency
+    * list partitioned on the CENTER node — wedge fan-out is
+    * Σ_w deg(w)², so a single million-neighbor hub would dominate the
+    * whole job; `maxCenterDegree` drops super-hub centers BEFORE the
+    * self-join (the standard practice for AA on web graphs: a hub this
+    * common carries ~zero Adamic–Adar weight anyway, 1/ln(10⁶) ≈ 0.07,
+    * while costing O(deg²)). The candidate→existing-edge anti-join runs
+    * on the canonical (u < v) pair key. No window, no driver state.
+    */
+  def linkPredict(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxCenterDegree: Long = 1L << 16): DataFrame = {
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = Dedup.materializeOnce(
+      directed.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // degree-annotated adjacency, hub centers capped before the self-join
+    val adjD = Dedup.materializeOnce(
+      adj.join(deg, "node")
+        .filter(col("degree") <= maxCenterDegree)
+        .select(col("node"), col("nbr"), col("degree")))
+    val wedges = adjD.as("x")
+      .join(adjD.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("u"), col("y.nbr").as("v"),
+        col("x.degree").as("__dc"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("__dc").cast("double"))).as("__aa"))
+    scored.join(und, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common_neighbors"),
+        round(col("__aa"), 6).as("adamic_adar"))
+  }
+
+  /** k-core decomposition (synchronous peel): repeatedly remove EVERY
+    * node whose degree in the surviving subgraph is below `k`, until
+    * stable; emit the surviving nodes with their in-core degree. The
+    * standard graph-curation pass — link farms, orphan chains and
+    * weakly-attached spam peel away while the densely-connected core
+    * survives (Seidman 1983; the "k-core" bot-filter of web-graph
+    * pipelines).
+    *
+    * Scale shape: one degree aggregate + a dead-node exclusion per
+    * round over an adjacency list kept hash-partitioned on `node`
+    * across rounds (`materializeOnceKeyed`), so the per-round join
+    * needs no new exchange of the big side; the dead set shrinks
+    * monotonically and is usually tiny after round 1 — it is joined
+    * with an explicit broadcast when small (`broadcastDeadLimit`,
+    * known exactly from the round's own count action). Round count =
+    * peel depth of the graph, data-dependent: `maxRounds` fails
+    * loudly rather than looping silently.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 64,
+      broadcastDeadLimit: Long = 4L << 20): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = directed.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    var adj = Dedup.materializeOnceKeyed(
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .union(und.select(col("v").as("node"), col("u").as("nbr"))),
+      Seq("node"), P)
+    var round = 0
+    var peeled = 1L
+    while (peeled > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"kCore: peel did not stabilize after $maxRounds rounds " +
+          "(pathological peel depth; raise maxRounds)")
+      val dead = Dedup.materializeOnceLoop(
+        adj.groupBy(col("node")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") < k)
+          .select(col("node").as("__dead")))
+      peeled = dead.count()
+      if (peeled > 0) {
+        val d  = if (peeled <= broadcastDeadLimit) broadcast(dead) else dead
+        val d2 = d.select(col("__dead").as("__dead2"))
+        adj = Dedup.materializeOnceKeyed(
+          adj.join(d, adj("node") === d("__dead"), "left_anti")
+            .join(d2, adj("nbr") === d2("__dead2"), "left_anti"),
+          Seq("node"), P)
+      }
+    }
+    adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Deterministic "random" walks from a seed set — the node2vec /
+    * DeepWalk corpus generator, made reproducible: at step t the walk at
+    * node u moves to the out-neighbor d minimizing the engine-neutral
+    * hash of `"u:t:d"` ([[graft.pipeline.Sampling.hashScore]]'s md5
+    * integer; ties by d). Hash-seeded rather than RNG-seeded so replays,
+    * incremental re-runs, and the relational oracle all reproduce the
+    * identical corpus — the same determinism contract as every sampler
+    * in this library. A walk whose node has no out-neighbor halts (its
+    * remaining steps emit nothing).
+    *
+    * Scale shape: `steps` chained (join on src + map-side-combined
+    * min(struct) argmin) stages over an edge table materialized ONCE,
+    * PRE-PARTITIONED on `src`; per step the only moving relation is the
+    * walk frontier (|seeds| rows, two columns). The argmin partial-
+    * aggregates inside the scan, so a hub node's million candidate
+    * out-edges collapse map-side — no skewed reduce key. Walks are
+    * mutually independent: 10⁹ seeds parallelize embarrassingly.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, s"randomWalks: steps must be >= 1, got $steps")
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ed = Dedup.materializeOnceKeyed(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct(), Seq("src"), P)
+    var cur = seeds.select(col(seedCol).cast("long").as("walk_id"),
+      col(seedCol).cast("long").as("node"))
+    var out = cur.select(col("walk_id"), lit(0).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val h = conv(substring(md5(concat_ws(":",
+          col("node"), lit(t - 1), col("dst"))), 1, 8), 16, 10).cast("long")
+      cur = cur.join(ed, cur("node") === ed("src"))
+        .select(col("walk_id"), col("dst"), h.as("__h"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("__h"), col("dst"))).as("__pick"))
+        .select(col("walk_id"), col("__pick.dst").as("node"))
+      out = out.unionByName(
+        cur.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    out
+  }
 }

@@ -663,4 +663,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Mutual k-NN graph: the undirected edge (a, b) exists iff b is in a's
+    * cosine top-k AND a is in b's — the standard sparsification before
+    * density-based clustering (mutual edges drop the hub/antihub
+    * asymmetry that plain k-NN graphs suffer in high dimension). Emits
+    * canonical (id_a < id_b) pairs with the rounded cosine.
+    *
+    * The top-k arm is pluggable: pass [[bruteForceTopK]] output for an
+    * exact graph (as the oracle-checked query does, on a bounded sample)
+    * or [[ivfTopK]]'s for the approximate scale path — mutuality is the
+    * same self-join either way, on the (query, neighbor) pair key.
+    */
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most cosine-similar corpus rows whose `labelCol` DIFFERS from
+    * the query's — maximally confusable negatives, the pairs that
+    * actually move an embedding model (easy random negatives carry ~zero
+    * gradient). Same exact/brute arm shape as [[bruteForceTopK]]: the
+    * bounded query set broadcasts, the corpus streams through one scan,
+    * the per-query top-k ranks inside the query-partitioned window. For
+    * web-scale corpora swap the candidate arm for [[ivfTopK]] and filter
+    * labels post-hoc (over-fetch k' > k), exactly like the mutual-kNN
+    * composition.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("__ql") <=> col("__cl")))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  def mutualKnnGraph(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("a"), col("neighbor_id").as("b"),
+      col("cosine"))
+    val rev = topk.select(col("query_id").as("b"), col("neighbor_id").as("a"))
+    fwd.join(rev, Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cosine"))
+  }
 }

@@ -392,4 +392,161 @@ class GraphSpec extends SparkTestBase {
       .filter(e => e._1 != e._2)
     assert(hopsOf(edges, Seq(0L, 7L), 4) === hopsOf(edges, Seq(0L, 7L), 4, bcastLimit = 0L))
   }
+
+  // ------------------------------------------------------------ linkPredict
+
+  private def predictOf(edges: Seq[(Long, Long)],
+      maxCenterDegree: Long = 1L << 16): Map[(Long, Long), (Long, Double)] =
+    Dedup.withMaterialized {
+      Graph.linkPredict(edges.toDF("src", "dst"), "src", "dst", maxCenterDegree)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    }
+
+  test("linkPredict: square — opposite corners share both neighbors") {
+    // 0-1-2-3-0: (0,2) and (1,3) each share two degree-2 neighbors
+    val got = predictOf(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    val aa2 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((0L, 2L) -> (2L, aa2), (1L, 3L) -> (2L, aa2)))
+  }
+
+  test("linkPredict: adjacent pairs are excluded; pendant pairs scored") {
+    // triangle 0-1-2 plus pendant 3-0: (1,2) is an EDGE (no prediction);
+    // (1,3) and (2,3) share the degree-3 hub 0
+    val got = predictOf(Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)))
+    val aa = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 3L) -> (1L, aa), (2L, 3L) -> (1L, aa)))
+  }
+
+  test("linkPredict: hub cap drops super-hub wedge centers") {
+    val star = (1L to 5L).map(s => (0L, s))
+    // all predictions go through the degree-5 hub...
+    assert(predictOf(star).size === 10)
+    // ...so capping centers at degree 3 leaves nothing
+    assert(predictOf(star, maxCenterDegree = 3L) === Map.empty)
+  }
+
+  test("linkPredict: direction, duplicates and self-loops are normalized away") {
+    val got = predictOf(Seq((2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (3L, 2L)))
+    // undirected simple path 1-2-3: one prediction (1,3) through 2
+    val aa = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 3L) -> (1L, aa)))
+  }
+
+  // ------------------------------------------------------------------ kCore
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 64): Map[Long, Long] =
+    Dedup.withMaterialized {
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, maxRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+  test("kCore: pendant chain unravels round by round; the ring survives") {
+    // ring 0-1-2-3-0 with a chain 3-10-11-12 hanging off node 3:
+    // k=2 peels 12, then 11, then 10; ring nodes keep degree 2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (3L, 10L), (10L, 11L), (11L, 12L))
+    assert(coreOf(edges, k = 2) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1: nothing peels; degrees are the raw undirected degrees
+    assert(coreOf(edges, k = 1) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L,
+      3L -> 3L, 10L -> 2L, 11L -> 2L, 12L -> 1L))
+    // k=3: the whole graph dissolves
+    assert(coreOf(edges, k = 3) === Map.empty)
+  }
+
+  test("kCore: synchronous peel — a 2-core inside a shell of triangles") {
+    // K4 core {0,1,2,3}; each shell node connects to exactly two core
+    // nodes, forming triangles — shell survives k=2 but peels at k=3
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val shell = Seq((10L, 0L), (10L, 1L), (11L, 2L), (11L, 3L))
+    assert(coreOf(k4 ++ shell, k = 3).keySet === Set(0L, 1L, 2L, 3L))
+    assert(coreOf(k4 ++ shell, k = 2).keySet ===
+      Set(0L, 1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("kCore: duplicate/reversed edges and self-loops don't inflate degrees") {
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L), (1L, 2L))
+    // undirected simple path 0-1-2: k=2 dissolves it entirely
+    assert(coreOf(edges, k = 2) === Map.empty)
+    assert(coreOf(edges, k = 1) === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("kCore: maxRounds fails loudly on a deep peel") {
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val e = intercept[Exception] { coreOf(chain, k = 2, maxRounds = 2) }
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
+  // ------------------------------------------------------------ randomWalks
+
+  private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      steps: Int): Map[(Long, Int), Long] =
+    Dedup.withMaterialized {
+      Graph.randomWalks(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("doc_id"), "doc_id", steps)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+
+  /** The engine-neutral hash ([[graft.pipeline.Sampling.hashScore]]'s
+    * integer): first 8 hex chars of md5("u:t:d") as a long.
+    */
+  private def stepHash(u: Long, t: Int, d: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$u:$t:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  /** Driver-side replica of the walk rule. */
+  private def refWalk(edges: Seq[(Long, Long)], seed: Long,
+      steps: Int): Map[(Long, Int), Long] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    var node = seed
+    var out  = Map((seed, 0) -> seed)
+    var t    = 1
+    var live = true
+    while (live && t <= steps) {
+      adj.get(node) match {
+        case Some(ns) =>
+          node = ns.minBy(d => (stepHash(node, t - 1, d), d))
+          out += ((seed, t) -> node)
+          t += 1
+        case None => live = false
+      }
+    }
+    out
+  }
+
+  test("randomWalks: matches the driver-side md5-argmin replica") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(160)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val seeds = Seq(0L, 5L, 11L, 23L)
+    val expect = seeds.map(refWalk(edges, _, 5)).reduce(_ ++ _)
+    assert(walksOf(edges, seeds, 5) === expect)
+  }
+
+  test("randomWalks: a walk halts at a node with no out-neighbors") {
+    val got = walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4)
+    // 0 → 1 → 2, then 2 has no out-edge; the seed-2 walk emits only step 0
+    assert(got === Map((0L, 0) -> 0L, (0L, 1) -> 1L, (0L, 2) -> 2L,
+      (2L, 0) -> 2L))
+  }
+
+  test("randomWalks: deterministic across runs and independent per seed") {
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, (i + 1) % 20), (i, (i * 7 + 3) % 20)))
+    val twice = walksOf(edges, Seq(3L, 9L), 4)
+    assert(twice === walksOf(edges, Seq(3L, 9L), 4))
+    // adding a seed never changes another walk's trajectory
+    val more = walksOf(edges, Seq(3L, 9L, 14L), 4)
+    assert(twice.forall { case (k, v) => more(k) == v })
+  }
 }
