@@ -551,19 +551,26 @@ object Graph {
     * construction (it is adjacent to both u and v), so ln(deg(w)) > 0.
     *
     * Scale shape: ONE wedge self-join of the degree-annotated adjacency
-    * list partitioned on the CENTER node — wedge fan-out is
+    * list, both sides reading the SAME table materialized hash-partitioned
+    * on the CENTER node — no exchange at the join itself. Wedge fan-out is
     * Σ_w deg(w)², so a single million-neighbor hub would dominate the
     * whole job; `maxCenterDegree` drops super-hub centers BEFORE the
     * self-join (the standard practice for AA on web graphs: a hub this
     * common carries ~zero Adamic–Adar weight anyway, 1/ln(10⁶) ≈ 0.07,
     * while costing O(deg²)). The candidate→existing-edge anti-join runs
     * on the canonical (u < v) pair key. No window, no driver state.
+    * (An in-row pair-expansion variant — collect_set + nested array
+    * transforms, no self-join — measured 4× SLOWER at 3M wedges: the
+    * per-center pair-array construction is allocation-bound and outside
+    * codegen, while the codegen'd self-join streams. Measure, don't
+    * assume fewer exchanges wins.)
     */
   def linkPredict(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxCenterDegree: Long = 1L << 16): DataFrame = {
+      maxCenterDegree: Long = 1L << 16,
+      broadcastEdgeLimit: Long = 4L << 20): DataFrame = {
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -574,11 +581,18 @@ object Graph {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    // degree-annotated adjacency, hub centers capped before the self-join
-    val adjD = Dedup.materializeOnce(
+    // degree-annotated adjacency, hub centers capped before the self-join,
+    // laid out by the CENTER node so the wedge self-join below reads both
+    // sides from the same stamped partitioning — no exchange at the join.
+    // (Stamping the join's own output partitioning instead of paying the
+    // keyed repartition is NOT safe: AQE re-plans the join's partition
+    // count, so the claim can be false — measured as a hard stamp failure.)
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val adjD = Dedup.materializeOnceKeyed(
       adj.join(deg, "node")
         .filter(col("degree") <= maxCenterDegree)
-        .select(col("node"), col("nbr"), col("degree")))
+        .select(col("node"), col("nbr"), col("degree")),
+      Seq("node"), P)
     val wedges = adjD.as("x")
       .join(adjD.as("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
@@ -587,7 +601,11 @@ object Graph {
     val scored = wedges.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(lit(1.0) / log(col("__dc").cast("double"))).as("__aa"))
-    scored.join(und, Seq("u", "v"), "left_anti")
+    // the existing-edge table is usually far smaller than the candidate
+    // set — broadcast the anti-join side below the gate so the scored
+    // aggregate's output streams through unexchanged
+    val undA = if (und.count() <= broadcastEdgeLimit) broadcast(und) else und
+    scored.join(undA, Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"), col("common_neighbors"),
         round(col("__aa"), 6).as("adamic_adar"))
   }
@@ -600,15 +618,17 @@ object Graph {
     * survives (Seidman 1983; the "k-core" bot-filter of web-graph
     * pipelines).
     *
-    * Scale shape: one degree aggregate + a dead-node exclusion per
-    * round over an adjacency list kept hash-partitioned on `node`
-    * across rounds (`materializeOnceKeyed`), so the per-round join
-    * needs no new exchange of the big side; the dead set shrinks
-    * monotonically and is usually tiny after round 1 — it is joined
-    * with an explicit broadcast when small (`broadcastDeadLimit`,
-    * known exactly from the round's own count action). Round count =
-    * peel depth of the graph, data-dependent: `maxRounds` fails
-    * loudly rather than looping silently.
+    * Scale shape: the adjacency list materializes ONCE, hash-partitioned
+    * on `node`, and never moves again — each round recomputes degrees
+    * from it behind two broadcast anti-joins against the CUMULATIVE dead
+    * set (peeled nodes only ever accumulate, so excluding them from the
+    * base table is exactly the surviving subgraph). Broadcast anti-joins
+    * preserve the stamped partitioning, so the per-round degree aggregate
+    * is exchange-free: the only data that moves per round is the dead set
+    * itself (usually tiny after round 1; `broadcastDeadLimit` gates the
+    * hint, and past it the joins degrade to shuffles without changing
+    * semantics). Round count = peel depth of the graph, data-dependent:
+    * `maxRounds` fails loudly rather than looping silently.
     */
   def kCore(
       edges: DataFrame,
@@ -625,10 +645,20 @@ object Graph {
     val und = directed.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    var adj = Dedup.materializeOnceKeyed(
+    val adj0 = Dedup.materializeOnceKeyed(
       und.select(col("u").as("node"), col("v").as("nbr"))
         .union(und.select(col("v").as("node"), col("u").as("nbr"))),
       Seq("node"), P)
+    var deadAll: Option[DataFrame] = None
+    var deadCount = 0L
+    def surviving: DataFrame = deadAll match {
+      case None => adj0
+      case Some(d) =>
+        val hinted = if (deadCount <= broadcastDeadLimit) broadcast(d) else d
+        val d2 = hinted.select(col("__dead").as("__dead2"))
+        adj0.join(hinted, adj0("node") === hinted("__dead"), "left_anti")
+          .join(d2, adj0("nbr") === d2("__dead2"), "left_anti")
+    }
     var round = 0
     var peeled = 1L
     while (peeled > 0) {
@@ -636,21 +666,19 @@ object Graph {
       require(round <= maxRounds,
         s"kCore: peel did not stabilize after $maxRounds rounds " +
           "(pathological peel depth; raise maxRounds)")
-      val dead = Dedup.materializeOnceLoop(
-        adj.groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      val cur = surviving
+      val deadNew = Dedup.materializeOnceLoop(
+        cur.groupBy(col("node")).agg(count(lit(1)).as("__d"))
           .filter(col("__d") < k)
           .select(col("node").as("__dead")))
-      peeled = dead.count()
+      peeled = deadNew.count()
       if (peeled > 0) {
-        val d  = if (peeled <= broadcastDeadLimit) broadcast(dead) else dead
-        val d2 = d.select(col("__dead").as("__dead2"))
-        adj = Dedup.materializeOnceKeyed(
-          adj.join(d, adj("node") === d("__dead"), "left_anti")
-            .join(d2, adj("nbr") === d2("__dead2"), "left_anti"),
-          Seq("node"), P)
+        deadCount += peeled
+        deadAll = Some(Dedup.materializeOnceLoop(
+          deadAll.map(_.unionByName(deadNew)).getOrElse(deadNew)))
       }
     }
-    adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    surviving.groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
   /** Deterministic "random" walks from a seed set — the node2vec /
@@ -663,13 +691,24 @@ object Graph {
     * in this library. A walk whose node has no out-neighbor halts (its
     * remaining steps emit nothing).
     *
-    * Scale shape: `steps` chained (join on src + map-side-combined
-    * min(struct) argmin) stages over an edge table materialized ONCE,
-    * PRE-PARTITIONED on `src`; per step the only moving relation is the
-    * walk frontier (|seeds| rows, two columns). The argmin partial-
-    * aggregates inside the scan, so a hub node's million candidate
-    * out-edges collapse map-side — no skewed reduce key. Walks are
-    * mutually independent: 10⁹ seeds parallelize embarrassingly.
+    * Scale shape: the same size-gated one-pass path as [[pageRank]] /
+    * [[hopDistance]] — below the edge budget, EVERY walk's whole
+    * trajectory runs inside ONE [[graft.functions.WalkAgg]] aggregation
+    * (hash work is frontier-proportional: |seeds|·steps·out-degree
+    * digests, never |edges|·steps) instead of `steps` driver-synchronized
+    * join rounds. Beyond the gate: duplicate edges cannot change an
+    * argmin, so the edge table skips the distinct — and its corpus-wide
+    * exchange — and materializes once with a narrow self-loop filter;
+    * each step is then one hash join of the edge table against the
+    * broadcast frontier (the frontier never grows — it only shrinks as
+    * walks die; past `broadcastFrontierLimit` the join degrades to a
+    * frontier shuffle, never an edge shuffle) plus a map-side-combined
+    * min(struct) argmin, so a hub's million candidate out-edges collapse
+    * inside the scan. Every step's frontier materializes: later steps and
+    * downstream consumers (skip-gram extraction self-joins the trajectory
+    * table) read each step once instead of replaying the chain per
+    * reference. Walks are mutually independent: 10⁹ seeds parallelize
+    * embarrassingly.
     */
   def randomWalks(
       edges: DataFrame,
@@ -677,25 +716,41 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      steps: Int): DataFrame = {
+      steps: Int,
+      broadcastFrontierLimit: Long = 4L << 20,
+      edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(steps >= 1, s"randomWalks: steps must be >= 1, got $steps")
-    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val ed = Dedup.materializeOnceKeyed(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct(), Seq("src"), P)
-    var cur = seeds.select(col(seedCol).cast("long").as("walk_id"),
-      col(seedCol).cast("long").as("node"))
+    val ed0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    if (edgeBufferLimit > 0 &&
+        { val c = ed0.count(); c > 0 && c <= edgeBufferLimit } &&
+        seeds.count() <= edgeBufferLimit) {
+      val seedArr = seeds.select(col(seedCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      return ed0
+        .agg(graft.functions.WalkAgg.walkAgg(
+          col("src"), col("dst"), seedArr, steps).as("__w"))
+        .select(explode(col("__w")).as("__p"))
+        .select(col("__p.walk_id").as("walk_id"), col("__p.step").as("step"),
+          col("__p.node").as("node"))
+    }
+    val ed = Dedup.materializeOnce(ed0)
+    var cur = Dedup.materializeOnceLoop(
+      seeds.select(col(seedCol).cast("long").as("walk_id"),
+        col(seedCol).cast("long").as("node")))
+    val hint = cur.count() <= broadcastFrontierLimit
     var out = cur.select(col("walk_id"), lit(0).as("step"), col("node"))
     for (t <- 1 to steps) {
       val h = conv(substring(md5(concat_ws(":",
           col("node"), lit(t - 1), col("dst"))), 1, 8), 16, 10).cast("long")
-      cur = cur.join(ed, cur("node") === ed("src"))
-        .select(col("walk_id"), col("dst"), h.as("__h"))
-        .groupBy(col("walk_id"))
-        .agg(min(struct(col("__h"), col("dst"))).as("__pick"))
-        .select(col("walk_id"), col("__pick.dst").as("node"))
+      val c = if (hint) broadcast(cur) else cur
+      cur = Dedup.materializeOnceLoop(
+        ed.join(c, c("node") === ed("src"))
+          .select(col("walk_id"), col("dst"), h.as("__h"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("__h"), col("dst"))).as("__pick"))
+          .select(col("walk_id"), col("__pick.dst").as("node")))
       out = out.unionByName(
         cur.select(col("walk_id"), lit(t).as("step"), col("node")))
     }

@@ -486,10 +486,10 @@ class GraphSpec extends SparkTestBase {
   // ------------------------------------------------------------ randomWalks
 
   private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
-      steps: Int): Map[(Long, Int), Long] =
+      steps: Int, bufLimit: Long = 8L << 20): Map[(Long, Int), Long] =
     Dedup.withMaterialized {
       Graph.randomWalks(edges.toDF("src", "dst"), "src", "dst",
-          seeds.toDF("doc_id"), "doc_id", steps)
+          seeds.toDF("doc_id"), "doc_id", steps, edgeBufferLimit = bufLimit)
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     }
@@ -525,19 +525,23 @@ class GraphSpec extends SparkTestBase {
     out
   }
 
-  test("randomWalks: matches the driver-side md5-argmin replica") {
+  test("randomWalks: matches the driver-side md5-argmin replica, both paths") {
     val rnd = new scala.util.Random(7L)
     val edges = Seq.fill(160)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
     val seeds = Seq(0L, 5L, 11L, 23L)
     val expect = seeds.map(refWalk(edges, _, 5)).reduce(_ ++ _)
+    // the one-pass WalkAgg path AND the iterative frontier loop
     assert(walksOf(edges, seeds, 5) === expect)
+    assert(walksOf(edges, seeds, 5, bufLimit = 0L) === expect)
   }
 
   test("randomWalks: a walk halts at a node with no out-neighbors") {
-    val got = walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4)
+    val expect = Map((0L, 0) -> 0L, (0L, 1) -> 1L, (0L, 2) -> 2L,
+      (2L, 0) -> 2L)
     // 0 → 1 → 2, then 2 has no out-edge; the seed-2 walk emits only step 0
-    assert(got === Map((0L, 0) -> 0L, (0L, 1) -> 1L, (0L, 2) -> 2L,
-      (2L, 0) -> 2L))
+    assert(walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4) === expect)
+    assert(walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4,
+      bufLimit = 0L) === expect)
   }
 
   test("randomWalks: deterministic across runs and independent per seed") {
