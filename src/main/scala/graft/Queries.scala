@@ -6944,8 +6944,11 @@ object Queries {
     import spark.implicits._
     val seeds = tbl(spark, dir, "documents").select($"doc_id")
       .filter(pmod($"doc_id", lit(101L)) === 0)
-    val w = graft.ops.Graph.randomWalks(plantedLinkEdges(spark, dir),
-      "src", "dst", seeds, "doc_id", steps = 4)
+    // materialize the walk corpus once — a self-join of the raw plan
+    // would execute the whole walk aggregation twice
+    val w = graft.pipeline.Dedup.materializeOnce(
+      graft.ops.Graph.randomWalks(plantedLinkEdges(spark, dir),
+        "src", "dst", seeds, "doc_id", steps = 4))
     w.as("a").join(w.as("b"),
         col("a.walk_id") === col("b.walk_id") &&
           col("b.step") - col("a.step") >= 1 &&

@@ -428,6 +428,75 @@ object Stress {
       spark.sql("DROP TABLE IF EXISTS stress_graph_edges")
     }
 
+    // ---- graph-ML family at volume: walks / k-core / link prediction
+    // over the same 1M-node, 3M-edge graph shapes.
+    // Walks: every node has an out-edge, so every walk must run the full
+    // horizon — a closed-form row count — and the hash-seeded rule must
+    // reproduce bit-identically across two independent runs.
+    {
+      val wSeeds = spark.range(0, gN, 1009).select(col("id").as("doc_id"))
+      def walkRun() = graft.pipeline.Dedup.withMaterialized {
+        graft.ops.Graph.randomWalks(gEdges, "src", "dst", wSeeds, "doc_id",
+            steps = 8)
+          .agg(count(lit(1)), sum(expr("walk_id * 31 + step * 7 + node")))
+          .head()
+      }
+      val tW = System.nanoTime()
+      val w1 = walkRun()
+      val sW = (System.nanoTime() - tW) / 1e9
+      val nWalks = (gN + 1008) / 1009
+      assert(w1.getLong(0) == 9 * nWalks,
+        s"walks emitted ${w1.getLong(0)} rows, expected ${9 * nWalks}")
+      val w2 = walkRun()
+      assert(w1.getLong(0) == w2.getLong(0) && w1.getLong(1) == w2.getLong(1),
+        "walk corpus not reproducible across runs")
+      println(f"""{"stage":"graph_walks","walks":$nWalks,"steps":8,"edges":${3 * gN},"sec":$sW%.2f}""")
+    }
+    // k-core: a gN-node ring (everyone degree 2) with a 2-node hair chain
+    // off every 100th node — the peel must remove EXACTLY the hairs, in a
+    // genuine 2-round cascade, leaving every ring node at degree 2.
+    {
+      val ring = spark.range(gN).select(
+        col("id").as("src"), pmod(col("id") + 1, lit(gN)).as("dst"))
+      val hairAnchors = spark.range(gN).filter(pmod(col("id"), lit(100)) === 3)
+      val kcEdges = ring
+        .union(hairAnchors.select(col("id").as("src"), (col("id") + gN).as("dst")))
+        .union(hairAnchors.select(
+          (col("id") + gN).as("src"), (col("id") + 2 * gN).as("dst")))
+      val tK = System.nanoTime()
+      val core = graft.pipeline.Dedup.withMaterialized {
+        graft.ops.Graph.kCore(kcEdges, "src", "dst", k = 2)
+          .agg(count(lit(1)), min(col("degree")), max(col("degree")),
+            max(col("node")))
+          .head()
+      }
+      val sK = (System.nanoTime() - tK) / 1e9
+      assert(core.getLong(0) == gN, s"k-core kept ${core.getLong(0)} of $gN")
+      assert(core.getLong(1) == 2 && core.getLong(2) == 2,
+        s"surviving degrees [${core.getLong(1)}, ${core.getLong(2)}] != 2")
+      assert(core.getLong(3) == gN - 1, "a hair node survived the peel")
+      println(f"""{"stage":"kcore_peel","nodes":$gN,"hairs":${2 * (gN / 100)},"sec":$sK%.2f}""")
+    }
+    // link prediction: the hub cap must hold the wedge fan-out — the
+    // gEdges graph has ~1k-degree hubs (dst = id % 997) whose uncapped
+    // wedges would number ~500M; capped at 64 the pass stays linear.
+    // Invariant: no predicted pair may be an existing edge.
+    {
+      val tL = System.nanoTime()
+      val lp = graft.pipeline.Dedup.withMaterialized {
+        val preds = graft.ops.Graph.linkPredict(gEdges, "src", "dst",
+          maxCenterDegree = 64)
+        val sym = gEdges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        val overlap = preds.join(sym, Seq("u", "v"), "left_semi").count()
+        (preds.count(), overlap)
+      }
+      val sL = (System.nanoTime() - tL) / 1e9
+      assert(lp._1 > 0, "link prediction emitted nothing")
+      assert(lp._2 == 0, s"${lp._2} predicted pairs are existing edges")
+      println(f"""{"stage":"link_predict_capped","pairs":${lp._1},"sec":$sL%.2f}""")
+    }
+
     // ---- weighted sample + proportional mix at volume. The sample is
     // TakeOrdered(k): k rows reach the driver heap regardless of nd. The
     // mix is one keyed window + integer stride arithmetic; its 600-row

@@ -624,7 +624,20 @@ class PlanSpec extends SparkTestBase {
       // (plan-time literals) — ONE docs scan, per-row token counts folded
       // inside the row; the exchanges are the per-source aggregate and
       // the output sort
-      ("q_bpe_compression",   1, 2))
+      ("q_bpe_compression",   1, 2),
+      // r12 graph-ML family: kcore/link_predict answer off materialized
+      // loop tables (zero file scans in the returned plan); the walk
+      // queries' scans are the planted-edge derivation feeding the
+      // one-pass WalkAgg (q_walk_pairs materializes the walk corpus
+      // first, so its self-join plan is checkpoint-fed); hard negatives
+      // is the broadcast-arm scan pair + one window; knn_graph is the
+      // bounded sample arm twice (top-k + mutuality self-join)
+      ("q_kcore",             0, 3),
+      ("q_link_predict",      0, 3),
+      ("q_random_walks",      6, 7),
+      ("q_walk_pairs",        0, 3),
+      ("q_hard_negatives",    2, 3),
+      ("q_knn_graph",         4, 7))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
