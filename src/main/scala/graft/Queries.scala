@@ -4,7 +4,7 @@ import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, SourceIdCol, TimestampCol}
 import graft.ops.{Anomalies, Bars, Resampler}
 import graft.ops.Resampler.ResampleOptions
-import graft.pipeline.{Artifacts, Bm25, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Profiler, QualityModel, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Artifacts, Bm25, Chunking, Dedup, Dsir, EmbedStats, LanguageModel, Multimodal, Privacy, Profiler, QualityModel, RankSelect, Sampling, SemDedup, Similarity, Sketches, TextAnalysis}
 import graft.functions.Num
 import graft.sources.FrameSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -7335,4 +7335,191 @@ object Queries {
       |)
       |SELECT node, CAST(min(hop) AS INTEGER) AS hop
       |FROM reach GROUP BY 1 ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------ privacy
+
+  /** k-anonymity group report ([[Privacy.qiGroupReport]]): every
+    * quasi-identifier combination's population with the at-risk flag —
+    * the release-gate audit before user-derived records enter a training
+    * mix. One map-side-combinable pass; output bounded by the QI domain.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.qiGroupReport(tbl(spark, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS group_n,
+      |       count(*) < 5 AS at_risk
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Minimal-generalization ladder ([[Privacy.generalizationLadder]]):
+    * anonymity profile of (segment, acctbal bucketed) for each width in a
+    * nesting ladder, `chosen` = the narrowest width meeting k. The corpus
+    * is aggregated once at the finest width; coarser widths are exact
+    * rollups of the bounded group table.
+    */
+  def kAnonLadder(spark: SparkSession, dir: String): DataFrame =
+    Privacy.generalizationLadder(tbl(spark, dir, "customer"),
+        Seq("c_mktsegment"), "c_acctbal",
+        widths = Seq(500L, 1000L, 2000L, 4000L, 12000L), k = 5)
+      .orderBy("width")
+
+  val kAnonLadderSql: String =
+    """WITH g AS (
+      |  SELECT w.width, c_mktsegment,
+      |         floor(c_acctbal / w.width) AS b, count(*) AS gn
+      |  FROM customer
+      |  CROSS JOIN (VALUES (500), (1000), (2000), (4000), (12000)) w(width)
+      |  GROUP BY 1, 2, 3
+      |), s AS (
+      |  SELECT width,
+      |         CAST(count(*) AS BIGINT) AS n_groups,
+      |         CAST(min(gn) AS BIGINT) AS min_group,
+      |         CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+      |           AS rows_at_risk,
+      |         min(gn) >= 5 AS meets_k
+      |  FROM g GROUP BY 1
+      |), c AS (SELECT min(width) AS cw FROM s WHERE meets_k)
+      |SELECT CAST(width AS BIGINT) AS width, n_groups, min_group,
+      |       rows_at_risk, meets_k,
+      |       coalesce(width = (SELECT cw FROM c), false) AS chosen
+      |FROM s ORDER BY width""".stripMargin
+
+  /** Incremental k-anonymity ([[Privacy.kAnonAgainstPrior]]): even-key
+    * customers are the persisted [[Privacy.qiCounts]] prior, odd keys the
+    * fresh batch; every touched-or-known group classified by its risk
+    * transition (`new_at_risk` is the release blocker). Two bounded group
+    * tables merged — the prior corpus is never rescanned.
+    */
+  def kAnonIncr(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val qi = Seq("c_nationkey", "c_mktsegment")
+    Privacy.kAnonAgainstPrior(
+        c.filter(pmod(col("c_custkey"), lit(2)) === 1), qi, k = 5,
+        prior = Privacy.qiCounts(
+          c.filter(pmod(col("c_custkey"), lit(2)) === 0), qi))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val kAnonIncrSql: String =
+    """WITH p AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS prior_n
+      |  FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1, 2
+      |), b AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS batch_n
+      |  FROM customer WHERE c_custkey % 2 = 1 GROUP BY 1, 2
+      |), j AS (
+      |  SELECT coalesce(p.c_nationkey, b.c_nationkey) AS c_nationkey,
+      |         coalesce(p.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |         coalesce(prior_n, 0) AS prior_n,
+      |         coalesce(batch_n, 0) AS batch_n
+      |  FROM p FULL OUTER JOIN b
+      |    ON p.c_nationkey = b.c_nationkey AND p.c_mktsegment = b.c_mktsegment
+      |)
+      |SELECT c_nationkey, c_mktsegment,
+      |       CAST(prior_n AS BIGINT) AS prior_n,
+      |       CAST(batch_n AS BIGINT) AS batch_n,
+      |       CAST(prior_n + batch_n AS BIGINT) AS total_n,
+      |       CASE WHEN prior_n = 0 AND prior_n + batch_n < 5 THEN 'new_at_risk'
+      |            WHEN prior_n = 0 THEN 'new_safe'
+      |            WHEN prior_n < 5 AND prior_n + batch_n >= 5 THEN 'became_safe'
+      |            WHEN prior_n + batch_n < 5 THEN 'still_at_risk'
+      |            ELSE 'still_safe' END AS status
+      |FROM j ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** l-diversity ([[Privacy.lDiversityReport]]): per-nation distinct
+    * market segments — a k-anonymous group whose members all share one
+    * sensitive value still leaks it. Exact distinct is safe because the
+    * sensitive DOMAIN is bounded even when the corpus is not.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversityReport(tbl(spark, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment", l = 3)
+      .orderBy("c_nationkey")
+
+  val lDiversitySql: String =
+    """SELECT c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS group_n,
+      |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+      |       count(DISTINCT c_mktsegment) < 3 AS below_l
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-source PII exposure census: match counts for the four scrub-family
+    * patterns (email / URL / phone / IPv4 — the RE2-and-Java-identical
+    * subset, [[TextAnalysis.EmailPattern]] etc.) aggregated by source with
+    * an any-PII document rate — the audit report a pipeline reads BEFORE
+    * deciding which sources need the scrub pass. Planted spans (email on
+    * doc_id%7, phone on %11, IPv4 on %13) guarantee every pattern fires at
+    * every scale. One codegen'd scan, map-side-combined aggregate, output
+    * bounded by the source domain.
+    */
+  def piiRisk(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" call 555-867-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1"))).otherwise(lit("")))
+    val nEmail = regexp_count(planted, lit(TextAnalysis.EmailPattern))
+    val nUrl   = regexp_count(planted, lit(TextAnalysis.UrlPattern))
+    val nPhone = regexp_count(planted, lit(TextAnalysis.PhonePattern))
+    val nIp    = regexp_count(planted, lit(TextAnalysis.Ipv4Pattern))
+    tbl(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nEmail.cast("long")).as("n_emails"),
+        sum(nUrl.cast("long")).as("n_urls"),
+        sum(nPhone.cast("long")).as("n_phones"),
+        sum(nIp.cast("long")).as("n_ips"),
+        sum(((nEmail + nUrl + nPhone + nIp) > 0).cast("long")).as("docs_with_pii"))
+      .withColumn("pii_rate",
+        Num.round0(col("docs_with_pii").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  val piiRiskSql: String = {
+    val email = TextAnalysis.EmailPattern
+    val url   = TextAnalysis.UrlPattern
+    val phone = TextAnalysis.PhonePattern
+    val ip    = TextAnalysis.Ipv4Pattern
+    raw"""WITH p AS (
+      |  SELECT source,
+      |         text
+      |         || CASE WHEN doc_id % 7 = 0
+      |                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 11 = 0
+      |                 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 13 = 0
+      |                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+      |                 ELSE '' END AS t
+      |  FROM documents
+      |), m AS (
+      |  SELECT source,
+      |         len(regexp_extract_all(t, '$email')) AS ne,
+      |         len(regexp_extract_all(t, '$url')) AS nu,
+      |         len(regexp_extract_all(t, '$phone')) AS np,
+      |         len(regexp_extract_all(t, '$ip')) AS ni
+      |  FROM p
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ne) AS BIGINT) AS n_emails,
+      |       CAST(sum(nu) AS BIGINT) AS n_urls,
+      |       CAST(sum(np) AS BIGINT) AS n_phones,
+      |       CAST(sum(ni) AS BIGINT) AS n_ips,
+      |       CAST(sum(CASE WHEN ne + nu + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_with_pii,
+      |       round(CAST(sum(CASE WHEN ne + nu + np + ni > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) + 0 AS pii_rate
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
 }

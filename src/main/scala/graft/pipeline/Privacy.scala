@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk auditing for training corpora: k-anonymity group reports,
+  * a one-pass generalization ladder, and incremental maintenance against a
+  * persisted prior — the release-gate checks a pipeline runs before
+  * shipping user-derived records into a training mix.
+  *
+  * Scale shape: everything here is hash-aggregation over the
+  * quasi-identifier (QI) key space. The corpus is touched exactly once per
+  * operator (one map-side-combinable groupBy); every later step works on
+  * the GROUP table, which is bounded by the QI domain (|nations| ×
+  * |segments| × buckets — thousands, not billions), so ladder rollups,
+  * risk flags and prior merges are free at 100 TB.
+  */
+object Privacy {
+
+  /** Every distinct QI combination with its population and at-risk flag
+    * (`group_n < k`). One corpus pass, map-side partial aggregation; the
+    * output is bounded by the QI domain, not the row count.
+    */
+  def qiGroupReport(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "qiGroupReport: need at least one QI column")
+    require(k >= 2, s"qiGroupReport: k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < k)
+  }
+
+  /** Anonymity profile of (qiCols + numCol bucketed) for every width in a
+    * NESTING ladder (each width must divide the next — floor-division
+    * buckets then roll up exactly: floor(floor(v/w)/m) = floor(v/(w*m))).
+    *
+    * The corpus is aggregated ONCE at the finest width; every coarser
+    * width is a rollup of that bounded group table. Output: one row per
+    * width with group count, min group size, rows at risk, and `chosen`
+    * marking the narrowest width whose minimum group size meets k (the
+    * minimal generalization). No width passing leaves every `chosen`
+    * false — the caller must widen the ladder or suppress.
+    */
+  def generalizationLadder(
+      df: DataFrame,
+      qiCols: Seq[String],
+      numCol: String,
+      widths: Seq[Long],
+      k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0),
+      s"generalizationLadder: widths must be positive, got $widths")
+    require(k >= 2, s"generalizationLadder: k must be >= 2, got $k")
+    val sorted = widths.sorted
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => require(b % a == 0,
+        s"generalizationLadder: widths must nest (each divides the next); " +
+          s"$b is not a multiple of $a")
+      case _ => ()
+    }
+    val w0 = sorted.head
+    val qi = qiCols.map(col)
+    // the ONE corpus pass: finest-width bucket counts
+    val base = df
+      .groupBy(qi :+ floor(col(numCol) / lit(w0)).cast("long").as("__b0"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val perWidth = sorted.map { w =>
+      val m = w / w0
+      base
+        .groupBy(qi :+ floor(col("__b0") / lit(m)).as("__b"): _*)
+        .agg(sum(col("__n")).as("group_n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min(col("group_n")).as("min_group"),
+          sum(when(col("group_n") < k, col("group_n")).otherwise(lit(0L)))
+            .as("rows_at_risk"))
+        .select(lit(w).as("width"), col("n_groups"), col("min_group"),
+          col("rows_at_risk"))
+    }.reduce(_ unionAll _)
+    // bounded |widths|-row table from here on
+    val flagged = perWidth.withColumn("meets_k", col("min_group") >= k)
+    val best = flagged.where(col("meets_k"))
+      .agg(min(col("width")).as("__w")).select(col("__w"))
+    flagged
+      .join(broadcast(best), flagged("width") === best("__w"), "left")
+      .withColumn("chosen", col("__w").isNotNull)
+      .drop("__w")
+  }
+
+  /** QI group counts as a persistable artifact (write with a plain
+    * parquet save; the [[kAnonAgainstPrior]] input contract).
+    */
+  def qiCounts(df: DataFrame, qiCols: Seq[String]): DataFrame =
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("prior_n"))
+
+  /** Incremental k-anonymity: merge a fresh batch into a persisted
+    * [[qiCounts]] prior and classify every touched-or-known group's risk
+    * transition. Counts only grow, so `still_safe` groups can never
+    * regress; the interesting outputs are `new_at_risk` (a fresh QI
+    * combination below k — the release blocker) and `became_safe`
+    * (the batch pushed a known group over the threshold).
+    *
+    * One groupBy over the batch + one full outer join of two bounded
+    * group tables — the corpus is never rescanned.
+    */
+  def kAnonAgainstPrior(
+      batch: DataFrame,
+      qiCols: Seq[String],
+      k: Int,
+      prior: DataFrame): DataFrame = {
+    require(k >= 2, s"kAnonAgainstPrior: k must be >= 2, got $k")
+    val b = batch.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("batch_n"))
+    val joined = prior.join(b, qiCols, "full_outer")
+      .withColumn("prior_n", coalesce(col("prior_n"), lit(0L)))
+      .withColumn("batch_n", coalesce(col("batch_n"), lit(0L)))
+      .withColumn("total_n", col("prior_n") + col("batch_n"))
+    joined.withColumn("status",
+      when(col("prior_n") === 0 && col("total_n") < k, lit("new_at_risk"))
+        .when(col("prior_n") === 0, lit("new_safe"))
+        .when(col("prior_n") < k && col("total_n") >= k, lit("became_safe"))
+        .when(col("total_n") < k, lit("still_at_risk"))
+        .otherwise(lit("still_safe")))
+  }
+
+  /** Distinct-sensitive-value diversity per QI group (l-diversity): a
+    * group can be k-anonymous yet leak its sensitive attribute when every
+    * member shares one value. Same one-pass bounded-output shape as
+    * [[qiGroupReport]]; exact distinct per group is safe because the
+    * sensitive DOMAIN is bounded even when the corpus is not.
+    */
+  def lDiversityReport(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, s"lDiversityReport: l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("below_l", col("n_sensitive") < l)
+  }
+}

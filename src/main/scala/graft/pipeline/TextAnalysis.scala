@@ -223,6 +223,8 @@ object TextAnalysis {
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern   = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Scrub emails and URLs from a text column (training-data hygiene pass):
     * each match is replaced with its placeholder token. Pure

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** k-anonymity reports, the nesting generalization ladder, incremental
+  * maintenance against a prior, and l-diversity.
+  */
+class PrivacySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def people(rows: (Int, String, Double)*) =
+    rows.toSeq.toDF("nation", "segment", "bal")
+
+  test("qiGroupReport: exact group sizes, at_risk iff below k") {
+    val df = people(
+      (1, "A", 10.0), (1, "A", 20.0), (1, "A", 30.0),
+      (1, "B", 5.0), (2, "A", 7.0), (2, "A", 9.0))
+    val out = Privacy.qiGroupReport(df, Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out((1, "A")) === ((3L, false)))
+    assert(out((1, "B")) === ((1L, true)))
+    assert(out((2, "A")) === ((2L, true)))
+    intercept[IllegalArgumentException] {
+      Privacy.qiGroupReport(df, Seq.empty, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.qiGroupReport(df, Seq("nation"), k = 1)
+    }
+  }
+
+  test("generalizationLadder: rollup matches direct bucketing at every width") {
+    // deterministic pseudo-random balances incl. negatives (floor-division
+    // nesting must hold below zero too)
+    val df = spark.range(500).select(
+      (pmod($"id" * 7, lit(3))).cast("int").as("nation"),
+      concat(lit("s"), pmod($"id", lit(2))).as("segment"),
+      (pmod($"id" * 131 + 17, lit(4000)) - lit(1000)).cast("double").as("bal"))
+    val widths = Seq(250L, 500L, 2000L)
+    val out = Privacy.generalizationLadder(df, Seq("segment"), "bal", widths, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    // independent per-width recomputation (no rollup)
+    widths.foreach { w =>
+      val direct = df.groupBy($"segment", floor($"bal" / w).as("b"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), min($"n"),
+          sum(when($"n" < 8, $"n").otherwise(0L)))
+        .head()
+      val (ng, mg, risk, _, _) = out(w)
+      assert(ng === direct.getLong(0), s"n_groups at width $w")
+      assert(mg === direct.getLong(1), s"min_group at width $w")
+      assert(risk === direct.getLong(2), s"rows_at_risk at width $w")
+    }
+    // chosen = narrowest width meeting k, and only that one
+    val passing = out.filter { case (_, (_, mg, _, meets, _)) =>
+      meets && mg >= 8 }.keys
+    if (passing.nonEmpty) {
+      val narrowest = passing.min
+      out.foreach { case (w, (_, _, _, _, chosen)) =>
+        assert(chosen === (w == narrowest), s"chosen flag at width $w")
+      }
+    } else assert(out.values.forall(!_._5))
+  }
+
+  test("generalizationLadder: non-nesting widths rejected") {
+    val df = people((1, "A", 10.0))
+    intercept[IllegalArgumentException] {
+      Privacy.generalizationLadder(df, Seq("segment"), "bal",
+        widths = Seq(500L, 750L), k = 2)
+    }
+  }
+
+  test("kAnonAgainstPrior: merge equals rebuild and statuses are exact") {
+    val prior = people(
+      (1, "A", 0.0), (1, "A", 0.0), // known safe-ish group, below k=3
+      (2, "B", 0.0), (2, "B", 0.0), (2, "B", 0.0)) // known safe
+    val batch = people(
+      (1, "A", 0.0), // pushes (1,A) to 3 -> became_safe
+      (2, "B", 0.0), // still_safe
+      (3, "C", 0.0), (3, "C", 0.0), (3, "C", 0.0), // new_safe
+      (4, "D", 0.0)) // new_at_risk
+    val out = Privacy.kAnonAgainstPrior(batch, Seq("nation", "segment"), k = 3,
+        prior = Privacy.qiCounts(prior, Seq("nation", "segment")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out((1, "A")) === ((2L, 1L, 3L, "became_safe")))
+    assert(out((2, "B")) === ((3L, 1L, 4L, "still_safe")))
+    assert(out((3, "C")) === ((0L, 3L, 3L, "new_safe")))
+    assert(out((4, "D")) === ((0L, 1L, 1L, "new_at_risk")))
+    // untouched prior group appears and keeps its standing
+    val out2 = Privacy.kAnonAgainstPrior(
+        batch.filter($"nation" =!= 2), Seq("nation", "segment"), k = 3,
+        prior = Privacy.qiCounts(prior, Seq("nation", "segment")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getString(5)).toMap
+    assert(out2((2, "B")) === "still_safe")
+    // merge ≡ rebuild: total_n matches qiGroupReport over the union
+    val merged = Privacy.kAnonAgainstPrior(batch, Seq("nation", "segment"),
+        k = 3, prior = Privacy.qiCounts(prior, Seq("nation", "segment")))
+      .select($"nation", $"segment", $"total_n")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rebuilt = Privacy.qiGroupReport(prior.unionAll(batch),
+        Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === rebuilt)
+  }
+
+  test("lDiversityReport: distinct sensitive values per group, below_l flag") {
+    val df = people(
+      (1, "A", 0.0), (1, "B", 0.0), (1, "A", 0.0),
+      (2, "A", 0.0), (2, "A", 0.0))
+    val out = Privacy.lDiversityReport(df, Seq("nation"), "segment", l = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1) === ((3L, 2L, false)))
+    assert(out(2) === ((2L, 1L, true)))
+  }
+}

@@ -1664,4 +1664,48 @@ class StreamingSpec extends SparkTestBase {
       assert(folded.values.toSet === Set(0L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String] // QI key, one element per record
+    val out = StreamingKAnon.groupCounts(input.toDS(), k = 3)
+      .toDF("qi", "prior_n", "batch_n", "total_n", "status")
+    val q = out.writeStream.format("memory").queryName("kanon_stream")
+      .outputMode("update").start()
+
+    def table() = spark.table("kanon_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+    val b1 = Seq("A", "A", "B", "C", "C", "C")
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val after1 = table().sortBy(_._1)
+    assert(after1.toSeq === Seq(
+      ("A", 0L, 2L, 2L, "new_at_risk"),
+      ("B", 0L, 1L, 1L, "new_at_risk"),
+      ("C", 0L, 3L, 3L, "new_safe")))
+
+    // batch 2: A crosses k (became_safe), C grows (still_safe), D appears
+    // below k, B untouched -> NOT re-emitted
+    val b2 = Seq("A", "C", "D")
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val newRows = table().diff(after1).sortBy(_._1)
+    assert(newRows.toSeq === Seq(
+      ("A", 2L, 1L, 3L, "became_safe"),
+      ("C", 3L, 1L, 4L, "still_safe"),
+      ("D", 0L, 1L, 1L, "new_at_risk")))
+    q.stop()
+
+    // bit parity with the batch operator: batch 2 against prior = counts(b1)
+    val batch = graft.pipeline.Privacy.kAnonAgainstPrior(
+        b2.toDF("qi"), Seq("qi"), k = 3,
+        prior = graft.pipeline.Privacy.qiCounts(b1.toDF("qi"), Seq("qi")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .filter(r => Set("A", "C", "D")(r._1)) // streaming emits touched only
+      .sortBy(_._1)
+    assert(newRows.toSeq === batch.toSeq)
+  }
 }
