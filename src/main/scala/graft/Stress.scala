@@ -3,6 +3,7 @@ package graft
 import graft.core.{ForwardFill, Fuser}
 import graft.core.Fuser.{FuseOptions, TimestampCol}
 import graft.ops.{AsOfJoin, RangeJoin, Resampler}
+import graft.pipeline.Privacy
 import graft.ops.Resampler.ResampleOptions
 import graft.sources.FrameSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1027,6 +1028,57 @@ object Stress {
         s"mean file box too wide (u $avgU of 999, h $avgH of 719, v $avgV of 999)")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(z3Dir)
+    }
+
+    // ---- privacy: k-anonymity at volume, closed-form planted QI domain ----
+    // Layout: qi = id % 1000 with ids 0-2 replanted into a rare group (-1),
+    // seg = (id div 100000) % 5 and bal = (id % 100000)*7919 % 100000 / 10
+    // are INDEPENDENT uniform digits (7919 coprime to 100000), so every
+    // group size below is exact arithmetic, not a tolerance.
+    if (n % 100000L == 0L && (n / 100000L) % 5L == 0L) {
+      val pdf = spark.range(n).select(
+        col("id"),
+        when(col("id") < 3, lit(-1L))
+          .otherwise(pmod(col("id"), lit(1000L))).as("qi"),
+        pmod(expr("id div 100000"), lit(5L)).as("seg"),
+        (pmod(pmod(col("id"), lit(100000L)) * lit(7919L), lit(100000L)) /
+          lit(10.0)).as("bal"))
+      val rep = Privacy.qiGroupReport(pdf, Seq("qi"), k = 5)
+      timed("privacy_kanon", rep)
+      val reps = rep.collect()
+      assert(reps.length == 1001, s"qi groups ${reps.length}")
+      val risky = reps.filter(_.getAs[Boolean]("at_risk"))
+      assert(risky.length == 1 && risky.head.getAs[Long]("qi") == -1L &&
+        risky.head.getAs[Long]("group_n") == 3L,
+        s"planted rare group wrong: ${risky.mkString(",")}")
+      assert(reps.map(_.getAs[Long]("group_n")).sum == n, "census loses rows")
+
+      val widths = Seq(100L, 1000L, 10000L)
+      val lad = Privacy.generalizationLadder(pdf, Seq("seg"), "bal", widths, k = 5)
+      timed("privacy_ladder", lad)
+      val lrows = lad.collect()
+        .map(r => r.getAs[Long]("width") -> r).toMap
+      widths.foreach { w =>
+        val buckets = 10000L / w // bal spans [0, 10000), w divides 10000
+        val groups  = 5L * buckets
+        val r = lrows(w)
+        assert(r.getAs[Long]("n_groups") == groups, s"n_groups at $w")
+        assert(r.getAs[Long]("min_group") == n / groups, s"min_group at $w")
+        assert(r.getAs[Long]("rows_at_risk") == 0L, s"rows_at_risk at $w")
+        assert(r.getAs[Boolean]("chosen") == (w == widths.min), s"chosen at $w")
+      }
+
+      // incremental fold ≡ rebuild at volume (the streaming-face contract)
+      val merged = Privacy.kAnonAgainstPrior(
+          pdf.filter(pmod(col("id"), lit(2)) === 1), Seq("qi"), k = 5,
+          prior = Privacy.qiCounts(
+            pdf.filter(pmod(col("id"), lit(2)) === 0), Seq("qi")))
+        .select(col("qi"), col("total_n"))
+      val rebuilt = rep.select(col("qi"), col("group_n").as("total_n"))
+      assert(merged.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(merged).count() == 0,
+        "incremental k-anon fold diverges from rebuild")
+      println(s"""{"stage":"privacy_family","rows":$n,"qi_groups":1001}""")
     }
 
     println(s"""{"stage":"done","events":${2 * n},"docs":$nd,"vecs":$nv}""")

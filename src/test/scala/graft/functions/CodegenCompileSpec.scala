@@ -99,6 +99,10 @@ class CodegenCompileSpec extends SparkTestBase {
         "bpe kernel under codegen (caught live: the companion's eval had " +
           "no static forwarder, every call silently fell back interpreted)")
       assert(out(1).getLong(1) == 3L)
+      val pii = Seq((1L, "u@ex.com https://x 555-867-5309 10.0.0.1"))
+        .toDF("id", "text")
+        .select(PiiCounts.piiCounts($"text").as("p")).head().getStruct(0)
+      assert((0 until 4).map(pii.getLong) == Seq(1L, 1L, 1L, 1L))
     }
   }
 }
