@@ -115,6 +115,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TokenStats].getName, "token_stats"),
       (exprs: Seq[Expression]) => { arity(exprs, 1, "token_stats")
         graft.functions.TokenStats(exprs.head) }))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_counts"),
+      new ExpressionInfo(classOf[graft.functions.PiiCounts].getName, "pii_counts"),
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "pii_counts")
+        graft.functions.PiiCounts(exprs.head) }))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[graft.functions.PiiScrub].getName, "pii_scrub"),
+      (exprs: Seq[Expression]) => { arity(exprs, 1, "pii_scrub")
+        graft.functions.PiiScrub(exprs.head) }))
     injectR8(ext)
   }
 

@@ -126,13 +126,17 @@ object PiiCounts {
       countEmails(bytes), countUrls(bytes), countPhones(bytes), countIps(bytes)))
   }
 
-  private def countEmails(bytes: Array[Byte]): Long = {
+  /** Leftmost email match starting at or after `from`, packed as
+    * `(start << 32) | end`, or -1. Java find() semantics: ascending '@'
+    * positions give the leftmost viable start (a local run can never
+    * contain '@'), and the match start is the local run's beginning
+    * clamped to `from` (the non-overlap pointer / region start).
+    */
+  private[functions] def nextEmail(bytes: Array[Byte], from: Int): Long = {
     val len = bytes.length
-    var n = 0L
-    var p = 0 // non-overlap pointer: no match may start before it
-    var a = 0
+    var a = math.max(from + 1, 1)
     while (a < len) {
-      if (bytes(a) == '@' && a - 1 >= p && isLocal(bytes(a - 1))) {
+      if (bytes(a) == '@' && a - 1 >= from && isLocal(bytes(a - 1))) {
         // maximal domain-class run after '@'
         var e0 = a + 1
         while (e0 < len && isDomain(bytes(e0))) e0 += 1
@@ -148,17 +152,23 @@ object PiiCounts {
           }
           k -= 1
         }
-        if (end > 0) { n += 1; p = end; a = end - 1 } // -1: loop increments
+        if (end > 0) {
+          var s = a - 1
+          while (s - 1 >= from && isLocal(bytes(s - 1))) s -= 1
+          return (s.toLong << 32) | end.toLong
+        }
       }
       a += 1
     }
-    n
+    -1L
   }
 
-  private def countUrls(bytes: Array[Byte]): Long = {
+  /** Leftmost URL match starting at or after `from`, packed like
+    * [[nextEmail]].
+    */
+  private[functions] def nextUrl(bytes: Array[Byte], from: Int): Long = {
     val len = bytes.length
-    var n = 0L
-    var i = 0
+    var i = math.max(from, 0)
     while (i + 7 <= len) { // shortest match "http://" + 1 byte needs 8
       if (bytes(i) == 'h' && bytes(i + 1) == 't' && bytes(i + 2) == 't' &&
           bytes(i + 3) == 'p') {
@@ -168,10 +178,30 @@ object PiiCounts {
             bytes(j + 2) == '/') {
           var e = j + 3
           while (e < len && !isSpace(bytes(e))) e += 1
-          if (e > j + 3) { n += 1; i = e - 1 } // >=1 non-space byte
+          if (e > j + 3) return (i.toLong << 32) | e.toLong // >=1 non-space
         }
       }
       i += 1
+    }
+    -1L
+  }
+
+  private def countEmails(bytes: Array[Byte]): Long = {
+    var n = 0L
+    var m = nextEmail(bytes, 0)
+    while (m >= 0) {
+      n += 1
+      m = nextEmail(bytes, (m & 0xFFFFFFFFL).toInt)
+    }
+    n
+  }
+
+  private def countUrls(bytes: Array[Byte]): Long = {
+    var n = 0L
+    var m = nextUrl(bytes, 0)
+    while (m >= 0) {
+      n += 1
+      m = nextUrl(bytes, (m & 0xFFFFFFFFL).toInt)
     }
     n
   }
@@ -229,4 +259,71 @@ object PiiCounts {
   def piiCounts(c: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       PiiCounts(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  private val EmailToken = "<EMAIL>".getBytes("UTF-8")
+  private val UrlToken   = "<URL>".getBytes("UTF-8")
+
+  /** Static scrub kernel invoked from generated code: the exact two-pass
+    * `regexp_replace(regexp_replace(text, email, '<EMAIL>'), url, '<URL>')`
+    * rewrite — emails first, then URLs over the REWRITTEN bytes (order is
+    * observable: a URL whose userinfo part is an email gets its email
+    * replaced in pass one, and pass two then swallows the whole rewritten
+    * run). Each pass is one linear walk via the shared match steppers.
+    */
+  def evalScrub(text: UTF8String): UTF8String = {
+    val pass1 = replaceAll(text.getBytes, email = true, EmailToken)
+    UTF8String.fromBytes(replaceAll(pass1, email = false, UrlToken))
+  }
+
+  private def replaceAll(
+      bytes: Array[Byte], email: Boolean, token: Array[Byte]): Array[Byte] = {
+    var m = if (email) nextEmail(bytes, 0) else nextUrl(bytes, 0)
+    if (m < 0) return bytes // common case: no PII, zero copies
+    val buf = new java.io.ByteArrayOutputStream(bytes.length + 16)
+    var cur = 0
+    while (m >= 0) {
+      val s = (m >>> 32).toInt
+      val e = (m & 0xFFFFFFFFL).toInt
+      buf.write(bytes, cur, s - cur)
+      buf.write(token, 0, token.length)
+      cur = e
+      m = if (email) nextEmail(bytes, cur) else nextUrl(bytes, cur)
+    }
+    buf.write(bytes, cur, bytes.length - cur)
+    buf.toByteArray
+  }
+
+  /** Scrub Column API ([[PiiScrub]]). */
+  def piiScrub(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PiiScrub(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+}
+
+/** `pii_scrub(text)` — the [[graft.pipeline.TextAnalysis.scrub]] rewrite
+  * (emails then URLs replaced with placeholder tokens) as one kernel call,
+  * bit-equal to the chained `regexp_replace` formulation the DuckDB
+  * oracles keep (spec-pinned). Shares [[PiiCounts]]'s match steppers, so
+  * the count and rewrite faces can never drift apart.
+  */
+case class PiiScrub(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pii_scrub requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PiiCounts.evalScrub(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PiiCounts.evalScrub($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScrub =
+    copy(child = newChild)
 }

@@ -227,18 +227,23 @@ object TextAnalysis {
   val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Scrub emails and URLs from a text column (training-data hygiene pass):
-    * each match is replaced with its placeholder token. Pure
-    * `regexp_replace` — codegen'd, one pass per pattern, no UDF.
+    * each match is replaced with its placeholder token. One
+    * [[graft.functions.PiiScrub]] kernel call, spec-pinned bit-equal to
+    * the declarative formulation every DuckDB oracle keeps —
+    * `regexp_replace(regexp_replace(text, EmailPattern, '<EMAIL>'),
+    * UrlPattern, '<URL>')` — which cost a Java-regex multiple of the byte
+    * scan at crossover scale (the q_pii_risk measurement).
     */
-  def scrub(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
-      lit(UrlPattern), lit("<URL>"))
+  def scrub(text: Column): Column = graft.functions.PiiCounts.piiScrub(text)
 
-  /** Count of scrubbed spans (emails + URLs) for audit/quality columns. */
-  def scrubCount(text: Column): Column =
-    (regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(UrlPattern)))
-      .cast("long")
+  /** Count of scrubbed spans (emails + URLs) for audit/quality columns —
+    * two [[graft.functions.PiiCounts]] fields; the oracle face is
+    * `regexp_count(text, EmailPattern) + regexp_count(text, UrlPattern)`.
+    */
+  def scrubCount(text: Column): Column = {
+    val pc = graft.functions.PiiCounts.piiCounts(text)
+    pc.getField("n_emails") + pc.getField("n_urls")
+  }
 
   /** Document fingerprint: the k lexicographically-smallest md5 digests of
     * the word `n`-gram shingles (a winnowing-style min-hash sketch built

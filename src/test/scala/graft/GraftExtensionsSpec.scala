@@ -55,6 +55,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("r12 functions: pii_counts and pii_scrub via SQL") {
+    withExtensionsSession { spark =>
+      val r = spark.sql(
+        "SELECT pii_counts('u@ex.com https://x 555-867-5309 10.0.0.1') AS c, " +
+        "pii_scrub('mail u@ex.com or https://x.y/z now') AS s").head
+      val c = r.getStruct(0)
+      assert((0 until 4).map(c.getLong) == Seq(1L, 1L, 1L, 1L))
+      assert(r.getString(1) == "mail <EMAIL> or <URL> now")
+    }
+  }
+
   test("clear errors for bad SQL arguments") {
     withExtensionsSession { spark =>
       val e1 = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").head)

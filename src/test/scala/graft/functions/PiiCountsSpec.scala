@@ -116,12 +116,66 @@ class PiiCountsSpec extends SparkTestBase {
     assert(planted7 > 0)
   }
 
+  private def regexScrub(text: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(text, lit(TextAnalysis.EmailPattern), lit("<EMAIL>")),
+      lit(TextAnalysis.UrlPattern), lit("<URL>"))
+
+  test("scrub kernel is bit-equal to the chained regexp_replace rewrite") {
+    val cases = Seq[(Long, String)](
+      // two-pass order is observable: the URL's userinfo email rewrites
+      // first, then the URL pass swallows the whole rewritten run
+      (1L, "see https://a@b.cc/x ok"),
+      (2L, "u7@example.com and https://ex.org/d1 done"),
+      (3L, "a@b.cc c@d.ee adjacent"),
+      (4L, "no pii here at all"),
+      (5L, "a@bc.de-f mid-run end"),
+      (6L, "<EMAIL> pre-existing token a@b.cc"),
+      (7L, "http://x https://y.z httpnope http:// u@v.ww"),
+      (8L, ""), (9L, "🙂 é u@例.com 日本語"),
+      (10L, "trailing email a@b.cc"), (11L, "a@b.cc"),
+      (12L, "https://tail"))
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("u7@example.com", "a@b.cc", "x@y.z", "https://ex.org/d",
+      "http://q", "http", "://", "word", "Ünïcode", "a.b@c.dd-e@f.gg", "@")
+    val gen = (100 until 400).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(Seq(" ", "", ".", "-")(rnd.nextInt(4))))
+    }
+    val rows = (cases ++ gen).toDF("id", "text")
+      .select(col("id"), PiiCounts.piiScrub($"text").as("k"),
+        regexScrub($"text").as("r"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)}: kernel='${r.getString(1)}' regex='${r.getString(2)}'")
+    }
+  }
+
+  test("scrub kernel matches the regexes on the planted documents table") {
+    assumeTestData("/root/testdata/sf0.001")
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = concat($"text",
+      when(pmod($"doc_id", lit(7)) === 0,
+        concat(lit(" contact u"), $"doc_id".cast("string"),
+          lit("@example.com at https://ex.org/d"), $"doc_id".cast("string")))
+        .otherwise(lit("")))
+    val rows = d.select($"doc_id", planted.as("t"))
+      .select($"doc_id", PiiCounts.piiScrub($"t").as("k"), regexScrub($"t").as("r"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc_id=${r.getLong(0)}"))
+  }
+
   test("null input yields null") {
     val out = Seq((1L, null: String), (2L, "a@b.cc"))
       .toDF("id", "text")
-      .select($"id", PiiCounts.piiCounts($"text").as("p"))
+      .select($"id", PiiCounts.piiCounts($"text").as("p"),
+        PiiCounts.piiScrub($"text").as("s"))
       .orderBy("id").collect()
-    assert(out(0).isNullAt(1))
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
     assert(out(1).getStruct(1).getLong(0) == 1L)
+    assert(out(1).getString(2) == "<EMAIL>")
   }
 }
