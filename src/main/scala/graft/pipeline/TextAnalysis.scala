@@ -557,4 +557,56 @@ object TextAnalysis {
         .as("pair"), col("c"))
       .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
   }
+
+  /** Line-level boilerplate removal (the FineWeb/Dolma curation pass):
+    * drop every line whose EXACT text repeats more than `maxCount` times
+    * across the corpus — navigation menus, cookie banners, copyright
+    * footers — and reassemble each document from its surviving lines in
+    * original order. Every input document appears in the output (a doc
+    * whose lines are all boilerplate keeps an empty rewritten text).
+    *
+    * Returns `(idCol, n_lines, n_kept, text_kept)`.
+    *
+    * Scale shape: one explode pass → a map-side-combined line-frequency
+    * aggregate (bounded by the DISTINCT line count, which Zipf-shrinks
+    * like a vocabulary) → one hash join of the exploded lines against the
+    * OVER-THRESHOLD subset only → one per-doc reassembly aggregate. The
+    * over-threshold side is broadcast by default (`hintBroadcast`):
+    * boilerplate = lines repeating more than `maxCount` times, few by
+    * definition in any real corpus, but AQE cannot discover that — its
+    * runtime estimate reflects the aggregate's shuffle stats BEFORE the
+    * threshold filter prunes the vocabulary-scale count table, so it
+    * plans the big join (measured: 1.90 → 1.38 s at 500k docs / 1.5M
+    * lines from the hint alone). Disable for a pathological corpus whose
+    * over-threshold set is itself huge. The join keys on the raw line
+    * text so the semantics are exact (a production variant can key on
+    * xxhash64 to narrow the exchange; collisions then merge distinct
+    * lines, the standard trade).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxCount: Long = 4,
+      hintBroadcast: Boolean = true): DataFrame = {
+    require(maxCount >= 1, s"lineDedup: maxCount must be >= 1, got $maxCount")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxCount)
+      .select(col("__line"), lit(true).as("__boiler"))
+    lines
+      .join(if (hintBroadcast) broadcast(boiler) else boiler,
+        Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__boiler").isNull, struct(col("__pos"), col("__line"))))),
+            s => s.getField("__line"))).as("text_kept"))
+  }
 }

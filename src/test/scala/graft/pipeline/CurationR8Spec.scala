@@ -138,4 +138,32 @@ class CurationR8Spec extends SparkTestBase {
         s"canonicalUrl(${r.getAs[String]("url")})")
     }
   }
+
+  test("lineDedup: corpus-repeated lines drop, order survives, empty docs stay") {
+    // "BOILER" appears 3 times (> maxCount=2) -> dropped everywhere;
+    // "twice" appears twice (== maxCount) -> kept
+    val docs = Seq(
+      (1L, "alpha\nBOILER\nbeta"),
+      (2L, "BOILER\ntwice\ngamma"),
+      (3L, "twice\nBOILER"),
+      (4L, "solo")).toDF("id", "t")
+    val out = TextAnalysis.lineDedup(docs, "t", "id", maxCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, "alpha\nbeta")))
+    assert(out(2L) === ((3L, 2L, "twice\ngamma")))
+    assert(out(3L) === ((2L, 1L, "twice")))
+    assert(out(4L) === ((1L, 1L, "solo")))
+    // a doc whose every line is boilerplate keeps an EMPTY rewrite, not a
+    // missing row
+    val all = Seq((1L, "B"), (2L, "B"), (3L, "B"), (4L, "B\nx"))
+      .toDF("id", "t")
+    val gone = TextAnalysis.lineDedup(all, "t", "id", maxCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gone(1L) === "" && gone(4L) === "x")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lineDedup(docs, "t", "id", maxCount = 0)
+    }
+  }
 }
