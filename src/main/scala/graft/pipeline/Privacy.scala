@@ -58,10 +58,16 @@ object Privacy {
     }
     val w0 = sorted.head
     val qi = qiCols.map(col)
-    // the ONE corpus pass: finest-width bucket counts
-    val base = df
+    // the ONE corpus pass: finest-width bucket counts, MATERIALIZED —
+    // every ladder width unions a rollup of this table, and without the
+    // checkpoint each union branch re-descends the corpus scan+aggregate
+    // (measured: 10 FileScans / 31 exchanges in the 5-width query plan;
+    // ReuseExchange does not fire across the differing rollup parents).
+    // The group table is bounded by the QI domain, so the checkpoint is
+    // small by construction.
+    val base = Dedup.materializeOnce(df
       .groupBy(qi :+ floor(col(numCol) / lit(w0)).cast("long").as("__b0"): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n")))
     val perWidth = sorted.map { w =>
       val m = w / w0
       base

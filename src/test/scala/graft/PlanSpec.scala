@@ -637,7 +637,22 @@ class PlanSpec extends SparkTestBase {
       ("q_random_walks",      6, 7),
       ("q_walk_pairs",        0, 3),
       ("q_hard_negatives",    2, 3),
-      ("q_knn_graph",         4, 7))
+      ("q_knn_graph",         4, 7),
+      // r12d privacy/PII family: census and scrub are ONE kernel scan
+      // (+ per-source aggregate / output sort); k-anonymity is one
+      // map-side-combinable pass; the ladder's returned plan reads the
+      // MATERIALIZED finest-width group table only (zero corpus scans —
+      // without the checkpoint the 5-width union re-descended the scan
+      // 10 times), its 21 exchanges all move the QI-domain-bounded
+      // table; line dedup is the count-agg scan + probe scan with the
+      // broadcast-hinted threshold join
+      ("q_pii_risk",          1, 2),
+      ("q_scrub",             1, 1),
+      ("q_k_anonymity",       1, 2),
+      ("q_k_anon_ladder",     0, 21),
+      ("q_k_anon_incr",       2, 3),
+      ("q_l_diversity",       1, 3),
+      ("q_line_dedup",        2, 4))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
