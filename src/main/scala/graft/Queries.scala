@@ -7575,4 +7575,58 @@ object Queries {
       |                               chr(10) ORDER BY l.pos), '')) AS kept_md5
       |FROM l LEFT JOIN b USING (line)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental line-level boilerplate removal
+    * ([[TextAnalysis.lineDedupAgainstPrior]]): even-id docs are the
+    * persisted [[TextAnalysis.lineCounts]] prior, odd ids the fresh
+    * batch; a batch doc keeps exactly the lines a full rebuild over the
+    * union would keep — the oracle counts over ALL docs and emits the
+    * odd half, checking that exactness directly.
+    */
+  def lineDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\nSubscribe to our newsletter")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\nCopyright 2024 Example Corp")).otherwise(lit("")),
+      concat(lit("\ntail "), col("doc_id").cast("string")))
+    val d = tbl(spark, dir, "documents").select(col("doc_id"), planted.as("t"))
+    TextAnalysis.lineDedupAgainstPrior(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "t", "doc_id",
+        prior = TextAnalysis.lineCounts(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "t"),
+        maxCount = 4)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_kept")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val lineDedupIncrSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text
+      |         || CASE WHEN doc_id % 3 = 0
+      |                 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END
+      |         || CASE WHEN doc_id % 2 = 0
+      |                 THEN chr(10) || 'Copyright 2024 Example Corp' ELSE '' END
+      |         || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM p
+      |), l AS (
+      |  SELECT doc_id, unnest(ls) AS line,
+      |         CAST(generate_subscripts(ls, 1) AS BIGINT) AS pos
+      |  FROM w
+      |), b AS (
+      |  SELECT line, true AS boiler FROM l GROUP BY 1 HAVING count(*) > 4
+      |)
+      |SELECT l.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN b.boiler IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       md5(coalesce(string_agg(CASE WHEN b.boiler IS NULL THEN l.line END,
+      |                               chr(10) ORDER BY l.pos), '')) AS kept_md5
+      |FROM l LEFT JOIN b USING (line)
+      |WHERE l.doc_id % 2 = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -596,6 +596,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxCount)
       .select(col("__line"), lit(true).as("__boiler"))
+    dropAndReassemble(lines, idCol, boiler, hintBroadcast)
+  }
+
+  /** Corpus line frequencies as a persistable artifact (write with a
+    * plain parquet save) — the [[lineDedupAgainstPrior]] input contract:
+    * `(line, prior_c)`.
+    */
+  def lineCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("prior_c"))
+
+  /** Incremental [[lineDedup]]: rewrite only the FRESH batch, with
+    * boilerplate judged against prior + batch frequencies combined — a
+    * batch document keeps exactly the lines a full rebuild over
+    * (prior ∪ batch) would keep (spec-pinned), but the prior corpus is
+    * never rescanned and never rewritten. One batch explode → batch line
+    * counts LEFT-joined to the (vocabulary-scale, Zipf-shrunk) prior
+    * artifact → the same broadcast-hinted threshold join + reassembly.
+    */
+  def lineDedupAgainstPrior(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      prior: DataFrame,
+      maxCount: Long = 4,
+      hintBroadcast: Boolean = true): DataFrame = {
+    require(maxCount >= 1,
+      s"lineDedupAgainstPrior: maxCount must be >= 1, got $maxCount")
+    val lines = batch.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__bc"))
+      .join(prior.select(col("line").as("__line"), col("prior_c")),
+        Seq("__line"), "left")
+      .filter(col("__bc") + coalesce(col("prior_c"), lit(0L)) > maxCount)
+      .select(col("__line"), lit(true).as("__boiler"))
+    dropAndReassemble(lines, idCol, boiler, hintBroadcast)
+  }
+
+  /** Shared tail of the line-dedup faces: drop flagged lines, reassemble
+    * per doc in original order; every doc survives.
+    */
+  private def dropAndReassemble(
+      lines: DataFrame,
+      idCol: String,
+      boiler: DataFrame,
+      hintBroadcast: Boolean): DataFrame =
     lines
       .join(if (hintBroadcast) broadcast(boiler) else boiler,
         Seq("__line"), "left")
@@ -608,5 +655,4 @@ object TextAnalysis {
             array_sort(collect_list(
               when(col("__boiler").isNull, struct(col("__pos"), col("__line"))))),
             s => s.getField("__line"))).as("text_kept"))
-  }
 }

@@ -166,4 +166,31 @@ class CurationR8Spec extends SparkTestBase {
       TextAnalysis.lineDedup(docs, "t", "id", maxCount = 0)
     }
   }
+
+  test("lineDedupAgainstPrior: batch rewrite equals rebuild over the union") {
+    val prior = Seq(
+      (10L, "B\nold1"), (11L, "B\nold2"), (12L, "P\nP2")).toDF("id", "t")
+    val batch = Seq(
+      (1L, "B\nfresh"),      // B: 2 prior + 1 batch = 3 > 2 -> dropped
+      (2L, "P\nnew\nnew2"),  // P: 1 prior + 1 batch = 2 == max -> kept
+      (3L, "C\nC\nC")).toDF("id", "t") // C: 3 in batch alone -> dropped
+    val incr = TextAnalysis.lineDedupAgainstPrior(batch, "t", "id",
+        prior = TextAnalysis.lineCounts(prior, "t"), maxCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(incr(1L) === ((2L, 1L, "fresh")))
+    assert(incr(2L) === ((3L, 3L, "P\nnew\nnew2")))
+    assert(incr(3L) === ((3L, 0L, "")))
+    // exactness: identical to the batch operator over prior ∪ batch,
+    // restricted to batch ids
+    val rebuilt = TextAnalysis.lineDedup(prior.unionAll(batch), "t", "id",
+        maxCount = 2)
+      .filter($"id" < 10)
+      .select($"id", $"n_lines", $"n_kept", $"text_kept")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(incr === rebuilt)
+  }
 }
