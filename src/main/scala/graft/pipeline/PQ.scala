@@ -612,8 +612,26 @@ object PQ {
       codebooks: Codebooks,
       roundTo: Int = 6): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val coded = pqEncode(corpus, vecCol, codebooks)
-      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    pqTopKCoded(
+      pqEncode(corpus, vecCol, codebooks)
+        .select(col(idCol).as("neighbor_id"), col("pq_codes")),
+      queries, idCol, vecCol, k, codebooks, roundTo)
+  }
+
+  /** [[pqTopK]] over an ALREADY-CODED corpus `(neighbor_id, pq_codes)` —
+    * the artifact face: encoding is a train-time pass persisted next to
+    * the codebooks (the [[residualCodedFrame]] convention), so a query
+    * run never re-derives the corpus argmins.
+    */
+  def pqTopKCoded(
+      coded: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Codebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

@@ -652,7 +652,12 @@ class PlanSpec extends SparkTestBase {
       ("q_k_anon_ladder",     0, 21),
       ("q_k_anon_incr",       2, 3),
       ("q_l_diversity",       1, 3),
-      ("q_line_dedup",        2, 4))
+      ("q_line_dedup",        2, 4),
+      // r12d: the ADC reference pair reads the persisted coded corpus
+      // (artifact scan + query-vector scan) — encoding is train-time;
+      // pre-artifact, every run re-derived 100k argmins first
+      ("q_ann_pq",            2, 3),
+      ("q_pq_codes",          1, 1))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
