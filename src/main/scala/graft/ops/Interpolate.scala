@@ -52,9 +52,16 @@ object Interpolate {
     val step = Intervals.toMillis(interval)
     val keys = keyCols.map(col)
 
-    // collapse equal-ts events to one deterministic point
+    // collapse equal-ts events to one deterministic point. Pre-partition
+    // by the KEYS alone: HashPartitioning(keys) satisfies the clustering
+    // both the (keys, ts) aggregate and the keys-window require, so the
+    // plan runs ONE full-volume exchange instead of two (agg exchange on
+    // (keys, ts) + window re-exchange on keys). Trade documented: the
+    // exchange now moves raw rows rather than partially-aggregated ones —
+    // equal-(key, ts) collapse is rare in event data, so the volumes are
+    // the same and the second shuffle is pure savings.
     val ord = struct((col(tsCol) +: tieCols.map(col)): _*)
-    val pts = df.groupBy(keys :+ col(tsCol): _*)
+    val pts = df.repartition(keys: _*).groupBy(keys :+ col(tsCol): _*)
       .agg(max_by(col(valueCol), ord).as("__v"))
 
     // each point + its successor = one lerp segment; the last point gets a

@@ -657,7 +657,11 @@ class PlanSpec extends SparkTestBase {
       // (artifact scan + query-vector scan) — encoding is train-time;
       // pre-artifact, every run re-derived 100k argmins first
       ("q_ann_pq",            2, 3),
-      ("q_pq_codes",          1, 1))
+      ("q_pq_codes",          1, 1),
+      // r12d: linearAtGrid pre-partitions by keys so the (keys, ts)
+      // aggregate and the keys-window share ONE full-volume exchange;
+      // the second exchange is the output sort
+      ("q_interp_grid",       1, 2))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
