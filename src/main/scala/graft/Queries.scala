@@ -3107,12 +3107,6 @@ object Queries {
       |       CAST(centroid_id AS INTEGER) AS code
       |FROM ranked WHERE rn = 1 ORDER BY vec_id, subq""".stripMargin
 
-  /** ADC top-k over the PQ-coded corpus ([[graft.pipeline.PQ.pqTopK]]):
-    * exact query vectors against coded corpus rows, approximate inner
-    * product via codebook lookups. The oracle re-derives the score from
-    * the two exported artifacts (codes + codebooks), summing subspace
-    * dot products in subq order — the engine's own association.
-    */
   /** Coded corpus under the GATE codebooks, persisted once per snapshot —
     * the [[trainedProdCoded]] convention applied to the 8×16 books:
     * pre-artifact, every q_ann_pq run re-derived 100k argmin assignments
@@ -3130,6 +3124,13 @@ object Queries {
           p
         }))
 
+  /** ADC top-k over the PQ-coded corpus
+    * ([[graft.pipeline.PQ.pqTopKCoded]] against [[trainedGateCoded]]):
+    * exact query vectors against coded corpus rows, approximate inner
+    * product via codebook lookups. The oracle re-derives the score from
+    * the two exported artifacts (codes + codebooks), summing subspace
+    * dot products in subq order — the engine's own association.
+    */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = tbl(spark, dir, "embeddings")
@@ -7550,15 +7551,22 @@ object Queries {
     * line survives. Output keeps the rewritten text as an md5 (the scrub
     * convention) next to the kept/total line counts.
     */
+  /** The line-dedup fixtures' planted multi-line text — ONE definition
+    * shared by [[lineDedup]] and [[lineDedupIncr]] (their SQL oracles
+    * mirror it; the incremental-vs-rebuild parity story requires the two
+    * queries to read the identical corpus).
+    */
+  private val lineDedupPlanted: Column = concat(col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("\nSubscribe to our newsletter")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      lit("\nCopyright 2024 Example Corp")).otherwise(lit("")),
+    concat(lit("\ntail "), col("doc_id").cast("string")))
+
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        lit("\nSubscribe to our newsletter")).otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        lit("\nCopyright 2024 Example Corp")).otherwise(lit("")),
-      concat(lit("\ntail "), col("doc_id").cast("string")))
     TextAnalysis.lineDedup(
-        tbl(spark, dir, "documents").select(col("doc_id"), planted.as("t")),
+        tbl(spark, dir, "documents")
+          .select(col("doc_id"), lineDedupPlanted.as("t")),
         "t", "doc_id", maxCount = 4)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("text_kept")).as("kept_md5"))
@@ -7601,13 +7609,8 @@ object Queries {
     * odd half, checking that exactness directly.
     */
   def lineDedupIncr(spark: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        lit("\nSubscribe to our newsletter")).otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        lit("\nCopyright 2024 Example Corp")).otherwise(lit("")),
-      concat(lit("\ntail "), col("doc_id").cast("string")))
-    val d = tbl(spark, dir, "documents").select(col("doc_id"), planted.as("t"))
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), lineDedupPlanted.as("t"))
     TextAnalysis.lineDedupAgainstPrior(
         d.filter(pmod(col("doc_id"), lit(2)) === 1), "t", "doc_id",
         prior = TextAnalysis.lineCounts(

@@ -653,6 +653,9 @@ class PlanSpec extends SparkTestBase {
       ("q_k_anon_incr",       2, 3),
       ("q_l_diversity",       1, 3),
       ("q_line_dedup",        2, 4),
+      // incremental face: batch explode twice (count + probe) + the
+      // prior-derivation scan, threshold join still broadcast
+      ("q_line_dedup_incr",   3, 6),
       // r12d: the ADC reference pair reads the persisted coded corpus
       // (artifact scan + query-vector scan) — encoding is train-time;
       // pre-artifact, every run re-derived 100k argmins first

@@ -101,8 +101,11 @@ class CodegenCompileSpec extends SparkTestBase {
       assert(out(1).getLong(1) == 3L)
       val pii = Seq((1L, "u@ex.com https://x 555-867-5309 10.0.0.1"))
         .toDF("id", "text")
-        .select(PiiCounts.piiCounts($"text").as("p")).head().getStruct(0)
-      assert((0 until 4).map(pii.getLong) == Seq(1L, 1L, 1L, 1L))
+        .select(PiiCounts.piiCounts($"text").as("p"),
+          PiiCounts.piiScrub($"text").as("s")).head()
+      val pc = pii.getStruct(0)
+      assert((0 until 4).map(pc.getLong) == Seq(1L, 1L, 1L, 1L))
+      assert(pii.getString(1) == "<EMAIL> <URL> 555-867-5309 10.0.0.1")
     }
   }
 }
