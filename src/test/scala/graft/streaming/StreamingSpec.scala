@@ -1665,6 +1665,59 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming line dedup: foreachBatch fold matches the against-prior operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_ld_").toFile
+    val counts = new java.io.File(dir, "counts").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("id", "t")
+      val q = docs.writeStream
+        .foreachBatch(StreamingLineDedup.sink(counts, out, "t", "id",
+          maxCount = 2) _)
+        .start()
+      // "B" crosses the threshold only once batch 2 lands: batch 1's doc
+      // keeps it (arrival-time knowledge), batch 2's docs lose it
+      val b1 = Seq((1L, "B\nalpha"), (2L, "keep\nB"))
+      val b2 = Seq((3L, "B\nbeta"), (4L, "gamma\nkeep"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("text_kept"))))
+        .toMap
+      // batch 1: B count = 2 == max -> kept everywhere
+      assert(got(1L) === ((2L, 2L, "B\nalpha")))
+      assert(got(2L) === ((2L, 2L, "keep\nB")))
+      // batch 2: prior B = 2, batch adds 1 -> 3 > max -> dropped; "keep"
+      // reads 2 prior+batch occurrences -> kept
+      assert(got(3L) === ((2L, 1L, "beta")))
+      assert(got(4L) === ((2L, 2L, "gamma\nkeep")))
+      // batch-2 rows equal the against-prior operator fed counts(b1)
+      val expect = graft.pipeline.TextAnalysis.lineDedupAgainstPrior(
+          b2.toDF("id", "t"), "t", "id",
+          prior = graft.pipeline.TextAnalysis.lineCounts(b1.toDF("id", "t"), "t"),
+          maxCount = 2)
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("text_kept"))))
+        .toMap
+      assert(got.filter(_._1 >= 3) === expect)
+      // the folded artifact equals lineCounts over everything seen
+      val folded = StreamingLineDedup.currentCounts(spark, counts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val full = graft.pipeline.TextAnalysis.lineCounts(
+          (b1 ++ b2).toDF("id", "t"), "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(folded === full)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String] // QI key, one element per record
