@@ -2138,21 +2138,45 @@ object Queries {
     * itself, so it must read exactly 1.0 (an in-data self-check). Same
     * rounded-cosine/rank-tiebreak determinism contract as [[annTopK]];
     * recall = joined-hit count through one double division, rounded.
+    *
+    * ONE corpus pass for all four prefix dims: each prefix's cosine
+    * accumulators are intermediate states of the full vector's sequential
+    * accumulation, so [[graft.functions.PrefixCosines]] emits the whole
+    * ladder per candidate in a single walk (bit-identical to the
+    * slice-then-cosine formulation the oracle keeps), then one
+    * `(prefix_dim, query_id)` rank window replaces the four
+    * [[Similarity.bruteForceTopK]] arms the plan used to pay for.
     */
   def embedPrefixRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val e = tbl(spark, dir, "embeddings")
     val dims = Seq(8, 16, 32, 64)
-    val perDim = dims.map { d =>
-      val q = e.filter($"vec_id" < 20)
-        .select($"vec_id", slice($"embedding", 1, d).as("emb"))
-      val c = e.select($"vec_id", slice($"embedding", 1, d).as("emb"))
-      Similarity.bruteForceTopK(q, c, "vec_id", "emb", k = 10)
-        .select(lit(d.toLong).as("prefix_dim"), $"query_id", $"neighbor_id")
-    }.reduce(_ unionByName _)
-    val full = perDim.filter($"prefix_dim" === 64L)
-      .select($"query_id", $"neighbor_id")
-    perDim.join(full, Seq("query_id", "neighbor_id"))
+    val dimArr = array(dims.map(d => lit(d.toLong)): _*)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("__qv"))
+    val scored = e.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      .crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        posexplode(graft.functions.PrefixCosines.prefixCosines(
+          $"__qv", $"__cv", dims)))
+      .select($"query_id", $"neighbor_id",
+        element_at(dimArr, $"pos" + 1).as("prefix_dim"),
+        round($"col", 6).as("cos"))
+    val w = Window.partitionBy($"prefix_dim", $"query_id")
+      .orderBy($"cos".desc, $"neighbor_id".asc)
+    val pref = scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"prefix_dim", $"query_id", $"neighbor_id")
+    // recall join folded into an aggregate: a (query, neighbor) pair hit
+    // at prefix d counts toward d's recall iff the pair is also a d=64
+    // hit — i.e. 64 appears in the pair's dim list. One consumer of the
+    // scored table, no self-join, no materialization.
+    pref.groupBy($"query_id", $"neighbor_id")
+      .agg(collect_list($"prefix_dim").as("__ds"))
+      .filter(array_contains($"__ds", 64L))
+      .select(explode($"__ds").as("prefix_dim"))
       .groupBy($"prefix_dim")
       .agg(round(count(lit(1)).cast("double") / lit(200.0), 6).as("recall_at_10"))
       .orderBy($"prefix_dim")
@@ -6304,7 +6328,17 @@ object Queries {
     * s_i = pair occurrences, m_i = the top pair (count desc, l, r — the
     * trainer's total tie-break), v_i = the rewritten vocabulary.
     */
-  private def bpeTrainCtes: String = {
+  private def bpeTrainCtes: String =
+    bpeTrainCtesWith(raw"regexp_replace(word, '(.)', ' \1 ', 'g')")
+
+  /** The byte-level chain: identical machinery over the UTF-8 hex-pair
+    * repr ([[pipeline.Bpe.wordReprBytes]] — `hex(encode(w))` spells bytes
+    * the same way in both engines).
+    */
+  private def bpeTrainCtesBytes: String =
+    bpeTrainCtesWith(raw"regexp_replace(hex(encode(word)), '(..)', ' \1 ', 'g')")
+
+  private def bpeTrainCtesWith(reprSql: String): String = {
     // AS MATERIALIZED is load-bearing: each v_i is referenced twice
     // (round i+1's pair count and round i+1's rewrite), so DuckDB's
     // default CTE inlining would expand the chain 2^rounds-fold —
@@ -6318,7 +6352,7 @@ object Queries {
          |  FROM documents
          |), v0 AS MATERIALIZED (
          |  SELECT word, count(*) AS wc,
-         |         regexp_replace(word, '(.)', ' \1 ', 'g') AS repr
+         |         $reprSql AS repr
          |  FROM w GROUP BY word
          |)""".stripMargin)
     for (i <- 1 to BpeMergeCount) {
@@ -6378,6 +6412,64 @@ object Queries {
          |         AS chars_per_token
          |FROM e JOIN documents dd USING (doc_id)
          |GROUP BY dd.source ORDER BY dd.source""".stripMargin
+
+  private val bpeBytesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.pipeline.Bpe.Merge]]
+
+  private def trainedBpeBytes(spark: SparkSession, dir: String): Seq[graft.pipeline.Bpe.Merge] =
+    bpeBytesCache.getOrElseUpdate(dir,
+      loadOrTrain[Seq[graft.pipeline.Bpe.Merge]](spark, dir, "bpe_bytes_merges",
+        p => graft.pipeline.Bpe.loadMerges(spark, p),
+        p => {
+          // the PRODUCTION trainer (heap, byte-level) — spec-pinned
+          // bit-identical to the relational twin the oracle replays
+          val m = graft.pipeline.Bpe.trainMergesHeap(
+            tbl(spark, dir, "documents"), "text", BpeMergeCount,
+            byteLevel = true)
+          graft.pipeline.Bpe.saveMerges(spark, m, p, byteLevel = true)
+          m
+        },
+        table = "documents.parquet"))
+
+  /** BYTE-LEVEL BPE merges ([[pipeline.Bpe.trainMergesHeap]] with
+    * `byteLevel = true` — the GPT-2-family recipe: whitespace pretokenize,
+    * then merge UTF-8 BYTES, spelled as uppercase hex pairs so the whole
+    * relational replay carries over). Trained by the production heap
+    * trainer; the oracle replays the relational twin's CTE chain over
+    * `hex(encode(word))` — heap ≡ relational is spec-pinned, so this
+    * query pins the production path against an independent engine.
+    */
+  def bpeBytesMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.mergesFrame(spark, trainedBpeBytes(spark, dir))
+
+  val bpeBytesMergesSql: String =
+    bpeTrainCtesBytes + "\n" +
+      (1 to BpeMergeCount).map(i =>
+        s"SELECT $i AS merge_rank, l AS l_sym, r AS r_sym, cnt FROM m$i")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  /** Per-document token counts under the byte-level artifact
+    * ([[pipeline.Bpe.encode]] with `byteLevel = true`): each DISTINCT
+    * word's byte repr is rewritten once through the loaded merges,
+    * documents re-attach by the word equi-join.
+    */
+  def bpeBytesEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.encode(tbl(spark, dir, "documents"), "doc_id", "text",
+        trainedBpeBytes(spark, dir), byteLevel = true)
+      .orderBy("doc_id")
+
+  val bpeBytesEncodeSql: String =
+    bpeTrainCtesBytes +
+      raw""", d AS (
+         |  SELECT word,
+         |         CAST(len(list_filter(string_split(repr, ' '),
+         |                              x -> len(x) > 0)) AS BIGINT) AS toks
+         |  FROM v$BpeMergeCount
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
+         |FROM w JOIN d USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // link-graph analytics
@@ -7463,6 +7555,84 @@ object Queries {
       |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
       |       count(DISTINCT c_mktsegment) < 3 AS below_l
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** k-anonymization release transform ([[Privacy.generalize]]): account
+    * balances generalized to 2000-wide range starts, rows whose (nation,
+    * segment, bucket) group stays under k=2 SUPPRESSED — the enforcement
+    * step the ladder's audit implies (at sf0.01 this suppresses 170 of
+    * 1500 rows; at sf0.001, 131 of 150 — the fine QI genuinely needs the
+    * gate at every scale). Corpus scanned twice (group table + release
+    * pass), never shuffled: the bounded safe-group table broadcasts back
+    * as a semi-join.
+    */
+  def generalize(spark: SparkSession, dir: String): DataFrame =
+    Privacy.generalize(tbl(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal")),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", width = 2000L, k = 2)
+      .orderBy("c_custkey")
+
+  val generalizeSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |         CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS c_acctbal
+      |  FROM customer
+      |), safe AS (
+      |  SELECT c_nationkey, c_mktsegment, c_acctbal FROM r
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |)
+      |SELECT r.c_custkey, r.c_nationkey, r.c_mktsegment, r.c_acctbal
+      |FROM r
+      |WHERE EXISTS (SELECT 1 FROM safe s
+      |              WHERE s.c_nationkey = r.c_nationkey
+      |                AND s.c_mktsegment = r.c_mktsegment
+      |                AND s.c_acctbal = r.c_acctbal)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Release at the LADDER-CHOSEN width ([[Privacy.generalizeChosen]]):
+    * the [[Privacy.generalizationLadder]] audit over (order priority,
+    * total price) picks the narrowest nesting width whose minimum group
+    * size meets k (a 1-row driver scalar), and the release transform
+    * applies it — audit and enforcement wired end-to-end. The chosen
+    * width scale-shifts with the corpus (320000 at sf0.001, 20000 at
+    * sf0.01+), so the oracle replays the CHOICE as well as the release.
+    * At the chosen width no group is below k by construction, so the
+    * suppress step keeps everything — the oracle replays the (vacuous)
+    * suppression too, pinning both halves.
+    */
+  def generalizeChosen(spark: SparkSession, dir: String): DataFrame =
+    Privacy.generalizeChosen(tbl(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice",
+        widths = Seq(20000L, 40000L, 80000L, 160000L, 320000L), k = 5)
+      .orderBy("o_orderkey")
+
+  val generalizeChosenSql: String =
+    """WITH g AS (
+      |  SELECT w.width, o_orderpriority,
+      |         floor(o_totalprice / w.width) AS b, count(*) AS gn
+      |  FROM orders
+      |  CROSS JOIN (VALUES (20000), (40000), (80000), (160000), (320000)) w(width)
+      |  GROUP BY 1, 2, 3
+      |), cw AS (
+      |  SELECT min(width) AS w FROM (
+      |    SELECT width, min(gn) >= 5 AS meets_k FROM g GROUP BY 1
+      |  ) WHERE meets_k
+      |), r AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(floor(o_totalprice / (SELECT w FROM cw))
+      |              * (SELECT w FROM cw) AS BIGINT) AS o_totalprice
+      |  FROM orders
+      |), safe AS (
+      |  SELECT o_orderpriority, o_totalprice FROM r
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |)
+      |SELECT r.o_orderkey, r.o_orderpriority, r.o_totalprice
+      |FROM r
+      |WHERE EXISTS (SELECT 1 FROM safe s
+      |              WHERE s.o_orderpriority = r.o_orderpriority
+      |                AND s.o_totalprice = r.o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Per-source PII exposure census: match counts for the four scrub-family
     * patterns (email / URL / phone / IPv4 — the RE2-and-Java-identical

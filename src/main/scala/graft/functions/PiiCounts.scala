@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,17 +40,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen (measured: 21× DuckDB as four `regexp_count`s at
   * 500k docs — Java regex cost, the r8 normalize lesson repeating).
   */
-case class PiiCounts(child: Expression) extends UnaryExpression {
+case class PiiCounts(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = PiiCounts.Shape
   override def nullable: Boolean  = child.nullable
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"pii_counts requires string, got $other")
-    }
+  // ImplicitCastInputTypes so non-string columns coerce exactly as they
+  // did under the regexp_count formulation this kernel replaced
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     PiiCounts.evalCounts(input.asInstanceOf[UTF8String])
@@ -305,17 +302,15 @@ object PiiCounts {
   * oracles keep (spec-pinned). Shares [[PiiCounts]]'s match steppers, so
   * the count and rewrite faces can never drift apart.
   */
-case class PiiScrub(child: Expression) extends UnaryExpression {
+case class PiiScrub(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean  = child.nullable
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"pii_scrub requires string, got $other")
-    }
+  // same coercion contract as PiiCounts (regexp_replace callers relied
+  // on implicit string casts)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     PiiCounts.evalScrub(input.asInstanceOf[UTF8String])

@@ -718,14 +718,19 @@ object Graph {
       seedCol: String,
       steps: Int,
       broadcastFrontierLimit: Long = 4L << 20,
-      edgeBufferLimit: Long = 8L << 20): DataFrame = {
+      edgeBufferLimit: Long = 8L << 20,
+      seedLimit: Long = 1L << 20): DataFrame = {
     require(steps >= 1, s"randomWalks: steps must be >= 1, got $steps")
     val ed0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    if (edgeBufferLimit > 0 &&
+    // the one-pass gate has TWO resources: the edge buffer inside the
+    // aggregate (edgeBufferLimit) and the seed array, which rides to the
+    // driver AND into the task binary — so it gets its own, much smaller
+    // cap (1M seeds ≈ 8 MB) instead of borrowing the 8M edge budget
+    if (edgeBufferLimit > 0 && seedLimit > 0 &&
         { val c = ed0.count(); c > 0 && c <= edgeBufferLimit } &&
-        seeds.count() <= edgeBufferLimit) {
+        seeds.count() <= seedLimit) {
       val seedArr = seeds.select(col(seedCol).cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
       return ed0

@@ -56,10 +56,16 @@ object Interpolate {
     // by the KEYS alone: HashPartitioning(keys) satisfies the clustering
     // both the (keys, ts) aggregate and the keys-window require, so the
     // plan runs ONE full-volume exchange instead of two (agg exchange on
-    // (keys, ts) + window re-exchange on keys). Trade documented: the
-    // exchange now moves raw rows rather than partially-aggregated ones —
+    // (keys, ts) + window re-exchange on keys). Trades documented: (a)
+    // the exchange moves raw rows rather than partially-aggregated ones —
     // equal-(key, ts) collapse is rare in event data, so the volumes are
-    // the same and the second shuffle is pure savings.
+    // the same; (b) the full-volume AGGREGATE now runs at key-cardinality
+    // parallelism, the same bound the window stage always had — with few
+    // or heavily skewed keys the hot key's aggregate lands on one task
+    // alongside its window. The window stage is the binding constraint
+    // either way (it cannot be salted), so sharing its exchange costs
+    // nothing NEW, but a caller with a handful of giant keys should know
+    // both stages serialize per key.
     val ord = struct((col(tsCol) +: tieCols.map(col)): _*)
     val pts = df.repartition(keys: _*).groupBy(keys :+ col(tsCol): _*)
       .agg(max_by(col(valueCol), ord).as("__v"))

@@ -51,11 +51,29 @@ object Bpe {
   def wordRepr(word: Column): Column =
     regexp_replace(word, "(.)", " $1 ")
 
+  /** BYTE-LEVEL [[wordRepr]] — the GPT-2-family recipe: the word's UTF-8
+    * bytes, each an own-space symbol. Bytes render as uppercase hex pairs
+    * (`"thé"` → `" 74  68  C3  A9 "`), so the whole relational machinery
+    * ([[applyMerges]]'s `replace`, the pair explode, the oracle's CTE
+    * replay) carries over unchanged — a trained merge just fuses hex
+    * strings (`" 74  68 " → " 7468 "`). Cross-engine exact: `hex(encode(w))`
+    * is the same uppercase byte spelling in Spark and DuckDB.
+    */
+  def wordReprBytes(word: Column): Column =
+    regexp_replace(
+      hex(org.apache.spark.sql.functions.encode(word, "UTF-8")),
+      "(..)", " $1 ")
+
+  /** The per-level repr column ([[wordRepr]] / [[wordReprBytes]]). */
+  private def reprOf(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) wordReprBytes(word) else wordRepr(word)
+
   /** The vocabulary frame: distinct word, corpus count, symbol repr. */
-  private def vocabFrame(docs: DataFrame, textCol: String): DataFrame =
+  private def vocabFrame(docs: DataFrame, textCol: String,
+      byteLevel: Boolean): DataFrame =
     docs.select(explode(TextAnalysis.words(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      .withColumn("repr", wordRepr(col("word")))
+      .withColumn("repr", reprOf(col("word"), byteLevel))
 
   /** Adjacent symbol pairs of a repr column with the word count attached:
     * `(l, r, wc)` one row per pair OCCURRENCE (duplicates within a word
@@ -86,9 +104,10 @@ object Bpe {
     * symbol). The returned rules are the persistable artifact
     * ([[saveMerges]]/[[loadMerges]]).
     */
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
-    val base = Dedup.materializeOnce(vocabFrame(docs, textCol))
+    val base = Dedup.materializeOnce(vocabFrame(docs, textCol, byteLevel))
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var voc = base
     var rank = 1
@@ -135,7 +154,8 @@ object Bpe {
       textCol: String,
       nMerges: Int,
       minCount: Long = 1L,
-      maxVocab: Int = 10000000): Seq[Merge] = {
+      maxVocab: Int = 10000000,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val rows = docs.select(explode(TextAnalysis.words(col(textCol))).as("word"))
@@ -148,25 +168,32 @@ object Bpe {
         s"minCount=$minCount — raise minCount (rare types contribute " +
         "negligible pair mass) or maxVocab")
     trainHeapFromVocab(
-      rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+      rows.map(r => (r.getString(0), r.getLong(1))), nMerges, byteLevel)
   }
 
   /** The in-memory trainer core, exposed for spec-level property runs:
     * `vocab` is the distinct `(word, count)` table.
     */
   private[graft] def trainHeapFromVocab(
-      vocab: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+      vocab: Array[(String, Long)], nMerges: Int,
+      byteLevel: Boolean = false): Seq[Merge] = {
     import scala.collection.mutable
-    // each word as its codepoint-symbol sequence (wordRepr's "(.)" splits
-    // by codepoint, so the two trainers see identical symbols)
+    // each word as its initial symbol sequence: codepoints (wordRepr's
+    // "(.)" splits by codepoint) or UTF-8 bytes as uppercase hex pairs
+    // (wordReprBytes) — the merge loop below is level-agnostic
     val syms = vocab.map { case (w, _) =>
       val buf = mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        val n = Character.charCount(cp)
-        buf += w.substring(i, i + n)
-        i += n
+      if (byteLevel) {
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => buf += f"${b & 0xFF}%02X")
+      } else {
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val n = Character.charCount(cp)
+          buf += w.substring(i, i + n)
+          i += n
+        }
       }
       buf
     }
@@ -249,10 +276,16 @@ object Bpe {
     def compare(that: Reversed): Int = that.s.compareTo(s)
   }
 
-  /** Persist trained merges as a parquet artifact (nMerges rows). */
-  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+  /** Persist trained merges as a parquet artifact (nMerges rows). The
+    * `byte_level` flag column records which symbol alphabet the rules
+    * were trained over — encoding with the wrong repr would silently
+    * tokenize everything to singles.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String,
+      byteLevel: Boolean = false): Unit = {
     import spark.implicits._
-    Artifacts.save(merges.toDF("merge_rank", "l_sym", "r_sym", "cnt"), path)
+    Artifacts.save(merges.toDF("merge_rank", "l_sym", "r_sym", "cnt")
+      .withColumn("byte_level", lit(byteLevel)), path)
   }
 
   /** Load merges persisted by [[saveMerges]]. */
@@ -262,6 +295,16 @@ object Bpe {
       .collect()
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank).toSeq
+
+  /** The artifact's symbol-alphabet flag (false for pre-flag artifacts —
+    * everything before the flag existed was codepoint-level).
+    */
+  def mergesByteLevel(spark: SparkSession, path: String): Boolean = {
+    val df = spark.read.parquet(path)
+    df.columns.contains("byte_level") &&
+      df.select(col("byte_level")).limit(1).collect()
+        .headOption.exists(_.getBoolean(0))
+  }
 
   /** The merges table as a frame (`merge_rank, l_sym, r_sym, cnt`). */
   def mergesFrame(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
@@ -277,13 +320,13 @@ object Bpe {
     * equi-join. Output: `(id, n_words, n_bpe_tokens)`.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], byteLevel: Boolean = false): DataFrame = {
     val wordRows = docs.select(col(idCol),
       explode(TextAnalysis.words(col(textCol))).as("word"))
     val dict = wordRows.select(col("word")).distinct()
       .withColumn("__toks",
-        size(filter(split(applyMerges(wordRepr(col("word")), merges), " "),
-          s => length(s) > 0)).cast("long"))
+        size(filter(split(applyMerges(reprOf(col("word"), byteLevel), merges),
+          " "), s => length(s) > 0)).cast("long"))
     wordRows.join(dict, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__toks")).as("n_bpe_tokens"))

@@ -127,6 +127,66 @@ object Privacy {
         .otherwise(lit("still_safe")))
   }
 
+  /** The release transform the ladder's audit implies: bucket `numCol` to
+    * `width` (values become their range start, `floor(v/width)*width` —
+    * the [[generalizationLadder]] floor-division grammar) and SUPPRESS
+    * every row whose generalized QI group still has fewer than `k`
+    * members — standard k-anonymization (generalize + suppress), i.e. the
+    * gate a pipeline actually runs on user-derived records before they
+    * enter a training mix, not just the audit that reports the width.
+    *
+    * Scale shape: one corpus pass builds the (QI, bucket) group table
+    * (map-side combinable, bounded by the QI domain), which broadcasts
+    * back as a semi-join — the corpus itself is scanned twice but NEVER
+    * shuffled. The alternative single-scan formulation (a count window
+    * over (QI, bucket)) would exchange the full corpus; two scans + a
+    * bounded broadcast is the 100 TB shape.
+    */
+  def generalize(
+      df: DataFrame,
+      qiCols: Seq[String],
+      numCol: String,
+      width: Long,
+      k: Int): DataFrame = {
+    require(width > 0, s"generalize: width must be positive, got $width")
+    require(k >= 2, s"generalize: k must be >= 2, got $k")
+    val qi = qiCols.map(col)
+    val bucket = floor(col(numCol) / lit(width)).cast("long")
+    val released = df.withColumn(numCol, bucket * lit(width))
+    val safe = released
+      .groupBy(qi :+ col(numCol): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .drop("__n")
+    released.join(broadcast(safe), qiCols :+ numCol, "left_semi")
+      // the using-columns join fronts the keys; a release transform must
+      // hand back the caller's schema order
+      .select(df.columns.map(col): _*)
+  }
+
+  /** [[generalize]] at the width the [[generalizationLadder]] chooses:
+    * runs the ladder, picks the narrowest width whose minimum group size
+    * meets `k` (a 1-row driver scalar — the bounded gate-probe
+    * convention), and applies the release transform at that width. Fails
+    * loudly when no ladder width meets k — releasing at the widest
+    * failing width would silently ship at-risk rows.
+    */
+  def generalizeChosen(
+      df: DataFrame,
+      qiCols: Seq[String],
+      numCol: String,
+      widths: Seq[Long],
+      k: Int): DataFrame = {
+    val chosen = Dedup.withMaterialized {
+      generalizationLadder(df, qiCols, numCol, widths, k)
+        .filter(col("chosen")).select(col("width")).collect()
+    }
+    require(chosen.nonEmpty,
+      s"generalizeChosen: no width in $widths meets k=$k — widen the " +
+        "ladder or suppress the corpus")
+    generalize(df, qiCols, numCol, chosen.head.getLong(0), k)
+  }
+
   /** Distinct-sensitive-value diversity per QI group (l-diversity): a
     * group can be k-anonymous yet leak its sensitive attribute when every
     * member shares one value. Same one-pass bounded-output shape as

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned artifact store for `foreachBatch` FOLD sinks
+  * ([[StreamingComponents]], [[StreamingLineDedup]]): the artifact a
+  * batch folds into lives at `<path>/v=<batchId>/` and a version counts
+  * only once its `_SUCCESS` marker exists.
+  *
+  * This buys the two properties a fold sink needs and the old
+  * delete-then-rename swap did not have:
+  *
+  *  - **replay idempotence**: Structured Streaming redelivers a batch
+  *    after a failure; [[lastBatchId]] tells the sink whether this
+  *    `batchId` was already folded, so it can skip the fold (and any
+  *    output append) instead of double-counting;
+  *  - **no crash window**: [[commit]] writes the NEW version before it
+  *    prunes old ones, so a crash at any instruction leaves a committed
+  *    prior on disk — there is no moment where the artifact directory is
+  *    empty (the old swap deleted the live artifact before renaming the
+  *    replacement into place).
+  *
+  * A crash between the new version's `_SUCCESS` and the prune leaves an
+  * extra old version behind; [[read]] always picks the max committed
+  * version and the next [[commit]] re-prunes, so stale versions are
+  * garbage, never truth.
+  */
+object FoldArtifact {
+
+  /** Highest batchId with a committed version, if any. */
+  def lastBatchId(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, root).map(_._1).maxOption
+  }
+
+  /** Latest committed version's data, if any version was ever committed. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, root).maxByOption(_._1)
+      .map { case (_, p) => spark.read.parquet(p.toString) }
+  }
+
+  /** Write `model` as version `batchId`, then prune older versions.
+    * Overwrite mode makes a redelivered half-written version self-heal;
+    * the prune runs only after the new version is fully committed.
+    */
+  def commit(model: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = model.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    model.write.mode("overwrite").parquet(versionPath(root, batchId).toString)
+    committedVersions(fs, root)
+      .filter { case (v, _) => v < batchId }
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  private def versionPath(root: Path, batchId: Long): Path =
+    new Path(root, s"v=$batchId")
+
+  private def committedVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v="))
+          scala.util.Try(n.stripPrefix("v=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+}

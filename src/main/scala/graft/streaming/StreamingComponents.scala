@@ -12,13 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Components are a FOLD — each batch's answer depends on every prior
   * batch — so unlike the stateless faces ([[StreamingSemDedup]],
   * [[StreamingBpe]]) this one runs as a `foreachBatch` sink that owns the
-  * artifact: read prior → contract by the batch → write the updated
-  * assignment. Per batch the work is batch-bounded (the contraction
-  * union-find sees ≤ one label pair per new edge) plus ONE
-  * broadcast-remap join over the prior; the artifact swap is
-  * write-to-temp + rename, so a crash mid-batch leaves the prior intact
-  * (foreachBatch re-delivers the batch — the fold is idempotent per
-  * batch because the increment is deterministic from (prior, batch)).
+  * artifact through [[FoldArtifact]]: read prior → contract by the batch
+  * → commit the updated assignment as version `batchId`. Per batch the
+  * work is batch-bounded (the contraction union-find sees ≤ one label
+  * pair per new edge) plus ONE broadcast-remap join over the prior.
+  *
+  * Replay safety is double-layered: a redelivered `batchId` at or below
+  * the committed version is skipped outright ([[FoldArtifact]] tracks
+  * the version in the path), and even a fold that did slip through would
+  * be a no-op — re-adding edges never changes components. Crash
+  * mid-batch leaves the prior version committed on disk; there is no
+  * delete-before-replace window.
   *
   * Cross-batch parity is structural and spec-pinned: folding any batch
   * split equals batch [[graft.ops.Graph.connectedComponents]] over the
@@ -27,40 +31,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamingComponents {
 
   /** `foreachBatch` body maintaining the `(node, comp)` parquet artifact
-    * at `artifactPath` (created on the first batch).
+    * at `artifactPath` (created on the first batch). Skips batches the
+    * artifact has already folded.
     */
   def sink(artifactPath: String, srcCol: String, dstCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val hadoop = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(artifactPath)
-    val fs = path.getFileSystem(hadoop)
-    val updated =
-      if (fs.exists(path)) {
-        val prior = spark.read.parquet(artifactPath)
+    if (FoldArtifact.lastBatchId(spark, artifactPath).exists(_ >= batchId))
+      return // replayed batch: already folded
+    val updated = FoldArtifact.read(spark, artifactPath) match {
+      case Some(prior) =>
         graft.ops.Graph.componentsIncrement(batch, srcCol, dstCol, prior)
-      } else {
+      case None =>
         graft.ops.Graph.connectedComponents(batch, srcCol, dstCol)
-      }
-    // write-to-temp + swap: the increment READS the artifact it replaces
-    val tmp = new org.apache.hadoop.fs.Path(artifactPath + "__next")
-    graft.pipeline.Dedup.withMaterialized {
-      // materialize before the swap — the lazy plan still reads the prior
-      graft.pipeline.Dedup.materializeOnce(updated)
-        .write.mode("overwrite").parquet(tmp.toString)
     }
-    fs.delete(path, true)
-    require(fs.rename(tmp, path),
-      s"StreamingComponents: artifact swap failed for $artifactPath")
+    // the lazy increment READS the prior version, but commit writes the
+    // NEW version directory first and prunes only after _SUCCESS — the
+    // read completes during the write, no materialization needed
+    FoldArtifact.commit(updated, artifactPath, batchId)
   }
 
   /** Current assignment (empty frame with the right schema before any
     * batch arrived).
     */
-  def current(spark: SparkSession, artifactPath: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(artifactPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(artifactPath)
-    else spark.range(0).selectExpr("id AS node", "id AS comp")
-  }
+  def current(spark: SparkSession, artifactPath: String): DataFrame =
+    FoldArtifact.read(spark, artifactPath).getOrElse(
+      spark.range(0).selectExpr("id AS node", "id AS comp"))
 }

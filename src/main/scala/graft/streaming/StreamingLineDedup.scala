@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * [[graft.pipeline.TextAnalysis.lineCounts]] artifact.
   *
   * Like [[StreamingComponents]], the frequencies are a FOLD, so this runs
-  * as a `foreachBatch` sink that owns the artifact: read prior → rewrite
-  * batch → append rewritten docs to `outputPath` → merge counts →
-  * write-to-temp + rename swap (a crash mid-batch leaves the prior
-  * intact). Per batch the work is batch-bounded plus one join against
-  * the Zipf-shrunk count table.
+  * as a `foreachBatch` sink that owns the artifact through
+  * [[FoldArtifact]], which makes the whole batch replay-idempotent:
+  * a `batchId` at or below the artifact's committed version was already
+  * fully processed (output lands BEFORE the counts commit), so a
+  * redelivered batch is skipped outright, and the rewritten docs land in
+  * a per-batch partition (`outputPath/__batch=<id>/`, overwrite mode) so
+  * a redelivery that raced the commit overwrites its own partial output
+  * instead of appending duplicates. Crash mid-batch leaves the prior
+  * version committed on disk — there is no delete-before-replace window.
+  * Read the output root with `spark.read.parquet(outputPath)`; the
+  * `__batch` partition column records arrival provenance.
+  *
+  * Per batch the work is batch-bounded plus one join against the
+  * Zipf-shrunk count table.
   *
   * The documented at-ingest trade: a document rewritten in batch N is
   * never revisited when a LATER batch pushes one of its kept lines over
@@ -28,8 +37,9 @@ import org.apache.spark.sql.functions._
 object StreamingLineDedup {
 
   /** `foreachBatch` body: rewrite the batch against prior+batch counts,
-    * append the rewritten docs to `outputPath`, fold the batch's counts
-    * into the artifact at `countsPath` (created on the first batch).
+    * write the rewritten docs under `outputPath/__batch=<batchId>`, fold
+    * the batch's counts into the artifact at `countsPath` (created on the
+    * first batch). Skips batches the artifact has already folded.
     */
   def sink(
       countsPath: String,
@@ -38,9 +48,8 @@ object StreamingLineDedup {
       idCol: String,
       maxCount: Long = 4)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val hadoop = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(countsPath)
-    val fs = path.getFileSystem(hadoop)
+    if (FoldArtifact.lastBatchId(spark, countsPath).exists(_ >= batchId))
+      return // replayed batch: output + fold both landed already
     val prior = currentCounts(spark, countsPath)
     graft.pipeline.Dedup.withMaterialized {
       // materialize the batch once: it feeds the rewrite (explode twice)
@@ -48,29 +57,24 @@ object StreamingLineDedup {
       val b = graft.pipeline.Dedup.materializeOnce(batch)
       graft.pipeline.TextAnalysis
         .lineDedupAgainstPrior(b, textCol, idCol, prior, maxCount)
-        .write.mode("append").parquet(outputPath)
+        .write.mode("overwrite")
+        .parquet(s"$outputPath/__batch=$batchId")
       val merged = prior
         .unionAll(graft.pipeline.TextAnalysis.lineCounts(b, textCol)
           .select(col("line"), col("prior_c")))
         .groupBy(col("line")).agg(sum(col("prior_c")).as("prior_c"))
-      // write-to-temp + swap: the merge READS the artifact it replaces
-      val tmp = new org.apache.hadoop.fs.Path(countsPath + "__next")
-      graft.pipeline.Dedup.materializeOnce(merged)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(path, true)
-      require(fs.rename(tmp, path),
-        s"StreamingLineDedup: artifact swap failed for $countsPath")
+      // the lazy merge READS the prior version, but commit writes the NEW
+      // version directory first and prunes only after _SUCCESS — the read
+      // completes during the write, no extra materialization needed
+      FoldArtifact.commit(merged, countsPath, batchId)
     }
   }
 
   /** Current line-frequency artifact (empty with the right schema before
     * any batch arrived).
     */
-  def currentCounts(spark: SparkSession, countsPath: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(countsPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(countsPath)
-    else spark.range(0).selectExpr("CAST(NULL AS STRING) AS line",
-      "id AS prior_c")
-  }
+  def currentCounts(spark: SparkSession, countsPath: String): DataFrame =
+    FoldArtifact.read(spark, countsPath).getOrElse(
+      spark.range(0).selectExpr("CAST(NULL AS STRING) AS line",
+        "id AS prior_c"))
 }

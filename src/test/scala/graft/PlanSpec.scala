@@ -664,7 +664,14 @@ class PlanSpec extends SparkTestBase {
       // r12d: linearAtGrid pre-partitions by keys so the (keys, ts)
       // aggregate and the keys-window share ONE full-volume exchange;
       // the second exchange is the output sort
-      ("q_interp_grid",       1, 2))
+      ("q_interp_grid",       1, 2),
+      // r13: the prefix-recall ladder runs in ONE corpus pass — the
+      // PrefixCosines kernel emits all four dims per candidate, then one
+      // (dim, query) rank window with WindowGroupLimit partial top-10;
+      // scans = corpus + query arm, exchanges = query broadcast + window
+      // + pair-agg + recall-agg + output sort, all post-top-10 volumes
+      // (was FOUR bruteForceTopK arms, each its own crossJoin + window)
+      ("q_embed_prefix_recall", 2, 5))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString

@@ -69,7 +69,8 @@ class CodegenCompileSpec extends SparkTestBase {
           Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)))).as("pqr"),
         NearestCentroid.nearestCentroid($"va",
           Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)))
-          .getField("idx").as("ncIdx")
+          .getField("idx").as("ncIdx"),
+        PrefixCosines.prefixCosines($"va", $"vb", Seq(1, 3)).as("pcos")
       ).collect()
 
       assert(out.length == 2)
@@ -80,6 +81,7 @@ class CodegenCompileSpec extends SparkTestBase {
       assert(out.forall(r => !r.isNullAt(14)), "residual pq kernel")
       assert(out(0).getInt(15) == 1 && out(1).getInt(15) == 0,
         "nearest centroid (caught live: kernel named eval ran interpreted)")
+      assert(out.forall(r => r.getSeq[Double](16).length == 2), "prefix cosines")
     }
   }
 

@@ -486,10 +486,12 @@ class GraphSpec extends SparkTestBase {
   // ------------------------------------------------------------ randomWalks
 
   private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
-      steps: Int, bufLimit: Long = 8L << 20): Map[(Long, Int), Long] =
+      steps: Int, bufLimit: Long = 8L << 20,
+      seedLimit: Long = 1L << 20): Map[(Long, Int), Long] =
     Dedup.withMaterialized {
       Graph.randomWalks(edges.toDF("src", "dst"), "src", "dst",
-          seeds.toDF("doc_id"), "doc_id", steps, edgeBufferLimit = bufLimit)
+          seeds.toDF("doc_id"), "doc_id", steps, edgeBufferLimit = bufLimit,
+          seedLimit = seedLimit)
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     }
@@ -542,6 +544,17 @@ class GraphSpec extends SparkTestBase {
     assert(walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4) === expect)
     assert(walksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 2L), steps = 4,
       bufLimit = 0L) === expect)
+  }
+
+  test("randomWalks: a seed set over seedLimit routes to the loop path, same answer") {
+    val rnd = new scala.util.Random(11L)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val seeds = Seq(1L, 4L, 9L, 16L)
+    val expect = seeds.map(refWalk(edges, _, 4)).reduce(_ ++ _)
+    // seeds (4) exceed seedLimit (2): the one-pass gate must NOT fire —
+    // the seed array never rides to the driver — and the frontier loop
+    // produces the identical corpus
+    assert(walksOf(edges, seeds, 4, seedLimit = 2L) === expect)
   }
 
   test("randomWalks: deterministic across runs and independent per seed") {

@@ -37,6 +37,61 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("byte-level: heap trainer matches the relational trainer, multibyte exact") {
+    // multibyte words are the point: at byte level 'é' is TWO symbols
+    // (C3, A9) and merges cross what the codepoint level sees as one
+    val docs = corpus(Seq(
+      "thé thé café café café", "née née thé", "aaaa aaa aa a",
+      "naïve naïve café"))
+    val rel = Dedup.withMaterialized {
+      Bpe.trainMerges(docs, "text", nMerges = 8, byteLevel = true)
+    }
+    val heap = Bpe.trainMergesHeap(docs, "text", nMerges = 8, byteLevel = true)
+    assert(heap === rel)
+    // symbols are uppercase hex pairs; the top merges fuse real byte runs
+    assert(heap.nonEmpty && heap.forall(m =>
+      (m.l + m.r).forall(c => c.isDigit || ('A' to 'F').contains(c))))
+    // the 'é' byte pair (C3, A9) must appear fused in some merge over
+    // this accent-heavy corpus
+    assert(heap.exists(m => (m.l + m.r).contains("C3A9")))
+    // random corpora, both trainers, byte level
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val alphabet = "abé"
+      val words = Seq.fill(10)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val d = corpus(Seq.fill(5)(
+        (1 to (1 + rnd.nextInt(4))).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+      val n = 1 + rnd.nextInt(6)
+      val r = Dedup.withMaterialized { Bpe.trainMerges(d, "text", n, byteLevel = true) }
+      val h = Bpe.trainMergesHeap(d, "text", n, byteLevel = true)
+      assert(h === r, s"trial $trial (nMerges=$n)")
+    }
+  }
+
+  test("byte-level artifact round-trips with its flag; encode counts bytes") {
+    val docs = corpus(Seq("thé thé ab", "thé ab ab"))
+    val merges = Bpe.trainMergesHeap(docs, "text", nMerges = 3, byteLevel = true)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bytes_").toFile
+    try {
+      val p = new java.io.File(dir, "m").getAbsolutePath
+      Bpe.saveMerges(spark, merges, p, byteLevel = true)
+      assert(Bpe.loadMerges(spark, p) === merges)
+      assert(Bpe.mergesByteLevel(spark, p))
+      val p2 = new java.io.File(dir, "m2").getAbsolutePath
+      Bpe.saveMerges(spark, merges, p2) // default: codepoint level
+      assert(!Bpe.mergesByteLevel(spark, p2))
+      // with zero merges applied, token count = UTF-8 byte count ("thé"
+      // = 4 bytes); with the trained merges it can only shrink
+      val zero = Bpe.encode(docs, "doc_id", "text", Seq.empty, byteLevel = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(zero(0L) === 4L + 4L + 2L) // thé thé ab
+      val enc = Bpe.encode(docs, "doc_id", "text", merges, byteLevel = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(enc(0L) < zero(0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("heap trainer: minCount prunes the tail, maxVocab fails loudly") {
     val docs = corpus(Seq("aa aa aa bb", "aa aa cc"))
     // minCount=2 drops bb and cc from the vocabulary: only (a,a) remains

@@ -74,6 +74,47 @@ class PrivacySpec extends SparkTestBase {
     }
   }
 
+  test("generalize: values become range starts, below-k groups suppressed") {
+    // segment s0: bucket 0 has 3 rows, bucket 500 has 1; s1: bucket 0 has 2
+    val df = Seq(
+      (1L, "s0", 10.0), (2L, "s0", 499.0), (3L, "s0", 0.0),
+      (4L, "s0", 750.0), (5L, "s1", 100.0), (6L, "s1", 200.0),
+      (7L, "s1", -1.0)) // negative: floor puts it in the -500 bucket
+      .toDF("id", "segment", "bal")
+    val out = Privacy.generalize(df, Seq("segment"), "bal", width = 500L, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // kept: s0 bucket 0 (3 rows), s1 bucket 0 (2 rows)
+    // suppressed: s0/750 (1 row), s1/-500 (1 row)
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 5L -> 0L, 6L -> 0L))
+    // invariant: every released group meets k by construction
+    val groups = Privacy.generalize(df, Seq("segment"), "bal", 500L, k = 2)
+      .groupBy("segment", "bal").count().collect().map(_.getLong(2))
+    assert(groups.forall(_ >= 2))
+  }
+
+  test("generalizeChosen: applies the ladder's chosen width; fails loudly when none meets k") {
+    val df = spark.range(300).select(
+      concat(lit("s"), pmod($"id", lit(2))).as("segment"),
+      (pmod($"id" * 131 + 17, lit(4000)) - lit(1000)).cast("double").as("bal"))
+    val widths = Seq(250L, 500L, 2000L, 4000L)
+    val ladder = Privacy.generalizationLadder(df, Seq("segment"), "bal", widths, k = 10)
+      .filter($"chosen").collect()
+    assume(ladder.nonEmpty)
+    val w = ladder.head.getLong(0)
+    val viaChosen = Privacy.generalizeChosen(df, Seq("segment"), "bal", widths, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val direct = Privacy.generalize(df, Seq("segment"), "bal", w, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(viaChosen === direct)
+    // at the chosen width nothing is suppressed (min_group >= k there)
+    assert(viaChosen.length === 300)
+    // unreachable k: the release must refuse, not ship at-risk rows
+    val e = intercept[IllegalArgumentException] {
+      Privacy.generalizeChosen(df, Seq("segment"), "bal", Seq(250L), k = 200)
+    }
+    assert(e.getMessage.contains("no width"))
+  }
+
   test("kAnonAgainstPrior: merge equals rebuild and statuses are exact") {
     val prior = people(
       (1, "A", 0.0), (1, "A", 0.0), // known safe-ish group, below k=3

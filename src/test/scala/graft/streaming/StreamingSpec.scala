@@ -1718,6 +1718,55 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("fold sinks: batch redelivery is idempotent, uncommitted versions ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fold_replay_").toFile
+    val counts = new java.io.File(dir, "counts").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val comps = new java.io.File(dir, "comps").getAbsolutePath
+    try {
+      // drive the sinks directly — foreachBatch redelivery is exactly a
+      // second call with the same (batch, batchId)
+      val b0 = Seq((1L, "B\nalpha"), (2L, "keep\nB")).toDF("id", "t")
+      val b1 = Seq((3L, "B\nbeta"), (4L, "gamma\nkeep")).toDF("id", "t")
+      StreamingLineDedup.sink(counts, out, "t", "id", maxCount = 2)(b0, 0L)
+      StreamingLineDedup.sink(counts, out, "t", "id", maxCount = 2)(b1, 1L)
+      def countsNow() = StreamingLineDedup.currentCounts(spark, counts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def outNow() = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_kept")))
+        .sortBy(_._1).toSeq
+      val (c1, o1) = (countsNow(), outNow())
+      // redeliver batch 1: counts must not double-fold, output must not
+      // duplicate (the failure mode ADVICE flagged on the old append sink)
+      StreamingLineDedup.sink(counts, out, "t", "id", maxCount = 2)(b1, 1L)
+      assert(countsNow() === c1)
+      assert(outNow() === o1)
+      // an uncommitted version (no _SUCCESS — a crash mid-write) is
+      // invisible: reads stay on the committed prior, and the next batch
+      // overwrites it cleanly
+      val stale = new java.io.File(counts, "v=2")
+      stale.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(stale, "part-junk.parquet").toPath, "not parquet")
+      assert(countsNow() === c1)
+      val b2 = Seq((5L, "B\ndelta")).toDF("id", "t")
+      StreamingLineDedup.sink(counts, out, "t", "id", maxCount = 2)(b2, 2L)
+      assert(countsNow()("B") === c1("B") + 1)
+      // components: same contract through the same FoldArtifact
+      val e0 = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+      val e1 = Seq((2L, 3L)).toDF("src", "dst")
+      StreamingComponents.sink(comps, "src", "dst")(e0, 0L)
+      StreamingComponents.sink(comps, "src", "dst")(e1, 1L)
+      def compsNow() = StreamingComponents.current(spark, comps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val a1 = compsNow()
+      StreamingComponents.sink(comps, "src", "dst")(e1, 1L)
+      assert(compsNow() === a1)
+      assert(a1.values.toSet === Set(0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String] // QI key, one element per record
