@@ -88,6 +88,42 @@ object CrossoverGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // customer: same schema/domains as testdata (25 nations, 5 segments,
+    // acctbal in [-999.99, 9999.99]) at nEvents rows — the privacy-family
+    // crossover corpus. The QI domain stays BOUNDED while the row count
+    // scales 100x, which is exactly the privacy operators' scale claim
+    // (bounded group tables over an unbounded corpus).
+    val segs = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY").map(lit): _*)
+    spark.range(nEvents).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      pmod(col("id") * lit(17L), lit(25L)).cast("int").as("c_nationkey"),
+      ((pmod(col("id") * lit(9176L) + lit(31L), lit(1099999L)) - lit(99999L))
+        .cast("double") / 100.0).as("c_acctbal"),
+      element_at(segs, (pmod(col("id") * lit(7L), lit(5L)) + 1).cast("int"))
+        .as("c_mktsegment"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    // orders: priorities + totalprice in the testdata domain at nEvents
+    // rows — the ladder-chosen release query's crossover corpus
+    val prios = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+    spark.range(nEvents).select(
+      col("id").as("o_orderkey"),
+      pmod(col("id") * lit(13L), lit(nUsers)).as("o_custkey"),
+      when(pmod(col("id"), lit(2L)) === 0, lit("F")).otherwise(lit("O"))
+        .as("o_orderstatus"),
+      ((pmod(col("id") * lit(48611L) + lit(101L), lit(49900000L)) + lit(101300L))
+        .cast("double") / 100.0).as("o_totalprice"),
+      timestamp_millis(lit(t0) + pmod(col("id") * lit(104729L), lit(spanMs)))
+        .as("o_orderdate"),
+      element_at(prios, (pmod(col("id") * lit(11L), lit(5L)) + 1).cast("int"))
+        .as("o_orderpriority"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
     println(s"""{"dir":"$dir","events":$nEvents,"docs":$nDocs,"vecs":$nVecs,"users":$nUsers}""")
     spark.stop()
   }

@@ -190,6 +190,28 @@ object PQKernels {
       PQAdcScore(org.apache.spark.sql.graftbridge.Bridge.expression(qv),
         org.apache.spark.sql.graftbridge.Bridge.expression(codes), books))
 
+  /** Static kernel for [[CellVector]]. */
+  def cellVectorAt(cell: Long, cents: Array[Array[Double]]): GenericArrayData = {
+    if (cell < 0 || cell >= cents.length) return null
+    val row = cents(cell.toInt)
+    val out = new Array[Any](row.length)
+    var i = 0
+    while (i < row.length) { out(i) = row(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: the centroid vector for a cell id — a reference-object
+    * row lookup. The declarative twin `element_at(<nested array literal>,
+    * cell + 1)` plants |cells|×dim literal NODES in the plan (~100k at the
+    * production 1.5k-cell/64-dim shape), which Catalyst re-folds on every
+    * analysis pass — measured as ~3-4 s of pure driver plan time per
+    * search at crossover scale, 10× the actual query work.
+    */
+  def cellVector(cellId: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CellVector(org.apache.spark.sql.graftbridge.Bridge.expression(cellId),
+        centroids))
+
   private[functions] def vecTypeOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
@@ -199,6 +221,58 @@ object PQKernels {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+}
+
+/** `cell_vector(cell_id)` → `array<double>`: the IVF centroid row for a
+  * cell id, carried as a reference object ([[PQKernels.cellVector]] for
+  * why the literal-table twin is disqualifying). NULL for out-of-range
+  * cells — matching `element_at`'s null on a missing index.
+  */
+case class CellVector(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cell_vector requires an integral cell id, got $other")
+    }
+
+  private lazy val cellIsInt = child.dataType == IntegerType
+
+  override def nullSafeEval(cell: Any): Any = {
+    val cellId = if (cellIsInt) cell.asInstanceOf[Int].toLong
+                 else cell.asInstanceOf[Long]
+    PQKernels.cellVectorAt(cellId, centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cvCents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.PQKernels.cellVectorAt((long) $c, $centsRef);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  // content equality over the reference array (see PQEncodeCodes)
+  override def equals(other: Any): Boolean = other match {
+    case CellVector(c, ce) =>
+      c == child && java.util.Arrays.deepEquals(
+        ce.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(newChild: Expression): CellVector =
+    copy(child = newChild)
 }
 
 /** `pq_encode(vec)` → `array<int>` of per-subspace centroid codes. */

@@ -19,6 +19,59 @@ object Artifacts {
   def save(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
+  /** Name of the snapshot sidecar inside a stamped artifact directory.
+    * Underscore-prefixed so every parquet reader (Spark, DuckDB, pandas)
+    * skips it as metadata.
+    */
+  private val SnapshotSidecar = "_graft_snapshot"
+
+  /** [[save]] plus a snapshot stamp: records WHICH corpus state the model
+    * was trained on (any caller-chosen identity — a batch id, a snapshot
+    * date, a content digest). Against-prior operators
+    * ([[TextAnalysis.lineDedupAgainstPrior]], [[Privacy.kAnonAgainstPrior]],
+    * [[graft.ops.Graph.componentsIncrement]]) otherwise trust their
+    * artifact blindly — a prior clobbered by a concurrent job or pointed
+    * at the wrong path folds silently into a wrong answer. The sidecar is
+    * written AFTER the parquet, so a crash in between leaves an artifact
+    * that [[loadStamped]] refuses (missing stamp), never one it trusts.
+    */
+  def saveStamped(model: DataFrame, path: String, snapshot: String): Unit = {
+    require(snapshot.nonEmpty, "saveStamped: snapshot id must be non-empty")
+    save(model, path)
+    val spark = model.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, SnapshotSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(snapshot.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The snapshot a stamped artifact records, if any. */
+  def snapshotOf(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, SnapshotSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Load a stamped artifact, failing LOUDLY when its recorded snapshot
+    * is not the one the caller folded against — the staleness guard for
+    * every against-prior fold.
+    */
+  def loadStamped(spark: SparkSession, path: String, expected: String): DataFrame = {
+    val found = snapshotOf(spark, path)
+    require(found.contains(expected),
+      s"Artifacts.loadStamped: artifact at $path records snapshot " +
+        s"${found.getOrElse("<none — unstamped or half-written>")} but the " +
+        s"caller expects $expected — the prior was retrained, clobbered, " +
+        "or never finished; refusing to fold against it")
+    spark.read.parquet(path)
+  }
+
   /** Size-gated broadcast hint for a loaded artifact: the artifact
     * boundary makes the broadcast decision a MEASUREMENT instead of a
     * guess. An artifact whose on-disk size is under the session's

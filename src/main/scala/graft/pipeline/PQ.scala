@@ -417,9 +417,6 @@ object PQ {
   /** Literal `[cell][dim]` centroid table ordered by cell id (cell ids from
     * [[Similarity.ivfCentroids]] are dense 0..n-1).
     */
-  private def centroidLit(centroids: Array[(Long, Array[Double])]): Column =
-    array(centroids.sortBy(_._1).map { case (_, v) => array(v.map(lit): _*) }: _*)
-
   /** Train per-subspace codebooks on the RESIDUALS `x − centroid(cell(x))`
     * — the FAISS `IndexIVFPQ` layout (Jégou et al. TPAMI'11 §IV). Raw-vector
     * codebooks spend their resolution spanning the whole corpus spread;
@@ -443,7 +440,8 @@ object PQ {
       seed: Long = 42L): Codebooks = {
     val cell  = Similarity.ivfCellExpr(vecCol, centroids)
     val resid = zip_with(col(vecCol).cast("array<double>"),
-      element_at(centroidLit(centroids), (cell + 1).cast("int")), (a, b) => a - b)
+      graft.functions.PQKernels.cellVector(cell, centroids.sortBy(_._1).map(_._2)),
+      (a, b) => a - b)
     pqCodebooks(df.select(col(idCol), resid.as("__resid")), idCol, "__resid",
       nSubq, nCentroids, sampleSize, iters, seed)
   }
@@ -526,9 +524,14 @@ object PQ {
     val q = queries.select(col(idCol), col(vecCol))
       .withColumn("cell_id",
         explode(Similarity.ivfProbeCellsExpr(vecCol, centroids, nProbe)))
+      // the centroid row comes from a reference-object kernel, NOT a
+      // nested array literal: the literal table is |cells|×dim plan nodes
+      // that Catalyst re-folds per analysis pass — measured 3-4 s of pure
+      // driver time per search at the 1.5k-cell crossover shape
       .withColumn("__cent_ip", graft.functions.VectorDot.vectorDot(
         col(vecCol).cast("array<double>"),
-        element_at(centroidLit(centroids), (col("cell_id") + 1).cast("int"))))
+        graft.functions.PQKernels.cellVector(col("cell_id"),
+          centroids.sortBy(_._1).map(_._2))))
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col("cell_id"), col("__cent_ip"))
     val w = Window.partitionBy(col("query_id"))

@@ -671,7 +671,15 @@ class PlanSpec extends SparkTestBase {
       // scans = corpus + query arm, exchanges = query broadcast + window
       // + pair-agg + recall-agg + output sort, all post-top-10 volumes
       // (was FOUR bruteForceTopK arms, each its own crossJoin + window)
-      ("q_embed_prefix_recall", 2, 5))
+      ("q_embed_prefix_recall", 2, 5),
+      // r13: the production residual-ANN search answers off the coded
+      // artifact + raw-vector rerank: scans = coded artifact + query arm
+      // + the two rerank vector fetches; exchanges = 3 broadcasts (probe
+      // side, rerank queries, rerank candidates) + candidate window +
+      // output sort. The centroid term is a CellVector reference-object
+      // kernel — the nested-literal table it replaced cost 3-4 s of
+      // driver re-folding per search at crossover scale
+      ("q_ann_ivfpq_prod",     4, 5))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString
