@@ -6545,6 +6545,101 @@ object Queries {
       "\nSELECT node, round(r, 9) + 0 AS rank FROM r10 ORDER BY node"
   }
 
+  /** Incremental PageRank maintenance
+    * ([[graft.ops.Graph.pageRankWarmStart]]): the hub+ring families are
+    * the PRIOR graph (ranks converged with 10 cold iterations); the
+    * expander family arrives as the batch and folds in with a 3-step
+    * WARM restart seeded from the prior vector — the bounded
+    * re-iteration budget a streaming maintainer pays instead of a cold
+    * re-convergence ([[graft.streaming.StreamingPageRank]]'s contract).
+    * Deterministic from (edges, prior, budget): the oracle replays all
+    * 13 Jacobi steps (10 prior + 3 warm) as chained MATERIALIZED CTEs,
+    * every float literal in e0 notation.
+    */
+  def pagerankIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("__n"))
+    val d = docs.crossJoin(broadcast(nRow))
+    val priorEdges = d.select($"doc_id".as("src"), pmod($"doc_id", lit(97L)).as("dst"))
+      .unionByName(d.select($"doc_id".as("src"), pmod($"doc_id" + 1, $"__n").as("dst")))
+    val batchEdges = d.select($"doc_id".as("src"),
+      pmod($"doc_id" * 31 + 7, $"__n").as("dst"))
+    val prior = graft.ops.Graph.pageRank(priorEdges, "src", "dst",
+      iterations = 10, damping = 0.85)
+    graft.ops.Graph.pageRankWarmStart(priorEdges.unionByName(batchEdges),
+        "src", "dst", prior, iterations = 3, damping = 0.85)
+      .select($"node", Num.round0($"r", 9).as("rank"))
+      .orderBy($"node")
+  }
+
+  val pagerankIncrSql: String = {
+    val pre = raw"""WITH nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |), e1 AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), deg1 AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e1 GROUP BY 1
+      |), ed1 AS MATERIALIZED (
+      |  SELECT e1.src, e1.dst, deg1.od FROM e1 JOIN deg1 USING (src)
+      |), nodes1 AS MATERIALIZED (
+      |  SELECT src AS node FROM e1 UNION SELECT dst FROM e1
+      |), n1 AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes1
+      |), p0 AS MATERIALIZED (
+      |  SELECT node, 1e0 / (SELECT n FROM n1) AS r FROM nodes1
+      |)""".stripMargin
+    val priorIters = (1 to 10).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT nodes1.node,
+         |         (1e0 - 0.85e0) / (SELECT n FROM n1)
+         |           + 0.85e0 * coalesce(c.s, 0e0) AS r
+         |  FROM nodes1 LEFT JOIN (
+         |    SELECT ed1.dst AS node, sum(p.r / ed1.od) AS s
+         |    FROM ed1 JOIN p${i - 1} p ON ed1.src = p.node GROUP BY 1
+         |  ) c ON nodes1.node = c.node
+         |)""".stripMargin
+    }
+    val full = raw"""e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents
+      |  ) WHERE src <> dst
+      |), deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1
+      |), ed AS MATERIALIZED (
+      |  SELECT e.src, e.dst, deg.od FROM e JOIN deg USING (src)
+      |), nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), n2 AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+      |), w0 AS MATERIALIZED (
+      |  SELECT nodes.node, coalesce(p.r, 1e0 / (SELECT n FROM n2)) AS r
+      |  FROM nodes LEFT JOIN p10 p ON nodes.node = p.node
+      |)""".stripMargin
+    val warmIters = (1 to 3).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         (1e0 - 0.85e0) / (SELECT n FROM n2)
+         |           + 0.85e0 * coalesce(c.s, 0e0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst AS node, sum(p.r / ed.od) AS s
+         |    FROM ed JOIN w${i - 1} p ON ed.src = p.node GROUP BY 1
+         |  ) c ON nodes.node = c.node
+         |)""".stripMargin
+    }
+    pre + ",\n" + priorIters.mkString(",\n") + ",\n" + full + ",\n" +
+      warmIters.mkString(",\n") +
+      "\nSELECT node, round(r, 9) + 0 AS rank FROM w3 ORDER BY node"
+  }
+
   /** Personalized PageRank ([[graft.ops.Graph.personalizedPageRank]])
     * from the every-101st-doc seed set over the same planted link
     * graph: the teleport vector concentrates on the seeds, so ranks

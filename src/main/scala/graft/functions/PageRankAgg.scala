@@ -142,17 +142,26 @@ object PageRankAgg {
 
   /** Flat serializable config: PageRank when `seeds` is null,
     * personalized PageRank (teleport mass on the seed set) otherwise.
+    * `initNodes`/`initRanks` (parallel arrays, or null) WARM-START the
+    * iteration: r₀(v) = the prior rank where recorded, 1/n otherwise —
+    * the incremental-maintenance face ([[graft.ops.Graph
+    * .pageRankWarmStart]]); the fixpoint is unchanged, only the start.
     */
   final class Model(
       val iterations: Int,
       val damping: Double,
-      val seeds: Array[Long]) extends Serializable {
+      val seeds: Array[Long],
+      val initNodes: Array[Long] = null,
+      val initRanks: Array[Double] = null) extends Serializable {
     def contentEquals(o: Model): Boolean =
       iterations == o.iterations && damping == o.damping &&
-        java.util.Arrays.equals(seeds, o.seeds)
+        java.util.Arrays.equals(seeds, o.seeds) &&
+        java.util.Arrays.equals(initNodes, o.initNodes) &&
+        java.util.Arrays.equals(initRanks, o.initRanks)
     def contentHash: Int =
-      (31 * iterations + java.lang.Double.hashCode(damping)) * 31 +
-        java.util.Arrays.hashCode(seeds)
+      ((31 * iterations + java.lang.Double.hashCode(damping)) * 31 +
+        java.util.Arrays.hashCode(seeds)) * 31 +
+        java.util.Arrays.hashCode(initNodes)
   }
 
   /** Minimal primitive open-addressing long set (no boxing — an 8M-edge
@@ -232,7 +241,22 @@ object PageRankAgg {
       i = 0
       while (i < n) { if (sset.contains(ids(i))) w(i) = u; i += 1 }
     }
-    var r = w.clone()
+    var r =
+      if (model.initNodes == null) w.clone()
+      else {
+        // warm start: prior ranks where recorded, uniform for new nodes —
+        // the same r0 the loop path's left-join/coalesce produces
+        val prior = mutable.LongMap.empty[Double]
+        var p = 0
+        while (p < model.initNodes.length) {
+          prior.update(model.initNodes(p), model.initRanks(p)); p += 1
+        }
+        val r0 = new Array[Double](n)
+        val u = 1.0 / n
+        var q = 0
+        while (q < n) { r0(q) = prior.getOrElse(ids(q), u); q += 1 }
+        r0
+      }
     val oneMinusD = 1.0 - model.damping
     // the base term replays the iterative plan's EXACT expressions:
     // (1-d)/n for PageRank (a single division), (1-d)*w for PPR
@@ -280,5 +304,18 @@ object PageRankAgg {
         org.apache.spark.sql.graftbridge.Bridge.expression(src),
         org.apache.spark.sql.graftbridge.Bridge.expression(dst),
         new Model(iterations, damping, seeds))
+        .toAggregateExpression())
+
+  /** Column API, warm-started: `init` are the (node, rank) pairs of a
+    * prior vector — nodes absent there start at 1/n.
+    */
+  def pageRankAggWarm(src: Column, dst: Column, iterations: Int,
+      damping: Double, init: Array[(Long, Double)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PageRankAgg(
+        org.apache.spark.sql.graftbridge.Bridge.expression(src),
+        org.apache.spark.sql.graftbridge.Bridge.expression(dst),
+        new Model(iterations, damping, null,
+          init.map(_._1), init.map(_._2)))
         .toAggregateExpression())
 }

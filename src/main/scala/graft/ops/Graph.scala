@@ -129,6 +129,83 @@ object Graph {
           lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
   }
 
+  /** WARM-STARTED PageRank — the incremental-maintenance face
+    * ([[componentsIncrement]]'s contract generalized to the numeric
+    * fixpoint): fold new edges into a persisted rank vector by running a
+    * BOUNDED re-iteration budget (`iterations`, typically 2-5) seeded
+    * from the prior ranks instead of re-converging from uniform. After a
+    * small edge delta the prior is already near the new fixpoint, so a
+    * few Jacobi steps recover it; the answer is deterministic from
+    * (edges, prior, iterations) — an independent engine replays it
+    * exactly — but it is an APPROXIMATION of the full fixpoint, so
+    * cross-representation pins are invariants (teleport mass conserved,
+    * residual shrinking), not hash equality against batch [[pageRank]].
+    *
+    * `prior` is a `(node, r)` frame; nodes absent from it start at 1/n
+    * (fresh arrivals), prior nodes absent from the CURRENT node set drop
+    * (their mass is gone with their edges — same rule both paths).
+    * Per batch the work is `iterations` passes over the edge table —
+    * iteration-bounded, not batch-bounded; that trade (vs 10+ cold
+    * rounds) is the whole point of the warm start.
+    *
+    * Scale shape: identical machinery to [[pageRank]] — below the edge
+    * budget (and `priorLimit` on the prior vector, which rides the task
+    * binary as a reference object) the whole fold is ONE
+    * [[graft.functions.PageRankAgg]] aggregation; beyond, the stamped
+    * co-partitioned loop with the prior joined in as r₀.
+    */
+  def pageRankWarmStart(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      prior: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      broadcastNodeLimit: Long = 65536,
+      checkpointEvery: Int = 1,
+      edgeBufferLimit: Long = 8L << 20,
+      priorLimit: Long = 1L << 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pr = prior.select(col("node").cast("long").as("node"),
+      col("r").cast("double").as("r"))
+    if (edgeBufferLimit > 0 && priorLimit > 0 &&
+        { val c = raw.count(); c > 0 && c <= edgeBufferLimit } &&
+        pr.count() <= priorLimit) {
+      val init = pr.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      return raw
+        .agg(graft.functions.PageRankAgg.pageRankAggWarm(
+          col("src"), col("dst"), iterations, damping, init).as("__pr"))
+        .select(explode(col("__pr")).as("__p"))
+        .select(col("__p.node").as("node"), col("__p.r").as("r"))
+    }
+    val simple = raw.distinct()
+    val deg = simple.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("__od"))
+    val P = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ed = Dedup.materializeOnceKeyed(simple.join(deg, "src"), Seq("src"), P)
+    val nodes = Dedup.materializeOnceKeyed(
+      ed.select(col("src").as("node"))
+        .union(ed.select(col("dst").as("node"))).distinct(), Seq("node"), P)
+    val n = nodes.count()
+    require(n > 0, "pageRankWarmStart: empty graph")
+    val hint = n <= broadcastNodeLimit
+    var ranks = nodes.join(pr.withColumnRenamed("r", "__prior"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__prior"), lit(1.0 / n)).as("r"))
+    for (i <- 1 to iterations) {
+      val next = prStep(ed, nodes, ranks, damping, n, hint)
+      ranks =
+        if (hint) Dedup.materializeOnceLoop(next)
+        else if (i % checkpointEvery == 0 || i == iterations)
+          Dedup.materializeOnceKeyed(next, Seq("node"), P)
+        else next
+    }
+    ranks
+  }
+
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
     * (uniformly split across the seed nodes present in the graph)
     * instead of uniformly on all nodes —

@@ -94,6 +94,73 @@ class GraphSpec extends SparkTestBase {
     bc.foreach { case (v, r) => assert(math.abs(r - sj(v)) < 1e-12, s"node $v") }
   }
 
+  /** Driver-side warm-started reference: prior ranks where recorded,
+    * 1/n for new nodes, then `iters` steps.
+    */
+  private def warmReference(edges: Seq[(Long, Long)], prior: Map[Long, Double],
+      iters: Int, damping: Double): Map[Long, Double] = {
+    val simple = edges.filter(e => e._1 != e._2).distinct
+    val nodes  = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val n      = nodes.size
+    val outDeg = simple.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val byDst  = simple.groupBy(_._2)
+    var r = nodes.map(v => v -> prior.getOrElse(v, 1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        val in = byDst.getOrElse(v, Nil).map(e => r(e._1) / outDeg(e._1)).sum
+        v -> ((1.0 - damping) / n + damping * in)
+      }.toMap
+    }
+    r
+  }
+
+  private def warmOf(edges: Seq[(Long, Long)], prior: Map[Long, Double],
+      iters: Int, bufLimit: Long = 8L << 20): Map[Long, Double] =
+    Dedup.withMaterialized {
+      Graph.pageRankWarmStart(edges.toDF("src", "dst"), "src", "dst",
+          prior.toSeq.toDF("node", "r"), iters, 0.85,
+          edgeBufferLimit = bufLimit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+
+  test("pageRankWarmStart: matches the driver replica on both paths, incl. new nodes") {
+    // prior graph: a 20-ring + chords; the batch adds chords AND brings
+    // two brand-new nodes (100, 101) — absent from the prior vector
+    val priorEdges = (0L until 20L).flatMap(i => Seq((i, (i + 1) % 20), (i, i % 5)))
+    val prior = reference(priorEdges, 10, 0.85)
+    val all = priorEdges ++ Seq((3L, 100L), (100L, 101L), (101L, 3L),
+      (7L, 11L), (11L, 7L))
+    val expect = warmReference(all, prior, 3, 0.85)
+    for (lim <- Seq(8L << 20, 0L)) { // one-pass kernel AND iterative loop
+      val got = warmOf(all, prior, 3, bufLimit = lim)
+      assert(got.keySet === expect.keySet, s"bufLimit=$lim")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - expect(v)) < 1e-12, s"node $v bufLimit=$lim") }
+    }
+  }
+
+  test("pageRankWarmStart: residual shrinks with the budget toward the batch fixpoint") {
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i * 7 + 1) % 30)))
+    val half = edges.take(40)
+    val prior = reference(half, 10, 0.85)
+    val cold = reference(edges, 120, 0.85) // effectively converged
+    def dist(m: Map[Long, Double]) = m.map { case (v, r) => math.abs(r - cold(v)) }.max
+    // power iteration contracts at rate d per step: a bigger warm budget
+    // lands strictly closer to the full fixpoint, and 25 steps from a
+    // half-graph prior is already within d^25 ≈ 2e-2 scaled by the
+    // initial gap — the invariant pin for an approximate fold
+    val d3 = dist(warmOf(edges, prior, 3))
+    val d25 = dist(warmOf(edges, prior, 25))
+    assert(d25 < d3 / 10, s"residual must shrink: 3 steps $d3, 25 steps $d25")
+    assert(d25 < 1e-3, s"25 warm steps should be near the fixpoint, got $d25")
+    // the prior does not cover the full node set, so r0 sums above 1;
+    // the excess mass decays at rate d per step toward the fixpoint's 1
+    val m3 = math.abs(warmOf(edges, prior, 3).values.sum - 1.0)
+    val m25 = math.abs(warmOf(edges, prior, 25).values.sum - 1.0)
+    assert(m25 < m3 && m25 < 0.02, s"mass must converge to 1: $m3 -> $m25")
+  }
+
   test("personalizedPageRank: matches a driver-side seeded power iteration") {
     val edges = (0L until 40L).flatMap(i =>
       Seq((i, (i + 1) % 40), (i, i % 7), (i, (i * 13 + 3) % 40)))

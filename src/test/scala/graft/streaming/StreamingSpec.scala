@@ -1718,6 +1718,66 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming pagerank: warm fold matches the replayed schedule; redelivery idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_pr_").toFile
+    val edgesP = new java.io.File(dir, "edges").getAbsolutePath
+    val ranksP = new java.io.File(dir, "ranks").getAbsolutePath
+    try {
+      val b0 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 0L))
+      val b1 = Seq((2L, 3L), (3L, 4L), (4L, 0L))
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
+        b0.toDF("src", "dst"), 0L)
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
+        b1.toDF("src", "dst"), 1L)
+      // contribution summation order follows edge order, which differs
+      // between the artifact round-trip and an in-memory replay — the
+      // query contract absorbs that by rounding, so compare at 9 dp
+      def r9(m: Map[Long, Double]) =
+        m.view.mapValues(v => math.rint(v * 1e9) / 1e9).toMap
+      def ranksNow() = r9(StreamingPageRank.currentRanks(spark, ranksP)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      val got = ranksNow()
+      // exact replay: cold 10-iteration ranks on batch 0, then a 3-step
+      // warm fold of batch 1 over the accumulated edge set
+      val expect = r9(graft.pipeline.Dedup.withMaterialized {
+        val prior = graft.ops.Graph.pageRank(b0.toDF("src", "dst"), "src", "dst")
+        graft.ops.Graph.pageRankWarmStart((b0 ++ b1).toDF("src", "dst"),
+            "src", "dst", prior, iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      })
+      assert(got === expect)
+      // invariant: the batch added node 4, which the prior doesn't cover,
+      // so r0 sums to 1 + 1/5; three warm steps decay the excess at d³ —
+      // mass is CONVERGING to 1, bounded by the decayed excess
+      val excess = got.values.sum - 1.0
+      assert(excess > 0 && excess < 0.2 * math.pow(0.85, 3) + 1e-9,
+        s"mass excess $excess outside the d^3 decay envelope")
+      // redelivery: same batchId → ranks unchanged (no extra fold)
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
+        b1.toDF("src", "dst"), 1L)
+      assert(ranksNow() === got)
+      // crash window: edges committed for batch 2 but ranks not — the
+      // redelivered batch recomputes against the pre-batch prior and the
+      // (idempotent) distinct-union edge fold, same final answer
+      val b2 = Seq((4L, 1L))
+      FoldArtifact.commit(
+        (b0 ++ b1 ++ b2).distinct.toDF("src", "dst"), edgesP, 2L)
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
+        b2.toDF("src", "dst"), 2L)
+      val after2 = ranksNow()
+      val expect2 = r9(graft.pipeline.Dedup.withMaterialized {
+        val prior0 = graft.ops.Graph.pageRank(b0.toDF("src", "dst"), "src", "dst")
+        val prior1 = graft.ops.Graph.pageRankWarmStart(
+          (b0 ++ b1).toDF("src", "dst"), "src", "dst", prior0, iterations = 3)
+        graft.ops.Graph.pageRankWarmStart((b0 ++ b1 ++ b2).toDF("src", "dst"),
+            "src", "dst", prior1, iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      })
+      assert(after2 === expect2)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("fold sinks: batch redelivery is idempotent, uncommitted versions ignored") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("fold_replay_").toFile
