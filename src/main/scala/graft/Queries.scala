@@ -1036,6 +1036,72 @@ object Queries {
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** HTML/markup extraction ([[TextAnalysis.htmlStrip]]): the synthetic
+    * corpus is plain text, so the query PLANTS deterministic markup —
+    * every 3rd doc wrapped in a page skeleton with a `<style>` head, a
+    * `<script>` trailer and entity-encoded punctuation, every 5th doc
+    * getting inline emphasis tags — then strips it and audits the tag
+    * count and the md5 of the recovered text. Both engines build the
+    * identical input; the strip chain stays in the Java≡RE2 regex subset
+    * ([[TextAnalysis.EmailPattern]] discipline — written-out whitespace
+    * classes, no backrefs), so the rewrite reproduces byte-for-byte.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted =
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(
+        lit("<html><head><style type=\"text/css\">p { color: red }</style>" +
+          "</head>\n<body><h1>D&amp;D #"), col("doc_id").cast("string"),
+        lit("</h1><p class=\"c\">"), col("text"),
+        lit("</p><br/><script>if (a &lt; b &amp;&amp; c &gt; d) { x(); }" +
+          "</script>\n<p>R&amp;D&nbsp;notes &#39;q&#39;</p></body></html>")))
+      .when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("<p>"), regexp_replace(col("text"), " ", "</p> <p>"),
+          lit("</p>")))
+      .otherwise(col("text"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.htmlTagCount(planted).as("n_tags"),
+        md5(TextAnalysis.htmlStrip(planted)).as("clean_md5"),
+        length(TextAnalysis.htmlStrip(planted)).as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+
+  val htmlStripSql: String = {
+    val ws = raw"[ \t\n\r\f]"
+    raw"""WITH p AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN '<html><head><style type="text/css">p { color: red }</style></head>' || chr(10)
+      |                   || '<body><h1>D&amp;D #' || CAST(doc_id AS VARCHAR)
+      |                   || '</h1><p class="c">' || text
+      |                   || '</p><br/><script>if (a &lt; b &amp;&amp; c &gt; d) { x(); }</script>' || chr(10)
+      |                   || '<p>R&amp;D&nbsp;notes &#39;q&#39;</p></body></html>'
+      |              WHEN doc_id % 5 = 0
+      |              THEN '<p>' || replace(text, ' ', '</p> <p>') || '</p>'
+      |              ELSE text END AS t
+      |  FROM documents
+      |), ns AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(t,
+      |           '<script[^>]*>.*?</script$ws*>', ' ', 'gis'),
+      |           '<style[^>]*>.*?</style$ws*>', ' ', 'gis') AS t
+      |  FROM p
+      |), s AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(t, '<[^>]*>', 0, 's')) AS BIGINT) AS n_tags,
+      |         trim(regexp_replace(
+      |           replace(replace(replace(replace(replace(replace(
+      |             regexp_replace(t, '<[^>]*>', ' ', 'gs'),
+      |             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |             '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+      |           '$ws+', ' ', 'g')) AS clean
+      |  FROM ns
+      |)
+      |SELECT doc_id, n_tags, md5(clean) AS clean_md5,
+      |       CAST(length(clean) AS INTEGER) AS n_chars_clean
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Top word bigrams by document frequency (corpus vocabulary profiling):
     * distinct-per-doc shingle explode → one map-side-combined count → top-20
     * via TakeOrdered (count desc, bigram asc — deterministic), never a full

@@ -245,6 +245,43 @@ object TextAnalysis {
     pc.getField("n_emails") + pc.getField("n_urls")
   }
 
+  /** HTML/markup boilerplate strip — the canonical web-crawl → text
+    * extraction pass: drop `<script>`/`<style>` elements WITH their
+    * content, drop every remaining tag, decode the six ubiquitous
+    * entities (`&amp;` LAST, so `&amp;lt;` yields the literal `&lt;` and
+    * never double-decodes), then collapse whitespace runs and trim.
+    *
+    * Kept in the regex subset Java and RE2 evaluate identically (the
+    * [[EmailPattern]] discipline): no backrefs (script/style are two
+    * separate patterns), no `\b`, and the whitespace class is written
+    * out as `[ \t\n\r\f]` because Java's `\s` includes `\x0B` while
+    * RE2's does not. Lazy `.*?` and `(?is)` flags parse the same in
+    * both. Pure projection work — no explode, no join; at 100 TB this
+    * is one codegen'd map over the corpus scan.
+    */
+  def htmlStrip(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[ \t\n\r\f]*>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
+  /** Count of tags removed by [[htmlStrip]] (markup-density audit column):
+    * tags remaining after the script/style elements drop.
+    */
+  def htmlTagCount(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[ \t\n\r\f]*>", " ")
+    regexp_count(noStyle, lit("(?s)<[^>]*>")).cast("long")
+  }
+
   /** Document fingerprint: the k lexicographically-smallest md5 digests of
     * the word `n`-gram shingles (a winnowing-style min-hash sketch built
     * from codegen'd builtins; md5 is identically defined everywhere, so
