@@ -6517,7 +6517,10 @@ object Queries {
   /** Per-document token counts under the byte-level artifact
     * ([[pipeline.Bpe.encode]] with `byteLevel = true`): each DISTINCT
     * word's byte repr is rewritten once through the loaded merges,
-    * documents re-attach by the word equi-join.
+    * documents re-attach by the word equi-join. (Measured: the
+    * per-occurrence [[pipeline.Bpe.encodeRow]] fold read 3× slower here —
+    * 250k word rewrites vs the dict's 5k types; the per-TYPE face wins on
+    * Zipf vocabularies exactly as the r12 bpeCompression note records.)
     */
   def bpeBytesEncode(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Bpe.encode(tbl(spark, dir, "documents"), "doc_id", "text",

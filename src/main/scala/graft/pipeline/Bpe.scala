@@ -337,8 +337,9 @@ object Bpe {
     * source) share: apply every merge to the word's own-space repr, count
     * the surviving symbols. Pure projection work — no explode, no join.
     */
-  def wordTokenCount(word: Column, merges: Seq[Merge]): Column =
-    size(filter(split(applyMerges(wordRepr(word), merges), " "),
+  def wordTokenCount(word: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column =
+    size(filter(split(applyMerges(reprOf(word, byteLevel), merges), " "),
       s => length(s) > 0)).cast("long")
 
   /** PER-ROW tokenization against trained merges — the stream face
@@ -372,9 +373,9 @@ object Bpe {
   }
 
   def encodeRow(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], byteLevel: Boolean = false): DataFrame = {
     val ws = TextAnalysis.words(col(textCol))
-    val toks = transform(ws, w => wordTokenCount(w, merges))
+    val toks = transform(ws, w => wordTokenCount(w, merges, byteLevel))
     docs.select(col(idCol),
       size(ws).cast("long").as("n_words"),
       coalesce(aggregate(toks, lit(0L), (a, b) => a + b), lit(0L))

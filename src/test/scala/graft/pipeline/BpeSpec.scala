@@ -89,6 +89,10 @@ class BpeSpec extends SparkTestBase {
       val enc = Bpe.encode(docs, "doc_id", "text", merges, byteLevel = true)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(enc(0L) < zero(0L))
+      // the per-row face agrees with the dict-join face at byte level
+      val row = Bpe.encodeRow(docs, "doc_id", "text", merges, byteLevel = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(row === enc)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
