@@ -6339,7 +6339,8 @@ object Queries {
   private def trainedBpe(spark: SparkSession, dir: String): Seq[graft.pipeline.Bpe.Merge] =
     bpeMergesCache.getOrElseUpdate(dir,
       loadOrTrain[Seq[graft.pipeline.Bpe.Merge]](spark, dir, "bpe_merges",
-        p => graft.pipeline.Bpe.loadMerges(spark, p),
+        p => graft.pipeline.Bpe.loadMerges(spark, p,
+          expectByteLevel = Some(false)),
         p => {
           val m = graft.pipeline.Bpe.trainMerges(
             tbl(spark, dir, "documents"), "text", BpeMergeCount)
@@ -6485,7 +6486,8 @@ object Queries {
   private def trainedBpeBytes(spark: SparkSession, dir: String): Seq[graft.pipeline.Bpe.Merge] =
     bpeBytesCache.getOrElseUpdate(dir,
       loadOrTrain[Seq[graft.pipeline.Bpe.Merge]](spark, dir, "bpe_bytes_merges",
-        p => graft.pipeline.Bpe.loadMerges(spark, p),
+        p => graft.pipeline.Bpe.loadMerges(spark, p,
+          expectByteLevel = Some(true)),
         p => {
           // the PRODUCTION trainer (heap, byte-level) — spec-pinned
           // bit-identical to the relational twin the oracle replays

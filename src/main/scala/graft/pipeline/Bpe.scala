@@ -288,13 +288,26 @@ object Bpe {
       .withColumn("byte_level", lit(byteLevel)), path)
   }
 
-  /** Load merges persisted by [[saveMerges]]. */
-  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+  /** Load merges persisted by [[saveMerges]]. Pass `expectByteLevel` to
+    * ENFORCE the artifact's alphabet: merge rules from the wrong level
+    * never match the other repr, so every word would silently tokenize
+    * to singletons — the exact failure the `byte_level` flag records.
+    */
+  def loadMerges(spark: SparkSession, path: String,
+      expectByteLevel: Option[Boolean] = None): Seq[Merge] = {
+    expectByteLevel.foreach { want =>
+      val got = mergesByteLevel(spark, path)
+      require(got == want,
+        s"loadMerges: artifact at $path is ${if (got) "byte" else "codepoint"}-level " +
+          s"but the caller encodes at ${if (want) "byte" else "codepoint"} level — " +
+          "the rules would never match and every word would tokenize to singletons")
+    }
     spark.read.parquet(path)
       .select(col("merge_rank"), col("l_sym"), col("r_sym"), col("cnt"))
       .collect()
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank).toSeq
+  }
 
   /** The artifact's symbol-alphabet flag (false for pre-flag artifacts —
     * everything before the flag existed was codepoint-level).

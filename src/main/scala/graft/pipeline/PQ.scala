@@ -414,9 +414,6 @@ object PQ {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Literal `[cell][dim]` centroid table ordered by cell id (cell ids from
-    * [[Similarity.ivfCentroids]] are dense 0..n-1).
-    */
   /** Train per-subspace codebooks on the RESIDUALS `x − centroid(cell(x))`
     * — the FAISS `IndexIVFPQ` layout (Jégou et al. TPAMI'11 §IV). Raw-vector
     * codebooks spend their resolution spanning the whole corpus spread;

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Versioned artifact store for `foreachBatch` FOLD sinks
   * ([[StreamingComponents]], [[StreamingLineDedup]]): the artifact a
   * batch folds into lives at `<path>/v=<batchId>/` and a version counts
-  * only once its `_SUCCESS` marker exists.
+  * only once its `_graft_committed` marker exists (written by [[commit]] itself).
   *
   * This buys the two properties a fold sink needs and the old
   * delete-then-rename swap did not have:
@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    empty (the old swap deleted the live artifact before renaming the
   *    replacement into place).
   *
-  * A crash between the new version's `_SUCCESS` and the prune leaves an
+  * A crash between the new version's marker and the prune leaves an
   * extra old version behind; [[read]] always picks the max committed
   * version and the next [[commit]] re-prunes, so stale versions are
   * garbage, never truth.
@@ -45,17 +45,26 @@ object FoldArtifact {
 
   /** Write `model` as version `batchId`, then prune older versions.
     * Overwrite mode makes a redelivered half-written version self-heal;
-    * the prune runs only after the new version is fully committed.
+    * the prune runs only after the new version is fully committed. The
+    * commit marker is OUR OWN `_graft_committed` file written after the
+    * parquet job returns — not Hadoop's `_SUCCESS`, which clusters
+    * commonly disable (`marksuccessfuljobs=false` with cloud
+    * committers); depending on it would silently make every committed
+    * version invisible and restart the fold from scratch each batch.
     */
   def commit(model: DataFrame, path: String, batchId: Long): Unit = {
     val spark = model.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    model.write.mode("overwrite").parquet(versionPath(root, batchId).toString)
+    val target = versionPath(root, batchId)
+    model.write.mode("overwrite").parquet(target.toString)
+    fs.create(new Path(target, Marker), true).close()
     committedVersions(fs, root)
       .filter { case (v, _) => v < batchId }
       .foreach { case (_, p) => fs.delete(p, true) }
   }
+
+  private val Marker = "_graft_committed"
 
   private def versionPath(root: Path, batchId: Long): Path =
     new Path(root, s"v=$batchId")
@@ -71,5 +80,5 @@ object FoldArtifact {
             .map(_ -> st.getPath)
         else None
       }
-      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .filter { case (_, p) => fs.exists(new Path(p, Marker)) }
 }

@@ -39,16 +39,21 @@ object StreamingComponents {
     val spark = batch.sparkSession
     if (FoldArtifact.lastBatchId(spark, artifactPath).exists(_ >= batchId))
       return // replayed batch: already folded
-    val updated = FoldArtifact.read(spark, artifactPath) match {
-      case Some(prior) =>
-        graft.ops.Graph.componentsIncrement(batch, srcCol, dstCol, prior)
-      case None =>
-        graft.ops.Graph.connectedComponents(batch, srcCol, dstCol)
+    // the bracket releases the localCheckpoints componentsIncrement /
+    // connectedComponents create internally — without it a long-running
+    // stream accumulates every batch's checkpointed frames in executor
+    // storage. The lazy increment READS the prior version, but commit
+    // writes the NEW version directory first and prunes only after the
+    // commit marker — the read completes during the write.
+    graft.pipeline.Dedup.withMaterialized {
+      val updated = FoldArtifact.read(spark, artifactPath) match {
+        case Some(prior) =>
+          graft.ops.Graph.componentsIncrement(batch, srcCol, dstCol, prior)
+        case None =>
+          graft.ops.Graph.connectedComponents(batch, srcCol, dstCol)
+      }
+      FoldArtifact.commit(updated, artifactPath, batchId)
     }
-    // the lazy increment READS the prior version, but commit writes the
-    // NEW version directory first and prunes only after _SUCCESS — the
-    // read completes during the write, no materialization needed
-    FoldArtifact.commit(updated, artifactPath, batchId)
   }
 
   /** Current assignment (empty frame with the right schema before any

@@ -64,7 +64,7 @@ object StreamingLineDedup {
           .select(col("line"), col("prior_c")))
         .groupBy(col("line")).agg(sum(col("prior_c")).as("prior_c"))
       // the lazy merge READS the prior version, but commit writes the NEW
-      // version directory first and prunes only after _SUCCESS — the read
+      // version directory first and prunes only after its commit marker — the read
       // completes during the write, no extra materialization needed
       FoldArtifact.commit(merged, countsPath, batchId)
     }

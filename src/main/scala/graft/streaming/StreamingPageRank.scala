@@ -41,6 +41,10 @@ object StreamingPageRank {
       return // replayed batch: edges + ranks both committed already
     val b = batch.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // an empty batch changes nothing — and on the FIRST batch it must
+    // not cold-start pageRank over zero edges (its empty-graph require
+    // would kill the streaming query with a half-initialized artifact)
+    if (b.isEmpty) return
     graft.pipeline.Dedup.withMaterialized {
       val allEdges = FoldArtifact.read(spark, edgesPath) match {
         case Some(prev) => prev.unionByName(b).distinct()

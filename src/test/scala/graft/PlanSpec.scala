@@ -679,7 +679,27 @@ class PlanSpec extends SparkTestBase {
       // output sort. The centroid term is a CellVector reference-object
       // kernel — the nested-literal table it replaced cost 3-4 s of
       // driver re-folding per search at crossover scale
-      ("q_ann_ivfpq_prod",     4, 5))
+      ("q_ann_ivfpq_prod",     4, 5),
+      // r13: the release transform scans the corpus twice (bounded
+      // safe-group table + release pass) and NEVER shuffles it — the
+      // group table broadcasts back; exchanges = group agg + broadcast +
+      // output sort. generalizeChosen returns the same released plan
+      // (the ladder's width choice is a bounded driver scalar at
+      // construction time)
+      ("q_generalize",          2, 3),
+      ("q_generalize_chosen",   2, 3),
+      // r13: markup strip is a pure projection — ONE scan, the only
+      // exchange is the output sort
+      ("q_html_strip",          1, 1),
+      // r13: warm-started fold below the gate = prior one-pass agg (its
+      // scans are the planted-edge derivation, like q_random_walks) +
+      // one warm one-pass agg
+      ("q_pagerank_incr",       6, 7),
+      // r13: byte-level merges are a driver-literal artifact frame (zero
+      // scans); encode is the docs scan ×2 (dict + re-attach) with the
+      // word join + per-doc agg + output sort
+      ("q_bpe_bytes_merges",    0, 1),
+      ("q_bpe_bytes_encode",    2, 4))
     for ((q, maxScans, maxExch) <- budgets) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution
         .executedPlan.toString

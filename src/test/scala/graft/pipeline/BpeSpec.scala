@@ -81,6 +81,17 @@ class BpeSpec extends SparkTestBase {
       val p2 = new java.io.File(dir, "m2").getAbsolutePath
       Bpe.saveMerges(spark, merges, p2) // default: codepoint level
       assert(!Bpe.mergesByteLevel(spark, p2))
+      // the flag ENFORCES: loading a byte-level artifact for codepoint
+      // encoding (or vice versa) fails loudly instead of tokenizing
+      // everything to singletons
+      assert(Bpe.loadMerges(spark, p, expectByteLevel = Some(true)) === merges)
+      val e = intercept[IllegalArgumentException] {
+        Bpe.loadMerges(spark, p, expectByteLevel = Some(false))
+      }
+      assert(e.getMessage.contains("byte-level"))
+      intercept[IllegalArgumentException] {
+        Bpe.loadMerges(spark, p2, expectByteLevel = Some(true))
+      }
       // with zero merges applied, token count = UTF-8 byte count ("thé"
       // = 4 bytes); with the trained merges it can only shrink
       val zero = Bpe.encode(docs, "doc_id", "text", Seq.empty, byteLevel = true)

@@ -1726,6 +1726,11 @@ class StreamingSpec extends SparkTestBase {
     try {
       val b0 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 0L))
       val b1 = Seq((2L, 3L), (3L, 4L), (4L, 0L))
+      // an empty FIRST batch is a no-op, not a dead stream (cold-start
+      // pageRank over zero edges would throw) and commits no artifact
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), 0L)
+      assert(StreamingPageRank.currentRanks(spark, ranksP).isEmpty)
       StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
         b0.toDF("src", "dst"), 0L)
       StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 3)(
@@ -1802,7 +1807,7 @@ class StreamingSpec extends SparkTestBase {
       StreamingLineDedup.sink(counts, out, "t", "id", maxCount = 2)(b1, 1L)
       assert(countsNow() === c1)
       assert(outNow() === o1)
-      // an uncommitted version (no _SUCCESS — a crash mid-write) is
+      // an uncommitted version (no commit marker — a crash mid-write) is
       // invisible: reads stay on the committed prior, and the next batch
       // overwrites it cleanly
       val stale = new java.io.File(counts, "v=2")
