@@ -141,24 +141,38 @@ object Privacy {
     * shuffled. The alternative single-scan formulation (a count window
     * over (QI, bucket)) would exchange the full corpus; two scans + a
     * bounded broadcast is the 100 TB shape.
+    *
+    * The broadcast is SIZE-GATED, not assumed: the group table's
+    * cardinality is QI domain × bucket count, and the bucket count scales
+    * with the numeric value RANGE over `width` (up to n/k groups in the
+    * worst case), so "bounded by the QI domain" is a property of sane
+    * widths, not a guarantee. The group table is checkpointed once
+    * (AQE cannot see a post-HAVING aggregate's size, so the decision
+    * needs a real count — the checkpoint makes that count free and lets
+    * the semi-join read the same materialization), and the broadcast hint
+    * is applied only under `broadcastGroupLimit` rows; above it the join
+    * falls back to a shuffled semi-join, which can never OOM the driver.
     */
   def generalize(
       df: DataFrame,
       qiCols: Seq[String],
       numCol: String,
       width: Long,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastGroupLimit: Long = 1000000L): DataFrame = {
     require(width > 0, s"generalize: width must be positive, got $width")
     require(k >= 2, s"generalize: k must be >= 2, got $k")
     val qi = qiCols.map(col)
     val bucket = floor(col(numCol) / lit(width)).cast("long")
     val released = df.withColumn(numCol, bucket * lit(width))
-    val safe = released
+    val safe = Dedup.materializeOnce(released
       .groupBy(qi :+ col(numCol): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= k)
-      .drop("__n")
-    released.join(broadcast(safe), qiCols :+ numCol, "left_semi")
+      .drop("__n"))
+    val safeHinted =
+      if (safe.count() <= broadcastGroupLimit) broadcast(safe) else safe
+    released.join(safeHinted, qiCols :+ numCol, "left_semi")
       // the using-columns join fronts the keys; a release transform must
       // hand back the caller's schema order
       .select(df.columns.map(col): _*)

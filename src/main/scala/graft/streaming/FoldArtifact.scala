@@ -35,6 +35,32 @@ object FoldArtifact {
     committedVersions(fs, root).map(_._1).maxOption
   }
 
+  /** Replay-skip decision for fold sinks: true when `batchId` (or a later
+    * one) is already committed at `path`. A batchId STRICTLY below the
+    * committed version is NOT a normal redelivery — Structured Streaming
+    * replays only the last uncommitted batch, so the incoming id is always
+    * the committed version or its successor. Seeing a far-lower id is the
+    * signature of a RESET CHECKPOINT (batch numbering restarted at 0)
+    * pointed at an old artifact: every fold would silently skip until the
+    * old version is passed, dropping new data with no error. The sink
+    * still skips (double-folding would be worse), but the condition is
+    * logged LOUDLY so the lineage mismatch is an operator-visible event;
+    * the fix is a fresh artifact path per checkpoint lineage, or deleting
+    * the stale artifact before the restart.
+    */
+  def isCommitted(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val last = lastBatchId(spark, path)
+    if (last.exists(_ > batchId))
+      System.err.println(
+        s"[graft] FoldArtifact at $path holds committed version v=${last.get} " +
+          s"but the incoming batchId is $batchId — if the streaming checkpoint " +
+          "was reset (batch numbering restarted at 0), this sink will silently " +
+          s"skip every batch until batchId passes ${last.get}, DROPPING data. " +
+          "Use a fresh artifact path for a fresh checkpoint lineage, or delete " +
+          "the stale artifact before restarting.")
+    last.exists(_ >= batchId)
+  }
+
   /** Latest committed version's data, if any version was ever committed. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

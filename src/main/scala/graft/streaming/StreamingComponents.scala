@@ -37,7 +37,7 @@ object StreamingComponents {
   def sink(artifactPath: String, srcCol: String, dstCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (FoldArtifact.lastBatchId(spark, artifactPath).exists(_ >= batchId))
+    if (FoldArtifact.isCommitted(spark, artifactPath, batchId))
       return // replayed batch: already folded
     // the bracket releases the localCheckpoints componentsIncrement /
     // connectedComponents create internally — without it a long-running

@@ -37,7 +37,7 @@ object StreamingPageRank {
       iterations: Int = 3,
       damping: Double = 0.85)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (FoldArtifact.lastBatchId(spark, ranksPath).exists(_ >= batchId))
+    if (FoldArtifact.isCommitted(spark, ranksPath, batchId))
       return // replayed batch: edges + ranks both committed already
     val b = batch.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -46,11 +46,21 @@ object StreamingPageRank {
     // would kill the streaming query with a half-initialized artifact)
     if (b.isEmpty) return
     graft.pipeline.Dedup.withMaterialized {
-      val allEdges = FoldArtifact.read(spark, edgesPath) match {
-        case Some(prev) => prev.unionByName(b).distinct()
-        case None       => b.distinct()
+      // Crash-window replay (edges committed for this batchId, ranks not):
+      // do NOT re-fold the edges — the lazy unionByName/distinct plan would
+      // read the v=batchId directory that commit() then overwrites in
+      // place. Overwrite-of-a-read-path happens to work on the local
+      // committer but is not a Spark guarantee across committers or
+      // filesystems, and it breaks the "read never targets the write path"
+      // invariant the other fold sinks hold. The committed version already
+      // contains this batch (the fold is a distinct-union), so just read it.
+      if (!FoldArtifact.lastBatchId(spark, edgesPath).exists(_ >= batchId)) {
+        val allEdges = FoldArtifact.read(spark, edgesPath) match {
+          case Some(prev) => prev.unionByName(b).distinct()
+          case None       => b.distinct()
+        }
+        FoldArtifact.commit(allEdges, edgesPath, batchId)
       }
-      FoldArtifact.commit(allEdges, edgesPath, batchId)
       // re-read the committed version: the lazy union must not outlive
       // the prior edge version its plan references
       val edgesNow = FoldArtifact.read(spark, edgesPath).get

@@ -92,6 +92,23 @@ class PrivacySpec extends SparkTestBase {
     assert(groups.forall(_ >= 2))
   }
 
+  test("generalize: over-limit group table falls back to the shuffled semi-join, same answer") {
+    // broadcastGroupLimit = 0 forces the non-broadcast path — the size
+    // gate ADVICE asked for (QI domain × bucket count can reach n/k
+    // groups, past any broadcast budget); the fallback must be a pure
+    // plan change, never an answer change
+    val df = Seq(
+      (1L, "s0", 10.0), (2L, "s0", 499.0), (3L, "s0", 0.0),
+      (4L, "s0", 750.0), (5L, "s1", 100.0), (6L, "s1", 200.0),
+      (7L, "s1", -1.0)).toDF("id", "segment", "bal")
+    def run(limit: Long) =
+      Privacy.generalize(df, Seq("segment"), "bal", width = 500L, k = 2,
+          broadcastGroupLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(run(0L) === run(1000000L))
+  }
+
   test("generalizeChosen: applies the ladder's chosen width; fails loudly when none meets k") {
     val df = spark.range(300).select(
       concat(lit("s"), pmod($"id", lit(2))).as("segment"),

@@ -1832,6 +1832,91 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("fold sinks: checkpoint reset (batchId below committed version) skips AND alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fold_reset_").toFile
+    val path = new java.io.File(dir, "art").getAbsolutePath
+    try {
+      FoldArtifact.commit(Seq((1L, 2L)).toDF("src", "dst"), path, 5L)
+      // normal cases: redelivery of the committed id skips silently, the
+      // successor proceeds
+      assert(FoldArtifact.isCommitted(spark, path, 5L))
+      assert(!FoldArtifact.isCommitted(spark, path, 6L))
+      // a RESET checkpoint restarts batch numbering at 0 against the old
+      // artifact — the sink still skips (double-folding is worse), but the
+      // lineage mismatch must be an operator-visible event on stderr
+      val buf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      val skipped =
+        try FoldArtifact.isCommitted(spark, path, 0L)
+        finally System.setErr(oldErr)
+      assert(skipped)
+      val msg = buf.toString("UTF-8")
+      assert(msg.contains("checkpoint") && msg.contains("v=5"),
+        s"expected a loud checkpoint-reset warning, got: $msg")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("streaming line dedup: refuses an output root with flat (non-partition) files") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("line_mixed_").toFile
+    val counts = new java.io.File(dir, "counts").getAbsolutePath
+    val out = new java.io.File(dir, "out")
+    try {
+      // a flat parquet file at the root — the pre-partition layout, or
+      // another job's output; mixing it with __batch= dirs breaks
+      // partition discovery for spark.read.parquet(outputPath)
+      out.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(out, "part-00000-old.parquet").toPath, "old layout")
+      val b = Seq((1L, "B\nalpha")).toDF("id", "t")
+      val e = intercept[IllegalArgumentException] {
+        StreamingLineDedup.sink(counts, out.getAbsolutePath, "t", "id")(b, 0L)
+      }
+      assert(e.getMessage.contains("non-`__batch=`"))
+      // and nothing was folded — the refusal happened before any write
+      assert(StreamingLineDedup.currentCounts(spark, counts).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("streaming pagerank: crash-window replay does not re-commit the edge artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_pr_crash_").toFile
+    val edgesP = new java.io.File(dir, "edges").getAbsolutePath
+    val ranksP = new java.io.File(dir, "ranks").getAbsolutePath
+    try {
+      val b0 = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 2)(
+        b0.toDF("src", "dst"), 0L)
+      // crash window: edges committed for batch 1, ranks not
+      val b1 = Seq((2L, 3L), (3L, 0L))
+      FoldArtifact.commit((b0 ++ b1).toDF("src", "dst"), edgesP, 1L)
+      // sentinel inside the committed version: an in-place re-commit
+      // (overwrite of the directory the lazy re-fold READS — the unsafe
+      // pattern ADVICE flagged) would delete it; parquet readers skip
+      // underscore files, so it is otherwise inert
+      val sentinel = new java.io.File(dir, "edges/v=1/_sentinel")
+      java.nio.file.Files.writeString(sentinel.toPath, "committed by test")
+      StreamingPageRank.sink(edgesP, ranksP, "src", "dst", iterations = 2)(
+        b1.toDF("src", "dst"), 1L)
+      assert(sentinel.exists(),
+        "edge artifact was re-committed over the version the fold reads")
+      // and the ranks are the ones the committed edge set implies
+      def r9(m: Map[Long, Double]) =
+        m.view.mapValues(v => math.rint(v * 1e9) / 1e9).toMap
+      val got = r9(StreamingPageRank.currentRanks(spark, ranksP)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      val expect = r9(graft.pipeline.Dedup.withMaterialized {
+        val prior = graft.ops.Graph.pageRank(b0.toDF("src", "dst"), "src", "dst")
+        graft.ops.Graph.pageRankWarmStart((b0 ++ b1).toDF("src", "dst"),
+            "src", "dst", prior, iterations = 2)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      })
+      assert(got === expect)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String] // QI key, one element per record
