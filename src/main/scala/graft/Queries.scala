@@ -3512,6 +3512,50 @@ object Queries {
       |FROM p JOIN generate_series(0, 5) g(f) ON g.f < p.nf AND g.f % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Compressed-video CONTAINER metadata ([[Multimodal.mp4Meta]] /
+    * [[Multimodal.videoContainerMeta]]): deterministic MP4/ISO-BMFF
+    * containers are planted per doc (the [[Multimodal.encodeMp4Container]]
+    * fixture twin — every 3rd doc also carries an mp4a audio track) and the
+    * pure-JVM atom walk extracts brand, duration, track count, codec fourcc
+    * and tkhd resolution WITHOUT any frame decode — the header-only pass a
+    * crawl-curation filter ("≥720p avc1 over 30 s") runs over payloads no
+    * JDK codec can open. Duration round-trips exactly: ticks = ms ×
+    * (timescale/1000), so mvhd's `ticks · 1000 / timescale` is IEEE-exact.
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 150)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val brand = if (d % 2 == 0) "isom" else "mp42"
+      val k = (d % 3).toInt
+      val timescale = 1000 * (1 + k)
+      val ms = 500 + (d % 977) * 37
+      val codec = Seq("avc1", "hvc1", "vp09", "av01")((d % 4).toInt)
+      val w = 160 + (d % 8).toInt * 16
+      val h = 120 + (d % 6).toInt * 16
+      val video = Multimodal.Mp4Track("vide", codec, w, h)
+      val tracks =
+        if (d % 3 == 0) Seq(video, Multimodal.Mp4Track("soun", "mp4a", 0, 0))
+        else Seq(video)
+      (d, Multimodal.encodeMp4Container(brand, timescale, ms * (1 + k), tracks))
+    }.toDF("doc_id", "payload")
+    Multimodal.videoContainerMeta(blobs, "doc_id").orderBy("doc_id")
+  }
+
+  val videoMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |       CAST(500 + (doc_id % 977) * 37 AS DOUBLE) AS duration_ms,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+      |       CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+      |                       WHEN 2 THEN 'vp09' ELSE 'av01' END AS video_codec,
+      |       CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
+      |       CAST(120 + (doc_id % 6) * 16 AS INTEGER) AS height,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END AS audio_codec
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * for real for BOTH multi-frame formats the JDK can handle — animated GIF
   * ([[gifFrames]]/[[decodeGifFrames]]) and Motion-JPEG in an AVI container
   * ([[mjpegFrames]]/[[decodeMjpegFrames]]: pure-JVM RIFF walk + the
-  * bundled JPEG reader, per-frame sampling + luminance); inter-frame
-  * compressed codecs (H.264/VP9/…) keep the clearly-marked deterministic
-  * stub ([[stubDecode]]) — swap in a JNI/FFM binding without touching the
-  * plan shape.
+  * bundled JPEG reader, per-frame sampling + luminance). For inter-frame
+  * compressed codecs (H.264/HEVC/VP9/AV1) the CONTAINER parses for real —
+  * [[mp4Meta]]/[[videoContainerMeta]] walk the ISO-BMFF atoms for
+  * duration, track layout, codec fourcc and resolution, so the modality is
+  * never payload-blind; only their FRAME decode keeps the clearly-marked
+  * deterministic stub ([[stubDecode]] — no JDK codec exists; swap in a
+  * JNI/FFM binding without touching the plan shape).
   *
   * Scale notes: payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
   * governs batch memory; feature extraction is `mapPartitions` over an
@@ -423,10 +426,12 @@ object Multimodal {
     * Robustness: chunk sizes are CLAIMS — every offset is clamped to the
     * payload length; each frame's dimensions are header-probed and
     * bomb-guarded by [[MaxImagePixels]] inside [[readImage]]; a broken or
-    * oversized frame is skipped, not fatal. Inter-frame-compressed codecs
-    * (H.264/VP9/…) remain out of JDK reach — [[stubDecode]] stays their
-    * documented placeholder, and this walker is the slot a JNI/FFM codec
-    * binding would fill.
+    * oversized frame is skipped, not fatal. Inter-frame-compressed FRAME
+    * decode (H.264/VP9/…) remains out of JDK reach — [[stubDecode]] stays
+    * its documented placeholder and this walker is the slot a JNI/FFM codec
+    * binding would fill — but their containers still parse for real via
+    * [[mp4Meta]], so even undecodable payloads stay queryable by duration,
+    * codec and resolution.
     */
   def mjpegFrames(payload: Array[Byte], everyN: Int): Seq[(Int, Int, Int, Double)] = {
     require(everyN > 0)
@@ -690,6 +695,256 @@ object Multimodal {
         }
       })
       .toDF(idCol, "sample_rate", "channels", "bits", "n_frames", "duration_s", "rms")
+  }
+
+  // --------------------------------------------- video containers (ISO-BMFF)
+
+  /** Parsed MP4/ISO-BMFF container facts: ftyp major brand, presentation
+    * duration (mvhd, milliseconds), track count, the first video track's
+    * sample-entry codec fourcc + tkhd dimensions, and the first audio
+    * track's codec fourcc.
+    */
+  final case class Mp4Info(
+      brand: String,
+      durationMs: Double,
+      nTracks: Int,
+      videoCodec: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      audioCodec: Option[String])
+
+  /** MP4/ISO-BMFF container parse WITHOUT frame decode — the atom walk
+    * (ftyp → moov → mvhd / trak → tkhd / mdia → hdlr / minf → stbl → stsd)
+    * that makes compressed-video payloads (H.264/HEVC/VP9/AV1 in MP4)
+    * queryable by duration, track layout, codec and resolution even though
+    * no JDK codec exists to decode their FRAMES ([[stubDecode]] remains the
+    * documented placeholder for pixel-level work). This is the curation
+    * reality at scale: filtering a crawl by "video longer than 30 s,
+    * ≥720p, avc1" needs exactly these fields and none of the pixels.
+    *
+    * Same `java.nio` discipline as [[decodeWav]]/[[mjpegFrames]], big-endian
+    * per the ISO spec: every size field is a CLAIM clamped to the real
+    * payload bounds, 64-bit `largesize` (size==1) and to-end (size==0)
+    * boxes are honored, a corrupt child list stops cleanly at the last
+    * well-formed box, and nothing is allocated proportional to any claimed
+    * size — a forged 4 GB box cannot OOM a task. Returns None when the
+    * payload has no `ftyp`+`moov` (not ISO-BMFF).
+    */
+  def mp4Meta(payload: Array[Byte]): Option[Mp4Info] = {
+    if (payload == null || payload.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // child boxes of [start, end): (fourcc, bodyStart, boxEnd), size claims
+    // clamped; a malformed header ends the list rather than throwing
+    def children(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val size32 = bb.getInt(pos).toLong & 0xffffffffL
+        val name = tag(pos + 4)
+        var bodyStart = pos + 8
+        val boxLen =
+          if (size32 == 0L) (end - pos).toLong // last box: extends to end
+          else if (size32 == 1L) {             // 64-bit largesize
+            if (pos + 16 > end) { ok = false; 0L }
+            else { bodyStart = pos + 16; bb.getLong(pos + 8) }
+          } else size32
+        if (ok && boxLen >= (bodyStart - pos).toLong) {
+          val boxEnd = math.min(pos.toLong + boxLen, end.toLong).toInt
+          out += ((name, bodyStart, boxEnd))
+          pos = boxEnd
+        } else ok = false
+      }
+      out.toList
+    }
+    try {
+      val top = children(0, payload.length)
+      val brand = top.find(_._1 == "ftyp").collect {
+        case (_, s, e) if s + 4 <= e => tag(s)
+      }
+      val moov = top.find(_._1 == "moov")
+      if (brand.isEmpty || moov.isEmpty) return None
+      val moovKids = children(moov.get._2, moov.get._3)
+      val durationMs = moovKids.find(_._1 == "mvhd").map { case (_, s, e) =>
+        val ver = if (s < e) payload(s) & 0xff else 0
+        if (ver == 1 && s + 32 <= e) { // 64-bit creation/modification/duration
+          val ts = bb.getInt(s + 20).toLong & 0xffffffffL
+          val d = bb.getLong(s + 24)
+          if (ts > 0) d * 1000.0 / ts else 0.0
+        } else if (ver == 0 && s + 24 <= e) {
+          val ts = bb.getInt(s + 12).toLong & 0xffffffffL
+          val d = bb.getInt(s + 16).toLong & 0xffffffffL
+          if (ts > 0) d * 1000.0 / ts else 0.0
+        } else 0.0
+      }.getOrElse(0.0)
+      val traks = moovKids.filter(_._1 == "trak")
+      var videoCodec: Option[String] = None
+      var width: Option[Int] = None
+      var height: Option[Int] = None
+      var audioCodec: Option[String] = None
+      traks.foreach { case (_, ts0, te0) =>
+        val tk = children(ts0, te0)
+        val mdia = tk.find(_._1 == "mdia")
+          .map { case (_, s, e) => children(s, e) }.getOrElse(Nil)
+        val handler = mdia.find(_._1 == "hdlr").collect {
+          case (_, s, e) if s + 12 <= e => tag(s + 8)
+        }
+        // stsd's first sample entry carries the codec fourcc
+        val codec = for {
+          (_, mis, mie) <- mdia.find(_._1 == "minf")
+          (_, sts, ste) <- children(mis, mie).find(_._1 == "stbl")
+          (_, sds, sde) <- children(sts, ste).find(_._1 == "stsd")
+          if sds + 16 <= sde // ver/flags + entry_count + first entry header
+        } yield tag(sds + 12)
+        handler match {
+          case Some("vide") if videoCodec.isEmpty =>
+            videoCodec = codec
+            tk.find(_._1 == "tkhd").foreach { case (_, s, e) =>
+              val ver = if (s < e) payload(s) & 0xff else 0
+              // 16.16 fixed-point dims are the last 8 body bytes
+              val wOff = if (ver == 1) s + 88 else s + 76
+              if (wOff + 8 <= e) {
+                width = Some(bb.getInt(wOff) >>> 16)
+                height = Some(bb.getInt(wOff + 4) >>> 16)
+              }
+            }
+          case Some("soun") if audioCodec.isEmpty => audioCodec = codec
+          case _ => ()
+        }
+      }
+      Some(Mp4Info(brand.get, durationMs, traks.size,
+        videoCodec, width, height, audioCodec))
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed container-metadata extraction over the blob table — one
+    * row per payload with NULLs for non-ISO-BMFF bytes; the same
+    * bounded-memory mapPartitions shape as [[decodeAudio]]. Pixel decode is
+    * deliberately absent: this pass reads only the moov header atoms, so it
+    * scans a 100 TB video corpus at parquet speed.
+    */
+  def videoContainerMeta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        mp4Meta(p) match {
+          case Some(m) => (id, Some(m.brand), Some(m.durationMs),
+            Some(m.nTracks), m.videoCodec, m.width, m.height, m.audioCodec)
+          case None => (id, None, None, None, None, None, None, None)
+        }
+      })
+      .toDF(idCol, "brand", "duration_ms", "n_tracks", "video_codec",
+        "width", "height", "audio_codec")
+  }
+
+  /** One track of the [[encodeMp4Container]] fixture twin. `handler` is the
+    * ISO handler type (`vide`/`soun`), `codec` the sample-entry fourcc
+    * (`avc1`, `hvc1`, `vp09`, `av01`, `mp4a`, …).
+    */
+  final case class Mp4Track(handler: String, codec: String, width: Int, height: Int)
+
+  /** Minimal ISO-BMFF writer (test/query fixture — the [[mp4Meta]] encode
+    * twin, like [[encodeWavPcm16]]/[[encodeMjpegAvi]] for their decoders):
+    * canonical `ftyp` + `moov`(`mvhd` + per-track `trak`(`tkhd` +
+    * `mdia`(`mdhd`/`hdlr`/`minf`(`vmhd`|`smhd` + `stbl` with an `stsd`
+    * sample entry and empty `stts`/`stsc`/`stsz`/`stco` tables))) + an empty
+    * `mdat`. Structurally valid per ISO/IEC 14496-12 (parseable by stock
+    * MP4 tooling); carries no media samples — the fixture for a
+    * header-only parser needs headers, not frames.
+    */
+  def encodeMp4Container(
+      brand: String,
+      timescale: Int,
+      durationTicks: Long,
+      tracks: Seq[Mp4Track]): Array[Byte] = {
+    require(brand.length == 4 && timescale > 0 && tracks.nonEmpty)
+    require(tracks.forall(t => t.handler.length == 4 && t.codec.length == 4))
+    def bytes(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
+    }
+    def box(name: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(len)
+      b.putInt(len).put(name.getBytes("US-ASCII"))
+      body.foreach(b.put)
+      b.array()
+    }
+    def full(name: String, verFlags: Int, body: Array[Byte]): Array[Byte] =
+      box(name, bytes(4)(_.putInt(verFlags)), body)
+    val unityMatrix = bytes(36) { b =>
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    val ftyp = box("ftyp", bytes(16) { b =>
+      b.put(brand.getBytes("US-ASCII")).putInt(0)
+      b.put(brand.getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+    })
+    val mvhd = full("mvhd", 0, bytes(96) { b =>
+      b.putInt(0).putInt(0)                      // creation, modification
+      b.putInt(timescale).putInt(durationTicks.toInt)
+      b.putInt(0x00010000)                       // rate 1.0
+      b.putShort(0x0100.toShort).putShort(0)     // volume 1.0, reserved
+      b.putLong(0L)                              // reserved
+      b.put(unityMatrix)
+      b.put(new Array[Byte](24))                 // pre_defined
+      b.putInt(tracks.size + 1)                  // next_track_ID
+    })
+    val traks = tracks.zipWithIndex.map { case (t, i) =>
+      val isVideo = t.handler == "vide"
+      val tkhd = full("tkhd", 3, bytes(80) { b => // flags: enabled | in movie
+        b.putInt(0).putInt(0).putInt(i + 1).putInt(0)
+        b.putInt(durationTicks.toInt)
+        b.putLong(0L)                            // reserved
+        b.putShort(0).putShort(0)                // layer, alternate_group
+        b.putShort(if (isVideo) 0 else 0x0100.toShort).putShort(0)
+        b.put(unityMatrix)
+        b.putInt(t.width << 16).putInt(t.height << 16) // 16.16 fixed
+      })
+      val mdhd = full("mdhd", 0, bytes(20) { b =>
+        b.putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
+        b.putShort(0x55c4.toShort).putShort(0)   // language "und"
+      })
+      val hdlr = full("hdlr", 0, bytes(21) { b =>
+        b.putInt(0).put(t.handler.getBytes("US-ASCII"))
+        b.put(new Array[Byte](12)).put(0.toByte) // reserved + empty name
+      })
+      val entry =
+        if (isVideo) bytes(86) { b =>            // VisualSampleEntry
+          b.putInt(86).put(t.codec.getBytes("US-ASCII"))
+          b.put(new Array[Byte](6)).putShort(1)  // reserved, data_ref_index
+          b.put(new Array[Byte](16))             // pre_defined/reserved
+          b.putShort(t.width.toShort).putShort(t.height.toShort)
+          b.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+          b.putInt(0).putShort(1)                // reserved, frame_count
+          b.put(new Array[Byte](32))             // compressorname
+          b.putShort(24).putShort(-1)            // depth, pre_defined
+        }
+        else bytes(36) { b =>                    // AudioSampleEntry
+          b.putInt(36).put(t.codec.getBytes("US-ASCII"))
+          b.put(new Array[Byte](6)).putShort(1)
+          b.putLong(0L)                          // reserved
+          b.putShort(2).putShort(16).putInt(0)   // channels, samplesize
+          b.putInt(timescale << 16)              // samplerate 16.16
+        }
+      val stbl = box("stbl",
+        full("stsd", 0, bytes(4)(_.putInt(1)) ++ entry),
+        full("stts", 0, bytes(4)(_.putInt(0))),
+        full("stsc", 0, bytes(4)(_.putInt(0))),
+        full("stsz", 0, bytes(8)(_.putInt(0).putInt(0))),
+        full("stco", 0, bytes(4)(_.putInt(0))))
+      val mediaHdr =
+        if (isVideo) full("vmhd", 1, bytes(8)(_.putShort(0).putShort(0).putInt(0)))
+        else full("smhd", 0, bytes(4)(_.putShort(0).putShort(0)))
+      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", mediaHdr, stbl)))
+    }
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat")
+    ftyp ++ moov ++ mdat
   }
 
   /** Metadata-only summary — demonstrates payload-free column pruning. */
