@@ -61,6 +61,34 @@ object FoldArtifact {
     last.exists(_ >= batchId)
   }
 
+  /** Layout guard for sinks that write per-batch partition directories
+    * (`<root>/__batch=<id>/` — [[StreamingLineDedup]],
+    * [[StreamingGeneralize]]): the root may hold ONLY `__batch=` partition
+    * dirs plus `_`/`.`-prefixed metadata every parquet reader skips. A
+    * root with flat part files — an append-mode sink's output, or another
+    * job pointed at the same path — would break partition discovery for
+    * the documented consumer (`spark.read.parquet(root)`) with a confusing
+    * mid-read error, and the `__batch` column would silently change the
+    * schema old readers see. Refuse LOUDLY before the first write.
+    */
+  private[streaming] def requireBatchPartitionRoot(
+      spark: SparkSession, root: String, sink: String): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val foreign = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("__batch=")
+      }
+      require(foreign.isEmpty,
+        s"$sink: output root $root already holds non-`__batch=` entries " +
+          s"(${foreign.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+          "this sink writes per-batch partition directories and cannot " +
+          "share a root with flat parquet output; point it at a fresh " +
+          "directory or migrate the old files into a partition layout")
+    }
+  }
+
   /** Latest committed version's data, if any version was ever committed. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

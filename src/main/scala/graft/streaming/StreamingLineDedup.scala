@@ -50,32 +50,7 @@ object StreamingLineDedup {
     val spark = batch.sparkSession
     if (FoldArtifact.isCommitted(spark, countsPath, batchId))
       return // replayed batch: output + fold both landed already
-    // Layout contract: the output root holds ONLY `__batch=<id>` partition
-    // directories (plus Spark's own `_`/`.`-prefixed metadata, which every
-    // parquet reader skips). A root with flat part files — e.g. written by
-    // an append-mode sink or another job pointed at the same path — would
-    // break partition discovery for the documented consumer
-    // (`spark.read.parquet(outputPath)`): Spark refuses mixed
-    // file-and-partition-dir roots with a confusing mid-read error, and the
-    // new `__batch` column would silently change the schema old readers
-    // see. Refuse LOUDLY before the first write rather than corrupt a
-    // mixed root.
-    {
-      val root = new org.apache.hadoop.fs.Path(outputPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) {
-        val foreign = fs.listStatus(root).filter { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("__batch=")
-        }
-        require(foreign.isEmpty,
-          s"StreamingLineDedup: output root $outputPath already holds " +
-            s"non-`__batch=` entries (${foreign.take(3).map(_.getPath.getName).mkString(", ")}…) " +
-            "— this sink writes per-batch partition directories and cannot " +
-            "share a root with flat parquet output; point it at a fresh " +
-            "directory or migrate the old files into a partition layout")
-      }
-    }
+    FoldArtifact.requireBatchPartitionRoot(spark, outputPath, "StreamingLineDedup")
     val prior = currentCounts(spark, countsPath)
     graft.pipeline.Dedup.withMaterialized {
       // materialize the batch once: it feeds the rewrite (explode twice)

@@ -1917,6 +1917,64 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming generalization release: increments match generalizeChosen over everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_gen_").toFile
+    val counts = new java.io.File(dir, "counts").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      // the chosen width SHIFTS between batches: b0's 12 rows leave every
+      // fine (seg, bucket) group a singleton, so only the widest rung
+      // meets k; b1 adds 10 rows to every group and the choice narrows to
+      // the finest width — each batch must be released at ITS corpus's
+      // minimal generalization
+      def rows(ids: Range) =
+        ids.map(i => (i.toLong, "s" + (i % 2), (i % 12) * 250.0))
+      val b0 = rows(0 until 12)
+      val b1 = rows(12 until 132)
+      val widths = Seq(500L, 1000L, 2000L, 4000L)
+      def drive(b: Seq[(Long, String, Double)], id: Long) =
+        StreamingGeneralize.sink(counts, out, Seq("segment"), "bal",
+          widths, k = 5)(b.toDF("id", "segment", "bal"), id)
+      drive(b0, 0L)
+      drive(b1, 1L)
+      def batchOut(id: Long) = spark.read
+        .parquet(s"$out/__batch=$id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // parity: the batch-N increment equals the full rebuild over
+      // B1 ∪ … ∪ BN restricted to BN's rows (the fold IS that count table)
+      def rebuild(all: Seq[(Long, String, Double)], ids: Set[Long]) =
+        graft.pipeline.Privacy.generalizeChosen(
+            all.toDF("id", "segment", "bal"), Seq("segment"), "bal",
+            widths, k = 5)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .filter(t => ids(t._1)).sortBy(_._1).toSeq
+      assert(batchOut(0L) === rebuild(b0, b0.map(_._1).toSet))
+      assert(batchOut(1L) === rebuild(b0 ++ b1, b1.map(_._1).toSet))
+      // the test is only meaningful if the width actually shifted: batch 0
+      // released at the widest rung (every bal collapses to 0), batch 1 at
+      // the finest (sub-4000 range starts appear)
+      assert(batchOut(0L).nonEmpty && batchOut(0L).forall(_._3 == 0L),
+        "fixture did not force the widest rung on batch 0")
+      assert(batchOut(1L).exists(t => t._3 % 4000L != 0L),
+        "fixture did not narrow the chosen width on batch 1")
+      // redelivery: same batchId → counts unchanged, output unchanged
+      val c1 = StreamingGeneralize.currentCounts(spark, counts, Seq("segment"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+      val o1 = batchOut(1L)
+      drive(b1, 1L)
+      assert(StreamingGeneralize.currentCounts(spark, counts, Seq("segment"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq === c1)
+      assert(batchOut(1L) === o1)
+      // whole-root read: the documented consumer sees both increments with
+      // arrival provenance
+      val root = spark.read.parquet(out)
+      assert(root.count() === batchOut(0L).size + batchOut(1L).size)
+      assert(root.columns.contains("__batch"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String] // QI key, one element per record
