@@ -111,6 +111,46 @@ object Stress {
       lookbackMs = 1000L, lookaheadMs = 1000L, rightCols = Seq("quote"))
     timed("range_join_2s", rj)
 
+    // ---- the reference's de-facto large workload, reproduced in shape: a
+    // single ~30M-row 8-column trade source (the 600 MB Binance BTC-USDT
+    // half-year CSV of tests/integration/test_core_single_nonoverlapping.py:84-116
+    // and README.md:159) fused through the single-source path and resampled
+    // to the reference handler's 1h grid with price forward-fill
+    // (batch_interval='1h', ffill_keys=['price(p)']). Column types mirror
+    // the reference's declared dtypes [int, bool, int, int, int, bool,
+    // float, float]; row count and grid bounds are closed-form.
+    val nRef = 3L * n
+    val refSpanMs = 181L * 86400000L // ~the reference's half-year window
+    val trades = spark.range(nRef).select(
+      (lit(t0) + pmod(col("id") * lit(2654435761L), lit(refSpanMs))).as("ts"),
+      (pmod(col("id"), lit(2)) === 0).as("is_buyer_maker"),
+      col("id").as("trade_id"),
+      (col("id") * 3L).as("first_id"),
+      (col("id") * 3L + 2L).as("last_id"),
+      (pmod(col("id"), lit(7)) === 0).as("is_best_match"),
+      (lit(3500.0) + pmod(col("id") * lit(7919L), lit(400000L)) / lit(100.0)).as("price"),
+      (pmod(col("id") * lit(104729L), lit(100000L)) / lit(1000.0)).as("qty"))
+    val refFused = Fuser.fuseFrames(
+      Seq(FrameSource(trades, "trades_btc_halfyear", "ts",
+        secondarySortCol = Some("trade_id"))),
+      FuseOptions(keepRowId = true)).df
+    val refRows = timed("ref_single_fuse", refFused)
+    val refGrid = Resampler.resample(refFused, "1h",
+      opts = ResampleOptions(ffillKeys = Seq("price"),
+        tieCols = Seq("exsym_lookup", "__rowid")))
+    val refGridRows = timed("ref_resample_1h", refGrid)
+    val Array(rMin, rMax) = refFused
+      .agg(min(col(TimestampCol)), max(col(TimestampCol)))
+      .head().toSeq.toArray.map(_.asInstanceOf[Long])
+    val rb0 = graft.time.Intervals.nextBoundary(rMin, "1h", initialize = true)
+    val refExpected = Math.floorDiv(rMax - rb0, 3600000L) + 2L
+    assert(refRows == nRef, s"single-source fuse $refRows vs $nRef")
+    assert(refGridRows == refExpected, s"1h grid $refGridRows vs $refExpected")
+    // at this density every 1h slot holds events, so the filled price may
+    // be missing on at most the leading boundary
+    val refNulls = refGrid.filter(col("price").isNull).count()
+    assert(refNulls <= 1, s"unfilled price rows $refNulls")
+
     // Shape assertions: counts match closed forms.
     assert(fusedRows == 2 * n, "fuse must preserve rows")
     assert(gridRows == expectedGrid, s"grid $gridRows vs $expectedGrid")
