@@ -1058,11 +1058,16 @@ object Queries {
         concat(lit("<p>"), regexp_replace(col("text"), " ", "</p> <p>"),
           lit("</p>")))
       .otherwise(col("text"))
+    // two-stage select: the strip kernel is non-cheap and feeds BOTH the
+    // digest and the length — CollapseProject keeps the intermediate
+    // projection, so the kernel runs once per row, not twice
     tbl(spark, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.htmlTagCount(planted).as("n_tags"),
-        md5(TextAnalysis.htmlStrip(planted)).as("clean_md5"),
-        length(TextAnalysis.htmlStrip(planted)).as("n_chars_clean"))
+        TextAnalysis.htmlStrip(planted).as("__clean"))
+      .select(col("doc_id"), col("n_tags"),
+        md5(col("__clean")).as("clean_md5"),
+        length(col("__clean")).as("n_chars_clean"))
       .orderBy("doc_id")
   }
 
@@ -7802,8 +7807,8 @@ object Queries {
     Privacy.generalize(tbl(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
           col("c_acctbal")),
-        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", width = 2000L, k = 2)
-      .orderBy("c_custkey")
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", width = 2000L, k = 2,
+        outputOrder = Some("c_custkey"))
 
   val generalizeSql: String =
     """WITH r AS (
@@ -7837,8 +7842,8 @@ object Queries {
     Privacy.generalizeChosen(tbl(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
         Seq("o_orderpriority"), "o_totalprice",
-        widths = Seq(20000L, 40000L, 80000L, 160000L, 320000L), k = 5)
-      .orderBy("o_orderkey")
+        widths = Seq(20000L, 40000L, 80000L, 160000L, 320000L), k = 5,
+        outputOrder = Some("o_orderkey"))
 
   val generalizeChosenSql: String =
     """WITH g AS (

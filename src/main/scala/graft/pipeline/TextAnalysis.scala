@@ -251,15 +251,27 @@ object TextAnalysis {
     * entities (`&amp;` LAST, so `&amp;lt;` yields the literal `&lt;` and
     * never double-decodes), then collapse whitespace runs and trim.
     *
+    * Runs as the [[graft.functions.HtmlStrip]] byte kernel (the
+    * [[scrub]]/[[graft.functions.PiiScrub]] precedent: Java's regex engine
+    * on multi-KB documents is the cost, not the logic — the declarative
+    * chain measured 2.8× DuckDB at 500k docs). The kernel is bit-equal to
+    * [[htmlStripDeclarative]], the regexp formulation the DuckDB oracles
+    * keep, spec-pinned on random and adversarial inputs. Pure projection
+    * work — no explode, no join; at 100 TB this is one codegen'd map over
+    * the corpus scan.
+    */
+  def htmlStrip(text: Column): Column =
+    graft.functions.HtmlKernels.htmlStrip(text)
+
+  /** The oracle-facing regexp formulation [[htmlStrip]]'s kernel twins.
     * Kept in the regex subset Java and RE2 evaluate identically (the
     * [[EmailPattern]] discipline): no backrefs (script/style are two
     * separate patterns), no `\b`, and the whitespace class is written
     * out as `[ \t\n\r\f]` because Java's `\s` includes `\x0B` while
     * RE2's does not. Lazy `.*?` and `(?is)` flags parse the same in
-    * both. Pure projection work — no explode, no join; at 100 TB this
-    * is one codegen'd map over the corpus scan.
+    * both.
     */
-  def htmlStrip(text: Column): Column = {
+  private[graft] def htmlStripDeclarative(text: Column): Column = {
     val noScript = regexp_replace(text,
       "(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>", " ")
     val noStyle = regexp_replace(noScript,
@@ -272,9 +284,13 @@ object TextAnalysis {
   }
 
   /** Count of tags removed by [[htmlStrip]] (markup-density audit column):
-    * tags remaining after the script/style elements drop.
+    * tags remaining after the script/style elements drop. Kernel-backed
+    * like [[htmlStrip]]; [[htmlTagCountDeclarative]] is the oracle twin.
     */
-  def htmlTagCount(text: Column): Column = {
+  def htmlTagCount(text: Column): Column =
+    graft.functions.HtmlKernels.htmlTagCount(text)
+
+  private[graft] def htmlTagCountDeclarative(text: Column): Column = {
     val noScript = regexp_replace(text,
       "(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>", " ")
     val noStyle = regexp_replace(noScript,

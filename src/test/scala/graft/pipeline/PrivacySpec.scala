@@ -109,6 +109,26 @@ class PrivacySpec extends SparkTestBase {
     assert(run(0L) === run(1000000L))
   }
 
+  test("generalize: outputOrder totally orders the release without changing its rows") {
+    // many partitions + shuffled input so the range-route + local-sort
+    // plan actually has ordering work to do
+    val df = spark.range(5000).repartition(13).select(
+      $"id",
+      concat(lit("s"), pmod($"id", lit(3))).as("segment"),
+      (pmod($"id" * 131 + 17, lit(4000)) - lit(1000)).cast("double").as("bal"))
+    val unordered = Privacy.generalize(df, Seq("segment"), "bal", 500L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ordered = Privacy.generalize(df, Seq("segment"), "bal", 500L, k = 2,
+        outputOrder = Some("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ordered.toSeq === unordered.sortBy(_._1).toSeq)
+    // and the ordered face survives the shuffle-fallback path too
+    val orderedNoBc = Privacy.generalize(df, Seq("segment"), "bal", 500L,
+        k = 2, broadcastGroupLimit = 0L, outputOrder = Some("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(orderedNoBc.toSeq === ordered.toSeq)
+  }
+
   test("generalizeChosen: applies the ladder's chosen width; fails loudly when none meets k") {
     val df = spark.range(300).select(
       concat(lit("s"), pmod($"id", lit(2))).as("segment"),
