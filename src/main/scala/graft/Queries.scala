@@ -2116,8 +2116,12 @@ object Queries {
     */
   def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same necessary-condition corpus prune as [[proximitySearch]]: every
+    // phrase term must appear as a substring for any anchor to survive
     val posIndex = Bm25.buildPositionalIndex(
-      tbl(spark, dir, "documents"), "text", "doc_id")
+      tbl(spark, dir, "documents")
+        .filter($"text".contains("table") && $"text".contains("value")),
+      "text", "doc_id")
     Bm25.phraseOccurrences(posIndex, "doc_id", Seq("table", "value"))
       .orderBy($"doc_id")
   }
@@ -2283,8 +2287,17 @@ object Queries {
     */
   def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // substring containment is a NECESSARY condition for whitespace-token
+    // equality, so only docs holding BOTH query terms as substrings can
+    // produce occurrences — prune the corpus BEFORE the posexplode
+    // (Catalyst cannot push a post-explode term filter through the
+    // generator; without this the whole corpus explodes to token rows).
+    // The production face is a SAVED positional index with term pushdown
+    // (Bm25.searchIndex's layout); this is the self-contained-query plan.
     val posIndex = Bm25.buildPositionalIndex(
-      tbl(spark, dir, "documents"), "text", "doc_id")
+      tbl(spark, dir, "documents")
+        .filter($"text".contains("spark") && $"text".contains("merge")),
+      "text", "doc_id")
     Bm25.proximityOccurrences(posIndex, "doc_id", "spark", "merge", window = 5)
       .orderBy($"doc_id")
   }
