@@ -25,6 +25,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("saved positional index: query terms push down to the term-clustered scan") {
+    // the production search face — both term equality filters must reach
+    // the parquet scan of the persisted index (term-clustered layout →
+    // row-group pruning), not evaluate post-scan over the whole postings
+    val plan = planOf("q_proximity_indexed")
+    for (term <- Seq("spark", "merge"))
+      assert(s"PushedFilters: \\[[^\\]]*EqualTo\\(term,$term\\)".r.findFirstIn(plan).isDefined,
+        s"term '$term' not pushed:\n$plan")
+    // and the corpus itself is never scanned: only the index artifact
+    assert(!plan.contains("documents.parquet"), s"corpus scan leaked:\n$plan")
+  }
+
   test("resample main plan descends the source exactly once") {
     // the coverage-carry pre-job is a separate narrow (ts-only) descent,
     // executed at plan-build; the returned plan itself stays single-scan
