@@ -3606,7 +3606,13 @@ object Queries {
       val tracks =
         if (d % 3 == 0) Seq(video, Multimodal.Mp4Track("soun", "mp4a", 0, 0))
         else Seq(video)
-      (d, Multimodal.encodeMp4Container(brand, timescale, ms * (1 + k), tracks))
+      // every 7th container is FRAGMENTED (the DASH/web layout: mvhd
+      // duration 0, whole-movie duration in mvex/mehd, moof fragments) —
+      // the parser's fallback path is exercised by the oracle, not just
+      // the spec
+      val frags = if (d % 7 == 0) 1 + (d % 5).toInt else 0
+      (d, Multimodal.encodeMp4Container(brand, timescale, ms * (1 + k),
+        tracks, fragments = frags))
     }.toDF("doc_id", "payload")
     Multimodal.videoContainerMeta(blobs, "doc_id").orderBy("doc_id")
   }
@@ -3620,7 +3626,9 @@ object Queries {
       |                       WHEN 2 THEN 'vp09' ELSE 'av01' END AS video_codec,
       |       CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
       |       CAST(120 + (doc_id % 6) * 16 AS INTEGER) AS height,
-      |       CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END AS audio_codec
+      |       CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END AS audio_codec,
+      |       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 5 ELSE 0 END
+      |            AS INTEGER) AS n_fragments
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ as-of join

@@ -700,9 +700,11 @@ object Multimodal {
   // --------------------------------------------- video containers (ISO-BMFF)
 
   /** Parsed MP4/ISO-BMFF container facts: ftyp major brand, presentation
-    * duration (mvhd, milliseconds), track count, the first video track's
-    * sample-entry codec fourcc + tkhd dimensions, and the first audio
-    * track's codec fourcc.
+    * duration in milliseconds (mvhd; for FRAGMENTED movies — mvhd
+    * duration 0, the dominant DASH/web layout — the mvex/mehd whole-movie
+    * duration), track count, the first video track's sample-entry codec
+    * fourcc + tkhd dimensions, the first audio track's codec fourcc, and
+    * the top-level `moof` fragment count (0 for a plain progressive file).
     */
   final case class Mp4Info(
       brand: String,
@@ -711,7 +713,8 @@ object Multimodal {
       videoCodec: Option[String],
       width: Option[Int],
       height: Option[Int],
-      audioCodec: Option[String])
+      audioCodec: Option[String],
+      nFragments: Int)
 
   /** MP4/ISO-BMFF container parse WITHOUT frame decode — the atom walk
     * (ftyp → moov → mvhd / trak → tkhd / mdia → hdlr / minf → stbl → stsd)
@@ -767,18 +770,33 @@ object Multimodal {
       val moov = top.find(_._1 == "moov")
       if (brand.isEmpty || moov.isEmpty) return None
       val moovKids = children(moov.get._2, moov.get._3)
-      val durationMs = moovKids.find(_._1 == "mvhd").map { case (_, s, e) =>
+      val mvhd = moovKids.find(_._1 == "mvhd").map { case (_, s, e) =>
         val ver = if (s < e) payload(s) & 0xff else 0
         if (ver == 1 && s + 32 <= e) { // 64-bit creation/modification/duration
           val ts = bb.getInt(s + 20).toLong & 0xffffffffL
-          val d = bb.getLong(s + 24)
-          if (ts > 0) d * 1000.0 / ts else 0.0
+          (ts, bb.getLong(s + 24))
         } else if (ver == 0 && s + 24 <= e) {
           val ts = bb.getInt(s + 12).toLong & 0xffffffffL
-          val d = bb.getInt(s + 16).toLong & 0xffffffffL
-          if (ts > 0) d * 1000.0 / ts else 0.0
-        } else 0.0
-      }.getOrElse(0.0)
+          (ts, bb.getInt(s + 16).toLong & 0xffffffffL)
+        } else (0L, 0L)
+      }.getOrElse((0L, 0L))
+      // fragmented MP4 (the dominant web/DASH layout): mvhd's duration is
+      // 0 because the samples live in moof fragments; the whole-movie
+      // duration then comes from mvex/mehd (fragment_duration, same
+      // movie timescale). Fragment count = top-level moof boxes.
+      val mehdDuration = (for {
+        (_, vs, ve) <- moovKids.find(_._1 == "mvex")
+        (_, ms, me) <- children(vs, ve).find(_._1 == "mehd")
+      } yield {
+        val ver = if (ms < me) payload(ms) & 0xff else 0
+        if (ver == 1 && ms + 12 <= me) bb.getLong(ms + 4)
+        else if (ver == 0 && ms + 8 <= me) bb.getInt(ms + 4).toLong & 0xffffffffL
+        else 0L
+      }).getOrElse(0L)
+      val durTicks = if (mvhd._2 > 0) mvhd._2 else mehdDuration
+      val durationMs =
+        if (mvhd._1 > 0) durTicks * 1000.0 / mvhd._1 else 0.0
+      val nFragments = top.count(_._1 == "moof")
       val traks = moovKids.filter(_._1 == "trak")
       var videoCodec: Option[String] = None
       var width: Option[Int] = None
@@ -815,7 +833,7 @@ object Multimodal {
         }
       }
       Some(Mp4Info(brand.get, durationMs, traks.size,
-        videoCodec, width, height, audioCodec))
+        videoCodec, width, height, audioCodec, nFragments))
     } catch { case _: Exception => None }
   }
 
@@ -833,12 +851,13 @@ object Multimodal {
       .mapPartitions(_.map { case (id, p) =>
         mp4Meta(p) match {
           case Some(m) => (id, Some(m.brand), Some(m.durationMs),
-            Some(m.nTracks), m.videoCodec, m.width, m.height, m.audioCodec)
-          case None => (id, None, None, None, None, None, None, None)
+            Some(m.nTracks), m.videoCodec, m.width, m.height, m.audioCodec,
+            Some(m.nFragments))
+          case None => (id, None, None, None, None, None, None, None, None)
         }
       })
       .toDF(idCol, "brand", "duration_ms", "n_tracks", "video_codec",
-        "width", "height", "audio_codec")
+        "width", "height", "audio_codec", "n_fragments")
   }
 
   /** One track of the [[encodeMp4Container]] fixture twin. `handler` is the
@@ -852,7 +871,10 @@ object Multimodal {
     * canonical `ftyp` + `moov`(`mvhd` + per-track `trak`(`tkhd` +
     * `mdia`(`mdhd`/`hdlr`/`minf`(`vmhd`|`smhd` + `stbl` with an `stsd`
     * sample entry and empty `stts`/`stsc`/`stsz`/`stco` tables))) + an empty
-    * `mdat`. Structurally valid per ISO/IEC 14496-12 (parseable by stock
+    * `mdat`. With `fragments > 0` it writes the FRAGMENTED layout instead:
+    * mvhd duration 0, `mvex`(`mehd` whole-movie duration + one `trex` per
+    * track) inside moov, and that many `moof`(`mfhd`)+`mdat` pairs after
+    * it. Structurally valid per ISO/IEC 14496-12 (parseable by stock
     * MP4 tooling); carries no media samples — the fixture for a
     * header-only parser needs headers, not frames.
     */
@@ -860,9 +882,15 @@ object Multimodal {
       brand: String,
       timescale: Int,
       durationTicks: Long,
-      tracks: Seq[Mp4Track]): Array[Byte] = {
+      tracks: Seq[Mp4Track],
+      fragments: Int = 0): Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && tracks.nonEmpty)
     require(tracks.forall(t => t.handler.length == 4 && t.codec.length == 4))
+    require(fragments >= 0)
+    // fragmented layout: samples live in moof boxes, so mvhd's duration is
+    // 0 and the whole-movie duration moves to mvex/mehd — exactly the
+    // DASH/web shape mp4Meta's fallback reads
+    val fragmented = fragments > 0
     def bytes(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
     }
@@ -886,7 +914,7 @@ object Multimodal {
     })
     val mvhd = full("mvhd", 0, bytes(96) { b =>
       b.putInt(0).putInt(0)                      // creation, modification
-      b.putInt(timescale).putInt(durationTicks.toInt)
+      b.putInt(timescale).putInt(if (fragmented) 0 else durationTicks.toInt)
       b.putInt(0x00010000)                       // rate 1.0
       b.putShort(0x0100.toShort).putShort(0)     // volume 1.0, reserved
       b.putLong(0L)                              // reserved
@@ -942,9 +970,22 @@ object Multimodal {
         else full("smhd", 0, bytes(4)(_.putShort(0).putShort(0)))
       box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", mediaHdr, stbl)))
     }
-    val moov = box("moov", (mvhd +: traks): _*)
-    val mdat = box("mdat")
-    ftyp ++ moov ++ mdat
+    val moov =
+      if (!fragmented) box("moov", (mvhd +: traks): _*)
+      else {
+        val mehd = full("mehd", 0, bytes(4)(_.putInt(durationTicks.toInt)))
+        val trexes = tracks.indices.map { i =>
+          full("trex", 0, bytes(20) { b =>
+            b.putInt(i + 1).putInt(1)            // track_ID, default stsd idx
+            b.putInt(0).putInt(0).putInt(0)      // default duration/size/flags
+          })
+        }
+        box("moov", (mvhd +: traks) :+ box("mvex", (mehd +: trexes): _*): _*)
+      }
+    val moofs = (1 to fragments).map { seq =>
+      box("moof", full("mfhd", 0, bytes(4)(_.putInt(seq)))) ++ box("mdat")
+    }
+    ftyp ++ moov ++ (if (fragmented) moofs.reduce(_ ++ _) else box("mdat"))
   }
 
   /** Metadata-only summary — demonstrates payload-free column pruning. */
