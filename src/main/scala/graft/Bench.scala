@@ -108,15 +108,25 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs_protocol":"$protocol","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the full JSON to the repo (the driver's BENCH_r*.json stdout
-    // capture has truncated the tail in past rounds) — but ONLY for a full
-    // sweep: a single-query invocation would otherwise CLOBBER the round
-    // record with a one-row file (the r10 footgun).
+    // capture has truncated the tail in past rounds). NEVER to
+    // BENCH_local.json: that file is the round's committed min-of-N merged
+    // record and is written ONLY by tools/bench_record.py — a raw sweep
+    // landing there has clobbered the record twice (r10, r14). Default is
+    // a timestamped per-sweep file; SPARK_GRAFT_BENCH_OUT overrides the
+    // exact path for scripted sweeps.
     try {
-      val dir = java.nio.file.Paths.get("bench_out")
-      java.nio.file.Files.createDirectories(dir)
-      val target = if (only.isEmpty) "BENCH_local.json" else "BENCH_partial.json"
-      java.nio.file.Files.write(dir.resolve(target),
+      val target = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val kind = if (only.isEmpty) "sweep" else "partial"
+          java.nio.file.Paths.get("bench_out",
+            s"$kind-${System.currentTimeMillis() / 1000}.json")
+        }
+      if (target.getParent != null)
+        java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(target,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] sweep persisted to $target")
     } catch { case e: Exception => System.err.println(s"[bench] persist: $e") }
     spark.stop()
   }

@@ -154,10 +154,14 @@ object Privacy {
     * falls back to a shuffled semi-join, which can never OOM the driver.
     *
     * `outputOrder` requests a release totally ordered by that column (the
-    * dump/report shape) with the range exchange placed below the join —
-    * cheaper than `.orderBy` on the result because the range sampler's
-    * boundary pass then re-executes only a scan, not the join (see the
-    * in-body note).
+    * dump/report shape). In the broadcast regime the range exchange is
+    * placed below the join — cheaper than `.orderBy` on the result because
+    * the range sampler's boundary pass then re-executes only a scan, not
+    * the join (see the in-body note). In the shuffle-fallback regime that
+    * layout would be WRONG (the join's own hash exchange lands above the
+    * range exchange and demotes the total order to per-partition), so the
+    * order is applied above the join there and the sampler's extra pass is
+    * accepted.
     */
   def generalize(
       df: DataFrame,
@@ -177,15 +181,15 @@ object Privacy {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= k)
       .drop("__n"))
-    val safeHinted =
-      if (safe.count() <= broadcastGroupLimit) broadcast(safe) else safe
+    val broadcastable = safe.count() <= broadcastGroupLimit
+    val safeHinted = if (broadcastable) broadcast(safe) else safe
     outputOrder match {
       case None =>
         released.join(safeHinted, qiCols :+ numCol, "left_semi")
           // the using-columns join fronts the keys; a release transform
           // must hand back the caller's schema order
           .select(df.columns.map(col): _*)
-      case Some(key) =>
+      case Some(key) if broadcastable =>
         // Totally-ordered release (the dump/report shape) with the range
         // exchange BELOW the join: `.orderBy(key)` on the join output
         // re-executes its whole child (scan + join) for the range
@@ -197,9 +201,23 @@ object Privacy {
         // back under the repartition by PushDownLeftSemiAntiJoin,
         // resurrecting the expensive sampler child. The local sort sits
         // ABOVE the broadcast join (a narrow, order-preserving operator);
-        // range partitioning + per-partition sort = total order.
+        // range partitioning + per-partition sort = total order. This
+        // layout is ONLY valid when the join is broadcast: a shuffled
+        // join would insert a hash exchange on the join keys above the
+        // range exchange and reduce the "total" order to per-partition.
         released.repartitionByRange(col(key))
           .join(safeHinted, qiCols :+ numCol, "inner")
+          .sortWithinPartitions(key)
+          .select(df.columns.map(col): _*)
+      case Some(key) =>
+        // Shuffle-fallback regime (group table over the broadcast gate):
+        // the join itself exchanges on the QI keys, so the range exchange
+        // must sit ABOVE the join to survive. The sampler's boundary pass
+        // re-executes the join child — the documented cost of a total
+        // order at this scale; correctness of the ordering contract wins
+        // over the one extra pass.
+        released.join(safeHinted, qiCols :+ numCol, "left_semi")
+          .repartitionByRange(col(key))
           .sortWithinPartitions(key)
           .select(df.columns.map(col): _*)
     }

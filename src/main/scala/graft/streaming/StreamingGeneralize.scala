@@ -48,7 +48,9 @@ object StreamingGeneralize {
       qiCols: Seq[String],
       numCol: String,
       widths: Seq[Long],
-      k: Int)(batch: DataFrame, batchId: Long): Unit = {
+      k: Int,
+      broadcastGroupLimit: Long = 1000000L)(
+      batch: DataFrame, batchId: Long): Unit = {
     require(widths.nonEmpty && widths.forall(_ > 0),
       s"StreamingGeneralize: widths must be positive, got $widths")
     require(k >= 2, s"StreamingGeneralize: k must be >= 2, got $k")
@@ -62,6 +64,10 @@ object StreamingGeneralize {
     val spark = batch.sparkSession
     if (FoldArtifact.isCommitted(spark, countsPath, batchId))
       return // replayed batch: output + fold both landed already
+    // an empty batch has nothing to release and nothing to fold; with no
+    // prior artifact the ladder audit's min over an empty merged table
+    // would be null and kill the query (the StreamingPageRank guard)
+    if (batch.isEmpty) return
     FoldArtifact.requireBatchPartitionRoot(spark, outputPath, "StreamingGeneralize")
     val w0 = sorted.head
     val qi = qiCols.map(col)
@@ -109,10 +115,11 @@ object StreamingGeneralize {
         .drop("__tot")
       val released = b.withColumn(numCol,
         floor(col(numCol) / lit(w)).cast("long") * lit(w))
-      // same size-gated broadcast as Privacy.generalize: the finest-width
+      // same size-gated broadcast as Privacy.generalize (and the same
+      // gate parameter, so the two faces cannot drift): the finest-width
       // count on the checkpoint is free and upper-bounds the safe table
       val safeHinted =
-        if (merged.count() <= 1000000L) broadcast(safe) else safe
+        if (merged.count() <= broadcastGroupLimit) broadcast(safe) else safe
       released.join(safeHinted, qiCols :+ numCol, "left_semi")
         .select(batch.columns.map(col): _*)
         .write.mode("overwrite")

@@ -129,6 +129,36 @@ class PrivacySpec extends SparkTestBase {
     assert(orderedNoBc.toSeq === ordered.toSeq)
   }
 
+  test("generalize: outputOrder holds under the REAL shuffled join (auto-broadcast off)") {
+    // broadcastGroupLimit = 0 alone is not enough: Spark's size-based
+    // planner still auto-broadcasts the tiny safe table, so the shuffled
+    // sort-merge/hash join — whose key exchange would land ABOVE a
+    // pre-join range exchange and demote the total order to
+    // per-partition — is never planned. Kill auto-broadcast to pin the
+    // genuine fallback plan.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.range(5000).repartition(13).select(
+        $"id",
+        concat(lit("s"), pmod($"id", lit(3))).as("segment"),
+        (pmod($"id" * 131 + 17, lit(4000)) - lit(1000)).cast("double").as("bal"))
+      val out = Privacy.generalize(df, Seq("segment"), "bal", 500L, k = 2,
+        broadcastGroupLimit = 0L, outputOrder = Some("id"))
+      // the physical plan must actually contain a non-broadcast join —
+      // otherwise this test degenerates into the broadcast case again
+      val physical = out.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastHashJoin"),
+        s"expected the shuffled fallback join, got:\n$physical")
+      val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === got.sortBy(_._1).toSeq, "release not totally ordered")
+      val reference = Privacy.generalize(df, Seq("segment"), "bal", 500L, k = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === reference.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("generalizeChosen: applies the ladder's chosen width; fails loudly when none meets k") {
     val df = spark.range(300).select(
       concat(lit("s"), pmod($"id", lit(2))).as("segment"),

@@ -1975,6 +1975,36 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming generalization release: empty micro-batch is a no-op, not a crash") {
+    // with no prior counts artifact an empty batch used to reach the
+    // ladder audit, whose min over an empty merged table is null →
+    // NullPointerException killing the query (the StreamingPageRank
+    // empty-batch guard, now mirrored here)
+    val dir = java.nio.file.Files.createTempDirectory("stream_gen_empty_").toFile
+    val counts = new java.io.File(dir, "counts").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      val empty = Seq.empty[(Long, String, Double)].toDF("id", "segment", "bal")
+      def drive(b: org.apache.spark.sql.DataFrame, id: Long) =
+        StreamingGeneralize.sink(counts, out, Seq("segment"), "bal",
+          Seq(500L, 4000L), k = 2)(b, id)
+      drive(empty, 0L) // must not throw; commits nothing
+      assert(StreamingGeneralize.currentCounts(spark, counts, Seq("segment"))
+        .isEmpty)
+      // a real batch after the empty one proceeds normally...
+      val b1 = (0 until 8).map(i => (i.toLong, "s" + (i % 2), (i % 2) * 250.0))
+      drive(b1.toDF("id", "segment", "bal"), 1L)
+      val released = spark.read.parquet(s"$out/__batch=1")
+      assert(released.count() === 8)
+      // ...and a later empty batch with a PRIOR artifact is also a no-op
+      val before = StreamingGeneralize.currentCounts(spark, counts, Seq("segment"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+      drive(empty, 2L)
+      assert(StreamingGeneralize.currentCounts(spark, counts, Seq("segment"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq === before)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming k-anonymity: per-batch statuses match kAnonAgainstPrior") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String] // QI key, one element per record
