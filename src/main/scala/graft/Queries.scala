@@ -3631,6 +3631,70 @@ object Queries {
       |            AS INTEGER) AS n_fragments
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** Image near-duplicate pairs via perceptual dHash ([[Multimodal.dHash]]
+    * → [[Dedup.hammingNearDups]] banded candidates): deterministic 9×8
+    * gray PNGs are generated per doc (25 base patterns × 8 brightness-bump
+    * variants — each variant shifts ONE pixel, flipping at most two
+    * gradient bits, so base↔variant pairs land inside the Hamming gate and
+    * variant↔variant pairs straddle it), REALLY encoded and decoded
+    * through the JDK PNG codec, and the oracle re-derives every gradient
+    * bit arithmetically. Gray (v,v,v) PNG is lossless and integer Rec.601
+    * luma of gray is exactly v, so the pixel formula IS the decoded luma.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 200)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val g = (d % 25).toInt
+      val t = (d / 25).toInt
+      val img = new java.awt.image.BufferedImage(
+        Multimodal.DHashCols, Multimodal.DHashRows,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < Multimodal.DHashRows) {
+        var x = 0
+        while (x < Multimodal.DHashCols) {
+          val bump = if (t > 0 && x == t && y == (t * 3) % 8) 48 else 0
+          val v = (g * 37 + x * 11 + y * 23) % 200 + bump
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bytes)
+      (d, bytes.toByteArray)
+    }.toDF("doc_id", "payload")
+    Multimodal.imageNearDups(blobs, "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val imageNearDupSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 200
+      |), v AS (
+      |  SELECT id, g.i % 9 AS x, g.i // 9 AS y,
+      |         ((id % 25) * 37 + (g.i % 9) * 11 + (g.i // 9) * 23) % 200
+      |         + CASE WHEN id // 25 > 0 AND g.i % 9 = id // 25
+      |                     AND g.i // 9 = ((id // 25) * 3) % 8
+      |                THEN 48 ELSE 0 END AS v
+      |  FROM ids, generate_series(0, 71) g(i)
+      |), bits AS (
+      |  SELECT l.id, l.x, l.y, CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+      |  FROM v l JOIN v r ON r.id = l.id AND r.y = l.y AND r.x = l.x + 1
+      |  WHERE l.x < 8
+      |), pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS hamming
+      |  FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.id < b.id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

@@ -630,13 +630,31 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhashLongDf(df, textCol, idCol), idCol, "simhash",
+      maxHamming)
+
+  /** Banded-Hamming near-dup pairs over ANY precomputed 64-bit signature
+    * column (SimHash text signatures, image dHash/pHash, audio
+    * fingerprints): the pigeonhole banding + verify join factored out of
+    * [[simhashNearDups]] so every Hamming-space modality shares one
+    * scale-shaped candidate generator. `sigs` is (id, signature) — it is
+    * materialized here because both join sides read it. Output:
+    * (id_a, id_b, hamming).
+    */
+  def hammingNearDups(
+      sigsIn: DataFrame,
+      idCol: String,
+      sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands // uneven tail bits join the last band
-    // (id, simhash) only: materialize so the token explode + 64-sum vote
-    // aggregation runs once, not once per join side.
-    val sigs  = materializeOnce(simhashLongDf(df, textCol, idCol))
+    // (id, signature) only: materialize so whatever produced the signature
+    // (token explode + 64-sum votes, an image decode pass) runs once, not
+    // once per join side.
+    val sigs = materializeOnce(
+      sigsIn.select(col(idCol), col(sigCol).as("simhash")))
 
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { i =>

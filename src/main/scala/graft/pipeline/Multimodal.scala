@@ -228,6 +228,91 @@ object Multimodal {
           col("width"), col("height")).as("meta"))
   }
 
+  /** dHash grid: 9 columns × 8 rows of luma, 8 horizontal gradient
+    * comparisons per row = a 64-bit signature. The standard perceptual
+    * difference-hash (see e.g. the reference's PUBLIC near-dup discussion;
+    * the algorithm itself is the widely-published dHash).
+    */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  /** Perceptual difference-hash of an image payload: REAL decode via the
+    * JDK readers, bilinear downscale to the 9×8 luma grid, bit `y*8+x` set
+    * iff `luma(x,y) > luma(x+1,y)`. Gradient-based, so it is invariant to
+    * global brightness shifts and (by the downscale) to resolution — the
+    * property that makes it a NEAR-duplicate key where an exact byte
+    * digest sees two unrelated files. Returns None for undecodable
+    * payloads. Deterministic: integer Rec.601 luma over the same scaling
+    * path as [[resizeImage]].
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = readImage(payload)
+      if (img == null) return None
+      val grid = new java.awt.image.BufferedImage(DHashCols, DHashRows,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = grid.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, DHashCols, DHashRows, null)
+      g.dispose()
+      val luma = Array.ofDim[Int](DHashRows, DHashCols)
+      val row  = new Array[Int](DHashCols)
+      var y = 0
+      while (y < DHashRows) {
+        grid.getRGB(0, y, DHashCols, 1, row, 0, DHashCols)
+        var x = 0
+        while (x < DHashCols) {
+          val rgb = row(x)
+          luma(y)(x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var sig = 0L
+      y = 0
+      while (y < DHashRows) {
+        var x = 0
+        while (x < DHashCols - 1) {
+          if (luma(y)(x) > luma(y)(x + 1)) sig |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(sig)
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed perceptual hashing over the blob table: (id, dhash), null
+    * for undecodable payloads (report, don't fail — the [[decodeImages]]
+    * contract). Bounded-memory mapPartitions; one image decoded at a time
+    * per task, so a 100 TB image corpus streams through at
+    * maxPartitionBytes-sized batches.
+    */
+  def imageHashes(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, dHash(payload)) })
+      .toDF(idCol, "dhash")
+  }
+
+  /** Image near-duplicate pairs within `maxHamming` perceptual-hash bits:
+    * [[dHash]] signatures through the banded-Hamming candidate join
+    * ([[Dedup.hammingNearDups]] — the SimHash machinery, shared because
+    * both live in 64-bit Hamming space). Undecodable payloads drop out
+    * (no signature → no pair) rather than failing the job. Never
+    * all-pairs: candidates come from band-bucket equality, the scale
+    * shape at a 100 TB image corpus. Output: (id_a, id_b, hamming).
+    */
+  def imageNearDups(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDups(
+      imageHashes(df, idCol).filter(col("dhash").isNotNull),
+      idCol, "dhash", maxHamming)
+
   /** Deterministic stand-in for a resize: sample the payload down to
     * `targetBytes` evenly-spaced bytes (a real image resize keeps this map
     * signature: bytes in, smaller bytes out).
