@@ -3602,7 +3602,20 @@ object Queries {
       val codec = Seq("avc1", "hvc1", "vp09", "av01")((d % 4).toInt)
       val w = 160 + (d % 8).toInt * 16
       val h = 120 + (d % 6).toInt * 16
-      val video = Multimodal.Mp4Track("vide", codec, w, h)
+      // codec-private decoder-config (avcC/hvcC): profile/level/bit depth
+      // vary per doc — the "≥720p avc1 HIGH-PROFILE" crawl filter needs
+      // profile, not just the fourcc. vp09/av01 carry none (their config
+      // boxes are a different format, left null by the parser).
+      val (prof, lvl, bd) = codec match {
+        case "avc1" =>
+          val p = Seq(66, 77, 100, 110)((d / 4 % 4).toInt)
+          (p, 30 + (d % 3).toInt * 10, if (p >= 110) 10 else 8)
+        case "hvc1" =>
+          val p = 1 + (d / 4 % 2).toInt
+          (p, 90 + (d % 3).toInt * 30, if (p == 2) 10 else 8)
+        case _ => (0, 0, 8)
+      }
+      val video = Multimodal.Mp4Track("vide", codec, w, h, prof, lvl, bd)
       val tracks =
         if (d % 3 == 0) Seq(video, Multimodal.Mp4Track("soun", "mp4a", 0, 0))
         else Seq(video)
@@ -3628,7 +3641,21 @@ object Queries {
       |       CAST(120 + (doc_id % 6) * 16 AS INTEGER) AS height,
       |       CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END AS audio_codec,
       |       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 5 ELSE 0 END
-      |            AS INTEGER) AS n_fragments
+      |            AS INTEGER) AS n_fragments,
+      |       CASE WHEN doc_id % 4 = 0 THEN
+      |              CASE (doc_id // 4) % 4 WHEN 0 THEN 'baseline'
+      |                WHEN 1 THEN 'main' WHEN 2 THEN 'high' ELSE 'high10' END
+      |            WHEN doc_id % 4 = 1 THEN
+      |              CASE (doc_id // 4) % 2 WHEN 0 THEN 'main' ELSE 'main10' END
+      |       END AS video_profile,
+      |       CAST(CASE WHEN doc_id % 4 = 0 THEN 30 + (doc_id % 3) * 10
+      |                 WHEN doc_id % 4 = 1 THEN 90 + (doc_id % 3) * 30
+      |            END AS INTEGER) AS video_level,
+      |       CAST(CASE WHEN doc_id % 4 = 0 THEN
+      |                   CASE WHEN (doc_id // 4) % 4 = 3 THEN 10 ELSE 8 END
+      |                 WHEN doc_id % 4 = 1 THEN
+      |                   CASE WHEN (doc_id // 4) % 2 = 1 THEN 10 ELSE 8 END
+      |            END AS INTEGER) AS bit_depth
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
   /** Image near-duplicate pairs via perceptual dHash ([[Multimodal.dHash]]

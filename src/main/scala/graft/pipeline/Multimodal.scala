@@ -799,7 +799,33 @@ object Multimodal {
       width: Option[Int],
       height: Option[Int],
       audioCodec: Option[String],
-      nFragments: Int)
+      nFragments: Int,
+      videoProfile: Option[String] = None,
+      videoLevel: Option[Int] = None,
+      videoBitDepth: Option[Int] = None)
+
+  /** AVC profile_idc → the published profile name (ISO/IEC 14496-10
+    * Annex A); unknown values keep the numeric form so nothing is lost.
+    */
+  def avcProfileName(p: Int): String = p match {
+    case 66  => "baseline"
+    case 77  => "main"
+    case 88  => "extended"
+    case 100 => "high"
+    case 110 => "high10"
+    case 122 => "high422"
+    case 244 => "high444"
+    case _   => s"avc$p"
+  }
+
+  /** HEVC general_profile_idc → name (ISO/IEC 23008-2 Annex A). */
+  def hevcProfileName(p: Int): String = p match {
+    case 1 => "main"
+    case 2 => "main10"
+    case 3 => "mainstill"
+    case 4 => "rext"
+    case _ => s"hevc$p"
+  }
 
   /** MP4/ISO-BMFF container parse WITHOUT frame decode — the atom walk
     * (ftyp → moov → mvhd / trak → tkhd / mdia → hdlr / minf → stbl → stsd)
@@ -887,6 +913,58 @@ object Multimodal {
       var width: Option[Int] = None
       var height: Option[Int] = None
       var audioCodec: Option[String] = None
+      var videoProfile: Option[String] = None
+      var videoLevel: Option[Int] = None
+      var videoBitDepth: Option[Int] = None
+      // AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3): profile
+      // and level sit at fixed offsets; bit depth lives in the profile
+      // EXTENSION after the variable-length SPS/PPS arrays, present only
+      // for the high-family profiles — walked with every length claim
+      // bounds-checked, a truncated record yields None, never a throw
+      def parseAvcC(s: Int, e: Int): (Option[String], Option[Int], Option[Int]) = {
+        if (s + 4 > e) return (None, None, None)
+        val profile = payload(s + 1) & 0xff
+        val level = payload(s + 3) & 0xff
+        val highFamily =
+          profile == 100 || profile == 110 || profile == 122 ||
+          profile == 144 || profile == 244
+        val bitDepth =
+          if (!highFamily) Some(8) // pre-high profiles are 8-bit by spec
+          else {
+            var p = s + 5
+            var ok = p < e
+            if (ok) {
+              val nSps = payload(p) & 0x1f; p += 1
+              var i = 0
+              while (ok && i < nSps) {
+                if (p + 2 > e) ok = false
+                else { p += 2 + (bb.getShort(p) & 0xffff); if (p > e) ok = false }
+                i += 1
+              }
+              if (ok && p < e) {
+                val nPps = payload(p) & 0xff; p += 1
+                var j = 0
+                while (ok && j < nPps) {
+                  if (p + 2 > e) ok = false
+                  else { p += 2 + (bb.getShort(p) & 0xffff); if (p > e) ok = false }
+                  j += 1
+                }
+              } else ok = false
+            }
+            // extension: [0] chroma_format, [1] bit_depth_luma_minus8
+            if (ok && p + 2 <= e) Some((payload(p + 1) & 0x7) + 8) else None
+          }
+        (Some(avcProfileName(profile)), Some(level), bitDepth)
+      }
+      // HEVCDecoderConfigurationRecord (ISO/IEC 14496-15 §8.3.3.1): all
+      // three facts sit at fixed offsets before the NAL arrays
+      def parseHvcC(s: Int, e: Int): (Option[String], Option[Int], Option[Int]) = {
+        if (s + 13 > e) return (None, None, None)
+        val profile = payload(s + 1) & 0x1f
+        val level = payload(s + 12) & 0xff
+        val bitDepth = if (s + 18 <= e) Some((payload(s + 17) & 0x7) + 8) else None
+        (Some(hevcProfileName(profile)), Some(level), bitDepth)
+      }
       traks.foreach { case (_, ts0, te0) =>
         val tk = children(ts0, te0)
         val mdia = tk.find(_._1 == "mdia")
@@ -894,16 +972,32 @@ object Multimodal {
         val handler = mdia.find(_._1 == "hdlr").collect {
           case (_, s, e) if s + 12 <= e => tag(s + 8)
         }
-        // stsd's first sample entry carries the codec fourcc
-        val codec = for {
+        // stsd's first sample entry carries the codec fourcc; its box
+        // bounds (size claim clamped to the stsd body) delimit the
+        // codec-private child boxes (avcC/hvcC) after the 86-byte
+        // VisualSampleEntry header
+        val entry = for {
           (_, mis, mie) <- mdia.find(_._1 == "minf")
           (_, sts, ste) <- children(mis, mie).find(_._1 == "stbl")
           (_, sds, sde) <- children(sts, ste).find(_._1 == "stsd")
           if sds + 16 <= sde // ver/flags + entry_count + first entry header
-        } yield tag(sds + 12)
+        } yield {
+          val es = sds + 8
+          val claimed = bb.getInt(es).toLong & 0xffffffffL
+          (tag(sds + 12), es, math.min(es + claimed, sde.toLong).toInt)
+        }
         handler match {
           case Some("vide") if videoCodec.isEmpty =>
-            videoCodec = codec
+            videoCodec = entry.map(_._1)
+            entry.foreach { case (_, es, ee) =>
+              if (es + 86 < ee)
+                children(es + 86, ee).collectFirst {
+                  case ("avcC", cs, ce) => parseAvcC(cs, ce)
+                  case ("hvcC", cs, ce) => parseHvcC(cs, ce)
+                }.foreach { case (p, l, b) =>
+                  videoProfile = p; videoLevel = l; videoBitDepth = b
+                }
+            }
             tk.find(_._1 == "tkhd").foreach { case (_, s, e) =>
               val ver = if (s < e) payload(s) & 0xff else 0
               // 16.16 fixed-point dims are the last 8 body bytes
@@ -913,12 +1007,13 @@ object Multimodal {
                 height = Some(bb.getInt(wOff + 4) >>> 16)
               }
             }
-          case Some("soun") if audioCodec.isEmpty => audioCodec = codec
+          case Some("soun") if audioCodec.isEmpty => audioCodec = entry.map(_._1)
           case _ => ()
         }
       }
       Some(Mp4Info(brand.get, durationMs, traks.size,
-        videoCodec, width, height, audioCodec, nFragments))
+        videoCodec, width, height, audioCodec, nFragments,
+        videoProfile, videoLevel, videoBitDepth))
     } catch { case _: Exception => None }
   }
 
@@ -937,19 +1032,25 @@ object Multimodal {
         mp4Meta(p) match {
           case Some(m) => (id, Some(m.brand), Some(m.durationMs),
             Some(m.nTracks), m.videoCodec, m.width, m.height, m.audioCodec,
-            Some(m.nFragments))
-          case None => (id, None, None, None, None, None, None, None, None)
+            Some(m.nFragments), m.videoProfile, m.videoLevel, m.videoBitDepth)
+          case None => (id, None, None, None, None, None, None, None, None,
+            None, None, None)
         }
       })
       .toDF(idCol, "brand", "duration_ms", "n_tracks", "video_codec",
-        "width", "height", "audio_codec", "n_fragments")
+        "width", "height", "audio_codec", "n_fragments",
+        "video_profile", "video_level", "bit_depth")
   }
 
   /** One track of the [[encodeMp4Container]] fixture twin. `handler` is the
     * ISO handler type (`vide`/`soun`), `codec` the sample-entry fourcc
-    * (`avc1`, `hvc1`, `vp09`, `av01`, `mp4a`, …).
+    * (`avc1`, `hvc1`, `vp09`, `av01`, `mp4a`, …). `profile`/`level`/
+    * `bitDepth` > 0 add the matching codec-private box (`avcC` for avc1,
+    * `hvcC` for hvc1/hev1) inside the sample entry — the decoder-config
+    * record a real muxer always writes and [[mp4Meta]] reads back.
     */
-  final case class Mp4Track(handler: String, codec: String, width: Int, height: Int)
+  final case class Mp4Track(handler: String, codec: String, width: Int, height: Int,
+      profile: Int = 0, level: Int = 0, bitDepth: Int = 8)
 
   /** Minimal ISO-BMFF writer (test/query fixture — the [[mp4Meta]] encode
     * twin, like [[encodeWavPcm16]]/[[encodeMjpegAvi]] for their decoders):
@@ -1026,9 +1127,42 @@ object Multimodal {
         b.putInt(0).put(t.handler.getBytes("US-ASCII"))
         b.put(new Array[Byte](12)).put(0.toByte) // reserved + empty name
       })
+      // codec-private decoder-config record for the compressed codecs
+      // (the box a real muxer always writes after the visual header)
+      val codecPriv: Array[Byte] =
+        if (!isVideo || t.profile <= 0) Array.emptyByteArray
+        else if (t.codec == "avc1") {
+          val high = Seq(100, 110, 122, 144, 244).contains(t.profile)
+          box("avcC", bytes(if (high) 11 else 7) { b =>
+            b.put(1.toByte).put(t.profile.toByte)  // version, profile_idc
+            b.put(0.toByte).put(t.level.toByte)    // compat, level_idc
+            b.put(0xFF.toByte)                     // '111111' + lengthSize 3
+            b.put(0xE0.toByte).put(0.toByte)       // 0 SPS, 0 PPS
+            if (high) {                            // profile extension
+              b.put(0xFD.toByte)                   // chroma 4:2:0
+              b.put((0xF8 | (t.bitDepth - 8)).toByte)
+              b.put((0xF8 | (t.bitDepth - 8)).toByte)
+              b.put(0.toByte)                      // 0 SPS-ext
+            }
+          })
+        } else if (t.codec == "hvc1" || t.codec == "hev1") {
+          box("hvcC", bytes(23) { b =>
+            b.put(1.toByte).put(t.profile.toByte)  // version, space/tier/idc
+            b.putInt(0)                            // profile compat flags
+            b.put(new Array[Byte](6))              // constraint flags
+            b.put(t.level.toByte)
+            b.putShort(0xF000.toShort)             // min_spatial_segmentation
+            b.put(0xFC.toByte)                     // parallelismType
+            b.put(0xFD.toByte)                     // chroma 4:2:0
+            b.put((0xF8 | (t.bitDepth - 8)).toByte)
+            b.put((0xF8 | (t.bitDepth - 8)).toByte)
+            b.putShort(0)                          // avgFrameRate
+            b.put(0x03.toByte).put(0.toByte)       // lengthSize 3, 0 arrays
+          })
+        } else Array.emptyByteArray
       val entry =
         if (isVideo) bytes(86) { b =>            // VisualSampleEntry
-          b.putInt(86).put(t.codec.getBytes("US-ASCII"))
+          b.putInt(86 + codecPriv.length).put(t.codec.getBytes("US-ASCII"))
           b.put(new Array[Byte](6)).putShort(1)  // reserved, data_ref_index
           b.put(new Array[Byte](16))             // pre_defined/reserved
           b.putShort(t.width.toShort).putShort(t.height.toShort)
@@ -1036,7 +1170,7 @@ object Multimodal {
           b.putInt(0).putShort(1)                // reserved, frame_count
           b.put(new Array[Byte](32))             // compressorname
           b.putShort(24).putShort(-1)            // depth, pre_defined
-        }
+        } ++ codecPriv
         else bytes(36) { b =>                    // AudioSampleEntry
           b.putInt(36).put(t.codec.getBytes("US-ASCII"))
           b.put(new Array[Byte](6)).putShort(1)
