@@ -3722,6 +3722,60 @@ object Queries {
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** EXIF header extraction ([[Multimodal.jpegExif]]): REAL JPEGs (JDK
+    * encoder) get a spliced APP1 EXIF segment — orientation, capture
+    * timestamp, GPS-IFD presence (the PII-exposure boolean), alternating
+    * byte orders — and the parser reads them back through the distributed
+    * header-only path. Every 11th doc is a JPEG WITHOUT EXIF (fields null,
+    * has_gps false), every 13th is not a JPEG at all (whole row null) —
+    * the three states a crawl audit must distinguish. The oracle
+    * re-derives each field from the id formulas.
+    */
+  def exifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 150)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val payload =
+        if (d % 13 == 0) "not a jpeg".getBytes("UTF-8")
+        else {
+          val img = new java.awt.image.BufferedImage(2, 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val base = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", base)
+          if (d % 11 == 0) base.toByteArray // JPEG, no EXIF
+          else {
+            val dt = f"2024:${1 + d % 12}%02d:${1 + d % 28}%02d " +
+              f"${d % 24}%02d:${d % 60}%02d:${d * 7 % 60}%02d"
+            Multimodal.insertExif(base.toByteArray,
+              orientation = Some(1 + (d % 8).toInt),
+              dateTime = Some(dt),
+              gps = d % 3 == 0,
+              littleEndian = d % 2 == 0)
+          }
+        }
+      (d, payload)
+    }.toDF("doc_id", "payload")
+    Multimodal.exifMetadata(blobs, "doc_id").orderBy("doc_id")
+  }
+
+  val exifMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(CASE WHEN doc_id % 13 <> 0 AND doc_id % 11 <> 0
+      |            THEN 1 + doc_id % 8 END AS INTEGER) AS orientation,
+      |  CASE WHEN doc_id % 13 <> 0 AND doc_id % 11 <> 0 THEN
+      |    '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+      |    ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+      |  END AS date_time,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       WHEN doc_id % 11 = 0 THEN FALSE
+      |       ELSE doc_id % 3 = 0 END AS has_gps
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

@@ -313,6 +313,188 @@ object Multimodal {
       imageHashes(df, idCol).filter(col("dhash").isNotNull),
       idCol, "dhash", maxHamming)
 
+  // ------------------------------------------------------------ JPEG / EXIF
+
+  /** EXIF facts a curation pass needs without decoding pixels: orientation
+    * (tag 0x0112 — whether the raster needs rotating before any vision
+    * model sees it), the capture timestamp (tag 0x0132), and whether a GPS
+    * IFD is present (tag 0x8825) — location presence is a PII-exposure
+    * column for the privacy family's audits, read as a BOOLEAN so the
+    * coordinates themselves never leave the payload.
+    */
+  final case class ExifInfo(
+      orientation: Option[Int],
+      dateTime: Option[String],
+      hasGps: Boolean)
+
+  /** Bounded EXIF header walk over a JPEG payload: JFIF segment scan to the
+    * APP1 `Exif\0\0` block, then the TIFF IFD0 walk in either byte order.
+    * Same claims-clamped discipline as [[mp4Meta]]: every segment length,
+    * IFD offset and value count is a CLAIM checked against the real
+    * payload bounds; nothing is allocated proportional to a claim, a
+    * truncated or forged header yields missing fields, never a throw.
+    * Returns None for non-JPEG bytes; Some with empty fields for a JPEG
+    * without EXIF (a real and common layout the caller must distinguish
+    * from "not an image").
+    */
+  def jpegExif(payload: Array[Byte]): Option[ExifInfo] = {
+    if (payload == null || payload.length < 4) return None
+    if ((payload(0) & 0xff) != 0xFF || (payload(1) & 0xff) != 0xD8) return None
+    try {
+      def parseTiff(base: Int, end: Int): ExifInfo = {
+        val empty = ExifInfo(None, None, hasGps = false)
+        if (base + 8 > end) return empty
+        val le =
+          if (payload(base) == 'I' && payload(base + 1) == 'I') true
+          else if (payload(base) == 'M' && payload(base + 1) == 'M') false
+          else return empty
+        def u16(off: Int): Int =
+          if (off < base || off + 2 > end) -1
+          else if (le) (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+          else ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+        def u32(off: Int): Long =
+          if (off < base || off + 4 > end) -1L
+          else if (le) (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+            ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+          else ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+            ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+        if (u16(base + 2) != 42) return empty
+        val ifdOff = u32(base + 4)
+        if (ifdOff < 0 || base + ifdOff + 2 > end) return empty
+        val ifd = (base + ifdOff).toInt
+        val n = u16(ifd)
+        var orientation: Option[Int] = None
+        var dateTime: Option[String] = None
+        var hasGps = false
+        var i = 0
+        while (i < n) {
+          val e = ifd + 2 + 12 * i
+          if (e + 12 > end) i = n // truncated entry list: stop cleanly
+          else {
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            val cnt = u32(e + 4)
+            tag match {
+              case 0x0112 if typ == 3 && cnt >= 1 =>
+                // SHORT values are left-justified in the 4-byte field
+                val v = u16(e + 8)
+                if (v >= 1 && v <= 8) orientation = Some(v)
+              case 0x0132 if typ == 2 && cnt >= 1 && cnt <= 64 =>
+                val off = if (cnt <= 4) e + 8 else (base + u32(e + 8)).toInt
+                if (off >= base && off + cnt <= end) {
+                  val raw = new String(payload, off, cnt.toInt,
+                    java.nio.charset.StandardCharsets.US_ASCII)
+                  val s = raw.takeWhile(_ != '\u0000').trim
+                  if (s.nonEmpty) dateTime = Some(s)
+                }
+              case 0x8825 => hasGps = true // presence only, never the coords
+              case _ => ()
+            }
+            i += 1
+          }
+        }
+        ExifInfo(orientation, dateTime, hasGps)
+      }
+      var pos = 2
+      var out = ExifInfo(None, None, hasGps = false)
+      var done = false
+      while (!done && pos + 4 <= payload.length) {
+        if ((payload(pos) & 0xff) != 0xFF) done = true
+        else {
+          val marker = payload(pos + 1) & 0xff
+          if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) pos += 2
+          else {
+            val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+            if (len < 2 || marker == 0xDA) done = true // SOS: entropy follows
+            else {
+              val segStart = pos + 4
+              val segEnd = math.min(pos + 2 + len, payload.length)
+              if (marker == 0xE1 && segStart + 6 <= segEnd &&
+                  payload(segStart) == 'E' && payload(segStart + 1) == 'x' &&
+                  payload(segStart + 2) == 'i' && payload(segStart + 3) == 'f' &&
+                  payload(segStart + 4) == 0 && payload(segStart + 5) == 0) {
+                out = parseTiff(segStart + 6, segEnd)
+                done = true
+              }
+              pos = pos + 2 + len
+            }
+          }
+        }
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Fixture twin of [[jpegExif]] (the [[encodeMp4Container]] convention):
+    * splice a structurally-valid APP1 EXIF segment — TIFF header in either
+    * byte order, IFD0 with orientation/DateTime/GPS-pointer entries, the
+    * GPS IFD itself an empty-but-well-formed table — right after a real
+    * JPEG's SOI marker, where every real camera writes it.
+    */
+  def insertExif(
+      jpeg: Array[Byte],
+      orientation: Option[Int],
+      dateTime: Option[String],
+      gps: Boolean,
+      littleEndian: Boolean = false): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xFF && (jpeg(1) & 0xff) == 0xD8,
+      "insertExif: not a JPEG payload")
+    dateTime.foreach(s => require(s.length < 64, "dateTime too long"))
+    val n = orientation.size + dateTime.size + (if (gps) 1 else 0)
+    val ifdLen = 2 + 12 * n + 4
+    val dtLen = dateTime.map(_.length + 1).getOrElse(0)
+    val tiffLen = 8 + ifdLen + dtLen + (if (gps) 6 else 0)
+    val tiff = java.nio.ByteBuffer.allocate(tiffLen)
+    tiff.order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    tiff.putShort(42).putInt(8) // magic, IFD0 offset
+    tiff.putShort(n.toShort)
+    val dtOff = 8 + ifdLen
+    val gpsOff = dtOff + dtLen
+    orientation.foreach { o => // tag, type SHORT, count, left-justified value
+      tiff.putShort(0x0112).putShort(3).putInt(1)
+      tiff.putShort(o.toShort).putShort(0) // left-justified in either order
+    }
+    dateTime.foreach { s =>
+      tiff.putShort(0x0132).putShort(2).putInt(s.length + 1).putInt(dtOff)
+    }
+    if (gps) tiff.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(gpsOff)
+    tiff.putInt(0) // next IFD
+    dateTime.foreach { s =>
+      tiff.put(s.getBytes("US-ASCII")).put(0.toByte)
+    }
+    if (gps) tiff.putShort(0).putInt(0) // empty GPS IFD: 0 entries, no next
+    val body = tiff.array()
+    val app1Len = 2 + 6 + body.length // length field + "Exif\0\0" + TIFF
+    val out = java.nio.ByteBuffer.allocate(jpeg.length + 2 + app1Len)
+    out.put(jpeg, 0, 2) // SOI
+    out.put(0xFF.toByte).put(0xE1.toByte).putShort(app1Len.toShort)
+    out.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.put(body)
+    out.put(jpeg, 2, jpeg.length - 2)
+    out.array()
+  }
+
+  /** Distributed EXIF extraction over the blob table: (id, orientation,
+    * date_time, has_gps). NULL row for non-JPEG payloads; a JPEG without
+    * EXIF reads as (null, null, false). Header-only — the same
+    * parquet-speed scan shape as [[videoContainerMeta]].
+    */
+  def exifMetadata(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        jpegExif(p) match {
+          case Some(e) => (id, e.orientation, e.dateTime, Some(e.hasGps))
+          case None    => (id, None, None, None)
+        }
+      })
+      .toDF(idCol, "orientation", "date_time", "has_gps")
+  }
+
   /** Deterministic stand-in for a resize: sample the payload down to
     * `targetBytes` evenly-spaced bytes (a real image resize keeps this map
     * signature: bytes in, smaller bytes out).
