@@ -2297,9 +2297,8 @@ object Queries {
     loadOrTrain(spark, dir, "pos_index",
       p => spark.read.parquet(p),
       p => {
-        Bm25.buildPositionalIndex(tbl(spark, dir, "documents"), "text", "doc_id")
-          .repartition(col("term")).sortWithinPartitions(col("term"))
-          .write.mode("overwrite").parquet(p)
+        Bm25.savePositionalIndex(
+          Bm25.buildPositionalIndex(tbl(spark, dir, "documents"), "text", "doc_id"), p)
         spark.read.parquet(p)
       },
       table = "documents.parquet")
@@ -2332,6 +2331,47 @@ object Queries {
       |FROM t a JOIN t b ON a.doc_id = b.doc_id
       |WHERE a.term = 'spark' AND b.term = 'merge'
       |  AND b.pos > a.pos AND b.pos <= a.pos + 8
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
+  /** Incrementally-maintained positional index
+    * ([[pipeline.Bm25.appendToPositionalIndex]]): index the even-id half
+    * of the corpus, FOLD the odd-id half in, then answer a proximity
+    * query — the fold is exact by construction (per-occurrence rows, no
+    * cross-document state), so this shares the whole-corpus relational
+    * oracle: fold ≡ rebuild is the check itself. The production ingest
+    * door for the saved-search-index face ([[proximityIndexed]]); its
+    * streaming half is [[graft.streaming.StreamingPositionalIndex]].
+    */
+  def proximityIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = loadOrTrain(spark, dir, "pos_index_incr",
+      p => spark.read.parquet(p),
+      p => {
+        val docs = tbl(spark, dir, "documents")
+        Bm25.savePositionalIndex(Bm25.buildPositionalIndex(
+          docs.filter(pmod($"doc_id", lit(2)) === 0), "text", "doc_id"), p)
+        Bm25.appendToPositionalIndex(
+          docs.filter(pmod($"doc_id", lit(2)) === 1), "text", "doc_id", p)
+        spark.read.parquet(p)
+      },
+      table = "documents.parquet")
+    Bm25.proximityOccurrences(idx, "doc_id", "scan", "filter", window = 6)
+      .orderBy($"doc_id")
+  }
+
+  val proximityIncrSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, unnest(ws) AS term,
+      |         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+      |  FROM w
+      |)
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM t a JOIN t b ON a.doc_id = b.doc_id
+      |WHERE a.term = 'scan' AND b.term = 'filter'
+      |  AND b.pos > a.pos AND b.pos <= a.pos + 6
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
   def proximitySearch(spark: SparkSession, dir: String): DataFrame = {

@@ -249,6 +249,33 @@ object Bm25 {
       .select(col(idCol), col("term"), (col("__p0") + 1).cast("long").as("pos"),
         col("dl"))
 
+  /** Persist a positional index TERM-CLUSTERED ([[saveIndex]]'s layout
+    * argument): row groups cover narrow term ranges, so a query term's
+    * equality filter prunes at the parquet footer and search cost scales
+    * with the QUERY's postings, not the corpus.
+    */
+  def savePositionalIndex(posIndex: DataFrame, path: String): Unit =
+    posIndex.repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold a document batch's postings into a saved positional index —
+    * the incremental-maintenance face ([[appendToIndex]]'s convention for
+    * the positional shape). EXACT, not approximate: positional postings
+    * are per-occurrence rows with no cross-document state (df/idf never
+    * enter phrase/proximity answers, and `dl` rides per row), so the
+    * appended index answers every query bit-identically to a full rebuild
+    * over the union (oracle-pinned by `q_proximity_incr`). The new batch
+    * lands term-clustered among itself — each batch's files prune
+    * independently; re-cluster with a periodic rebuild if batch counts
+    * grow large. Caller must keep batch ids disjoint from the indexed
+    * corpus (a duplicate id would double-count its occurrences).
+    */
+  def appendToPositionalIndex(newDocs: DataFrame, textCol: String,
+      idCol: String, path: String): Unit =
+    buildPositionalIndex(newDocs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(path)
+
   /** Exact-phrase occurrence counts from a positional index:
     * `(<idCol>, n_occurrences)` for documents containing the phrase at
     * least once. Each phrase term's postings prune from the index (a

@@ -1975,6 +1975,54 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming positional index: cross-batch search equals full rebuild; replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_posidx_").toFile
+    val ledger = new java.io.File(dir, "ledger").getAbsolutePath
+    val index = new java.io.File(dir, "index").getAbsolutePath
+    try {
+      val b0 = Seq(
+        (1L, "spark merge fast spark slow merge"),
+        (2L, "merge spark")).toDF("doc_id", "text")
+      val b1 = Seq(
+        (3L, "spark a b c merge"),
+        (4L, "nothing relevant here")).toDF("doc_id", "text")
+      def drive(b: org.apache.spark.sql.DataFrame, id: Long) =
+        StreamingPositionalIndex.sink(ledger, index, "text", "doc_id")(b, id)
+      drive(b0, 0L)
+      drive(b1, 1L)
+      def search(idx: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.Bm25.proximityOccurrences(idx, "doc_id",
+            "spark", "merge", window = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val streamed = search(
+        StreamingPositionalIndex.currentIndex(spark, index, "doc_id"))
+      val rebuilt = search(graft.pipeline.Bm25.buildPositionalIndex(
+        b0.unionByName(b1), "text", "doc_id"))
+      assert(streamed === rebuilt) // the fold IS the rebuild, bit-for-bit
+      assert(streamed.nonEmpty)
+      // phrase answers agree too (same postings, different join)
+      def phrase(idx: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.Bm25.phraseOccurrences(idx, "doc_id",
+            Seq("merge", "spark"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(phrase(StreamingPositionalIndex.currentIndex(spark, index, "doc_id"))
+        === phrase(graft.pipeline.Bm25.buildPositionalIndex(
+          b0.unionByName(b1), "text", "doc_id")))
+      // redelivery: same batchId -> no duplicate occurrences
+      drive(b1, 1L)
+      assert(search(StreamingPositionalIndex.currentIndex(spark, index, "doc_id"))
+        === streamed)
+      // empty batch: no-op, no empty partition dir committed
+      drive(b1.limit(0), 2L)
+      assert(search(StreamingPositionalIndex.currentIndex(spark, index, "doc_id"))
+        === streamed)
+      // empty-index read has the right schema before any batch
+      val fresh = new java.io.File(dir, "fresh").getAbsolutePath
+      assert(StreamingPositionalIndex.currentIndex(spark, fresh, "doc_id")
+        .columns.toSeq === Seq("doc_id", "term", "pos", "dl"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming generalization release: empty micro-batch is a no-op, not a crash") {
     // with no prior counts artifact an empty batch used to reach the
     // ladder audit, whose min over an empty merged table is null →
