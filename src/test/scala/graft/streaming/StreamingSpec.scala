@@ -1339,6 +1339,47 @@ class StreamingSpec extends SparkTestBase {
     assert(viaArtifact == viaGate, s"$viaArtifact vs $viaGate")
   }
 
+  test("streaming quality-model scoring: trained-artifact scores match the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus with a real quality gradient for the OLS teacher
+    val corpus = Seq(
+      (100L, "the cat sat on the mat and the dog ran after the cat"),
+      (101L, "a bird in the hand is worth two in a bush they say"),
+      (102L, "quantum flux capacitor module vector tensor units spin"),
+      (103L, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),
+      (104L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val w = graft.pipeline.QualityModel.train(
+      graft.pipeline.QualityModel.featureFrame(corpus, "text", "doc_id"))
+
+    val arrivals = Seq(
+      (1L, "the cat and the dog and the bird sat together"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "aaa aaa aaa aaa aaa"),
+      (4L, ""), // empty doc: no tokens, drops on both faces
+      (5L, "it is what it is and that is that"))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingQualityScore.scoreAgainstModel(
+      input.toDS().toDF("doc_id", "text"), "text", "doc_id", w)
+    val q = out.writeStream.format("memory").queryName("qscore_stream")
+      .outputMode("append").start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qscore_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val batch = graft.pipeline.QualityModel.score(
+        arrivals.toDF("doc_id", "text"), "text", "doc_id", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(streamed === batch) // bit-for-bit: same kernel, same weights
+    assert(streamed.map(_._1) === Seq(1L, 2L, 3L, 5L)) // empty doc dropped
+    // the model discriminates: degenerate repetition scores differently
+    // from natural text (guards against a constant-column regression)
+    assert(streamed.map(_._2).distinct.size > 1)
+  }
+
   // ---- equal-millisecond stale-rule pins -----------------------------------
   // The family contract: only arrivals STRICTLY before the key's last seen ts
   // are stale. An arrival at the SAME millisecond — whether in the same
