@@ -25,7 +25,9 @@ def main():
     data_dir, oracle_json, bench_json, out_path = sys.argv[1:5]
     names = sys.argv[5:]
     oracle = json.loads(Path(oracle_json).read_text())
-    bench = json.loads(Path(bench_json).read_text())
+    # Bench lines grepped out of sbt output carry an "[info] " prefix
+    bench_text = Path(bench_json).read_text()
+    bench = json.loads(bench_text[bench_text.find("{"):])
     con = duckdb.connect()
     for t in TABLES:
         p = Path(data_dir) / f"{t}.parquet"
