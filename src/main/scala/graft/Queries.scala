@@ -3816,6 +3816,87 @@ object Queries {
       |       ELSE doc_id % 3 = 0 END AS has_gps
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** Video near-duplicate pairs ([[Multimodal.videoNearDups]]): REAL
+    * animated GIFs with deterministic 9×8 gray frames (indexed gray-ramp
+    * palette — the GIF encode is then lossless, so decoded luma IS the
+    * pixel formula), 15 base patterns × 8 variants where each variant
+    * bumps one pixel of ONE frame; two videos pair when frame counts
+    * match and every aligned frame's dHash is within 3 bits. The oracle
+    * re-derives every frame's gradient bits and replays the
+    * all-frames-matched aggregation.
+    */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 120)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val g = (d % 15).toInt
+      val t = (d / 15).toInt
+      val nf = 3 + g % 3
+      val ramp = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val frames = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          Multimodal.DHashCols, Multimodal.DHashRows,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < Multimodal.DHashRows) {
+          var x = 0
+          while (x < Multimodal.DHashCols) {
+            val bump =
+              if (t > 0 && x == t && y == (t * 3) % 8 && f == t % nf) 48 else 0
+            val v = (g * 37 + f * 53 + x * 11 + y * 23) % 200 + bump
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (d, Multimodal.encodeGifAnimation(frames))
+    }.toDF("doc_id", "payload")
+    Multimodal.videoNearDups(blobs, "doc_id", everyN = 1, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val videoNearDupSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 120
+      |), p AS (
+      |  SELECT id, id % 15 AS g, id // 15 AS t, 3 + (id % 15) % 3 AS nf FROM ids
+      |), v AS (
+      |  SELECT id, nf, gs.i // 72 AS f, (gs.i % 72) % 9 AS x, (gs.i % 72) // 9 AS y,
+      |         (g * 37 + (gs.i // 72) * 53 + ((gs.i % 72) % 9) * 11
+      |          + ((gs.i % 72) // 9) * 23) % 200
+      |         + CASE WHEN t > 0 AND (gs.i % 72) % 9 = t
+      |                     AND (gs.i % 72) // 9 = (t * 3) % 8
+      |                     AND gs.i // 72 = t % nf
+      |                THEN 48 ELSE 0 END AS v
+      |  FROM p, generate_series(0, 359) gs(i)
+      |  WHERE gs.i < nf * 72
+      |), bits AS (
+      |  SELECT l.id, l.nf, l.f, l.x, l.y,
+      |         CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+      |  FROM v l JOIN v r ON r.id = l.id AND r.f = l.f AND r.y = l.y
+      |                   AND r.x = l.x + 1
+      |  WHERE l.x < 8
+      |), fp AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.f,
+      |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM bits a JOIN bits b ON a.f = b.f AND a.x = b.x AND a.y = b.y
+      |                         AND a.id < b.id AND a.nf = b.nf
+      |  GROUP BY 1, 2, 3
+      |), pv AS (
+      |  SELECT id_a, id_b, count(*) AS matched, max(hamming) AS mh
+      |  FROM fp WHERE hamming <= 3 GROUP BY 1, 2
+      |)
+      |SELECT pv.id_a, pv.id_b, CAST(p1.nf AS BIGINT) AS n_frames,
+      |       CAST(pv.mh AS BIGINT) AS max_hamming
+      |FROM pv JOIN p p1 ON p1.id = pv.id_a
+      |WHERE pv.matched = p1.nf
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ as-of join
 
   /** Temporal as-of join (beyond-reference): each purchase attaches the most

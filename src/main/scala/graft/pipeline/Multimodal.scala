@@ -249,40 +249,46 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return None
     try {
       val img = readImage(payload)
-      if (img == null) return None
-      val grid = new java.awt.image.BufferedImage(DHashCols, DHashRows,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = grid.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, DHashCols, DHashRows, null)
-      g.dispose()
-      val luma = Array.ofDim[Int](DHashRows, DHashCols)
-      val row  = new Array[Int](DHashCols)
-      var y = 0
-      while (y < DHashRows) {
-        grid.getRGB(0, y, DHashCols, 1, row, 0, DHashCols)
-        var x = 0
-        while (x < DHashCols) {
-          val rgb = row(x)
-          luma(y)(x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
-      }
-      var sig = 0L
-      y = 0
-      while (y < DHashRows) {
-        var x = 0
-        while (x < DHashCols - 1) {
-          if (luma(y)(x) > luma(y)(x + 1)) sig |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
-      }
-      Some(sig)
+      if (img == null) None else Some(dHashImage(img))
     } catch { case _: Exception => None }
+  }
+
+  /** [[dHash]] of an already-decoded raster — the shared kernel for the
+    * single-image path and the per-frame video path ([[videoFrameHashes]]).
+    */
+  def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val grid = new java.awt.image.BufferedImage(DHashCols, DHashRows,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = grid.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, DHashCols, DHashRows, null)
+    g.dispose()
+    val luma = Array.ofDim[Int](DHashRows, DHashCols)
+    val row  = new Array[Int](DHashCols)
+    var y = 0
+    while (y < DHashRows) {
+      grid.getRGB(0, y, DHashCols, 1, row, 0, DHashCols)
+      var x = 0
+      while (x < DHashCols) {
+        val rgb = row(x)
+        luma(y)(x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    y = 0
+    while (y < DHashRows) {
+      var x = 0
+      while (x < DHashCols - 1) {
+        if (luma(y)(x) > luma(y)(x + 1)) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
   }
 
   /** Distributed perceptual hashing over the blob table: (id, dhash), null
@@ -572,15 +578,27 @@ object Multimodal {
     * decode; an oversized or broken frame is skipped, not fatal.
     */
   def gifFrames(payload: Array[Byte], everyN: Int): Seq[(Int, Int, Int, Double)] = {
-    require(everyN > 0)
-    if (payload == null || payload.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+    foreachGifFrame(payload, everyN) { (i, img) =>
+      out += ((i, img.getWidth, img.getHeight, meanLumaOf(img)))
+    }
+    out.toSeq
+  }
+
+  /** The GIF multi-frame walk factored as a visitor so every per-frame
+    * consumer ([[gifFrames]] luma stats, [[videoFrameHashes]] perceptual
+    * hashes) shares ONE decode path with the same bomb guards.
+    */
+  private def foreachGifFrame(payload: Array[Byte], everyN: Int)(
+      visit: (Int, java.awt.image.BufferedImage) => Unit): Unit = {
+    require(everyN > 0)
+    if (payload == null || payload.isEmpty) return
     try {
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(stream)
-        if (!readers.hasNext) return Nil
+        if (!readers.hasNext) return
         val reader = readers.next()
         try {
           // seekForwardOnly=false: getNumImages(allowSearch) walks the file
@@ -591,31 +609,14 @@ object Multimodal {
             if (i % everyN == 0) {
               val w = reader.getWidth(i)
               val h = reader.getHeight(i)
-              if (w > 0 && h > 0 && w.toLong * h <= MaxImagePixels) {
-                val img = reader.read(i)
-                var sum = 0L
-                val row = new Array[Int](w)
-                var y = 0
-                while (y < h) {
-                  img.getRGB(0, y, w, 1, row, 0, w)
-                  var x = 0
-                  while (x < w) {
-                    val rgb = row(x)
-                    sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                      (rgb & 0xff) * 114) / 1000
-                    x += 1
-                  }
-                  y += 1
-                }
-                out += ((i, w, h, sum.toDouble / (w.toLong * h)))
-              }
+              if (w > 0 && h > 0 && w.toLong * h <= MaxImagePixels)
+                visit(i, reader.read(i))
             }
             i += 1
           }
         } finally reader.dispose()
       } finally stream.close()
     } catch { case _: Exception => () }
-    out.toSeq
   }
 
   /** Distributed multi-frame decode over the blob table: one output row per
@@ -701,13 +702,25 @@ object Multimodal {
     * codec and resolution.
     */
   def mjpegFrames(payload: Array[Byte], everyN: Int): Seq[(Int, Int, Int, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+    foreachMjpegFrame(payload, everyN) { (i, img) =>
+      out += ((i, img.getWidth, img.getHeight, meanLumaOf(img)))
+    }
+    out.toSeq
+  }
+
+  /** The MJPEG/AVI frame walk factored as a visitor ([[foreachGifFrame]]'s
+    * twin): same claims-clamped RIFF discipline, shared by the luma stats
+    * and the perceptual-hash paths.
+    */
+  private def foreachMjpegFrame(payload: Array[Byte], everyN: Int)(
+      visit: (Int, java.awt.image.BufferedImage) => Unit): Unit = {
     require(everyN > 0)
-    if (payload == null || payload.length < 12) return Nil
+    if (payload == null || payload.length < 12) return
     def tag(off: Int): String =
       new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
     try {
       var frameIdx = 0
       var pos = 12
@@ -729,8 +742,7 @@ object Multimodal {
               if (frameIdx % everyN == 0) {
                 val img = readImage(
                   java.util.Arrays.copyOfRange(payload, cstart, cend))
-                if (img != null)
-                  out += ((frameIdx, img.getWidth, img.getHeight, meanLumaOf(img)))
+                if (img != null) visit(frameIdx, img)
               }
               frameIdx += 1
             }
@@ -743,7 +755,91 @@ object Multimodal {
               else start + padded.toInt
       }
     } catch { case _: Exception => () }
+  }
+
+  /** Per-frame perceptual hashes of a video payload — [[dHashImage]] over
+    * every `everyN`-th REALLY-decoded frame (animated GIF via the bundled
+    * multi-image reader, MJPEG/AVI via the RIFF walk; both dispatch on
+    * magic bytes). Empty for undecodable or inter-frame-compressed
+    * payloads — those stay queryable through [[mp4Meta]] but cannot hash
+    * without a codec.
+    */
+  def videoFrameHashes(payload: Array[Byte], everyN: Int): Seq[(Int, Long)] = {
+    if (payload == null || payload.length < 4) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      foreachGifFrame(payload, everyN)((i, img) => out += ((i, dHashImage(img))))
+    else
+      foreachMjpegFrame(payload, everyN)((i, img) => out += ((i, dHashImage(img))))
     out.toSeq
+  }
+
+  /** Distributed per-frame perceptual hashing over the blob table:
+    * (id, frame_idx, dhash) — the bounded-memory one-to-many flatMap shape
+    * of [[decodeGifFrames]].
+    */
+  def videoHashes(df: DataFrame, idCol: String, everyN: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        videoFrameHashes(payload, everyN).iterator.map { case (f, h) =>
+          (id, f.toLong, h)
+        }
+      })
+      .toDF(idCol, "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicate pairs: two videos pair when they sample the SAME
+    * frame count and EVERY aligned frame's perceptual hash is within
+    * `maxHamming` bits — the strict frame-aligned semantics (a re-encode,
+    * brightness shift or rescale pairs; a trim or splice does not).
+    * Candidates come from the banded-Hamming pigeonhole join
+    * ([[Dedup.hammingNearDups]]'s shape) with `frame_idx` in the bucket
+    * key, so only same-position frames ever compare and the plan is never
+    * all-pairs; the aggregate then demands all frames matched. Output:
+    * (id_a, id_b, n_frames, max_hamming).
+    */
+  def videoNearDups(
+      df: DataFrame,
+      idCol: String,
+      everyN: Int = 1,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    // both join sides and the frame-count table read the hashes: decode once
+    val fh = Dedup.materializeOnce(videoHashes(df, idCol, everyN))
+    val counts = fh.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val banded = fh.select(col(idCol), col("frame_idx"), col("dhash"),
+      explode(array((0 until bands).map { i =>
+        val shifted = shiftrightunsigned(col("dhash"), i * width)
+        val bits =
+          if (i == bands - 1) shifted
+          else shifted.bitwiseAND(lit((1L << width) - 1))
+        struct(lit(i).as("band"), bits.as("bits"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("frame_idx"), col("dhash"),
+        col("bb.band"), col("bb.bits"))
+    val a = banded.select(col(idCol).as("id_a"), col("frame_idx"),
+      col("dhash").as("__ha"), col("band"), col("bits")).hint("shuffle_hash")
+    val b = banded.select(col(idCol).as("id_b"), col("frame_idx"),
+      col("dhash").as("__hb"), col("band"), col("bits")).hint("shuffle_hash")
+    val framePairs = a.join(b, Seq("frame_idx", "band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "frame_idx", "hamming")
+      .distinct()
+    framePairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__matched"), max(col("hamming")).as("max_hamming"))
+      .join(counts.select(col(idCol).as("id_a"), col("__nf").as("__nfa")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("__nf").as("__nfb")), "id_b")
+      .filter(col("__matched") === col("__nfa") && col("__nfa") === col("__nfb"))
+      .select(col("id_a"), col("id_b"), col("__nfa").as("n_frames"),
+        col("max_hamming"))
   }
 
   /** Distributed MJPEG/AVI decode over the blob table — one row per sampled
