@@ -3816,6 +3816,60 @@ object Queries {
       |       ELSE doc_id % 3 = 0 END AS has_gps
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** Per-source GPS-exposure audit — the image-modality analog of
+    * [[piiRisk]] (location presence IS PII): EXIF GPS booleans from the
+    * header walk rolled up per ingest source, with unreadable payloads
+    * reported, not silently dropped. The crawl-audit face the privacy
+    * family consumes before release decisions; same planted fixtures as
+    * [[exifMeta]] so both queries pin the one extraction path.
+    */
+  def gpsExposure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 150)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val payload =
+        if (d % 13 == 0) "not a jpeg".getBytes("UTF-8")
+        else {
+          val img = new java.awt.image.BufferedImage(2, 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val base = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", base)
+          if (d % 11 == 0) base.toByteArray
+          else Multimodal.insertExif(base.toByteArray,
+            orientation = Some(1 + (d % 8).toInt), dateTime = None,
+            gps = d % 3 == 0, littleEndian = d % 2 == 0)
+        }
+      (d, payload)
+    }.toDF("doc_id", "payload")
+    Multimodal.exifMetadata(blobs, "doc_id")
+      .join(tbl(spark, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        sum(col("has_gps").isNotNull.cast("long")).as("n_jpeg"),
+        sum(coalesce(col("has_gps").cast("long"), lit(0L))).as("n_with_gps"))
+      .withColumn("gps_rate",
+        Num.round0(col("n_with_gps").cast("double") / col("n_jpeg"), 6))
+      .orderBy("source")
+  }
+
+  val gpsExposureSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_payloads,
+      |       CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_jpeg,
+      |       CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 11 <> 0
+      |                          AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_with_gps,
+      |       round(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 11 <> 0
+      |                           AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |             / CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+      |                    AS DOUBLE), 6) AS gps_rate
+      |FROM documents WHERE doc_id < 150
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Video near-duplicate pairs ([[Multimodal.videoNearDups]]): REAL
     * animated GIFs with deterministic 9×8 gray frames (indexed gray-ramp
     * palette — the GIF encode is then lossless, so decoded luma IS the
