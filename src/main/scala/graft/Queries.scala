@@ -3708,38 +3708,49 @@ object Queries {
     * bit arithmetically. Gray (v,v,v) PNG is lossless and integer Rec.601
     * luma of gray is exactly v, so the pixel formula IS the decoded luma.
     */
-  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared planted-twin image fixture (25 base gradient patterns × 8
+    * one-pixel-bump variants over 200 docs), used by the whole image-dedup
+    * family so every face pins the same extraction path.
+    */
+  private def imageFixtureBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
+    tbl(spark, dir, "documents")
       .select(col("doc_id").cast("long")).filter(col("doc_id") < 200)
       .as[Long]
-    val blobs = ids.map { d =>
-      val g = (d % 25).toInt
-      val t = (d / 25).toInt
-      val img = new java.awt.image.BufferedImage(
-        Multimodal.DHashCols, Multimodal.DHashRows,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < Multimodal.DHashRows) {
-        var x = 0
-        while (x < Multimodal.DHashCols) {
-          val bump = if (t > 0 && x == t && y == (t * 3) % 8) 48 else 0
-          val v = (g * 37 + x * 11 + y * 23) % 200 + bump
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
+      .map { d =>
+        val g = (d % 25).toInt
+        val t = (d / 25).toInt
+        val img = new java.awt.image.BufferedImage(
+          Multimodal.DHashCols, Multimodal.DHashRows,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < Multimodal.DHashRows) {
+          var x = 0
+          while (x < Multimodal.DHashCols) {
+            val bump = if (t > 0 && x == t && y == (t * 3) % 8) 48 else 0
+            val v = (g * 37 + x * 11 + y * 23) % 200 + bump
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      val bytes = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bytes)
-      (d, bytes.toByteArray)
-    }.toDF("doc_id", "payload")
-    Multimodal.imageNearDups(blobs, "doc_id", maxHamming = 3)
-      .orderBy("id_a", "id_b")
+        val bytes = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bytes)
+        (d, bytes.toByteArray)
+      }.toDF("doc_id", "payload")
   }
 
-  val imageNearDupSql: String =
-    """WITH ids AS (
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDups(imageFixtureBlobs(spark, dir), "doc_id",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Shared oracle CTE chain: per-pixel values → gradient bits → all
+    * within-gate pairs (`ipairs`), re-derived arithmetically from the
+    * [[imageFixtureBlobs]] formulas.
+    */
+  private val imagePairsCte: String =
+    """ids AS (
       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 200
       |), v AS (
       |  SELECT id, g.i % 9 AS x, g.i // 9 AS y,
@@ -3752,15 +3763,82 @@ object Queries {
       |  SELECT l.id, l.x, l.y, CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
       |  FROM v l JOIN v r ON r.id = l.id AND r.y = l.y AND r.x = l.x + 1
       |  WHERE l.x < 8
-      |), pairs AS (
+      |), ipairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
       |           AS hamming
       |  FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.id < b.id
       |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+      |)""".stripMargin
+
+  val imageNearDupSql: String =
+    s"""WITH $imagePairsCte
+      |SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Perceptual dedup MATERIALIZED for images: connected components over
+    * the dHash pair graph ([[Dedup.clusters]] — the text dedup machinery,
+    * unchanged), keep the lowest-id representative per cluster plus every
+    * unpaired image. The action face of [[imageNearDup]]: which payloads
+    * actually ship.
+    */
+  def imageDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = imageFixtureBlobs(spark, dir)
+    Dedup.dedupByClusters(blobs.select(col("doc_id")),
+        Multimodal.imageNearDups(blobs, "doc_id", maxHamming = 3), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val imageDedupKeepSql: String =
+    s"""WITH RECURSIVE $imagePairsCte, e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM ipairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM ipairs
+      |), n AS (
+      |  SELECT DISTINCT src AS id FROM e
+      |), cc(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
       |)
-      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-      |ORDER BY id_a, id_b""".stripMargin
+      |SELECT id AS doc_id FROM ids
+      |WHERE id NOT IN (SELECT id FROM lab WHERE id <> root)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Incremental image near-dup ([[Multimodal.imageNearDupsAgainstPrior]]):
+    * even-id images are "the corpus" — their dHash signatures persisted
+    * once as an 8-byte-per-row artifact — and the odd-id half arrives as
+    * a new batch gated against it. Only the batch decodes pixels; the
+    * oracle is the full pair set restricted to odd-vs-even pairs, so
+    * artifact-vs-rebuild exactness is the check itself.
+    */
+  def imageDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = imageFixtureBlobs(spark, dir)
+    val priorSigs = loadOrTrain(spark, dir, "image_sigs",
+      p => spark.read.parquet(p),
+      p => {
+        Multimodal.imageHashes(
+            blobs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id")
+          .filter(col("dhash").isNotNull)
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      },
+      table = "documents.parquet")
+    Multimodal.imageNearDupsAgainstPrior(
+        blobs.filter(pmod(col("doc_id"), lit(2)) === 1), priorSigs,
+        "doc_id", maxHamming = 3)
+      .orderBy("id_new", "id_prior")
+  }
+
+  val imageDedupIncrSql: String =
+    s"""WITH $imagePairsCte
+      |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+      |       CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_prior,
+      |       hamming
+      |FROM ipairs WHERE (id_a % 2) <> (id_b % 2)
+      |ORDER BY id_new, id_prior""".stripMargin
 
   /** EXIF header extraction ([[Multimodal.jpegExif]]): REAL JPEGs (JDK
     * encoder) get a spliced APP1 EXIF segment — orientation, capture

@@ -642,21 +642,17 @@ object Dedup {
     * materialized here because both join sides read it. Output:
     * (id_a, id_b, hamming).
     */
-  def hammingNearDups(
-      sigsIn: DataFrame,
-      idCol: String,
-      sigCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+  /** (id, sig, band, bits) banding of a 64-bit signature table: the
+    * signature split into `maxHamming + 1` bands (pigeonhole — two
+    * signatures within the distance share at least one untouched band).
+    * The shared candidate generator under [[hammingNearDups]] and
+    * [[hammingNearDupsAgainstPrior]].
+    */
+  private def hammingBands(sigs: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands // uneven tail bits join the last band
-    // (id, signature) only: materialize so whatever produced the signature
-    // (token explode + 64-sum votes, an image decode pass) runs once, not
-    // once per join side.
-    val sigs = materializeOnce(
-      sigsIn.select(col(idCol), col(sigCol).as("simhash")))
-
-    val banded = sigs.select(col(idCol), col("simhash"),
+    sigs.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { i =>
         val shifted = shiftrightunsigned(col("simhash"), i * width)
         val bits =
@@ -665,6 +661,20 @@ object Dedup {
         struct(lit(i).as("band"), bits.as("bits"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
+  }
+
+  def hammingNearDups(
+      sigsIn: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    // (id, signature) only: materialize so whatever produced the signature
+    // (token explode + 64-sum votes, an image decode pass) runs once, not
+    // once per join side.
+    val sigs = materializeOnce(
+      sigsIn.select(col(idCol), col(sigCol).as("simhash")))
+    val banded = hammingBands(sigs, idCol, maxHamming)
 
     // shuffle_hash (not broadcast): a corpus-sized broadcast of one banded
     // side is the real scale risk — pin a shuffled join. (The signature
@@ -679,6 +689,43 @@ object Dedup {
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** Incremental Hamming near-dup: (id_new, id_prior, hamming) pairs where
+    * a NEW row's 64-bit signature sits within `maxHamming` bits of a
+    * signature already in the PERSISTED artifact — the
+    * [[nearDupsAgainstPrior]] shape for Hamming-space modalities (image
+    * dHash, SimHash). The prior corpus is never re-decoded and never
+    * re-read in bulk: its side of the band join is the 8-byte-per-row
+    * signature artifact, and the verify is one `bit_count(xor)` on the
+    * carried signatures (no payload retrieval at all — the signature IS
+    * the verifier, unlike MinHash where exact Jaccard needs the text).
+    * Work scales with |batch| + |candidates|, independent of corpus size.
+    * `priorSigs` schema: (idCol, sigCol); ids disjoint from the new batch.
+    */
+  def hammingNearDupsAgainstPrior(
+      newSigsIn: DataFrame,
+      priorSigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val newSigs = materializeOnce(
+      newSigsIn.select(col(idCol), col(sigCol).as("simhash")))
+    val newBanded = hammingBands(newSigs, idCol, maxHamming)
+      .select(col(idCol).as("id_new"), col("simhash").as("__sn"),
+        col("band"), col("bits"))
+    val priorBanded = hammingBands(
+        priorSigs.select(col(idCol), col(sigCol).as("simhash")),
+        idCol, maxHamming)
+      .select(col(idCol).as("id_prior"), col("simhash").as("__sp"),
+        col("band"), col("bits"))
+    newBanded.join(priorBanded, Seq("band", "bits"))
+      .withColumn("hamming",
+        bit_count(col("__sn").bitwiseXOR(col("__sp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_prior", "hamming")
       .distinct()
   }
 

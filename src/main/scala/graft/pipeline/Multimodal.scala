@@ -319,6 +319,23 @@ object Multimodal {
       imageHashes(df, idCol).filter(col("dhash").isNotNull),
       idCol, "dhash", maxHamming)
 
+  /** Incremental image near-dup: new arrivals against the PERSISTED
+    * signature artifact ([[imageHashes]] written to parquet once per
+    * ingest — 8 bytes/image regardless of payload size). Only the new
+    * batch decodes pixels; the prior corpus contributes signatures alone
+    * ([[Dedup.hammingNearDupsAgainstPrior]]), so gating a batch is
+    * independent of corpus size — the ingest-door shape of
+    * [[Dedup.nearDupsAgainstPrior]] for the image modality.
+    */
+  def imageNearDupsAgainstPrior(
+      newDf: DataFrame,
+      priorSigs: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDupsAgainstPrior(
+      imageHashes(newDf, idCol).filter(col("dhash").isNotNull),
+      priorSigs, idCol, "dhash", maxHamming)
+
   // ------------------------------------------------------------ JPEG / EXIF
 
   /** EXIF facts a curation pass needs without decoding pixels: orientation

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image dedup at the ingest door — the streaming face of
+  * [[graft.pipeline.Multimodal.imageNearDups]] /
+  * [[graft.pipeline.Dedup.dedupByClusters]], giving the image modality the
+  * same ingest story as text ([[StreamingLineDedup]]) and embeddings
+  * ([[StreamingSemDedup]]): each micro-batch hashes ITS OWN payloads
+  * ([[graft.pipeline.Multimodal.imageHashes]] — the only pixel work), drops
+  * arrivals whose dHash sits within `maxHamming` bits of the persisted
+  * signature artifact or of a kept lower-id batch sibling (the
+  * cluster-representative rule, batch-local), writes survivors under
+  * `outputPath/__batch=<id>`, and folds the SURVIVORS' signatures into the
+  * artifact. Undecodable payloads pass through unjudged (they cannot be
+  * perceptually deduped; report-don't-drop, the [[graft.pipeline.Multimodal.decodeImages]]
+  * contract) and contribute no signature.
+  *
+  * At-ingest trade, documented like [[StreamingLineDedup]]'s: a kept row is
+  * the cluster representative GIVEN the corpus at its arrival — a later
+  * batch's near-twin is dropped against it, but a row already released is
+  * never revisited. Dropped rows' signatures are NOT folded (their keeper
+  * represents the cluster), so a chain A~B~C arriving in three batches can
+  * keep both A and C when C is within the gate of B but not of A — the
+  * radius-vs-chaining trade every online near-dup gate makes.
+  *
+  * Replay safety rides the [[StreamingGeneralize]] convention: survivors
+  * land (overwrite mode, per-batch partition) BEFORE the signature commit,
+  * so a redelivered batch at or below the committed version is skipped and
+  * a crash-window redelivery overwrites its own partial output.
+  *
+  * Per batch the work is |batch| decodes + the banded candidate join of
+  * batch signatures against the 8-byte-per-row artifact — never a corpus
+  * re-decode, never all-pairs.
+  */
+object StreamingImageDedup {
+
+  /** `foreachBatch` body. `batch` must carry (idCol, payload). */
+  def sink(
+      sigsPath: String,
+      outputPath: String,
+      idCol: String,
+      maxHamming: Int = 3)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (FoldArtifact.isCommitted(spark, sigsPath, batchId))
+      return // replayed batch: output + fold both landed already
+    if (batch.isEmpty) return
+    FoldArtifact.requireBatchPartitionRoot(spark, outputPath, "StreamingImageDedup")
+    graft.pipeline.Dedup.withMaterialized {
+      // materialize the batch once: it feeds the hash pass AND the release
+      // write, and a streaming source cannot be re-read
+      val b = graft.pipeline.Dedup.materializeOnce(batch)
+      val hashes = graft.pipeline.Dedup.materializeOnce(
+        graft.pipeline.Multimodal.imageHashes(b, idCol)
+          .filter(col("dhash").isNotNull))
+      val prior = FoldArtifact.read(spark, sigsPath)
+      val dupOfPrior = prior match {
+        case Some(p) =>
+          graft.pipeline.Dedup.hammingNearDupsAgainstPrior(
+              hashes, p, idCol, "dhash", maxHamming)
+            .select(col("id_new").as(idCol)).distinct()
+        case None => spark.range(0).select(col("id").as(idCol))
+      }
+      val fresh = graft.pipeline.Dedup.materializeOnce(
+        hashes.join(dupOfPrior, Seq(idCol), "left_anti"))
+      // batch-local clusters among the prior-survivors: keep the lowest id
+      val withinDrop = graft.pipeline.Dedup.clusters(
+          graft.pipeline.Dedup.hammingNearDups(fresh, idCol, "dhash", maxHamming))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol))
+      val dropIds = dupOfPrior.unionByName(withinDrop).distinct()
+      b.join(dropIds, Seq(idCol), "left_anti")
+        .write.mode("overwrite")
+        .parquet(s"$outputPath/__batch=$batchId")
+      val keptSigs = fresh.join(dropIds, Seq(idCol), "left_anti")
+      val merged = prior match {
+        case Some(p) => p.unionByName(keptSigs)
+        case None    => keptSigs
+      }
+      // signature commit LAST: a crash before this line replays the whole
+      // batch over its own partial output
+      FoldArtifact.commit(merged, sigsPath, batchId)
+    }
+  }
+
+  /** The accumulated kept-signature artifact (empty with the right schema
+    * before any batch arrived).
+    */
+  def currentSigs(spark: SparkSession, sigsPath: String, idCol: String): DataFrame =
+    FoldArtifact.read(spark, sigsPath).getOrElse(
+      spark.range(0).selectExpr(s"id AS $idCol", "id AS dhash"))
+}

@@ -2064,6 +2064,56 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming image dedup: perceptual gate vs artifact, batch-local keep-lowest, passthrough") {
+    def grayPng(v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = v(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def pat(g: Int)(x: Int, y: Int) = (g * 37 + x * 11 + y * 23) % 200
+    val dir = java.nio.file.Files.createTempDirectory("stream_imgdedup_").toFile
+    val sigs = new java.io.File(dir, "sigs").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      def drive(rows: Seq[(Long, Array[Byte])], id: Long) =
+        StreamingImageDedup.sink(sigs, out, "doc_id")(
+          rows.toDF("doc_id", "payload"), id)
+      def kept(id: Long) = spark.read.parquet(s"$out/__batch=$id")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // batch 0: 2 is a brightness twin of 1 (within-batch dup, keep the
+      // lower id); 3 is unrelated; 10 is undecodable (passes through)
+      drive(Seq(
+        1L -> grayPng(pat(0)),
+        2L -> grayPng((x, y) => pat(0)(x, y) + 30),
+        3L -> grayPng(pat(7)),
+        10L -> "not an image".getBytes("UTF-8")), 0L)
+      assert(kept(0L) === Seq(1L, 3L, 10L))
+      assert(StreamingImageDedup.currentSigs(spark, sigs, "doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+      // batch 1: 4 bumps one pixel of pattern 0 (dup of PRIOR 1 — dropped
+      // without re-decoding 1's payload); 5 is new; 6 twins prior 3
+      drive(Seq(
+        4L -> grayPng((x, y) => pat(0)(x, y) + (if (x == 3 && y == 5) 48 else 0)),
+        5L -> grayPng(pat(11)),
+        6L -> grayPng((x, y) => pat(7)(x, y) + 30)), 1L)
+      assert(kept(1L) === Seq(5L))
+      assert(StreamingImageDedup.currentSigs(spark, sigs, "doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+      // redelivery: same batchId folds nothing twice, output unchanged
+      drive(Seq(5L -> grayPng(pat(11))), 1L)
+      assert(kept(1L) === Seq(5L))
+      assert(StreamingImageDedup.currentSigs(spark, sigs, "doc_id")
+        .count() === 3L)
+      // whole-root read: every survivor with arrival provenance
+      assert(spark.read.parquet(out).count() === 4L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming generalization release: empty micro-batch is a no-op, not a crash") {
     // with no prior counts artifact an empty batch used to reach the
     // ladder audit, whose min over an empty merged table is null →
