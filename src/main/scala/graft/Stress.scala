@@ -1121,6 +1121,44 @@ object Stress {
       println(s"""{"stage":"privacy_family","rows":$n,"qi_groups":1001}""")
     }
 
+    // ---- banded-Hamming near-dup at volume (the shared generator under
+    // SimHash text dedup and image/video dHash): 2M synthetic 64-bit
+    // signatures, every id%100==99 a ONE-BIT flip of id-1 — so exactly
+    // nh/100 planted pairs, each at hamming 1, and xxhash64's fixed
+    // outputs make accidental sub-3-bit collisions a deterministic
+    // (measured-zero) property of the fixture, not a probabilistic hope.
+    // maxHamming=2 → 3 bands of 21 bits: candidate volume scales as
+    // n²/2^width, so the band width (i.e. the Hamming budget) is the knob
+    // that keeps the verify join linear-ish at corpus scale — the same
+    // trade the banded MinHash makes with rowsPerBand.
+    {
+      val nh = 2000000L
+      val sigs = spark.range(nh).selectExpr("id",
+        """CASE WHEN id % 100 = 99
+          |  THEN xxhash64(id - 1) ^ shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))
+          |  ELSE xxhash64(id) END AS sig""".stripMargin)
+      val pairs = graft.pipeline.Dedup.hammingNearDups(sigs, "id", "sig",
+        maxHamming = 2)
+      timed("hamming_near_dup", pairs)
+      val chk = pairs.agg(count(lit(1)),
+        sum((col("id_b") === col("id_a") + 1 && col("hamming") === 1L)
+          .cast("long"))).head()
+      assert(chk.getLong(0) == nh / 100 && chk.getLong(1) == nh / 100,
+        s"hamming pairs ${chk.getLong(0)}/${chk.getLong(1)} vs ${nh / 100}")
+      // incremental face: even ids are the persisted signature artifact,
+      // odd ids the arriving batch; every planted pair is odd-vs-even, so
+      // the gate must surface all of them and nothing else
+      val incr = graft.pipeline.Dedup.hammingNearDupsAgainstPrior(
+        sigs.filter("id % 2 = 1"), sigs.filter("id % 2 = 0"),
+        "id", "sig", maxHamming = 2)
+      timed("hamming_incr", incr)
+      val ichk = incr.agg(count(lit(1)),
+        sum((col("id_new") === col("id_prior") + 1 && col("hamming") === 1L)
+          .cast("long"))).head()
+      assert(ichk.getLong(0) == nh / 100 && ichk.getLong(1) == nh / 100,
+        s"hamming incr pairs ${ichk.getLong(0)}/${ichk.getLong(1)} vs ${nh / 100}")
+    }
+
     println(s"""{"stage":"done","events":${2 * n},"docs":$nd,"vecs":$nv}""")
     spark.stop()
   }

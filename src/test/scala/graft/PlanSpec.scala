@@ -37,6 +37,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("documents.parquet"), s"corpus scan leaked:\n$plan")
   }
 
+  test("banded Hamming joins never plan a cartesian or nested-loop product") {
+    // the near-dup scale claim: candidates come from the band-bucket
+    // equijoin, so no query in the Hamming family may degrade to an
+    // all-pairs physical join (BroadcastNestedLoopJoin / CartesianProduct)
+    for (q <- Seq("q_image_neardup", "q_image_dedup_incr", "q_video_neardup",
+                  "q_simhash_neardup")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$plan")
+    }
+  }
+
   test("resample main plan descends the source exactly once") {
     // the coverage-carry pre-job is a separate narrow (ts-only) descent,
     // executed at plan-build; the returned plan itself stays single-scan
