@@ -3948,6 +3948,66 @@ object Queries {
       |FROM documents WHERE doc_id < 150
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Audio near-duplicate pairs ([[Multimodal.audioNearDups]]): REAL PCM16
+    * WAVs from a closed-form sample formula — 20 base signals × 8
+    * variants, where variants 1-3 are pure GAIN changes (scale every
+    * sample by k: window energies scale by k², no comparison flips,
+    * hamming 0 — the loudness invariance that makes this a NEAR-dup key)
+    * and variants 4-7 additionally MUTE one energy window (a structural
+    * edit flipping at most its two adjacent gradient bits). The oracle
+    * re-derives every window energy with exact integer arithmetic.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).filter(col("doc_id") < 160)
+      .as[Long]
+    val blobs = ids.map { d =>
+      val g = (d % 20).toInt
+      val t = (d / 20).toInt
+      val s = 1 + t % 4                  // gain: |v| <= 4000 so 4x fits PCM16
+      val mute = if (t >= 4) (t * 9) % 64 else -1
+      val n = 300 + (d % 50).toInt * 4   // mono frames
+      val samples = Array.tabulate(n) { i =>
+        val w = (i.toLong * 65 / n).toInt
+        if (w == mute) 0.toShort
+        else (s * (((g * 7919L + i * 104729L) % 8000L) - 4000L)).toShort
+      }
+      (d, Multimodal.encodeWavPcm16(samples, 16000, channels = 1))
+    }.toDF("doc_id", "payload")
+    Multimodal.audioNearDups(blobs, "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val audioNearDupSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 160
+      |), p AS (
+      |  SELECT id, id % 20 AS g, 1 + (id // 20) % 4 AS s,
+      |         CASE WHEN id // 20 >= 4 THEN ((id // 20) * 9) % 64 ELSE -1 END AS mute,
+      |         300 + (id % 50) * 4 AS n
+      |  FROM ids
+      |), smp AS (
+      |  SELECT id, (gs.i * 65) // n AS w,
+      |         CASE WHEN (gs.i * 65) // n = mute THEN 0
+      |              ELSE s * ((g * 7919 + gs.i * 104729) % 8000 - 4000) END AS v
+      |  FROM p JOIN generate_series(0, 495) gs(i) ON gs.i < n
+      |), e AS (
+      |  SELECT id, w, sum(v * v) AS en FROM smp GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT l.id, l.w, CASE WHEN l.en > r.en THEN 1 ELSE 0 END AS bit
+      |  FROM e l JOIN e r ON r.id = l.id AND r.w = l.w + 1
+      |  WHERE l.w < 64
+      |), pr AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS hamming
+      |  FROM bits a JOIN bits b ON a.w = b.w AND a.id < b.id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Video near-duplicate pairs ([[Multimodal.videoNearDups]]): REAL
     * animated GIFs with deterministic 9×8 gray frames (indexed gray-ramp
     * palette — the GIF encode is then lossless, so decoded luma IS the

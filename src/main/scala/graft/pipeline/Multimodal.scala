@@ -1042,6 +1042,96 @@ object Multimodal {
     * generation side for specs and closed-form oracle queries; decodable by
     * any WAV reader including [[decodeWav]] and `javax.sound.sampled`.
     */
+  /** Perceptual audio fingerprint — the dHash idea in one dimension: the
+    * PCM sample stream is cut into 65 equal-measure windows (sample i →
+    * window `i*65/n`, integer floor), each window's EXACT integer energy
+    * `Σ v²` accumulated as a Long, and bit `w` set iff
+    * `energy(w) > energy(w+1)`. Like the image gradient hash this is
+    * invariant to what a re-encode typically changes — uniform GAIN
+    * scales every window energy by the same factor and flips no
+    * comparison — while structural edits flip the bits their windows
+    * touch. PCM 8/16-bit only (the exact-integer path — the same
+    * arithmetic any engine reproduces bit-for-bit; float/24/32-bit would
+    * need a documented rounding contract); same claims-clamped RIFF
+    * discipline as [[decodeWav]]. Returns None for non-WAV payloads,
+    * wider formats, or streams shorter than 65 samples.
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      var pos = 12
+      var fmtTag = -1; var channels = 0; var bits = 0
+      while (pos + 8 <= payload.length) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4).toLong & 0xffffffffL // a claim
+        val start = pos + 8
+        if (id == "fmt " && size >= 16 && start + 16 <= payload.length) {
+          fmtTag   = bb.getShort(start).toInt & 0xffff
+          channels = bb.getShort(start + 2).toInt & 0xffff
+          bits     = bb.getShort(start + 14).toInt & 0xffff
+        } else if (id == "data") {
+          if (fmtTag != 1 || (bits != 8 && bits != 16) || channels <= 0)
+            return None
+          val bytesPerSample = bits / 8
+          val blockAlign = bytesPerSample * channels
+          val avail  = math.min(size, (payload.length - start).toLong)
+          val usable = avail - avail % blockAlign
+          val n = usable / bytesPerSample
+          if (n < 65) return None
+          val energy = new Array[Long](65)
+          var i = 0L
+          while (i < n) {
+            val off = start + (i * bytesPerSample).toInt
+            val v = if (bits == 8) (payload(off) & 0xff) - 128
+                    else bb.getShort(off).toInt
+            energy(((i * 65) / n).toInt) += v.toLong * v
+            i += 1
+          }
+          var sig = 0L
+          var w = 0
+          while (w < 64) {
+            if (energy(w) > energy(w + 1)) sig |= 1L << w
+            w += 1
+          }
+          return Some(sig)
+        }
+        val padded = size + (size & 1L)
+        pos =
+          if (padded > (payload.length - start).toLong) payload.length
+          else start + padded.toInt
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed audio fingerprinting: (id, afp), null for payloads the
+    * exact path cannot hash — the [[imageHashes]] shape for audio.
+    */
+  def audioFingerprints(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, audioFingerprint(p)) })
+      .toDF(idCol, "afp")
+  }
+
+  /** Audio near-duplicate pairs within `maxHamming` fingerprint bits —
+    * [[audioFingerprint]] through the shared banded-Hamming machinery
+    * ([[Dedup.hammingNearDups]]), completing near-dup coverage across the
+    * modalities (text SimHash, embedding SemDeDup, image/video dHash,
+    * audio energy-gradient). A volume change pairs at hamming 0; a
+    * structural edit does not.
+    */
+  def audioNearDups(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDups(
+      audioFingerprints(df, idCol).filter(col("afp").isNotNull),
+      idCol, "afp", maxHamming)
+
   def encodeWavPcm16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
     require(channels > 0 && samples.length % channels == 0)
     val dataLen = samples.length * 2
