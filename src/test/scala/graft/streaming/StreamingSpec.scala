@@ -2114,6 +2114,39 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming audio dedup: gain-twin arrivals dropped against the fingerprint artifact") {
+    def wav(n: Int)(v: Int => Int): Array[Byte] =
+      graft.pipeline.Multimodal.encodeWavPcm16(
+        Array.tabulate(n)(i => v(i).toShort), 16000)
+    def base(seed: Long)(i: Int) = ((((seed * 7919 + i * 104729L) % 8000L) - 4000L)).toInt
+    val dir = java.nio.file.Files.createTempDirectory("stream_auddedup_").toFile
+    val sigs = new java.io.File(dir, "sigs").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      def drive(rows: Seq[(Long, Array[Byte])], id: Long) =
+        StreamingAudioDedup.sink(sigs, out, "doc_id")(
+          rows.toDF("doc_id", "payload"), id)
+      def kept(id: Long) = spark.read.parquet(s"$out/__batch=$id")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // batch 0: 2 is a 3x gain twin of 1 (within-batch, keep the lower
+      // id); 3 is a different signal; 9 is not audio (passes through)
+      drive(Seq(
+        1L -> wav(400)(base(1)),
+        2L -> wav(400)(i => 3 * base(1)(i)),
+        3L -> wav(400)(base(5)),
+        9L -> "not audio".getBytes("UTF-8")), 0L)
+      assert(kept(0L) === Seq(1L, 3L, 9L))
+      // batch 1: 4 is a 2x gain re-upload of prior 1 — dropped without
+      // re-reading 1's payload; 5 is new
+      drive(Seq(
+        4L -> wav(400)(i => 2 * base(1)(i)),
+        5L -> wav(400)(base(11))), 1L)
+      assert(kept(1L) === Seq(5L))
+      assert(StreamingAudioDedup.currentSigs(spark, sigs, "doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming generalization release: empty micro-batch is a no-op, not a crash") {
     // with no prior counts artifact an empty batch used to reach the
     // ladder audit, whose min over an empty merged table is null →
