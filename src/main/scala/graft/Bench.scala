@@ -119,8 +119,10 @@ object Bench {
         .map(java.nio.file.Paths.get(_))
         .getOrElse {
           val kind = if (only.isEmpty) "sweep" else "partial"
+          // millis + pid: two sweeps launched in the same second must not
+          // overwrite each other (the clobber class this file keeps hitting)
           java.nio.file.Paths.get("bench_out",
-            s"$kind-${System.currentTimeMillis() / 1000}.json")
+            s"$kind-${System.currentTimeMillis()}-${ProcessHandle.current.pid}.json")
         }
       if (target.getParent != null)
         java.nio.file.Files.createDirectories(target.getParent)

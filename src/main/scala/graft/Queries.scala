@@ -2098,9 +2098,11 @@ object Queries {
           val docs = tbl(spark, dir, "documents")
           val even = docs.filter(pmod($"doc_id", lit(2)) === 0)
           val odd  = docs.filter(pmod($"doc_id", lit(2)) === 1)
-          Bm25.saveIndex(Bm25.buildIndex(even, "text", "doc_id"),
-            Bm25.corpusStats(even, "text", "doc_id"), p)
-          Bm25.appendToIndex(odd, "text", "doc_id", p)
+          stagedTrain(p) { tmp =>
+            Bm25.saveIndex(Bm25.buildIndex(even, "text", "doc_id"),
+              Bm25.corpusStats(even, "text", "doc_id"), tmp)
+            Bm25.appendToIndex(odd, "text", "doc_id", tmp)
+          }
           Bm25.loadIndex(spark, p)
         },
         table = "documents.parquet"))
@@ -2348,10 +2350,12 @@ object Queries {
       p => spark.read.parquet(p),
       p => {
         val docs = tbl(spark, dir, "documents")
-        Bm25.savePositionalIndex(Bm25.buildPositionalIndex(
-          docs.filter(pmod($"doc_id", lit(2)) === 0), "text", "doc_id"), p)
-        Bm25.appendToPositionalIndex(
-          docs.filter(pmod($"doc_id", lit(2)) === 1), "text", "doc_id", p)
+        stagedTrain(p) { tmp =>
+          Bm25.savePositionalIndex(Bm25.buildPositionalIndex(
+            docs.filter(pmod($"doc_id", lit(2)) === 0), "text", "doc_id"), tmp)
+          Bm25.appendToPositionalIndex(
+            docs.filter(pmod($"doc_id", lit(2)) === 1), "text", "doc_id", tmp)
+        }
         spark.read.parquet(p)
       },
       table = "documents.parquet")
@@ -2573,6 +2577,22 @@ object Queries {
     * files (name, length, mtime), so a regenerated data dir retrains
     * rather than serving a stale index.
     */
+  /** Multi-write train bodies must be ATOMIC with respect to
+    * [[loadOrTrain]]'s `_SUCCESS` gate: a Spark parquet overwrite write
+    * creates `_SUCCESS` by itself, so "save then append" leaves a
+    * marker-complete HALF artifact if the JVM dies between the writes —
+    * and every later run loads it silently. Build in a staging sibling,
+    * then rename into place (atomic on the local artifact filesystem).
+    */
+  private def stagedTrain(path: String)(build: String => Unit): Unit = {
+    val tmp = new java.io.File(path + ".build")
+    val dst = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    build(tmp.getPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(dst)
+    require(tmp.renameTo(dst), s"stagedTrain: rename $tmp -> $dst failed")
+  }
+
   private def loadOrTrain[A](spark: SparkSession, dir: String, kind: String,
       load: String => A, train: String => A,
       table: String = "embeddings.parquet"): A = {
@@ -3849,34 +3869,44 @@ object Queries {
     * the three states a crawl audit must distinguish. The oracle
     * re-derives each field from the id formulas.
     */
-  def exifMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared planted-EXIF JPEG fixture (the [[imageFixtureBlobs]]
+    * convention): every 13th doc is not a JPEG, every 11th a JPEG without
+    * EXIF, the rest real JDK JPEGs with a spliced APP1 segment —
+    * orientation, capture timestamp, GPS by the id formulas, alternating
+    * byte orders. Both EXIF faces ([[exifMeta]], [[gpsExposure]]) build
+    * from here so they pin ONE extraction path.
+    */
+  private def exifFixtureBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
+    tbl(spark, dir, "documents")
       .select(col("doc_id").cast("long")).filter(col("doc_id") < 150)
       .as[Long]
-    val blobs = ids.map { d =>
-      val payload =
-        if (d % 13 == 0) "not a jpeg".getBytes("UTF-8")
-        else {
-          val img = new java.awt.image.BufferedImage(2, 2,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val base = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", base)
-          if (d % 11 == 0) base.toByteArray // JPEG, no EXIF
+      .map { d =>
+        val payload =
+          if (d % 13 == 0) "not a jpeg".getBytes("UTF-8")
           else {
-            val dt = f"2024:${1 + d % 12}%02d:${1 + d % 28}%02d " +
-              f"${d % 24}%02d:${d % 60}%02d:${d * 7 % 60}%02d"
-            Multimodal.insertExif(base.toByteArray,
-              orientation = Some(1 + (d % 8).toInt),
-              dateTime = Some(dt),
-              gps = d % 3 == 0,
-              littleEndian = d % 2 == 0)
+            val img = new java.awt.image.BufferedImage(2, 2,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val base = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", base)
+            if (d % 11 == 0) base.toByteArray // JPEG, no EXIF
+            else {
+              val dt = f"2024:${1 + d % 12}%02d:${1 + d % 28}%02d " +
+                f"${d % 24}%02d:${d % 60}%02d:${d * 7 % 60}%02d"
+              Multimodal.insertExif(base.toByteArray,
+                orientation = Some(1 + (d % 8).toInt),
+                dateTime = Some(dt),
+                gps = d % 3 == 0,
+                littleEndian = d % 2 == 0)
+            }
           }
-        }
-      (d, payload)
-    }.toDF("doc_id", "payload")
-    Multimodal.exifMetadata(blobs, "doc_id").orderBy("doc_id")
+        (d, payload)
+      }.toDF("doc_id", "payload")
   }
+
+  def exifMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.exifMetadata(exifFixtureBlobs(spark, dir), "doc_id")
+      .orderBy("doc_id")
 
   val exifMetaSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3902,26 +3932,7 @@ object Queries {
     * [[exifMeta]] so both queries pin the one extraction path.
     */
   def gpsExposure(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id").cast("long")).filter(col("doc_id") < 150)
-      .as[Long]
-    val blobs = ids.map { d =>
-      val payload =
-        if (d % 13 == 0) "not a jpeg".getBytes("UTF-8")
-        else {
-          val img = new java.awt.image.BufferedImage(2, 2,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val base = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", base)
-          if (d % 11 == 0) base.toByteArray
-          else Multimodal.insertExif(base.toByteArray,
-            orientation = Some(1 + (d % 8).toInt), dateTime = None,
-            gps = d % 3 == 0, littleEndian = d % 2 == 0)
-        }
-      (d, payload)
-    }.toDF("doc_id", "payload")
-    Multimodal.exifMetadata(blobs, "doc_id")
+    Multimodal.exifMetadata(exifFixtureBlobs(spark, dir), "doc_id")
       .join(tbl(spark, dir, "documents")
         .select(col("doc_id").cast("long"), col("source")), "doc_id")
       .groupBy(col("source"))
@@ -3967,7 +3978,9 @@ object Queries {
       val t = (d / 20).toInt
       val s = 1 + t % 4                  // gain: |v| <= 4000 so 4x fits PCM16
       val mute = if (t >= 4) (t * 9) % 64 else -1
-      val n = 300 + (d % 50).toInt * 4   // mono frames
+      // frames depend on the BASE SIGNAL only: variants must share window
+      // boundaries or the gain invariance never produces a planted pair
+      val n = 300 + g * 4                // mono frames
       val samples = Array.tabulate(n) { i =>
         val w = (i.toLong * 65 / n).toInt
         if (w == mute) 0.toShort
@@ -3985,7 +3998,7 @@ object Queries {
       |), p AS (
       |  SELECT id, id % 20 AS g, 1 + (id // 20) % 4 AS s,
       |         CASE WHEN id // 20 >= 4 THEN ((id // 20) * 9) % 64 ELSE -1 END AS mute,
-      |         300 + (id % 50) * 4 AS n
+      |         300 + (id % 20) * 4 AS n
       |  FROM ids
       |), smp AS (
       |  SELECT id, (gs.i * 65) // n AS w,

@@ -63,13 +63,17 @@ object StreamingHammingDedup {
       val hashes = graft.pipeline.Dedup.materializeOnce(
         hasher(b).filter(col(sigCol).isNotNull))
       val prior = FoldArtifact.read(spark, sigsPath)
-      val dupOfPrior = prior match {
+      // materialized: the banded join against the corpus-sized artifact is
+      // the dominant per-batch cost, and THREE consumers read its result
+      // (the fresh anti-join, the survivor write, the signature fold) —
+      // without the checkpoint each would re-run the scan + band join
+      val dupOfPrior = graft.pipeline.Dedup.materializeOnce(prior match {
         case Some(p) =>
           graft.pipeline.Dedup.hammingNearDupsAgainstPrior(
               hashes, p, idCol, sigCol, maxHamming)
             .select(col("id_new").as(idCol)).distinct()
         case None => spark.range(0).select(col("id").as(idCol))
-      }
+      })
       val fresh = graft.pipeline.Dedup.materializeOnce(
         hashes.join(dupOfPrior, Seq(idCol), "left_anti"))
       // batch-local clusters among the prior-survivors: keep the lowest id
@@ -77,7 +81,9 @@ object StreamingHammingDedup {
           graft.pipeline.Dedup.hammingNearDups(fresh, idCol, sigCol, maxHamming))
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as(idCol))
-      val dropIds = dupOfPrior.unionByName(withinDrop).distinct()
+      // also materialized: consumed by the survivor write AND the fold
+      val dropIds = graft.pipeline.Dedup.materializeOnce(
+        dupOfPrior.unionByName(withinDrop).distinct())
       b.join(dropIds, Seq(idCol), "left_anti")
         .write.mode("overwrite")
         .parquet(s"$outputPath/__batch=$batchId")

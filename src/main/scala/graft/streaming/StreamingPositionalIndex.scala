@@ -46,10 +46,11 @@ object StreamingPositionalIndex {
     if (batch.isEmpty) return // nothing to index, nothing to commit
     FoldArtifact.requireBatchPartitionRoot(spark, indexPath,
       "StreamingPositionalIndex")
-    graft.pipeline.Bm25.buildPositionalIndex(batch, textCol, idCol)
-      .repartition(col("term")).sortWithinPartitions(col("term"))
-      .write.mode("overwrite")
-      .parquet(s"$indexPath/__batch=$batchId")
+    // the one term-clustered layout writer (Bm25.savePositionalIndex), so
+    // a future layout change cannot silently fork the streaming partitions
+    graft.pipeline.Bm25.savePositionalIndex(
+      graft.pipeline.Bm25.buildPositionalIndex(batch, textCol, idCol),
+      s"$indexPath/__batch=$batchId")
     // ledger commit LAST (a 1-row marker frame — the artifact content is
     // the postings partition, already durable above): a crash before this
     // line replays the whole batch over its own partial output

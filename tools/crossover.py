@@ -25,9 +25,15 @@ def main():
     data_dir, oracle_json, bench_json, out_path = sys.argv[1:5]
     names = sys.argv[5:]
     oracle = json.loads(Path(oracle_json).read_text())
-    # Bench lines grepped out of sbt output carry an "[info] " prefix
-    bench_text = Path(bench_json).read_text()
-    bench = json.loads(bench_text[bench_text.find("{"):])
+    # crossover_run.sh appends ONE grepped bench line per query (with an
+    # "[info] " prefix); merge every line's per-query timings
+    bench = {"queries": {}}
+    for line in Path(bench_json).read_text().splitlines():
+        brace = line.find("{")
+        if brace < 0:
+            continue
+        bench["queries"].update(json.loads(line[brace:]).get("queries", {}))
+    assert bench["queries"], f"no bench lines with queries in {bench_json}"
     con = duckdb.connect()
     for t in TABLES:
         p = Path(data_dir) / f"{t}.parquet"
