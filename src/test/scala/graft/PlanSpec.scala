@@ -42,7 +42,7 @@ class PlanSpec extends SparkTestBase {
     // equijoin, so no query in the Hamming family may degrade to an
     // all-pairs physical join (BroadcastNestedLoopJoin / CartesianProduct)
     for (q <- Seq("q_image_neardup", "q_image_dedup_incr", "q_video_neardup",
-                  "q_simhash_neardup")) {
+                  "q_audio_neardup", "q_simhash_neardup")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
