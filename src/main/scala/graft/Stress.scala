@@ -1121,6 +1121,68 @@ object Stress {
       println(s"""{"stage":"privacy_family","rows":$n,"qi_groups":1001}""")
     }
 
+    // ---- REAL image decode + perceptual hash at volume: 200k genuine
+    // PNGs (encoded AND decoded by the JDK codec inside the executors —
+    // the bounded-memory mapPartitions path, not synthetic signatures),
+    // every id%100==99 a one-pixel bump of id-1's pattern. All payloads
+    // must hash (the codec path never drops a valid PNG) and the banded
+    // join must surface every planted twin: base↔variant differ in at
+    // most the bump's two gradient bits.
+    {
+      val ni = 200000L
+      import spark.implicits._
+      val blobs = spark.range(ni).as[Long].mapPartitions(_.map { id =>
+        val bump = id % 100 == 99
+        // per-id UNIQUE avalanche-mixed pattern. A merely-linear
+        // congruential pattern is NOT enough: the dHash bit is the SIGN of
+        // the adjacent-pixel difference, and a sequence linear in the pixel
+        // index has a near-constant step mod 200 — measured: 200k images
+        // collapsed to 149 distinct signatures and the band join went
+        // quadratic (3.8B candidate pairs). splitmix64-style finalization
+        // per (id, pixel) gives ~199k distinct signatures and ~150k
+        // candidates. The twin re-derives id-1's pixels and bumps ONE.
+        val baseId = if (bump) id - 1 else id
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            var z = baseId * 0x9E3779B97F4A7C15L + (y * 9 + x) * 0xC2B2AE3D27D4EB4FL
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            val b = if (bump && x == 4 && y == 3) 48 else 0
+            val v = math.floorMod(z, 200L).toInt + b
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }).toDF("id", "payload")
+      // materializeOnce is an EAGER localCheckpoint — time it directly so
+      // the stage metric covers the real work (PNG encode + codec decode +
+      // hash), not a rescan of the checkpointed 16-byte rows.
+      System.gc()
+      val t0 = System.nanoTime()
+      val hashes = graft.pipeline.Dedup.materializeOnce(
+        graft.pipeline.Multimodal.imageHashes(blobs, "id"))
+      val decSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"image_dhash_decode","rows":$ni,"sec":$decSec%.2f,"rows_per_sec":${(ni / decSec).toLong}}""")
+      assert(hashes.filter(col("dhash").isNull).count() == 0,
+        "real PNGs failed to hash")
+      val pairs = graft.pipeline.Dedup.hammingNearDups(hashes, "id", "dhash",
+        maxHamming = 2)
+      val chk = pairs.agg(count(lit(1)),
+        sum((col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_b"), lit(100)) === 99).cast("long"))).head()
+      assert(chk.getLong(0) == ni / 100 && chk.getLong(1) == ni / 100,
+        s"image twin pairs ${chk.getLong(0)}/${chk.getLong(1)} vs ${ni / 100}")
+    }
+
     // ---- banded-Hamming near-dup at volume (the shared generator under
     // SimHash text dedup and image/video dHash): 2M synthetic 64-bit
     // signatures, every id%100==99 a ONE-BIT flip of id-1 — so exactly
