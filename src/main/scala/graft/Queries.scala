@@ -3860,6 +3860,91 @@ object Queries {
       |FROM ipairs WHERE (id_a % 2) <> (id_b % 2)
       |ORDER BY id_new, id_prior""".stripMargin
 
+  /** End-to-end IMAGE curation in ONE query — the multimodal twin of
+    * [[curate]]: decode-validate (non-image payloads get their own
+    * disposition, never a job failure) → perceptual near-dup dedup
+    * ([[Multimodal.imageCurationScan]] single decode → banded-Hamming
+    * pairs → cluster keep-set) → mean-luma quality gate (threshold
+    * recomputed on the DEDUPED survivors, the [[curate]] composition
+    * rule) → one disposition row per payload: `kept`, `low_quality`,
+    * `dup` or `invalid`. ONE codec pass feeds both the dedup signature
+    * and the quality score — at a 100 TB image corpus the decode is the
+    * dominant cost, so the scan column set is the whole curation read.
+    * The oracle re-derives the entire chain arithmetically (gradient
+    * bits → pairs → recursive-CTE components → quantile gate): decoded
+    * luma of a gray (v,v,v) PNG is exactly v, so every score and every
+    * pair is hash-checked end to end. Fixture: the shared 200-image
+    * planted-twin set plus 20 deliberately non-image payloads.
+    */
+  def imageCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val junk = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .as[Long]
+      .map(d => (d, s"not an image #$d".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val blobs = imageFixtureBlobs(spark, dir).unionByName(junk)
+    // ONE decode for the whole pipeline: both join sides of the pair
+    // generator and the disposition assembly read the checkpointed scan.
+    val scan = Dedup.materializeOnce(
+      Multimodal.imageCurationScan(blobs, "doc_id"))
+    val valid = scan.filter($"dhash".isNotNull)
+    val pairs = Dedup.hammingNearDups(valid, "doc_id", "dhash", maxHamming = 3)
+    val deduped = Dedup.materializeOnce(
+      Dedup.dedupByClusters(
+        valid.select($"doc_id", round($"mean_luma", 6).as("score")),
+        pairs, "doc_id"))
+    val thr = deduped.agg(expr("percentile(score, 0.25)").as("__thr"))
+    val gated = deduped.crossJoin(broadcast(thr))
+      .select($"doc_id",
+        when($"score" >= $"__thr", lit("kept"))
+          .otherwise(lit("low_quality")).as("status"))
+    scan.join(gated, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"status",
+          when($"dhash".isNull, lit("invalid")).otherwise(lit("dup")))
+          .as("status"),
+        round($"mean_luma", 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val imageCurateSql: String =
+    s"""WITH RECURSIVE $imagePairsCte, lum AS (
+      |  SELECT id, round(avg(CAST(v AS DOUBLE)), 6) + 0 AS score
+      |  FROM v GROUP BY id
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM ipairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM ipairs
+      |), n AS (
+      |  SELECT DISTINCT src AS id FROM e
+      |), cc(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN e ON e.src = cc.id
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
+      |), dedup AS (
+      |  SELECT l.id, l.score FROM lum l
+      |  WHERE l.id NOT IN (SELECT id FROM lab WHERE id <> root)
+      |), t AS (
+      |  SELECT quantile_cont(score, 0.25) AS thr FROM dedup
+      |), allids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 220
+      |)
+      |SELECT a.id AS doc_id,
+      |       CASE WHEN a.id >= 200 THEN 'invalid'
+      |            WHEN d.id IS NULL THEN 'dup'
+      |            WHEN d.score >= t.thr THEN 'kept'
+      |            ELSE 'low_quality' END AS status,
+      |       l.score AS score
+      |FROM allids a
+      |LEFT JOIN lum l ON l.id = a.id
+      |LEFT JOIN dedup d ON d.id = a.id
+      |CROSS JOIN t
+      |ORDER BY doc_id""".stripMargin
+
   /** EXIF header extraction ([[Multimodal.jpegExif]]): REAL JPEGs (JDK
     * encoder) get a spliced APP1 EXIF segment — orientation, capture
     * timestamp, GPS-IFD presence (the PII-exposure boolean), alternating

@@ -336,6 +336,35 @@ object Multimodal {
       imageHashes(newDf, idCol).filter(col("dhash").isNotNull),
       priorSigs, idCol, "dhash", maxHamming)
 
+  /** Single-decode curation scan: ONE codec pass per payload yields both
+    * the perceptual dedup signature ([[dHashImage]]) and the quality
+    * signal (mean integer Rec.601 luma) plus the raster dimensions —
+    * the full-pipeline face ([[graft.Queries.imageCurate]]) must not pay
+    * two decodes for two downstream stages, and at a 100 TB image corpus
+    * the decode IS the dominant cost. Undecodable payloads yield an
+    * all-null row (report, don't fail — the [[decodeImages]] contract),
+    * which downstream curation surfaces as its own disposition. Bounded
+    * memory: one image decoded at a time per task.
+    */
+  def imageCurationScan(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val decoded =
+          if (payload == null || payload.isEmpty) None
+          else try Option(readImage(payload)) catch { case _: Exception => None }
+        decoded match {
+          case Some(img) =>
+            (id, Some(dHashImage(img)), Some(meanLumaOf(img)),
+              Some(img.getWidth), Some(img.getHeight))
+          case None => (id, None, None, None, None)
+        }
+      })
+      .toDF(idCol, "dhash", "mean_luma", "width", "height")
+  }
+
   // ------------------------------------------------------------ JPEG / EXIF
 
   /** EXIF facts a curation pass needs without decoding pixels: orientation
