@@ -4053,32 +4053,44 @@ object Queries {
     * edit flipping at most its two adjacent gradient bits). The oracle
     * re-derives every window energy with exact integer arithmetic.
     */
-  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared planted-twin WAV fixture (20 base signals × 8 variants
+    * over 160 docs), used by the whole audio-dedup family so every face
+    * pins the same extraction path.
+    */
+  private def audioFixtureBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
+    tbl(spark, dir, "documents")
       .select(col("doc_id").cast("long")).filter(col("doc_id") < 160)
       .as[Long]
-    val blobs = ids.map { d =>
-      val g = (d % 20).toInt
-      val t = (d / 20).toInt
-      val s = 1 + t % 4                  // gain: |v| <= 4000 so 4x fits PCM16
-      val mute = if (t >= 4) (t * 9) % 64 else -1
-      // frames depend on the BASE SIGNAL only: variants must share window
-      // boundaries or the gain invariance never produces a planted pair
-      val n = 300 + g * 4                // mono frames
-      val samples = Array.tabulate(n) { i =>
-        val w = (i.toLong * 65 / n).toInt
-        if (w == mute) 0.toShort
-        else (s * (((g * 7919L + i * 104729L) % 8000L) - 4000L)).toShort
-      }
-      (d, Multimodal.encodeWavPcm16(samples, 16000, channels = 1))
-    }.toDF("doc_id", "payload")
-    Multimodal.audioNearDups(blobs, "doc_id", maxHamming = 3)
-      .orderBy("id_a", "id_b")
+      .map { d =>
+        val g = (d % 20).toInt
+        val t = (d / 20).toInt
+        val s = 1 + t % 4                  // gain: |v| <= 4000 so 4x fits PCM16
+        val mute = if (t >= 4) (t * 9) % 64 else -1
+        // frames depend on the BASE SIGNAL only: variants must share window
+        // boundaries or the gain invariance never produces a planted pair
+        val n = 300 + g * 4                // mono frames
+        val samples = Array.tabulate(n) { i =>
+          val w = (i.toLong * 65 / n).toInt
+          if (w == mute) 0.toShort
+          else (s * (((g * 7919L + i * 104729L) % 8000L) - 4000L)).toShort
+        }
+        (d, Multimodal.encodeWavPcm16(samples, 16000, channels = 1))
+      }.toDF("doc_id", "payload")
   }
 
-  val audioNearDupSql: String =
-    """WITH ids AS (
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDups(audioFixtureBlobs(spark, dir), "doc_id",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Shared oracle CTE chain for the audio fixture: per-sample values →
+    * window energies → gradient bits → all within-gate pairs (`apairs`),
+    * re-derived with exact integer arithmetic from the
+    * [[audioFixtureBlobs]] formulas.
+    */
+  private val audioPairsCte: String =
+    """ids AS (
       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 160
       |), p AS (
       |  SELECT id, id % 20 AS g, 1 + (id // 20) % 4 AS s,
@@ -4090,21 +4102,104 @@ object Queries {
       |         CASE WHEN (gs.i * 65) // n = mute THEN 0
       |              ELSE s * ((g * 7919 + gs.i * 104729) % 8000 - 4000) END AS v
       |  FROM p JOIN generate_series(0, 495) gs(i) ON gs.i < n
-      |), e AS (
+      |), en AS (
       |  SELECT id, w, sum(v * v) AS en FROM smp GROUP BY 1, 2
-      |), bits AS (
+      |), abits AS (
       |  SELECT l.id, l.w, CASE WHEN l.en > r.en THEN 1 ELSE 0 END AS bit
-      |  FROM e l JOIN e r ON r.id = l.id AND r.w = l.w + 1
+      |  FROM en l JOIN en r ON r.id = l.id AND r.w = l.w + 1
       |  WHERE l.w < 64
-      |), pr AS (
+      |), apairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
       |           AS hamming
-      |  FROM bits a JOIN bits b ON a.w = b.w AND a.id < b.id
+      |  FROM abits a JOIN abits b ON a.w = b.w AND a.id < b.id
       |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+      |)""".stripMargin
+
+  val audioNearDupSql: String =
+    s"""WITH $audioPairsCte
+      |SELECT id_a, id_b, hamming FROM apairs ORDER BY id_a, id_b""".stripMargin
+
+  /** End-to-end AUDIO curation in ONE query — [[imageCurate]]'s
+    * composition for the audio modality: decode-validate (non-WAV
+    * payloads get their own disposition) → fingerprint near-dup dedup
+    * ([[Multimodal.audioCurationScan]] single scan → banded-Hamming
+    * pairs → cluster keep-set) → RMS quality gate ("too quiet" = bottom
+    * quartile, threshold recomputed on the DEDUPED survivors) → one
+    * disposition row per payload. The oracle re-derives the chain with
+    * exact integer window energies and the bit-reproducible RMS
+    * (integer sum of squares, one sqrt), so every score, pair and
+    * disposition is hash-checked end to end.
+    */
+  def audioCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val junk = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .filter(col("doc_id") >= 160 && col("doc_id") < 180)
+      .as[Long]
+      .map(d => (d, s"not audio #$d".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val blobs = audioFixtureBlobs(spark, dir).unionByName(junk)
+    val scan = Dedup.materializeOnce(
+      Multimodal.audioCurationScan(blobs, "doc_id"))
+    val valid = scan.filter($"afp".isNotNull)
+    val pairs = Dedup.hammingNearDups(valid, "doc_id", "afp", maxHamming = 3)
+    val deduped = Dedup.materializeOnce(
+      Dedup.dedupByClusters(
+        valid.select($"doc_id", round($"rms", 6).as("score")),
+        pairs, "doc_id"))
+    val thr = deduped.agg(expr("percentile(score, 0.25)").as("__thr"))
+    val gated = deduped.crossJoin(broadcast(thr))
+      .select($"doc_id",
+        when($"score" >= $"__thr", lit("kept"))
+          .otherwise(lit("low_quality")).as("status"))
+    scan.join(gated, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"status",
+          when($"afp".isNull, lit("invalid")).otherwise(lit("dup")))
+          .as("status"),
+        round($"rms", 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val audioCurateSql: String =
+    s"""WITH RECURSIVE $audioPairsCte, rmsq AS (
+      |  SELECT id,
+      |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) / 32768, 6) + 0
+      |           AS score
+      |  FROM smp GROUP BY id
+      |), ae AS (
+      |  SELECT id_a AS src, id_b AS dst FROM apairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM apairs
+      |), an AS (
+      |  SELECT DISTINCT src AS id FROM ae
+      |), cc(id, r) AS (
+      |  SELECT id, id FROM an
+      |  UNION
+      |  SELECT ae.dst, cc.r FROM cc JOIN ae ON ae.src = cc.id
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
+      |), dedup AS (
+      |  SELECT m.id, m.score FROM rmsq m
+      |  WHERE m.id NOT IN (SELECT id FROM lab WHERE id <> root)
+      |), t AS (
+      |  SELECT quantile_cont(score, 0.25) AS thr FROM dedup
+      |), allids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 180
       |)
-      |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
-      |ORDER BY id_a, id_b""".stripMargin
+      |SELECT a.id AS doc_id,
+      |       CASE WHEN a.id >= 160 THEN 'invalid'
+      |            WHEN d.id IS NULL THEN 'dup'
+      |            WHEN d.score >= t.thr THEN 'kept'
+      |            ELSE 'low_quality' END AS status,
+      |       r.score AS score
+      |FROM allids a
+      |LEFT JOIN rmsq r ON r.id = a.id
+      |LEFT JOIN dedup d ON d.id = a.id
+      |CROSS JOIN t
+      |ORDER BY doc_id""".stripMargin
 
   /** Video near-duplicate pairs ([[Multimodal.videoNearDups]]): REAL
     * animated GIFs with deterministic 9×8 gray frames (indexed gray-ramp

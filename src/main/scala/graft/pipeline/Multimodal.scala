@@ -1149,6 +1149,29 @@ object Multimodal {
       .toDF(idCol, "afp")
   }
 
+  /** Single-pass audio curation scan: one task visit per payload yields
+    * the perceptual dedup signature ([[audioFingerprint]]) AND the
+    * quality/metadata signals ([[decodeWav]]'s RMS + duration) — the
+    * [[imageCurationScan]] shape for audio. Both extractors are
+    * claims-clamped `java.nio` walks over the same in-memory byte array
+    * (WAV needs no codec), so "one pass" here means one payload fetch and
+    * one task, not a shared sample loop. A payload the fingerprint path
+    * cannot hash (non-WAV, float/24/32-bit formats, <65 samples) still
+    * reports whatever [[decodeWav]] recovers; fully undecodable rows are
+    * all-null (report, don't fail).
+    */
+  def audioCurationScan(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val info = decodeWav(p)
+        (id, audioFingerprint(p), info.map(_.rms), info.map(_.durationSec))
+      })
+      .toDF(idCol, "afp", "rms", "duration_s")
+  }
+
   /** Audio near-duplicate pairs within `maxHamming` fingerprint bits —
     * [[audioFingerprint]] through the shared banded-Hamming machinery
     * ([[Dedup.hammingNearDups]]), completing near-dup coverage across the

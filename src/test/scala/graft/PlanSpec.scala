@@ -50,14 +50,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("image curate: no cartesian; only the one-row threshold broadcast nests") {
-    // the composition keeps the banded-Hamming pair stage (no all-pairs
+  test("modality curate faces: no cartesian; only the one-row threshold broadcast nests") {
+    // the compositions keep the banded-Hamming pair stage (no all-pairs
     // join) — the single permitted BroadcastNestedLoopJoin is the scalar
     // quality-threshold crossJoin, whose build side is one aggregated row
-    val plan = planOf("q_image_curate")
-    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
-      s"more than the scalar threshold broadcast:\n$plan")
+    for (q <- Seq("q_image_curate", "q_audio_curate")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q all-pairs join:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+        s"$q: more than the scalar threshold broadcast:\n$plan")
+    }
   }
 
   test("resample main plan descends the source exactly once") {
