@@ -4210,43 +4210,55 @@ object Queries {
     * re-derives every frame's gradient bits and replays the
     * all-frames-matched aggregation.
     */
-  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared planted-twin animated-GIF fixture (15 base patterns × 8
+    * one-pixel-one-frame-bump variants over 120 docs), used by the whole
+    * video-dedup family so every face pins the same extraction path.
+    */
+  private def videoFixtureBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
+    tbl(spark, dir, "documents")
       .select(col("doc_id").cast("long")).filter(col("doc_id") < 120)
       .as[Long]
-    val blobs = ids.map { d =>
-      val g = (d % 15).toInt
-      val t = (d / 15).toInt
-      val nf = 3 + g % 3
-      val ramp = Array.tabulate(256)(_.toByte)
-      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-      val frames = (0 until nf).map { f =>
-        val img = new java.awt.image.BufferedImage(
-          Multimodal.DHashCols, Multimodal.DHashRows,
-          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-        var y = 0
-        while (y < Multimodal.DHashRows) {
-          var x = 0
-          while (x < Multimodal.DHashCols) {
-            val bump =
-              if (t > 0 && x == t && y == (t * 3) % 8 && f == t % nf) 48 else 0
-            val v = (g * 37 + f * 53 + x * 11 + y * 23) % 200 + bump
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
+      .map { d =>
+        val g = (d % 15).toInt
+        val t = (d / 15).toInt
+        val nf = 3 + g % 3
+        val ramp = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            Multimodal.DHashCols, Multimodal.DHashRows,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < Multimodal.DHashRows) {
+            var x = 0
+            while (x < Multimodal.DHashCols) {
+              val bump =
+                if (t > 0 && x == t && y == (t * 3) % 8 && f == t % nf) 48 else 0
+              val v = (g * 37 + f * 53 + x * 11 + y * 23) % 200 + bump
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          img
         }
-        img
-      }
-      (d, Multimodal.encodeGifAnimation(frames))
-    }.toDF("doc_id", "payload")
-    Multimodal.videoNearDups(blobs, "doc_id", everyN = 1, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+        (d, Multimodal.encodeGifAnimation(frames))
+      }.toDF("doc_id", "payload")
   }
 
-  val videoNearDupSql: String =
-    """WITH ids AS (
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDups(videoFixtureBlobs(spark, dir), "doc_id",
+        everyN = 1, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Shared oracle CTE chain for the video fixture: per-pixel values →
+    * per-frame gradient bits → frame-aligned pair aggregation
+    * (`vpairs` — every frame matched within the gate), re-derived
+    * arithmetically from the [[videoFixtureBlobs]] formulas.
+    */
+  private val videoPairsCte: String =
+    """ids AS (
       |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 120
       |), p AS (
       |  SELECT id, id % 15 AS g, id // 15 AS t, 3 + (id % 15) % 3 AS nf FROM ids
@@ -4272,15 +4284,101 @@ object Queries {
       |  FROM bits a JOIN bits b ON a.f = b.f AND a.x = b.x AND a.y = b.y
       |                         AND a.id < b.id AND a.nf = b.nf
       |  GROUP BY 1, 2, 3
-      |), pv AS (
-      |  SELECT id_a, id_b, count(*) AS matched, max(hamming) AS mh
-      |  FROM fp WHERE hamming <= 3 GROUP BY 1, 2
-      |)
-      |SELECT pv.id_a, pv.id_b, CAST(p1.nf AS BIGINT) AS n_frames,
-      |       CAST(pv.mh AS BIGINT) AS max_hamming
-      |FROM pv JOIN p p1 ON p1.id = pv.id_a
-      |WHERE pv.matched = p1.nf
+      |), vpairs AS (
+      |  SELECT pv.id_a, pv.id_b, CAST(p1.nf AS BIGINT) AS n_frames,
+      |         CAST(pv.mh AS BIGINT) AS max_hamming
+      |  FROM (SELECT id_a, id_b, count(*) AS matched, max(hamming) AS mh
+      |        FROM fp WHERE hamming <= 3 GROUP BY 1, 2) pv
+      |  JOIN p p1 ON p1.id = pv.id_a
+      |  WHERE pv.matched = p1.nf
+      |)""".stripMargin
+
+  val videoNearDupSql: String =
+    s"""WITH $videoPairsCte
+      |SELECT id_a, id_b, n_frames, max_hamming FROM vpairs
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** End-to-end VIDEO curation in ONE query — the third modality
+    * composition next to [[imageCurate]] / [[audioCurate]]:
+    * decode-validate (payloads with no decodable frames get their own
+    * disposition) → frame-aligned perceptual near-dup keep-set
+    * ([[Multimodal.videoCurationScan]] single container walk →
+    * [[Multimodal.videoNearDupsFromHashes]]) → mean-luma quality gate
+    * over the DEDUPED survivors → one disposition row per payload. The
+    * per-video score is `Σ luma_sum / Σ n_px` — a ratio of exact
+    * integers from the single scan, so it is immune to float summation
+    * order across frames and equals the oracle's `avg(v)` bit-for-bit.
+    */
+  def videoCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val junk = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .filter(col("doc_id") >= 120 && col("doc_id") < 140)
+      .as[Long]
+      .map(d => (d, s"not a video #$d".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val blobs = videoFixtureBlobs(spark, dir).unionByName(junk)
+    val scan = Dedup.materializeOnce(
+      Multimodal.videoCurationScan(blobs, "doc_id"))
+    val valid = scan.filter($"dhash".isNotNull)
+    val pairs = Multimodal.videoNearDupsFromHashes(
+      valid.select($"doc_id", $"frame_idx", $"dhash"), "doc_id", maxHamming = 3)
+    val vids = scan.groupBy($"doc_id").agg(
+      max($"dhash").isNotNull.as("__valid"),
+      round(sum($"luma_sum").cast("double") / sum($"n_px"), 6).as("score"))
+    val deduped = Dedup.materializeOnce(
+      Dedup.dedupByClusters(
+        vids.filter($"__valid").select($"doc_id", $"score"),
+        pairs, "doc_id"))
+    val thr = deduped.agg(expr("percentile(score, 0.25)").as("__thr"))
+    val gated = deduped.crossJoin(broadcast(thr))
+      .select($"doc_id",
+        when($"score" >= $"__thr", lit("kept"))
+          .otherwise(lit("low_quality")).as("status"))
+    vids.join(gated, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"status",
+          when(!$"__valid", lit("invalid")).otherwise(lit("dup")))
+          .as("status"),
+        when($"__valid", $"score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val videoCurateSql: String =
+    s"""WITH RECURSIVE $videoPairsCte, lum AS (
+      |  SELECT id, round(avg(CAST(v AS DOUBLE)), 6) + 0 AS score
+      |  FROM v GROUP BY id
+      |), ve AS (
+      |  SELECT id_a AS src, id_b AS dst FROM vpairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM vpairs
+      |), vn AS (
+      |  SELECT DISTINCT src AS id FROM ve
+      |), cc(id, r) AS (
+      |  SELECT id, id FROM vn
+      |  UNION
+      |  SELECT ve.dst, cc.r FROM cc JOIN ve ON ve.src = cc.id
+      |), lab AS (
+      |  SELECT id, min(r) AS root FROM cc GROUP BY id
+      |), dedup AS (
+      |  SELECT l.id, l.score FROM lum l
+      |  WHERE l.id NOT IN (SELECT id FROM lab WHERE id <> root)
+      |), t AS (
+      |  SELECT quantile_cont(score, 0.25) AS thr FROM dedup
+      |), allids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 140
+      |)
+      |SELECT a.id AS doc_id,
+      |       CASE WHEN a.id >= 120 THEN 'invalid'
+      |            WHEN d.id IS NULL THEN 'dup'
+      |            WHEN d.score >= t.thr THEN 'kept'
+      |            ELSE 'low_quality' END AS status,
+      |       l.score AS score
+      |FROM allids a
+      |LEFT JOIN lum l ON l.id = a.id
+      |LEFT JOIN dedup d ON d.id = a.id
+      |CROSS JOIN t
+      |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ as-of join
 

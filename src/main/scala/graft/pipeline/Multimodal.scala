@@ -709,7 +709,11 @@ object Multimodal {
   /** Mean integer-Rec.601 luminance of a decoded frame (shared by the GIF
     * and MJPEG paths): bulk row reads, integer luma per pixel.
     */
-  private def meanLumaOf(img: java.awt.image.BufferedImage): Double = {
+  /** Exact integer sum of per-pixel Rec.601 luma — the summation half of
+    * [[meanLumaOf]], exposed separately so ratio-of-integers consumers
+    * ([[videoCurationScan]]) never round-trip through the double mean.
+    */
+  private def lumaSumOf(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     var sum = 0L
@@ -726,8 +730,11 @@ object Multimodal {
       }
       y += 1
     }
-    sum.toDouble / (w.toLong * h)
+    sum
   }
+
+  private def meanLumaOf(img: java.awt.image.BufferedImage): Double =
+    lumaSumOf(img).toDouble / (img.getWidth.toLong * img.getHeight)
 
   /** REAL compressed-container video decode without any external codec:
     * Motion-JPEG in an AVI (RIFF) container — every frame is a complete
@@ -851,12 +858,25 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       everyN: Int = 1,
+      maxHamming: Int = 3): DataFrame =
+    videoNearDupsFromHashes(videoHashes(df, idCol, everyN), idCol, maxHamming)
+
+  /** [[videoNearDups]] over an ALREADY-EXTRACTED (id, frame_idx, dhash)
+    * table — the entry point for callers that decoded once for several
+    * consumers ([[videoCurationScan]] feeds both this pair join and the
+    * quality gate from a single pass) or that read a persisted frame-hash
+    * artifact instead of payloads.
+    */
+  def videoNearDupsFromHashes(
+      fhIn: DataFrame,
+      idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
     // both join sides and the frame-count table read the hashes: decode once
-    val fh = Dedup.materializeOnce(videoHashes(df, idCol, everyN))
+    val fh = Dedup.materializeOnce(
+      fhIn.select(col(idCol), col("frame_idx"), col("dhash")))
     val counts = fh.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
     val banded = fh.select(col(idCol), col("frame_idx"), col("dhash"),
       explode(array((0 until bands).map { i =>
@@ -886,6 +906,37 @@ object Multimodal {
       .filter(col("__matched") === col("__nfa") && col("__nfa") === col("__nfb"))
       .select(col("id_a"), col("id_b"), col("__nfa").as("n_frames"),
         col("max_hamming"))
+  }
+
+  /** Single-decode video curation scan — the [[imageCurationScan]] shape
+    * for multi-frame payloads: ONE container walk per video yields every
+    * frame's perceptual hash (for [[videoNearDupsFromHashes]]) AND its
+    * integer luma sum + pixel count (for an exact-arithmetic quality
+    * score: `Σ luma_sum / Σ n_px` is a ratio of exact integers, immune to
+    * float summation order across frames). A payload with no decodable
+    * frames emits one all-null row so validity stays visible downstream
+    * (report, don't fail). Output: (id, frame_idx, dhash, luma_sum, n_px).
+    */
+  def videoCurationScan(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frames = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+        def add(i: Int, img: java.awt.image.BufferedImage): Unit =
+          frames += ((id, Some(i.toLong), Some(dHashImage(img)),
+            Some(lumaSumOf(img)), Some(img.getWidth.toLong * img.getHeight)))
+        if (payload != null && payload.length >= 4 &&
+            payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+          foreachGifFrame(payload, 1)(add)
+        else if (payload != null)
+          foreachMjpegFrame(payload, 1)(add)
+        if (frames.isEmpty) Iterator.single((id, None, None, None, None))
+        else frames.iterator
+      })
+      .toDF(idCol, "frame_idx", "dhash", "luma_sum", "n_px")
   }
 
   /** Distributed MJPEG/AVI decode over the blob table — one row per sampled

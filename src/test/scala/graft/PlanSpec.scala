@@ -54,7 +54,7 @@ class PlanSpec extends SparkTestBase {
     // the compositions keep the banded-Hamming pair stage (no all-pairs
     // join) — the single permitted BroadcastNestedLoopJoin is the scalar
     // quality-threshold crossJoin, whose build side is one aggregated row
-    for (q <- Seq("q_image_curate", "q_audio_curate")) {
+    for (q <- Seq("q_image_curate", "q_audio_curate", "q_video_curate")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q all-pairs join:\n$plan")
       assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
