@@ -1183,6 +1183,51 @@ object Stress {
         s"image twin pairs ${chk.getLong(0)}/${chk.getLong(1)} vs ${ni / 100}")
     }
 
+    // ---- REAL audio decode + perceptual fingerprint at volume: 200k
+    // genuine PCM16 WAVs (encoded by encodeWavPcm16, fingerprinted by the
+    // claims-clamped RIFF walk inside the executors), every id%100==99 a
+    // one-window MUTE of id-1's signal (energy → 0 flips at most the two
+    // adjacent gradient bits). Samples are avalanche-mixed per (id, i) —
+    // the image stage's lesson; simulated: 199,340 distinct fingerprints,
+    // ~210k band candidates, exactly ni/100 twin pairs, zero accidental
+    // sub-3-bit collisions.
+    {
+      val na = 200000L
+      import spark.implicits._
+      val blobs = spark.range(na).as[Long].mapPartitions(_.map { id =>
+        val bump = id % 100 == 99
+        val baseId = if (bump) id - 1 else id
+        val n = 460
+        val samples = Array.tabulate(n) { i =>
+          val w = (i.toLong * 65 / n).toInt
+          if (bump && w == 32) 0.toShort
+          else {
+            var z = baseId * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            (math.floorMod(z, 8000L) - 4000L).toShort
+          }
+        }
+        (id, graft.pipeline.Multimodal.encodeWavPcm16(samples, 16000, channels = 1))
+      }).toDF("id", "payload")
+      System.gc()
+      val t0 = System.nanoTime()
+      val fps = graft.pipeline.Dedup.materializeOnce(
+        graft.pipeline.Multimodal.audioFingerprints(blobs, "id"))
+      val fpSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"audio_fp_decode","rows":$na,"sec":$fpSec%.2f,"rows_per_sec":${(na / fpSec).toLong}}""")
+      assert(fps.filter(col("afp").isNull).count() == 0,
+        "real WAVs failed to fingerprint")
+      val pairs = graft.pipeline.Dedup.hammingNearDups(fps, "id", "afp",
+        maxHamming = 2)
+      val chk = pairs.agg(count(lit(1)),
+        sum((col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_b"), lit(100)) === 99).cast("long"))).head()
+      assert(chk.getLong(0) == na / 100 && chk.getLong(1) == na / 100,
+        s"audio twin pairs ${chk.getLong(0)}/${chk.getLong(1)} vs ${na / 100}")
+    }
+
     // ---- banded-Hamming near-dup at volume (the shared generator under
     // SimHash text dedup and image/video dHash): 2M synthetic 64-bit
     // signatures, every id%100==99 a ONE-BIT flip of id-1 — so exactly
