@@ -2114,6 +2114,58 @@ class StreamingSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming image curate: dispositions at the ingest door; low-quality sigs still gate") {
+    def grayPng(v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = v(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def bright(x: Int, y: Int) = (x * 11 + y * 23) % 200       // mean ~97
+    def dim(x: Int, y: Int)    = ((x * 13 + y * 29) % 200) / 8 // mean ~12
+    def other(x: Int, y: Int)  = (11 * 37 + x * 11 + y * 23) % 200
+    val dir = java.nio.file.Files.createTempDirectory("stream_imgcurate_").toFile
+    val sigs = new java.io.File(dir, "sigs").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      def drive(rows: Seq[(Long, Array[Byte])], id: Long) =
+        StreamingImageCurate.sink(sigs, out, "doc_id", threshold = 60.0)(
+          rows.toDF("doc_id", "payload"), id)
+      def statuses(id: Long) = spark.read.parquet(s"$out/__batch=$id")
+        .select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch 0: 2 is a brightness twin of 1 (dup, keep the lower id); 3
+      // is dim (below the trained bar -> low_quality, but its signature
+      // STILL folds); 9 is not an image (invalid)
+      drive(Seq(
+        1L -> grayPng(bright),
+        2L -> grayPng((x, y) => bright(x, y) + 30),
+        3L -> grayPng(dim),
+        9L -> "not an image".getBytes("UTF-8")), 0L)
+      assert(statuses(0L) === Map(1L -> "kept", 2L -> "dup",
+        3L -> "low_quality", 9L -> "invalid"))
+      // batch 1: 4 bumps one pixel of batch 0's kept pattern (dup of
+      // prior 1); 5 is a brightness shift of the LOW-QUALITY 3 — judged
+      // dup, proving low-quality survivors' signatures gate later twins
+      // (the batch faces' cluster semantics); 6 is new and bright (kept)
+      drive(Seq(
+        4L -> grayPng((x, y) => bright(x, y) + (if (x == 3 && y == 5) 48 else 0)),
+        5L -> grayPng((x, y) => dim(x, y) + 2),
+        6L -> grayPng(other)), 1L)
+      assert(statuses(1L) === Map(4L -> "dup", 5L -> "dup", 6L -> "kept"))
+      // redelivery: same batchId is a no-op (output + artifact unchanged)
+      drive(Seq(6L -> grayPng(other)), 1L)
+      assert(statuses(1L).size === 3)
+      // artifact holds kept + low_quality signatures, never dups/invalid
+      assert(StreamingImageDedup.currentSigs(spark, sigs, "doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 6L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("streaming audio dedup: gain-twin arrivals dropped against the fingerprint artifact") {
     def wav(n: Int)(v: Int => Int): Array[Byte] =
       graft.pipeline.Multimodal.encodeWavPcm16(
@@ -2144,6 +2196,39 @@ class StreamingSpec extends SparkTestBase {
       assert(kept(1L) === Seq(5L))
       assert(StreamingAudioDedup.currentSigs(spark, sigs, "doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("streaming audio curate: quiet arrivals judged low_quality, gain twins dup") {
+    def wav(n: Int)(v: Int => Int): Array[Byte] =
+      graft.pipeline.Multimodal.encodeWavPcm16(
+        Array.tabulate(n)(i => v(i).toShort), 16000)
+    def base(seed: Long)(i: Int) = ((((seed * 7919 + i * 104729L) % 8000L) - 4000L)).toInt
+    def quiet(seed: Long)(i: Int) = ((((seed * 7919 + i * 104729L) % 500L) - 250L)).toInt
+    val dir = java.nio.file.Files.createTempDirectory("stream_audcurate_").toFile
+    val sigs = new java.io.File(dir, "sigs").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    try {
+      def drive(rows: Seq[(Long, Array[Byte])], id: Long) =
+        StreamingAudioCurate.sink(sigs, out, "doc_id", threshold = 0.01)(
+          rows.toDF("doc_id", "payload"), id)
+      def statuses(id: Long) = spark.read.parquet(s"$out/__batch=$id")
+        .select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch 0: 1 is loud (rms ~0.07, kept); 2 is an exact 2x gain twin
+      // (hamming 0 -> dup); 3 is quiet, rms ~0.004 (low_quality, sig
+      // folds); 9 is not audio (invalid)
+      drive(Seq(
+        1L -> wav(400)(base(1)),
+        2L -> wav(400)(i => 2 * base(1)(i)),
+        3L -> wav(400)(quiet(5)),
+        9L -> "static".getBytes("UTF-8")), 0L)
+      assert(statuses(0L) === Map(1L -> "kept", 2L -> "dup",
+        3L -> "low_quality", 9L -> "invalid"))
+      // batch 1: 4 is a LOUD (8x) gain re-upload of the low-quality 3 —
+      // its signature gates the twin even though 3 never shipped
+      drive(Seq(4L -> wav(400)(i => 8 * quiet(5)(i))), 1L)
+      assert(statuses(1L) === Map(4L -> "dup"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
