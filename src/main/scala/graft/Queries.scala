@@ -5008,12 +5008,21 @@ object Queries {
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE percentile aggregate with an array of fractions, not three:
+    // each exact-percentile aggregate builds (and sorts) its own
+    // per-group value buffer, so three scalar calls pay the counts-map +
+    // sort three times for identical input. The array form computes all
+    // fractions from one sorted buffer — same interpolation code path,
+    // bit-identical doubles (guide §1.2 "per-task work": measured
+    // 3 aggregate buffers → 1).
     tbl(spark, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
-           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+           expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("__p"))
+      .select($"o_orderpriority", $"n",
+           round(element_at($"__p", 1), 4).as("p50"),
+           round(element_at($"__p", 2), 4).as("p90"),
+           round(element_at($"__p", 3), 4).as("p99"))
       .orderBy($"o_orderpriority")
   }
 

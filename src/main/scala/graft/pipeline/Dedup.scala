@@ -801,15 +801,41 @@ object Dedup {
     * hold only ids (never text or vectors), are materialized once per
     * round ([[materializeOnce]]), and superseded rounds release their
     * blocks immediately, so peak storage is 2 label tables + the edges.
+    *
+    * SIZE-GATED one-pass path (the [[graft.ops.Graph.connectedComponents]]
+    * shape brought home to the dedup family): below `unionFindNodeLimit`
+    * nodes the whole problem fits the [[graft.functions.PairComponents]]
+    * union-find aggregate — components in ONE map-side-combinable
+    * aggregation, zero driver-synchronized rounds, any diameter. The pair
+    * set is checkpointed FIRST (near-dup pair lineages — shingle joins,
+    * banded LSH — are the expensive part; the probe must not re-run
+    * them), then one approx_count_distinct over the checkpoint decides
+    * the regime (a resource decision needs no exactness; same gate value
+    * and memory math as Graph: ~16-32 B/id in the merged buffer, ≈32 MB
+    * at the 2²⁰ default). Union-by-min roots every component at its
+    * minimum member, so the output CONTRACT — every paired id labeled
+    * with the smallest reachable id — is identical on both paths
+    * (spec-pinned against the loop on randomized graphs).
     */
   def clusters(
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIters: Int = 25,
-      broadcastNodeLimit: Long = 65536): DataFrame = {
-    val half = pairs.select(col(idACol).cast("long").as("src"),
-      col(idBCol).cast("long").as("dst"))
+      broadcastNodeLimit: Long = 65536,
+      unionFindNodeLimit: Long = 1L << 20): DataFrame = {
+    val half = materializeOnce(pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst")))
+    val nApprox = half
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .agg(approx_count_distinct(col("id")).as("n")).head().getLong(0)
+    if (nApprox <= unionFindNodeLimit) {
+      return half
+        .agg(graft.functions.PairComponents.pairComponents(
+          col("src"), col("dst")).as("__cs"))
+        .select(explode(col("__cs")).as("__c"))
+        .select(col("__c.id").as("id"), col("__c.comp").as("cluster_id"))
+    }
     val edges = materializeOnce(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())

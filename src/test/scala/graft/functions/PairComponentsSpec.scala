@@ -79,7 +79,11 @@ class PairComponentsSpec extends SparkTestBase {
     val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter { case (a, b) => a != b }
     val viaAgg = comps(edges, parts = 8)
-    val viaLp = graft.pipeline.Dedup.clusters(edges.toDF("id_a", "id_b"))
+    // unionFindNodeLimit = 0 forces the label-propagation loop — the
+    // default gate would route Dedup.clusters through this very aggregate
+    // and make the comparison self-referential
+    val viaLp = graft.pipeline.Dedup.clusters(edges.toDF("id_a", "id_b"),
+        unionFindNodeLimit = 0)
       .as[(Long, Long)].collect().toMap
     assert(viaAgg === viaLp)
   }

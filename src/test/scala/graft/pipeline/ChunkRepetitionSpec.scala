@@ -96,9 +96,12 @@ class ChunkRepetitionSpec extends SparkTestBase {
 
   test("clusters: deep path converges (diameter bound, not one round)") {
     // a 12-node path, worst case for hash-min: the min label must walk the
-    // whole chain, one hop per round
+    // whole chain, one hop per round. unionFindNodeLimit = 0 pins the
+    // label-propagation LOOP (the beyond-gate path) — the default would
+    // take the one-pass union-find and never exercise the rounds.
     val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.clusters(pairs, unionFindNodeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 12)
     assert(out.forall(_._2 == 0L), s"chain not folded: ${out.toSeq.sorted}")
   }
@@ -114,7 +117,7 @@ class ChunkRepetitionSpec extends SparkTestBase {
     // jump step is actually halving distance-to-root each round
     // (~log2(64) + slack), not just that the answer is right.
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs, maxIters = 10)
+    val out = Dedup.clusters(pairs, maxIters = 10, unionFindNodeLimit = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 64)
     assert(out.forall(_._2 == 0L), s"chain not folded: ${out.toSeq.sorted.take(8)}")
@@ -144,9 +147,14 @@ class ChunkRepetitionSpec extends SparkTestBase {
       val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
         .map(x => x -> find(x)).toMap
 
+      // default gate (one-pass union-find) and forced loop must BOTH
+      // match ground truth: the size gate may never change the answer
       val got = Dedup.clusters(pairs.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial: $got vs $expected")
+      val gotLoop = Dedup.clusters(pairs.toDF("id_a", "id_b"), unionFindNodeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == expected, s"trial $trial (loop): $gotLoop vs $expected")
     }
   }
 
