@@ -706,6 +706,15 @@ object Graph {
     * hint, and past it the joins degrade to shuffles without changing
     * semantics). Round count = peel depth of the graph, data-dependent:
     * `maxRounds` fails loudly rather than looping silently.
+    *
+    * SIZE-GATED one-pass path (the [[pageRank]]/[[connectedComponents]]
+    * shape): below `edgeBufferLimit` raw edges — probed with one count,
+    * a conservative upper bound on the simple-graph size — the whole
+    * data-dependent peel cascade runs inside ONE
+    * [[graft.functions.KCoreAgg]] aggregation (a linear-time queue peel;
+    * the k-core is unique regardless of peel order, so the output is
+    * identical to the loop's synchronous rounds, spec-pinned). A map-side
+    * partial holds only its task's edge rows (~16 B/edge).
     */
   def kCore(
       edges: DataFrame,
@@ -713,12 +722,20 @@ object Graph {
       dstCol: String,
       k: Int,
       maxRounds: Int = 64,
-      broadcastDeadLimit: Long = 4L << 20): DataFrame = {
+      broadcastDeadLimit: Long = 4L << 20,
+      edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val P = edges.sparkSession.sessionState.conf.numShufflePartitions
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+    if (edgeBufferLimit > 0 &&
+        { val c = directed.count(); c > 0 && c <= edgeBufferLimit }) {
+      return directed
+        .agg(graft.functions.KCoreAgg.kCoreAgg(col("src"), col("dst"), k).as("__kc"))
+        .select(explode(col("__kc")).as("__c"))
+        .select(col("__c.node").as("node"), col("__c.degree").as("degree"))
+    }
     val und = directed.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()

@@ -433,8 +433,11 @@ object Dedup {
       rowsPerBand: Int = 2,
       verifyThreshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val newSigs = materializeOnce(
-      minhashSignatures(newDocs, textCol, idCol, n, numHashes))
+    // single consumer (the band join's new side) — no checkpoint: the
+    // signature lineage executes exactly once either way, and skipping the
+    // materialization job saves a driver-synchronized round trip. Frames
+    // with ≥2 consumers (cands below) keep theirs.
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, n, numHashes)
     val newBanded   = bandBuckets(newSigs, idCol, bands, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("bucket"))
     val priorBanded = bandBuckets(priorSigs, idCol, bands, rowsPerBand)
@@ -444,13 +447,15 @@ object Dedup {
         .select("id_new", "id_prior").distinct())
 
     // Exact verify, candidate-bounded on BOTH sides: each corpus is scanned
-    // only for ids that appear in some candidate pair.
+    // only for ids that appear in some candidate pair. Each side feeds the
+    // final join exactly once — lazy, no checkpoint (the shingle kernel
+    // runs once per side regardless; only `cands`, read three times, needs
+    // the materialization).
     def candSide(docs: DataFrame, keep: DataFrame, outId: String) =
-      materializeOnce(
-        docs.join(keep.select(col(outId).as(idCol)).distinct(), Seq(idCol), "left_semi")
-          .select(col(idCol).as(outId),
-            array_distinct(graft.functions.ShingleHashes.shingleHashes(
-              col(textCol), n)).as(s"__sh_$outId")))
+      docs.join(keep.select(col(outId).as(idCol)).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol).as(outId),
+          array_distinct(graft.functions.ShingleHashes.shingleHashes(
+            col(textCol), n)).as(s"__sh_$outId"))
     val newSh   = candSide(newDocs, cands, "id_new")
     val priorSh = candSide(priorDocs, cands, "id_prior")
     cands.join(newSh, Seq("id_new")).join(priorSh, Seq("id_prior"))
@@ -711,8 +716,10 @@ object Dedup {
       sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
-    val newSigs = materializeOnce(
-      newSigsIn.select(col(idCol), col(sigCol).as("simhash")))
+    // single consumer (the band join's new side) — lazy, no checkpoint;
+    // unlike [[hammingNearDups]] there is no self-join here, so the
+    // signature lineage (an image decode, a token vote) runs once anyway
+    val newSigs = newSigsIn.select(col(idCol), col(sigCol).as("simhash"))
     val newBanded = hammingBands(newSigs, idCol, maxHamming)
       .select(col(idCol).as("id_new"), col("simhash").as("__sn"),
         col("band"), col("bits"))

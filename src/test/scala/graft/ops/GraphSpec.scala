@@ -506,11 +506,21 @@ class GraphSpec extends SparkTestBase {
 
   // ------------------------------------------------------------------ kCore
 
+  /** Runs BOTH kCore paths — the gated one-pass KCoreAgg aggregate and
+    * the peel loop (edgeBufferLimit = 0) — and asserts they agree before
+    * returning: the size gate may never change the answer.
+    */
   private def coreOf(edges: Seq[(Long, Long)], k: Int,
       maxRounds: Int = 64): Map[Long, Long] =
     Dedup.withMaterialized {
-      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, maxRounds)
+      val viaAgg = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k,
+          maxRounds)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k,
+          maxRounds, edgeBufferLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaAgg === viaLoop, "one-pass k-core differs from peel loop")
+      viaAgg
     }
 
   test("kCore: pendant chain unravels round by round; the ring survives") {
@@ -544,10 +554,26 @@ class GraphSpec extends SparkTestBase {
     assert(coreOf(edges, k = 1) === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
   }
 
-  test("kCore: maxRounds fails loudly on a deep peel") {
+  test("kCore: maxRounds fails loudly on a deep peel (loop path)") {
+    // the one-pass aggregate has no round bound — force the loop
     val chain = (0L until 12L).map(i => (i, i + 1))
-    val e = intercept[Exception] { coreOf(chain, k = 2, maxRounds = 2) }
+    val e = intercept[Exception] {
+      Dedup.withMaterialized {
+        Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2,
+          maxRounds = 2, edgeBufferLimit = 0).collect()
+      }
+    }
     assert(e.getMessage.contains("maxRounds"))
+  }
+
+  test("kCore: one-pass aggregate matches the peel loop on random graphs") {
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 3; k <- Seq(2, 3)) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(40 + rnd.nextInt(80))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      coreOf(edges, k) // coreOf itself asserts agg === loop
+    }
   }
 
   // ------------------------------------------------------------ randomWalks
