@@ -669,7 +669,13 @@ class PlanSpec extends SparkTestBase {
       // first, so its self-join plan is checkpoint-fed); hard negatives
       // is the broadcast-arm scan pair + one window; knn_graph is the
       // bounded sample arm twice (top-k + mutuality self-join)
-      ("q_kcore",             0, 3),
+      // r15-opt: kCore below the edge gate is ONE KCoreAgg aggregation,
+      // so the returned plan carries the full planted-edge derivation
+      // (docs scan ×2 arms ×(ring + 2 hair unions) = 6 scans) instead of
+      // hiding it in the loop's prior checkpoint jobs; exchanges are the
+      // per-arm nRow broadcasts (×5) + the single-partition agg merge +
+      // the output sort — all bounded, none corpus-shaped
+      ("q_kcore",             6, 7),
       ("q_link_predict",      0, 3),
       ("q_random_walks",      6, 7),
       ("q_walk_pairs",        0, 3),
