@@ -47,7 +47,14 @@ object Bench {
         val err =
           try {
             graft.pipeline.Dedup.withMaterialized {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              // AdaptiveGate (engine heuristic, shared with Verify): derive
+              // the final action's AQE/partition settings from the plan's
+              // input size instead of running every query at the session
+              // constant — see graft.core.AdaptiveGate.
+              val df = fn(spark, sfDir)
+              graft.core.AdaptiveGate.withGatedExecution(df) {
+                df.write.format("noop").mode("overwrite").save()
+              }
             }
             None
           }
@@ -88,6 +95,14 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // stdout gets COMPACT per-query values (4 decimals ≈ 0.1 ms — far below
+    // the measured run-to-run jitter): the driver's stdout capture keeps
+    // only a short tail, and BENCH_r12-r15 all parsed null because this
+    // line had grown past it (the full `runs` arrays pushed it to ~19 KB).
+    // The persisted sweep file below keeps every raw digit and all runs.
+    val qsCompact = results.map { case (k, v, _, _) =>
+      s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs, _) =>
       s"\"" + k + "\":[" + rs.mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -104,9 +119,17 @@ object Bench {
     // (tools/bench_min.py), which this field then reflects
     val protocol = "one-JVM full sweep, min of 2-3 runs per query (3rd for " +
       "sub-500ms or >1.5x-variance rows), inter-query System.gc"
+    // Full record (raw doubles + per-run arrays + protocol) — persisted file
+    // only; it has NEVER fit the driver's capture since the query count grew
+    // past ~150 (BENCH_r12+: "parsed": null four rounds running).
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_protocol":"$protocol","queries":$qs,"runs":$runsJson$errJson,"sf":"$sfDir"}"""
-    println(line)
+    // The ONE stdout JSON line (driver contract): same shape minus the runs
+    // arrays, printed as the LAST stdout line of the run so a tail capture
+    // holds as much of it as possible.
+    val compactLine =
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qsCompact$errJson,"sf":"$sfDir"}"""
+    println(compactLine)
     // Persist the full JSON to the repo (the driver's BENCH_r*.json stdout
     // capture has truncated the tail in past rounds). NEVER to
     // BENCH_local.json: that file is the round's committed min-of-N merged

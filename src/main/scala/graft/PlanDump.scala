@@ -32,8 +32,16 @@ object PlanDump {
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try graft.pipeline.Dedup.withMaterialized {
-        val plan = fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        val df = fn(spark, sfDir)
+        // print the plan the bench's gated action actually executes: the
+        // gate toggles session conf around the final action, and a write
+        // builds a fresh QueryExecution under that conf — reanalyze() is
+        // that rebuild, minus the write
+        val plan = graft.core.AdaptiveGate.withGatedExecution(df) {
+          org.apache.spark.sql.graftbridge.Bridge.reanalyze(df)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+        }
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
         System.err.println(s"[plandump] wrote $name")
       } catch { case e: Throwable =>

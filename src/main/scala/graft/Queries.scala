@@ -40,9 +40,15 @@ object Queries {
     */
   private val tblMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries of STOPPED sessions before serving: without this the
+    // memo pins each stopped session's whole object graph for the JVM
+    // lifetime (multi-suite test JVMs create and stop many sessions)
+    if (!tblMemo.isEmpty)
+      tblMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     tblMemo.computeIfAbsent((spark, s"$dir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   /** True iff `e` is Spark rejecting a parquet TIMESTAMP(NANOS) column.
     * Matched on the structured error condition + the NANOS type parameter

@@ -33,9 +33,15 @@ object Verify {
       // withMaterialized: release each query's localCheckpoint blocks once
       // its dump is written, so 60+ queries' checkpoints don't accumulate
       // in the block manager across the pass (same bracket as Bench).
+      // AdaptiveGate: same input-size-derived execution gate as the bench
+      // (graft.core.AdaptiveGate), so the dumped results are produced under
+      // the exact configuration the bench times — the parity gate then
+      // covers the gated plans too.
       try graft.pipeline.Dedup.withMaterialized {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = fn(spark, sfDir)
+        graft.core.AdaptiveGate.withGatedExecution(df) {
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -76,14 +76,8 @@ case class PageRankAgg(
   override def eval(buffer: PageRankAgg.EdgeBuf): Any =
     PageRankAgg.run(buffer, model)
 
-  override def serialize(buffer: PageRankAgg.EdgeBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buffer.n * 16)
-    var i = 0
-    while (i < buffer.n) {
-      bb.putLong(buffer.srcs(i)); bb.putLong(buffer.dsts(i)); i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: PageRankAgg.EdgeBuf): Array[Byte] =
+    buffer.serializeEdges()
 
   override def deserialize(bytes: Array[Byte]): PageRankAgg.EdgeBuf = {
     val bb = ByteBuffer.wrap(bytes)
@@ -137,6 +131,25 @@ object PageRankAgg {
     def addAll(o: EdgeBuf): Unit = {
       var i = 0
       while (i < o.n) { add(o.srcs(i), o.dsts(i)); i += 1 }
+    }
+
+    /** The shared 16-bytes-per-edge wire format of every edge-buffer
+      * aggregate (PageRankAgg / WalkAgg / HopDistanceAgg / KCoreAgg).
+      * The Int allocation arithmetic hard-caps a single serialized buffer
+      * at ~134M edges — loudly, not by overflowing into a negative
+      * allocation size or silently truncating on the deserialize side.
+      * Callers' edge gates (default 8M) sit far under this ceiling; a
+      * caller raising a gate past it must shard the aggregation instead.
+      */
+    def serializeEdges(): Array[Byte] = {
+      require(n <= Int.MaxValue / 16,
+        s"edge aggregation buffer of $n edges exceeds the ~134M-edge " +
+          "serialization ceiling (16 B/edge in one Int-sized allocation); " +
+          "lower the one-pass edge gate so the loop path handles this graph")
+      val bb = ByteBuffer.allocate(n * 16)
+      var i = 0
+      while (i < n) { bb.putLong(srcs(i)); bb.putLong(dsts(i)); i += 1 }
+      bb.array()
     }
   }
 

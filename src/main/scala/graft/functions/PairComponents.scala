@@ -109,6 +109,12 @@ case class PairComponents(
     // rewrites parent values in this same map, and mutating a LongMap while
     // foreach-ing it is only safe by an undocumented internal property
     val ids = buffer.keys.toArray
+    // same ~134M-entry ceiling as EdgeBuf.serializeEdges: fail loudly
+    // instead of overflowing the Int allocation arithmetic
+    require(ids.length <= Int.MaxValue / 16,
+      s"pair_components buffer of ${ids.length} nodes exceeds the ~134M-node " +
+        "serialization ceiling (16 B/node in one Int-sized allocation); " +
+        "lower unionFindNodeLimit so the loop path handles this graph")
     val bb = ByteBuffer.allocate(ids.length * 16)
     var i = 0
     while (i < ids.length) {

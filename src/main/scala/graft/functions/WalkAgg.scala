@@ -63,14 +63,8 @@ case class WalkAgg(
   override def eval(buffer: PageRankAgg.EdgeBuf): Any =
     WalkAgg.run(buffer, model)
 
-  override def serialize(buffer: PageRankAgg.EdgeBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buffer.n * 16)
-    var i = 0
-    while (i < buffer.n) {
-      bb.putLong(buffer.srcs(i)); bb.putLong(buffer.dsts(i)); i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: PageRankAgg.EdgeBuf): Array[Byte] =
+    buffer.serializeEdges()
 
   override def deserialize(bytes: Array[Byte]): PageRankAgg.EdgeBuf = {
     val bb = ByteBuffer.wrap(bytes)

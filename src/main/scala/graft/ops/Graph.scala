@@ -726,9 +726,18 @@ object Graph {
       edgeBufferLimit: Long = 8L << 20): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val P = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val directed = edges
+    val directedRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+    // Checkpoint BEFORE the gate probe (the Dedup.clusters convention): the
+    // count() must not re-execute the caller's edge derivation — whichever
+    // path runs afterwards consumes the materialized blocks, so the lineage
+    // executes exactly once however expensive it is (measured on the 500k-
+    // node derived-edge fixture, OPTIMIZATION_r16.md). Loop-pinned callers
+    // (edgeBufferLimit = 0) skip probe and checkpoint alike: their single
+    // consumer is the adjacency build, which materializes on its own.
+    val directed =
+      if (edgeBufferLimit > 0) Dedup.materializeOnce(directedRaw) else directedRaw
     if (edgeBufferLimit > 0 &&
         { val c = directed.count(); c > 0 && c <= edgeBufferLimit }) {
       return directed

@@ -298,7 +298,12 @@ object Dedup {
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
     // materialized: the union below fans this frame into two branches, and
     // without a checkpoint the dominant shingle self-join + pair aggregation
-    // lineage would re-execute once per direction
+    // lineage would re-execute once per direction. (A 2-struct explode that
+    // emits both directions in one pass — making this single-consumer and
+    // checkpoint-free — was measured in r16 and LOST 3 of 4 interleaved
+    // rounds: the final ORDER BY's range sampler re-executes its
+    // now-unmaterialized child, eating the saved job. See
+    // OPTIMIZATION_r16.md.)
     val shared = materializeOnce(a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -779,12 +784,14 @@ object Dedup {
     }
 
   /** Connected-component cluster ids over a near-dup pair set: every id
-    * that appears in `pairs` gets `cluster_id` = the SMALLEST id reachable
-    * through the pair graph — the step that turns pairwise near-dup
-    * verdicts ([[jaccardPairs]], [[minhashLshPairs]], [[simhashNearDups]],
+    * that appears in a pair with two non-null endpoints gets `cluster_id`
+    * = the SMALLEST id reachable through the pair graph — the step that
+    * turns pairwise near-dup verdicts ([[jaccardPairs]],
+    * [[minhashLshPairs]], [[simhashNearDups]],
     * [[graft.pipeline.Similarity.lshPairs]]) into dedup decisions. Ids
     * with no pair are absent here (their cluster is trivially themselves);
-    * [[dedupByClusters]] handles them.
+    * [[dedupByClusters]] handles them. Pairs with a null (or uncastable)
+    * endpoint are dropped — no pair, no row, identical on both regimes.
     *
     * Algorithm: hash-min label propagation with POINTER JUMPING from the
     * third round on — each round every node adopts the minimum label in
@@ -831,8 +838,16 @@ object Dedup {
       maxIters: Int = 25,
       broadcastNodeLimit: Long = 65536,
       unionFindNodeLimit: Long = 1L << 20): DataFrame = {
+    // Null-endpoint pairs are dropped BEFORE the regime split (after the
+    // cast, so an uncastable id counts as null too): the two paths used to
+    // disagree on them — PairComponents skips a null edge entirely while
+    // the propagation loop seeded the non-null side with itself — making
+    // the output regime-dependent, against the identical-on-both-paths
+    // contract. No near-dup pair producer emits null endpoints; a caller
+    // feeding them gets the one defensible reading (no pair, no row).
     val half = materializeOnce(pairs.select(col(idACol).cast("long").as("src"),
-      col(idBCol).cast("long").as("dst")))
+      col(idBCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
     val nApprox = half
       .select(explode(array(col("src"), col("dst"))).as("id"))
       .agg(approx_count_distinct(col("id")).as("n")).head().getLong(0)

@@ -44,6 +44,17 @@ object Bridge {
       case _ => df
     }
 
+  /** Rebuild a Dataset from its logical plan so a NEW QueryExecution is
+    * created under the CURRENT session conf — how an action (write) sees a
+    * conf change made after the frame was constructed. Dev tooling
+    * (PlanDump) uses this to print the plan a gated action actually runs;
+    * no query path calls it.
+    */
+  def reanalyze(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(session, df.queryExecution.logical)
+  }
+
   /** Stamp a just-checkpointed frame's `LogicalRDD` with the hash
     * partitioning its rows PHYSICALLY have.
     *

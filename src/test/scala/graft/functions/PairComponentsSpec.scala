@@ -74,6 +74,22 @@ class PairComponentsSpec extends SparkTestBase {
     assert(ids === ids.sorted, s"unsorted: $ids")
   }
 
+  test("Dedup.clusters drops null-endpoint pairs identically on both regimes") {
+    // pre-r16 the regimes disagreed here: the aggregate skipped a null edge
+    // while the loop seeded the non-null side with itself — same input,
+    // different answer depending on the approximate node count
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (Some(7L), None), (None, Some(9L)),
+      (Some(2L), Some(3L))
+    ).toDF("id_a", "id_b")
+    val gated = graft.pipeline.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val loop = graft.pipeline.Dedup.clusters(pairs, unionFindNodeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(gated === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(loop === gated)
+  }
+
   test("agrees with Dedup.clusters label propagation on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
